@@ -1,0 +1,226 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+One entry per key in ``queries()`` where the operator is SQL-expressible
+in DuckDB; keys absent here (xxhash64-based minhash/simhash) get the
+driver's rows-only check. Column aliases match the Spark builders
+byte-for-byte — the driver sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from catalyst_spark.queries.pipeline import STOPWORDS
+
+# ---------------------------------------------------------------------------
+# relational surface (SURVEY §2.6, verbatim)
+# ---------------------------------------------------------------------------
+
+_RELATIONAL = {
+    "q1_filter_project_sort": """
+        SELECT event_id, event_type, value FROM events
+        WHERE value > 100 AND event_type = 'click' ORDER BY event_id
+    """,
+    "q2_time_bucket": """
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sv
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q3_hash_aggregate": """
+        SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 2) AS av,
+               ROUND(MIN(value), 2) AS mn, ROUND(MAX(value), 2) AS mx
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q4_distinct_aggregate": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS u
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q5_latest_per_series": """
+        SELECT user_id, event_type, ts, value FROM (
+          SELECT user_id, event_type, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+    "q6_tpch_q1": """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sq,
+               ROUND(SUM(l_extendedprice), 2) AS sep,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sdp,
+               COUNT(*) AS n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """,
+    "q7_broadcast_join": """
+        SELECT n_name, COUNT(*) AS c, ROUND(SUM(c_acctbal), 2) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "q8_multi_join": """
+        SELECT r_name, COUNT(*) AS orders_cnt
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "q9_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        ORDER BY c_custkey
+    """,
+    "q10_anti_join": """
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q11_top_k": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q12_set_op": """
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+        ORDER BY k
+    """,
+    "q13_string_functions": """
+        SELECT p_partkey, UPPER(p_brand) AS b, SUBSTRING(p_type, 1, 6) AS t6,
+               LENGTH(p_name) AS ln
+        FROM part WHERE p_name LIKE '%green%' ORDER BY p_partkey
+    """,
+    "q14_case_cascade": """
+        SELECT event_id,
+               CASE WHEN value >= 4294967295 THEN 'ms'
+                    WHEN value > 0 THEN 's'
+                    ELSE 'zero' END AS unit
+        FROM events ORDER BY event_id
+    """,
+    "q15_union_dedup": """
+        SELECT DISTINCT user_id FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id FROM events WHERE event_type = 'view') t
+        ORDER BY user_id
+    """,
+    "q16_text_group": """
+        SELECT lang, COUNT(*) AS docs, ROUND(AVG(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "q17_exact_dedup_counts": """
+        SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS uniq FROM documents
+    """,
+}
+
+# ---------------------------------------------------------------------------
+# pipeline operators (DuckDB dialect mirrors of queries/pipeline.py)
+# ---------------------------------------------------------------------------
+
+def _hits_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{lst}], t)))"
+    )
+
+
+_EMB_NORMED = """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings)
+"""
+
+_PIPELINE = {
+    "dedup_exact": """
+        SELECT md5(text) AS h, COUNT(*) AS dup_cnt, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 ORDER BY h
+    """,
+    "dedup_token_set": """
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+               COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 ORDER BY fp
+    """,
+    "dedup_embedding_cosine": _EMB_NORMED + """
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 2) AS cos
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.9
+        ORDER BY a_id, b_id
+    """,
+    "ann_brute_topk": _EMB_NORMED + """
+        , s AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM v q JOIN v c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0)
+        SELECT q_id, "rank", neighbor_id, ROUND(cos_raw, 2) AS cos FROM (
+          SELECT q_id, neighbor_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+          FROM s) t
+        WHERE "rank" <= 5 ORDER BY q_id, "rank"
+    """,
+    "ann_ivf_topk": _EMB_NORMED + """
+        , s AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM v q JOIN v c ON q.label = c.label AND q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0)
+        SELECT q_id, "rank", neighbor_id, ROUND(cos_raw, 2) AS cos FROM (
+          SELECT q_id, neighbor_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+          FROM s) t
+        WHERE "rank" <= 5 ORDER BY q_id, "rank"
+    """,
+    "text_stats": f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(n_tok) AS total_tokens,
+               ROUND(AVG(n_tok), 2) AS avg_tokens,
+               ROUND(AVG(tok_len), 2) AS avg_tok_len,
+               ROUND(AVG(stop_ratio), 2) AS avg_stop_ratio
+        FROM (
+          SELECT lang, source,
+                 len(string_split(text, ' ')) AS n_tok,
+                 length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS tok_len,
+                 {_hits_duck('en')} / len(string_split(text, ' ')) AS stop_ratio
+          FROM documents) d
+        GROUP BY lang, source ORDER BY lang, source
+    """,
+    "lang_id_confusion": f"""
+        SELECT lang, pred_lang, COUNT(*) AS n FROM (
+          SELECT lang,
+                 CASE
+                   WHEN {_hits_duck('en')} >= {_hits_duck('fr')}
+                        AND {_hits_duck('en')} >= {_hits_duck('de')}
+                        AND {_hits_duck('en')} >= {_hits_duck('es')}
+                        AND {_hits_duck('en')} > 0 THEN 'en'
+                   WHEN {_hits_duck('fr')} >= {_hits_duck('de')}
+                        AND {_hits_duck('fr')} >= {_hits_duck('es')}
+                        AND {_hits_duck('fr')} > 0 THEN 'fr'
+                   WHEN {_hits_duck('de')} >= {_hits_duck('es')}
+                        AND {_hits_duck('de')} > 0 THEN 'de'
+                   WHEN {_hits_duck('es')} > 0 THEN 'es'
+                   ELSE 'unk' END AS pred_lang
+          FROM documents) d
+        GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    "token_counts": """
+        SELECT source,
+               SUM(ws_tok) AS total_ws_tokens,
+               SUM(bpe_est) AS total_bpe_est,
+               ROUND(AVG(ws_tok), 2) AS avg_ws_tokens
+        FROM (
+          SELECT source, len(string_split(text, ' ')) AS ws_tok,
+                 CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+          FROM documents) d
+        GROUP BY source ORDER BY source
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, substring(md5(lower(text)), 1, 16) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+}
+
+ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE}

@@ -1,0 +1,417 @@
+"""LLM-training-data pipeline operators over `documents` / `embeddings`.
+
+These are the north-star extensions (SURVEY §2 build plan phase 4): the
+operations a 100 TB training-data pipeline needs, each expressed as pure
+DataFrame/SQL column operations (JVM-side, whole-stage-codegen) — no
+Python UDFs in any hot path. Everything is hash-based (xxhash64 / md5)
+with fixed seeds, so results are deterministic run-to-run.
+
+Scale design notes:
+- Exact dedup groups on a fixed-width hash of the text, never on the raw
+  text (the shuffle moves 16-byte keys, not documents).
+- MinHash-LSH: shingle -> k minhashes -> b bands -> explode bands ->
+  self-join on band bucket. The self-join is an equi-join on the band
+  hash, so it shuffles only (bucket, doc_id) pairs; candidate
+  verification re-joins shingle sets by doc_id. At 100 TB the band join
+  is the standard near-dup plan (same shape as Spark's MinHashLSH, but
+  expression-only and deterministic).
+- SimHash: 64-bit signature via bit-vote over token hashes; 4x16-bit
+  band blocking finds ALL pairs with Hamming distance <= 3 (pigeonhole:
+  3 differing bits cannot touch all 4 bands).
+- Embedding near-dup / ANN: cosine in pure column expressions
+  (zip_with + aggregate fold = sequential sum, reproducible bit-for-bit);
+  label-blocked variants model an IVF index (label ≙ coarse centroid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from catalyst_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# shared expression fragments (Spark SQL dialect)
+# ---------------------------------------------------------------------------
+
+TOKENS = "split(text, ' ')"
+N_TOKENS = f"size({TOKENS})"
+
+# language stopword lists for the n-gram/stopword language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "of", "and", "to", "a", "in", "is", "it"),
+    "fr": ("le", "les", "et", "des", "une", "est", "dans", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "zu"),
+    "es": ("el", "los", "y", "una", "es", "en", "por", "con"),
+}
+
+
+def _hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter({TOKENS}, t -> t in ({lst})))"
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups keyed by md5(text).
+
+    Returns every hash group with its cardinality and the kept (min)
+    doc_id — the "keep first, drop rest" exact-dedup decision table.
+    """
+    documents = load(spark, sf_dir, "documents")
+    return (
+        documents.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_cnt"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("h")
+    )
+
+
+def dedup_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order-insensitive dedup: fingerprint = md5 of the sorted
+    distinct token set. Catches shuffled/reordered near-duplicates that
+    exact hashing misses, still with an exact group-by (no similarity
+    join needed)."""
+    documents = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        f"md5(concat_ws(' ', array_sort(array_distinct({TOKENS}))))"
+    ).alias("fp")
+    return (
+        documents.groupBy(fp)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("fp")
+    )
+
+
+# MinHash parameters: 32 permutations, 8 bands x 4 rows.
+_MINHASH_PERMS = 32
+_MINHASH_BANDS = 8
+_MINHASH_ROWS = 4
+
+
+def _shingled(documents: DataFrame) -> DataFrame:
+    """doc_id + distinct 3-token shingle array (docs shorter than 3
+    tokens contribute the whole text as their only shingle)."""
+    return documents.select(
+        "doc_id",
+        F.expr(
+            f"""CASE WHEN {N_TOKENS} >= 3 THEN
+                  array_distinct(transform(sequence(0, {N_TOKENS} - 3),
+                    i -> concat_ws(' ', {TOKENS}[i], {TOKENS}[i+1], {TOKENS}[i+2])))
+                ELSE array(text) END"""
+        ).alias("shingles"),
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates with exact-Jaccard verification.
+
+    shingle(3-gram) -> 32 minhashes (xxhash64 seeded by perm index) ->
+    8 bands of 4 -> explode -> equi-self-join on band hash -> distinct
+    candidate pairs -> verify with exact Jaccard over shingle sets.
+
+    Deterministic (no RNG: permutation i is xxhash64(i, shingle)), so
+    rerunning reproduces identical pairs. Not expressible in DuckDB SQL
+    (xxhash64) — driver records the rows-only check.
+    """
+    sh = _shingled(load(spark, sf_dir, "documents"))
+    sig = sh.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_MINHASH_PERMS - 1}),"
+            "  s -> array_min(transform(shingles, sh -> xxhash64(s, sh))))"
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            f"""explode(transform(sequence(0, {_MINHASH_BANDS - 1}),
+                b -> xxhash64(b, sig[{_MINHASH_ROWS}*b], sig[{_MINHASH_ROWS}*b+1],
+                              sig[{_MINHASH_ROWS}*b+2], sig[{_MINHASH_ROWS}*b+3])))"""
+        ).alias("bucket"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(right, (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "a_id")
+                    .withColumnRenamed("shingles", "sh_a"), "a_id")
+        .join(sh.withColumnRenamed("doc_id", "b_id")
+                .withColumnRenamed("shingles", "sh_b"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.orderBy("a_id", "b_id")
+
+
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (bit-vote over xxhash64 token hashes).
+
+    Pure-expression (nested higher-order functions), JVM-side. The
+    signature column is what a 100 TB pipeline would persist alongside
+    each document for cheap incremental near-dup checks.
+    """
+    documents = load(spark, sf_dir, "documents")
+    with_hashes = documents.select(
+        "doc_id", F.expr(f"transform({TOKENS}, t -> xxhash64(t))").alias("th")
+    )
+    simhash = F.expr(
+        """aggregate(sequence(0, 63), cast(0 as bigint),
+             (acc, i) -> acc | (CASE WHEN
+                 aggregate(th, 0, (s, h) ->
+                   s + (CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+               THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END))"""
+    ).alias("simhash")
+    return with_hashes.select("doc_id", simhash).orderBy("doc_id")
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with SimHash Hamming distance <= 3.
+
+    4x16-bit band blocking is EXACT for radius 3 (a pair differing in
+    <= 3 bits must agree on at least one of 4 bands), so the band
+    equi-join finds every qualifying pair without an all-pairs scan.
+    """
+    sims = text_simhash(spark, sf_dir)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.expr(
+            """explode(transform(sequence(0, 3),
+                 b -> named_struct('band', b,
+                                   'val', shiftright(simhash, 16 * b) & 65535)))"""
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.val")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a_id"),
+            F.col("r.doc_id").alias("b_id"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return pairs.orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def _with_norm(emb: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    """Cast to double and precompute the L2 norm once per vector."""
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("label").alias(f"{id_alias}_label"),
+        F.col("embedding").cast("array<double>").alias(vec_alias),
+    ).withColumn(
+        f"{vec_alias}_norm",
+        F.sqrt(F.expr(f"aggregate({vec_alias}, cast(0 as double), (s, x) -> s + x * x)")),
+    )
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    """Sequential-fold dot product — bit-reproducible and identical to the
+    DuckDB oracle's list_dot_product evaluation order."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+    )
+    return dot / (F.col(f"{a}_norm") * F.col(f"{b}_norm"))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.9), label-blocked.
+
+    Blocking on `label` models an IVF coarse quantizer: only vectors in
+    the same cell are compared, turning the O(n^2) all-pairs scan into a
+    per-cell equi-join — the scale path for near-dup at 100 TB.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    a = _with_norm(emb, "a_id", "va")
+    b = _with_norm(emb, "b_id", "vb")
+    return (
+        a.join(b, (F.col("a_id_label") == F.col("b_id_label"))
+               & (F.col("a_id") < F.col("b_id")))
+        .withColumn("cos", _cosine("va", "vb"))
+        .where(F.col("cos") >= 0.9)
+        .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the probe set vec_id%50==0.
+
+    The tiny probe side is broadcast, so scoring is a map-only pass over
+    the candidate vectors (BroadcastNestedLoopJoin); ranking shuffles
+    only (probe, candidate, score) triples. This is the exact baseline
+    an approximate index is graded against.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
+    c = _with_norm(emb, "n_id", "vc")
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_raw", _cosine("vq", "vc"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
+                F.round("cos_raw", 2).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's own cell (label ≙ centroid
+    assignment, nprobe=1). Same probe set and ranking as the brute-force
+    baseline; at 100 TB this is the index path — each cell is a
+    partition and the probe set joins only its cell."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
+    c = _with_norm(emb, "n_id", "vc")
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_id_label") == F.col("n_id_label")) & (F.col("q_id") != F.col("n_id")),
+        )
+        .withColumn("cos_raw", _cosine("vq", "vc"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
+                F.round("cos_raw", 2).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring aggregates per (lang, source): token counts, mean
+    token length, stopword ratio — the standard cheap quality filters of
+    a training-data pipeline, all as codegen'd expressions."""
+    documents = load(spark, sf_dir, "documents")
+    per_doc = documents.select(
+        "lang",
+        "source",
+        F.expr(N_TOKENS).alias("n_tok"),
+        (F.length(F.regexp_replace("text", " ", "")) / F.expr(N_TOKENS)).alias("tok_len"),
+        (F.expr(_hits("en")) / F.expr(N_TOKENS)).alias("stop_ratio"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.round(F.avg("tok_len"), 2).alias("avg_tok_len"),
+            F.round(F.avg("stop_ratio"), 2).alias("avg_stop_ratio"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID vs. the labeled lang (confusion matrix).
+
+    pred = argmax over per-language stopword hit counts with a fixed
+    tie-break order (en > fr > de > es), 'unk' when no list hits.
+    """
+    documents = load(spark, sf_dir, "documents")
+    pred = F.expr(
+        f"""CASE
+              WHEN {_hits('en')} >= {_hits('fr')} AND {_hits('en')} >= {_hits('de')}
+                   AND {_hits('en')} >= {_hits('es')} AND {_hits('en')} > 0 THEN 'en'
+              WHEN {_hits('fr')} >= {_hits('de')} AND {_hits('fr')} >= {_hits('es')}
+                   AND {_hits('fr')} > 0 THEN 'fr'
+              WHEN {_hits('de')} >= {_hits('es')} AND {_hits('de')} > 0 THEN 'de'
+              WHEN {_hits('es')} > 0 THEN 'es'
+              ELSE 'unk' END"""
+    ).alias("pred_lang")
+    return (
+        documents.select("lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace tokens plus the chars/4
+    BPE-estimate used for LLM budget planning."""
+    documents = load(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "source",
+            F.expr(N_TOKENS).alias("ws_tok"),
+            F.expr("cast(ceil(length(text) / 4.0) as bigint)").alias("bpe_est"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("ws_tok").alias("total_ws_tokens"),
+            F.sum("bpe_est").alias("total_bpe_est"),
+            F.round(F.avg("ws_tok"), 2).alias("avg_ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit content fingerprint (md5 prefix of the
+    lower-cased text) — the join key a pipeline persists for provenance
+    and incremental exact-dedup."""
+    documents = load(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "doc_id",
+            F.expr("substring(md5(lower(text)), 1, 16)").alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_token_set": dedup_token_set,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "text_simhash": text_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_brute_topk": ann_brute_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "text_stats": text_stats,
+    "lang_id_confusion": lang_id_confusion,
+    "token_counts": token_counts,
+    "doc_fingerprint": doc_fingerprint,
+}

@@ -1,0 +1,298 @@
+"""Q1-Q17 — the declared relational query surface (SURVEY §2.6).
+
+Each builder is idiomatic DataFrame API: declarative plans so Catalyst
+applies predicate pushdown, column pruning, join selection, and partition
+pruning. Scale notes per query explain why the plan survives 100 TB.
+
+Conventions (driver correctness gate):
+- every float aggregate is ROUND(x, 2) and aliased identically to the
+  oracle SQL in ``oracles.py``;
+- every query ends in a full ORDER BY for deterministic hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from catalyst_spark.tables import load
+
+
+def q1_filter_project_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection + sort.
+
+    Scale: both predicates and the 3-column projection push down to the
+    parquet scan (PushedFilters / ReadSchema); no shuffle except the
+    final range-partitioned sort.
+    """
+    events = load(spark, sf_dir, "events")
+    return (
+        events.where((F.col("value") > 100) & (F.col("event_type") == "click"))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+def q2_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time bucketing — the canonical TSDB downsample.
+
+    Scale: partial aggregation (map-side combine) before the shuffle on
+    (hour, event_type); cardinality of the group key is tiny relative to
+    input so the shuffle moves only the combined partials.
+    """
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .orderBy("h", "event_type")
+    )
+
+
+def q3_hash_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate hash aggregation; one shuffle on a low-cardinality key."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 2).alias("av"),
+            F.round(F.min("value"), 2).alias("mn"),
+            F.round(F.max("value"), 2).alias("mx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q4_distinct_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-phase partial-distinct
+    aggregate, deduping (event_type, user_id) map-side before the shuffle."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .orderBy("event_type")
+    )
+
+
+def q5_latest_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest point per (user, event_type) series — the canonical TSDB read.
+
+    Scale: single shuffle on the series key; row_number needs only a
+    per-key sort. At 100 TB a series key is fine-grained enough to spread
+    evenly; AQE skew-join/skew-agg splits hot keys if not.
+    """
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.select("user_id", "event_type", "ts", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q6_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: scan-heavy aggregation.
+
+    Scale: the filter pushes to parquet; 4 aggregates over a 2-value x
+    2-value group key mean the shuffle after partial agg is ~6 rows per
+    task regardless of input size. This is the per-round bench headline.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sep"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sdp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q7_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a broadcast-able dim (nation: 25 rows at every SF).
+
+    Scale: explicit broadcast removes the shuffle on the customer side
+    entirely — the join runs map-side inside the scan stage.
+    """
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q8_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region with a pushed filter.
+
+    Scale: orders⋈customer is the only real shuffle (both fact-sized;
+    sort-merge with AQE). nation/region broadcast, so the two dim joins
+    stay map-side. Filter on o_orderstatus pushes to the orders scan.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.where(F.col("o_orderstatus") == "F")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("orders_cnt"))
+        .orderBy("r_name")
+    )
+
+
+def q9_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — left-semi join. The filter on orders is applied before the
+    join, shrinking the build side; semi-join short-circuits per key."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    big_orders = orders.where(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        customer.join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — left-anti join on the order keys."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q11_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: ORDER BY ... LIMIT 10 becomes TakeOrderedAndProject — each
+    task keeps only its local top-10, so no global sort materializes."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", F.round(F.col("o_totalprice"), 2).alias("p"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q12_set_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — Spark plans a left-semi aggregate over distinct keys."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("k"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+def q13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (parity with the reference's name handling T2/T10).
+
+    The LIKE predicate and column pruning both reach the parquet scan.
+    """
+    part = load(spark, sf_dir, "part")
+    return (
+        part.where(F.col("p_name").like("%green%"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("b"),
+            F.substring(F.col("p_type"), 1, 6).alias("t6"),
+            F.length(F.col("p_name")).alias("ln"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q14_case_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE cascade mirroring the reference's timestamp-magnitude heuristic
+    (ref catalyser/opentsdb.go:127-144: < 2^32-1 => seconds else ms)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            F.when(F.col("value") >= 4294967295, "ms")
+            .when(F.col("value") > 0, "s")
+            .otherwise("zero")
+            .alias("unit"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q15_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + DISTINCT. Catalyst collapses the two branch scans of the
+    same file; distinct is a partial-then-final aggregate on user_id."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    views = events.where(F.col("event_type") == "view").select("user_id")
+    return clicks.unionAll(views).distinct().orderBy("user_id")
+
+
+def q16_text_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document stats (north-star text-analysis slice)."""
+    documents = load(spark, sf_dir, "documents")
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q17_exact_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup summary: total vs distinct text. COUNT(DISTINCT text)
+    partial-aggregates the (text) key map-side; at 100 TB you'd dedupe on
+    a fixed-width hash instead — see pipeline.dedup_exact."""
+    documents = load(spark, sf_dir, "documents")
+    return documents.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("text").alias("uniq"),
+    )
+
+
+RELATIONAL_QUERIES = {
+    "q1_filter_project_sort": q1_filter_project_sort,
+    "q2_time_bucket": q2_time_bucket,
+    "q3_hash_aggregate": q3_hash_aggregate,
+    "q4_distinct_aggregate": q4_distinct_aggregate,
+    "q5_latest_per_series": q5_latest_per_series,
+    "q6_tpch_q1": q6_tpch_q1,
+    "q7_broadcast_join": q7_broadcast_join,
+    "q8_multi_join": q8_multi_join,
+    "q9_semi_join": q9_semi_join,
+    "q10_anti_join": q10_anti_join,
+    "q11_top_k": q11_top_k,
+    "q12_set_op": q12_set_op,
+    "q13_string_functions": q13_string_functions,
+    "q14_case_cascade": q14_case_cascade,
+    "q15_union_dedup": q15_union_dedup,
+    "q16_text_group": q16_text_group,
+    "q17_exact_dedup_counts": q17_exact_dedup_counts,
+}

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what a cluster deployment would set per-job:
+AQE on (runtime re-plan, skew-join handling), shuffle partitions sized to
+cores (would be ~2-3x total cluster cores at scale), UTC session timezone
+(required for DuckDB-oracle comparison — DuckDB timestamps are UTC-naive),
+Arrow enabled for the few Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# map_concat with duplicate keys must keep the LAST value: the reference's
+# Prometheus path merges URL-path labels OVER scraped labels
+# (ref catalyser/prometheus.go:96-99 — extra labels override inner ones).
+_MAP_DEDUP_POLICY = "LAST_WIN"
+
+
+def get_spark(app_name: str = "catalyst_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", _MAP_DEDUP_POLICY)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to a session we did not
+    build (the driver hands us one in ``__spark_entry__.entry``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", _MAP_DEDUP_POLICY)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet carries TIMESTAMP(NANOS) — readable only as LONG.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

@@ -1,0 +1,56 @@
+"""Loaders for the driver's synthetic tables (TESTDATA.md).
+
+Parquet-backed; Catalyst gets predicate pushdown + column pruning for
+free. At 100 TB the same code path works against a partitioned table —
+`spark.read.parquet` on a date-partitioned directory prunes partitions
+from the same declarative plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor:
+# nation is 25 rows and region 5 rows at every TPC-H SF; broadcasting them
+# removes the shuffle on the fact side of Q7/Q8 entirely.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as
+        # a raw nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong, set
+        # in session.py). Truncate ns -> µs exactly like DuckDB/Arrow do
+        # when surfacing TIMESTAMP_NS at µs precision (floor division).
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
