@@ -1,0 +1,106 @@
+"""OpenTSDB JSON parser (P2) — from_json, pure columns.
+
+Reference semantics (ref catalyser/opentsdb.go:31-144):
+- the body may carry arbitrary leading bytes, discarded until the first
+  '[' or '{' (:38-58); '[' first -> array of points, '{' first -> single
+  point (trailing bytes after a solo object are ignored by Go's
+  json.Decoder; we parse the object strictly — documented deviation only
+  for garbage-after-JSON bodies).
+- point: {"metric": s, "timestamp": int, "value": any, "tags": {s: s}}
+- JSON value typing follows encoding/json into interface{}: number ->
+  float64, string -> string, bool -> bool (:25-26). We recover the JSON
+  type by parsing the value field under three schemas — Spark's
+  from_json does NOT coerce across JSON types (string "18" under a
+  DOUBLE schema yields null), which is exactly Go's behavior. JSON null /
+  missing -> Go nil interface -> value_type 'null'.
+- timestamp must be an integral JSON number (Go int64 field; a float
+  fails the decode -> parse error); 0 or missing -> ingest-now; then the
+  sec/ms magnitude heuristic (:127-144).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from catalyst_spark.parsers.graphite import _heuristic_us
+from catalyst_spark.schema import gts_columns
+
+_BASE = "array<struct<metric:string,timestamp:bigint,tags:map<string,string>>>"
+_VAL_D = "array<struct<value:double>>"
+_VAL_B = "array<struct<value:boolean>>"
+_VAL_S = "array<struct<value:string>>"
+
+
+def parse_opentsdb(
+    df: DataFrame, body_col: str = "body", now_us: int | None = None
+) -> DataFrame:
+    """Parse OpenTSDB JSON bodies (one HTTP body per input row) into GTS.
+
+    Scale: from_json + posexplode are codegen'd; a body with k points
+    fans out to k rows with no shuffle.
+    """
+    if now_us is None:
+        now_us = int(time.time() * 1_000_000)
+
+    body = F.col(body_col)
+    pos_arr = F.instr(body, "[")
+    pos_obj = F.instr(body, "{")
+    start = F.least(F.nullif(pos_arr, F.lit(0)), F.nullif(pos_obj, F.lit(0)))
+    clean = F.substring(body, start, 2147483647)
+    solo = clean.startswith("{")
+    as_array = F.when(solo, F.concat(F.lit("["), clean, F.lit("]"))).otherwise(clean)
+
+    parsed = df.select(
+        start.alias("_start"),
+        F.from_json(as_array, _BASE).alias("base"),
+        F.from_json(as_array, _VAL_D).alias("vd"),
+        F.from_json(as_array, _VAL_B).alias("vb"),
+        F.from_json(as_array, _VAL_S).alias("vs"),
+    )
+
+    # no '[' or '{' at all -> the reference's EOF parse error (:40-45)
+    exploded = parsed.select(
+        "_start",
+        F.posexplode_outer("base").alias("_i", "p"),
+        F.col("vd").alias("vd"),
+        F.col("vb").alias("vb"),
+        F.col("vs").alias("vs"),
+    ).select(
+        "_start",
+        F.col("p.metric").alias("_metric"),
+        F.col("p.timestamp").alias("_ts_in"),
+        F.col("p.tags").alias("_tags"),
+        F.expr("vd[_i].value").alias("_vd"),
+        F.expr("vb[_i].value").alias("_vb"),
+        F.expr("vs[_i].value").alias("_vs"),
+    )
+
+    ts_in = F.coalesce(F.col("_ts_in"), F.lit(0))
+    value_type = (
+        F.when(F.col("_vb").isNotNull(), "boolean")
+        .when(F.col("_vd").isNotNull(), "double")
+        .when(F.col("_vs").isNotNull(), "string")
+        .otherwise("null")
+    )
+    error = (
+        F.when(F.col("_start").isNull(), "Failed to parse datapoint - EOF")
+        .when(F.col("_metric").isNull() & F.col("_vs").isNull(),
+              "Failed to parse datapoint")
+        .otherwise(F.lit(None))
+    )
+
+    return exploded.select(
+        *gts_columns(
+            ts=_heuristic_us(ts_in, now_us),
+            name=F.col("_metric"),
+            labels=F.coalesce(F.col("_tags"), F.create_map().cast("map<string,string>")),
+            value_d=F.when(value_type == "double", F.col("_vd")),
+            value_b=F.when(value_type == "boolean", F.col("_vb")),
+            value_s=F.when(value_type == "string", F.col("_vs")),
+            value_type=value_type,
+            parse_error=error,
+        )
+    )

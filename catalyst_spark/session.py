@@ -10,6 +10,8 @@ Arrow enabled for the few Pandas-UDF paths.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -39,7 +41,32 @@ def get_spark(app_name: str = "catalyst_spark", cpus: int | None = None) -> Spar
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute catalyst_spark to executor Python workers.
+
+    The mapInPandas parsers (influx, remote_write) reference this package
+    from worker processes; on a real cluster the code must travel with
+    the job. addPyFile of a package zip is the standard mechanism and
+    also fixes local-mode sessions launched from another cwd.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    marker = "_catalyst_spark_shipped"
+    if spark.conf.get(f"spark.{marker}", None) == "true":
+        return
+    zpath = os.path.join(tempfile.gettempdir(), "catalyst_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set(f"spark.{marker}", "true")
 
 
 def configure_existing(spark: SparkSession) -> SparkSession:
@@ -50,4 +77,5 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # events.parquet carries TIMESTAMP(NANOS) — readable only as LONG.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ship_package(spark)
     return spark

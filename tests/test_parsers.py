@@ -1,0 +1,322 @@
+"""Parser golden tests (FIXTURES.md §3.1-3.5) against the canonical GTS
+schema, covering the quirk catalogue the reference's behavior pins."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from catalyst_spark.parsers import (
+    parse_graphite,
+    parse_influx,
+    parse_opentsdb,
+    parse_prom_text,
+    parse_remote_write,
+    path_to_labels,
+    strip_token_prefix,
+)
+from catalyst_spark.parsers.wire import (
+    encode_write_request,
+    snappy_compress,
+    snappy_decompress,
+)
+
+NOW_US = 1_700_000_000_000_000  # deterministic "ingest now" for tests
+
+
+def lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "line string")
+
+
+def rows_of(df):
+    return [r.asDict() for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# Graphite (§3.5)
+# ---------------------------------------------------------------------------
+
+class TestGraphite:
+    def parse(self, spark, lines, **kw):
+        kw.setdefault("now_us", NOW_US)
+        return rows_of(parse_graphite(lines_df(spark, lines), **kw))
+
+    def test_double_ms_ts(self, spark):
+        [r] = self.parse(spark, ["https_metric 14.2 1546420308000"])
+        assert r["ts"] == 1546420308000 * 1000  # > 2^32 -> ms
+        assert r["value_d"] == 14.2 and r["value_type"] == "double"
+        assert r["labels"] == {"0": "https_metric"}
+        assert r["parse_error"] is None
+
+    def test_tags_hierarchy_long_sec_ts(self, spark):
+        [r] = self.parse(spark, ["servers.db01.cpu;dc=gra;env=prod 42 1546420308"])
+        assert r["ts"] == 1546420308 * 1_000_000  # < 2^32 -> seconds
+        assert r["value_l"] == 42 and r["value_type"] == "long"
+        assert r["labels"] == {
+            "0": "servers", "1": "db01", "2": "cpu", "dc": "gra", "env": "prod",
+        }
+        assert r["name"] == "servers.db01.cpu"
+
+    def test_bool_string_sci_quirk(self, spark):
+        rows = self.parse(
+            spark, ["flag_metric true", "note_metric hello", "sci_metric 15e3"]
+        )
+        assert rows[0]["value_b"] is True and rows[0]["value_type"] == "boolean"
+        assert rows[1]["value_s"] == "hello" and rows[1]["value_type"] == "string"
+        # quirk: no dot -> float parse skipped, int parse fails -> STRING
+        assert rows[2]["value_s"] == "15e3" and rows[2]["value_type"] == "string"
+        assert all(r["ts"] == NOW_US for r in rows)  # now-ms -> heuristic -> µs
+
+    def test_dotted_float_fallthrough_is_string(self, spark):
+        # '1.2.3' has a dot but ParseFloat fails -> falls through to string
+        [r] = self.parse(spark, ["m 1.2.3 1546420308"])
+        assert r["value_type"] == "string" and r["value_s"] == "1.2.3"
+
+    def test_no_hierarchy_mode(self, spark):
+        [r] = self.parse(spark, ["a.b;k=v 1 1546420308"], parse_hierarchy=False)
+        assert r["labels"] == {"k": "v"}
+
+    def test_errors(self, spark):
+        rows = self.parse(spark, ["onlyname", "m 1 notanum", "m;noval 1 2"])
+        assert rows[0]["parse_error"] == "Bad metric format"
+        assert rows[1]["parse_error"] == "Bad metric part: timestamp"
+        assert rows[2]["parse_error"] == "Bad metric part: tag without '='"
+
+    def test_tag_value_split_semantics(self, spark):
+        # Go strings.Split(v, "=")[1] -> 'a=b=c' keeps 'b'
+        [r] = self.parse(spark, ["m;t=b=c 1 1546420308"], parse_hierarchy=False)
+        assert r["labels"] == {"t": "b"}
+
+    def test_token_prefix(self, spark):
+        df = strip_token_prefix(
+            lines_df(spark, ["TOKEN@.tcp_metric 14.2 1546420308000", "no_token_line 1"])
+        )
+        rows = df.collect()
+        assert len(rows) == 1  # token-less lines counted & dropped (quirk A.6)
+        assert rows[0]["token"] == "TOKEN"
+        assert rows[0]["line"] == "tcp_metric 14.2 1546420308000"
+
+
+# ---------------------------------------------------------------------------
+# OpenTSDB (§3.2)
+# ---------------------------------------------------------------------------
+
+class TestOpenTSDB:
+    def parse(self, spark, bodies):
+        df = spark.createDataFrame([(b,) for b in bodies], "body string")
+        return rows_of(parse_opentsdb(df, now_us=NOW_US))
+
+    def test_solo_with_leading_garbage(self, spark):
+        [r] = self.parse(spark, [
+            'xx{"metric": "sys.cpu.nice", "timestamp": 1346846400, '
+            '"value": 18, "tags": {"host": "web01", "dc": "lga"}}'
+        ])
+        assert r["name"] == "sys.cpu.nice"
+        assert r["ts"] == 1346846400 * 1_000_000
+        assert r["value_d"] == 18.0 and r["value_type"] == "double"
+        assert r["labels"] == {"host": "web01", "dc": "lga"}
+
+    def test_array_types_and_zero_ts(self, spark):
+        rows = self.parse(spark, [
+            '[{"metric": "a", "timestamp": 1346846400123, "value": 18.5, '
+            '"tags": {"h": "w1"}},'
+            ' {"metric": "b", "timestamp": 0, "value": "busy", "tags": {"h": "w2"}},'
+            ' {"metric": "c", "timestamp": 1, "value": true, "tags": {}}]'
+        ])
+        assert rows[0]["ts"] == 1346846400123 * 1000  # ms
+        assert rows[0]["value_d"] == 18.5
+        assert rows[1]["ts"] == NOW_US  # 0 -> ingest now
+        assert rows[1]["value_s"] == "busy" and rows[1]["value_type"] == "string"
+        assert rows[2]["value_b"] is True and rows[2]["value_type"] == "boolean"
+
+    def test_magnitude_boundary(self, spark):
+        rows = self.parse(spark, [
+            '[{"metric": "a", "timestamp": 4294967294, "value": 1},'
+            ' {"metric": "b", "timestamp": 4294967295, "value": 1}]'
+        ])
+        assert rows[0]["ts"] == 4294967294 * 1_000_000  # < 2^32-1 -> sec
+        assert rows[1]["ts"] == 4294967295 * 1000  # not < -> ms
+
+    def test_string_number_stays_string(self, spark):
+        [r] = self.parse(spark, ['{"metric": "a", "timestamp": 1, "value": "18"}'])
+        assert r["value_type"] == "string" and r["value_s"] == "18"
+
+    def test_no_json_is_eof_error(self, spark):
+        [r] = self.parse(spark, ["plain garbage"])
+        assert r["parse_error"] == "Failed to parse datapoint - EOF"
+
+
+# ---------------------------------------------------------------------------
+# Prometheus exposition (§3.3)
+# ---------------------------------------------------------------------------
+
+class TestPromText:
+    def test_fixture(self, spark):
+        extra = path_to_labels("/prometheus/job/node/instance/host01")
+        assert extra == {"job": "node", "instance": "host01"}
+        lines = [
+            "# TYPE http_requests_total counter",
+            'http_requests_total{method="post",code="200"} 1027 1395066363000',
+            'http_requests_total{method="post",code="400"} 3 1395066363000',
+            "mem_free_bytes +Inf",
+            "temp_celsius 23.5",
+            "",
+        ]
+        rows = rows_of(parse_prom_text(
+            lines_df(spark, lines), extra_labels=extra, now_us=NOW_US))
+        assert len(rows) == 3  # comment+blank skipped, +Inf dropped
+        assert rows[0]["name"] == "http_requests_total"
+        assert rows[0]["ts"] == 1395066363000 * 1000
+        assert rows[0]["value_d"] == 1027.0
+        assert rows[0]["labels"] == {
+            "method": "post", "code": "200", "job": "node", "instance": "host01",
+        }
+        # missing ts -> now at seconds resolution
+        assert rows[2]["ts"] == (NOW_US // 1_000_000) * 1_000_000
+
+    def test_extra_overrides_inner(self, spark):
+        rows = rows_of(parse_prom_text(
+            lines_df(spark, ['up{job="inner"} 1 1000']),
+            extra_labels={"job": "outer"}, now_us=NOW_US))
+        assert rows[0]["labels"] == {"job": "outer"}
+
+    def test_nan_kept_inf_dropped(self, spark):
+        rows = rows_of(parse_prom_text(
+            lines_df(spark, ["a NaN 1000", "b -Inf 1000", "c 1e3 1000"]),
+            now_us=NOW_US))
+        assert len(rows) == 2
+        assert math.isnan(rows[0]["value_d"])
+        assert rows[1]["value_d"] == 1000.0
+
+    def test_odd_path_labels_error(self):
+        with pytest.raises(ValueError):
+            path_to_labels("/prometheus/job/node/instance")
+        with pytest.raises(ValueError):
+            path_to_labels("/prometheus")  # empty remainder -> 1 segment (Go quirk)
+
+    def test_label_escapes(self, spark):
+        rows = rows_of(parse_prom_text(
+            lines_df(spark, ['m{k="a\\"b\\\\c\\nd"} 1 1000']), now_us=NOW_US))
+        assert rows[0]["labels"] == {"k": 'a"b\\c\nd'}
+
+
+# ---------------------------------------------------------------------------
+# InfluxDB line protocol (§3.1) — the reference's own test cases
+# ---------------------------------------------------------------------------
+
+class TestInflux:
+    def parse(self, spark, lines, **kw):
+        kw.setdefault("now_ns", NOW_US * 1000)
+        return rows_of(parse_influx(lines_df(spark, lines), **kw))
+
+    def test_quoted_string_field(self, spark):
+        [r] = self.parse(spark, ['string,hostname=localhost a=" b "'])
+        assert r["name"] == "string.a"
+        assert r["value_s"] == " b " and r["value_type"] == "string"
+        assert r["labels"] == {"hostname": "localhost"}
+        assert r["ts"] == NOW_US
+
+    def test_two_string_fields_with_ts(self, spark):
+        rows = self.parse(
+            spark, ['string,hostname=localhost a=" b ",c="d" 1434055562000000000'])
+        assert {r["name"] for r in rows} == {"string.a", "string.c"}
+        assert all(r["ts"] == 1434055562000000 for r in rows)
+
+    def test_classic_float(self, spark):
+        [r] = self.parse(
+            spark,
+            ["cpu_load_short,host=server01,region=us-west value=0.64 1434055562000000000"],
+        )
+        assert r["name"] == "cpu_load_short.value"  # quirk A.12
+        assert r["value_d"] == 0.64 and r["value_type"] == "double"
+        assert r["labels"] == {"host": "server01", "region": "us-west"}
+
+    def test_string_with_comma_space(self, spark):
+        [r] = self.parse(spark, [
+            'system,client=curanobis,host=staging.curanobis.com '
+            'uptime_format="59 days, 18:23" 1515597480000000000'
+        ])
+        assert r["name"] == "system.uptime_format"
+        assert r["value_s"] == "59 days, 18:23"
+
+    def test_multi_field_fanout(self, spark):
+        rows = self.parse(spark, [
+            "weather,location=us-midwest temperature=82,bug_concentration=98 "
+            "1465839830100400200"
+        ])
+        assert {r["name"] for r in rows} == {
+            "weather.temperature", "weather.bug_concentration"}
+        # bare numbers are floats in line protocol
+        assert all(r["value_type"] == "double" for r in rows)
+        assert all(r["ts"] == 1465839830100400 for r in rows)  # ns -> µs trunc
+
+    def test_quoted_comma_heavy_string(self, spark):
+        rows = self.parse(spark, [
+            'weather,location=us-midwest temperature=82,bug_concentration=98,'
+            'test="the answer is equal to 42 with a ," 1465839830100400200'
+        ])
+        by_name = {r["name"]: r for r in rows}
+        assert by_name["weather.test"]["value_s"] == "the answer is equal to 42 with a ,"
+        assert len(rows) == 3
+
+    def test_int_bool_suffixes(self, spark):
+        rows = self.parse(spark, ["m v=234i,f=t,g=FALSE 1478133071000000000"])
+        by_name = {r["name"]: r for r in rows}
+        assert by_name["m.v"]["value_l"] == 234 and by_name["m.v"]["value_type"] == "long"
+        assert by_name["m.f"]["value_b"] is True
+        assert by_name["m.g"]["value_b"] is False
+
+    def test_escaped_measurement_and_tags(self, spark):
+        [r] = self.parse(spark, [r"we\,ather\ x,loc\ a=us\=mid v=1 1000"])
+        assert r["name"] == "we,ather x.v"
+        assert r["labels"] == {"loc a": "us=mid"}
+        assert r["ts"] == 1  # 1000 ns -> 1 µs
+
+    def test_precision_seconds(self, spark):
+        [r] = self.parse(spark, ["cpu value=1 1434055562"], precision="s")
+        assert r["ts"] == 1434055562 * 1_000_000
+
+    def test_parse_error_row(self, spark):
+        [r] = self.parse(spark, ["no_fields_here"])
+        assert r["parse_error"] == "Failed to parse datapoint"
+
+
+# ---------------------------------------------------------------------------
+# remote_write (§3.4)
+# ---------------------------------------------------------------------------
+
+class TestRemoteWrite:
+    def test_snappy_roundtrip(self):
+        data = b"hello snappy world " * 100
+        assert snappy_decompress(snappy_compress(data)) == data
+
+    def test_snappy_copy_elements(self):
+        # uvarint(8) + literal 'abcd' + 1-byte-offset copy(len=4, off=4)
+        stream = b"\x08" + b"\x0c" + b"abcd" + b"\x01\x04"
+        assert snappy_decompress(stream) == b"abcdabcd"
+
+    def test_fixture(self, spark):
+        body = snappy_compress(encode_write_request([{
+            "labels": {"__name__": "up", "job": "api"},
+            "samples": [(1.0, 1609459200000),
+                        (float("nan"), 1609459260000),
+                        (float("inf"), 1609459320000)],
+        }]))
+        df = spark.createDataFrame([Row(body=bytearray(body))], "body binary")
+        rows = rows_of(parse_remote_write(df))
+        assert len(rows) == 3
+        assert all(r["name"] == "up" for r in rows)
+        assert all(r["labels"] == {"job": "api"} for r in rows)
+        assert rows[0]["value_d"] == 1.0
+        # policy T9: NaN and ±Inf -> 0.0 (NOT dropped)
+        assert rows[1]["value_d"] == 0.0
+        assert rows[2]["value_d"] == 0.0
+        assert rows[0]["ts"] == 1609459200000000
+        assert all(r["value_type"] == "double" for r in rows)
+
+    def test_corrupt_body_error(self, spark):
+        df = spark.createDataFrame([Row(body=bytearray(b"\xff\xff\xff"))], "body binary")
+        rows = rows_of(parse_remote_write(df))
+        assert rows[0]["parse_error"] is not None
