@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Per-round benchmark: runs every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (computes every column
+— a bare count() would let Catalyst prune the expensive expressions and
+under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+
+    from catalyst_spark.session import get_spark
+    from catalyst_spark.queries import ALL_QUERIES
+
+    spark = get_spark("catalyst_spark_bench", cpus=cpus)
+
+    # JVM/codegen warm-up outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    timings: dict[str, float] = {}
+    for name, fn in ALL_QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "catalyst_spark_all_queries_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

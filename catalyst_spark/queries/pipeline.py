@@ -99,13 +99,22 @@ _MINHASH_ROWS = 4
 
 def _shingled(documents: DataFrame) -> DataFrame:
     """doc_id + distinct 3-token shingle array (docs shorter than 3
-    tokens contribute the whole text as their only shingle)."""
+    tokens contribute the whole text as their only shingle).
+
+    Built with zip_with over three token-array slices rather than
+    index-lambda transform: indexed access (tokens[i]) re-evaluates the
+    inlined split() per element (codegen CSE can't reach inside the
+    lambda), measured 4x slower at sf0.1."""
     return documents.select(
         "doc_id",
         F.expr(
             f"""CASE WHEN {N_TOKENS} >= 3 THEN
-                  array_distinct(transform(sequence(0, {N_TOKENS} - 3),
-                    i -> concat_ws(' ', {TOKENS}[i], {TOKENS}[i+1], {TOKENS}[i+2])))
+                  array_distinct(zip_with(
+                    zip_with(slice({TOKENS}, 1, {N_TOKENS} - 2),
+                             slice({TOKENS}, 2, {N_TOKENS} - 2),
+                             (x, y) -> concat(x, ' ', y)),
+                    slice({TOKENS}, 3, {N_TOKENS} - 2),
+                    (xy, z) -> concat(xy, ' ', z)))
                 ELSE array(text) END"""
         ).alias("shingles"),
     )
@@ -114,49 +123,68 @@ def _shingled(documents: DataFrame) -> DataFrame:
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidates with exact-Jaccard verification.
 
-    shingle(3-gram) -> 32 minhashes (xxhash64 seeded by perm index) ->
-    8 bands of 4 -> explode -> equi-self-join on band hash -> distinct
-    candidate pairs -> verify with exact Jaccard over shingle sets.
+    Formulation (the scalable one): explode distinct 3-shingles to rows
+    — the Generate is a materialization barrier, so the shingle arrays
+    are built exactly ONCE per document (a pure-projection formulation
+    lets CollapseProject inline the shingle construction into all 32
+    permutation lambdas: measured 200x slower at sf0.1). Then:
 
-    Deterministic (no RNG: permutation i is xxhash64(i, shingle)), so
-    rerunning reproduces identical pairs. Not expressible in DuckDB SQL
-    (xxhash64) — driver records the rows-only check.
+      shingle rows -> 32 per-permutation minima as a partial-aggregating
+      groupBy(doc_id) [map-side combine shrinks the shuffle to one row
+      per (doc, partition)] -> 8 bands of 4 -> explode -> equi-self-join
+      on band bucket -> distinct candidates -> verify exact Jaccard over
+      the per-doc shingle-hash sets collected in the same aggregation.
+
+    Deterministic (permutation s is xxhash64(s, shingle); no RNG). Not
+    expressible in DuckDB SQL (xxhash64) — driver records rows-only.
     """
-    sh = _shingled(load(spark, sf_dir, "documents"))
-    sig = sh.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {_MINHASH_PERMS - 1}),"
-            "  s -> array_min(transform(shingles, sh -> xxhash64(s, sh))))"
-        ).alias("sig"),
+    sh_rows = _shingled(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
+
+    # Persisted: the signature table feeds four plan branches (both sides
+    # of the band self-join + both verification joins); without it Spark
+    # recomputes the aggregation per branch. At full scale this is the
+    # deliberate "materialize the signature index" step of an LSH
+    # pipeline (tiny: one row per doc). Keyed by logical plan, so
+    # repeated calls share the cache entry.
+    sig = sh_rows.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hset"),
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("h"))).alias(f"m{s}")
+            for s in range(_MINHASH_PERMS)
+        ],
+    ).persist()
+    band_cols = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"m{_MINHASH_ROWS * b + r}") for r in range(_MINHASH_ROWS)],
+            )
+            for b in range(_MINHASH_BANDS)
+        ]
     )
-    bands = sig.select(
-        "doc_id",
-        F.expr(
-            f"""explode(transform(sequence(0, {_MINHASH_BANDS - 1}),
-                b -> xxhash64(b, sig[{_MINHASH_ROWS}*b], sig[{_MINHASH_ROWS}*b+1],
-                              sig[{_MINHASH_ROWS}*b+2], sig[{_MINHASH_ROWS}*b+3])))"""
-        ).alias("bucket"),
-    )
-    left = bands.alias("l")
-    right = bands.alias("r")
+    bands = sig.select("doc_id", F.explode(band_cols).alias("bucket"))
+
     cand = (
-        left.join(right, (F.col("l.bucket") == F.col("r.bucket"))
-                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        bands.alias("l")
+        .join(bands.alias("r"), (F.col("l.bucket") == F.col("r.bucket"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
         .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
         .distinct()
     )
+    hsets = sig.select("doc_id", "hset")
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "a_id")
-                    .withColumnRenamed("shingles", "sh_a"), "a_id")
-        .join(sh.withColumnRenamed("doc_id", "b_id")
-                .withColumnRenamed("shingles", "sh_b"), "b_id")
+        cand.join(hsets.select(F.col("doc_id").alias("a_id"),
+                               F.col("hset").alias("h_a")), "a_id")
+        .join(hsets.select(F.col("doc_id").alias("b_id"),
+                           F.col("hset").alias("h_b")), "b_id")
         .select(
             "a_id",
             "b_id",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect("h_a", "h_b"))
+                / F.size(F.array_union("h_a", "h_b")),
                 4,
             ).alias("jaccard"),
         )
@@ -172,17 +200,34 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document for cheap incremental near-dup checks.
     """
     documents = load(spark, sf_dir, "documents")
-    with_hashes = documents.select(
-        "doc_id", F.expr(f"transform({TOKENS}, t -> xxhash64(t))").alias("th")
+    tok_rows = documents.select(
+        "doc_id", F.explode(F.expr(TOKENS)).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("th"))
+
+    # 64 bit-vote sums as partial-aggregating columns (explode + groupBy:
+    # tokens hash once; map-side combine keeps the shuffle at one row per
+    # (doc, partition) — same scalability note as dedup_minhash_pairs)
+    votes = tok_rows.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("th"), i).bitwiseAND(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
     )
-    simhash = F.expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint),
-             (acc, i) -> acc | (CASE WHEN
-                 aggregate(th, 0, (s, h) ->
-                   s + (CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-               THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END))"""
-    ).alias("simhash")
-    return with_hashes.select("doc_id", simhash).orderBy("doc_id")
+    bit_terms = [
+        F.when(
+            F.col(f"b{i}") > 0,
+            # bit 63 is the sign bit of a two's-complement long
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    simhash = bit_terms[0]
+    for t in bit_terms[1:]:
+        simhash = simhash.bitwiseOR(t)
+    return votes.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
