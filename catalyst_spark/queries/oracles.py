@@ -145,7 +145,7 @@ _PIPELINE = {
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 2) AS cos
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.9
+        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
         ORDER BY a_id, b_id
     """,
     "ann_brute_topk": _EMB_NORMED + """

@@ -1,0 +1,92 @@
+"""Multimodal plumbing: real header sniffing, fake-decode determinism,
+fan-out shapes, size-balanced repartitioning."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import Row
+
+from catalyst_spark.multimodal import (
+    balance_by_size,
+    extract_meta,
+    image_features,
+    sample_frames,
+    sniff_meta,
+    FEATURE_DIM,
+)
+
+
+def png_bytes(w=32, h=16) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + b"\x00" * 8)
+
+
+def jpeg_bytes(w=64, h=48) -> bytes:
+    # SOI + APP0 stub + SOF0
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof = b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+    return b"\xff\xd8" + app0 + sof + b"\x00" * 4
+
+
+def wav_bytes(rate=16000, channels=2, bits=16) -> bytes:
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 0))
+
+
+def test_sniff_meta_real_parsing():
+    m = sniff_meta(png_bytes(640, 480))
+    assert (m["format"], m["width"], m["height"]) == ("png", 640, 480)
+    m = sniff_meta(jpeg_bytes(64, 48))
+    assert (m["format"], m["width"], m["height"], m["channels"]) == ("jpeg", 64, 48, 3)
+    m = sniff_meta(wav_bytes(44100, 1, 24))
+    assert (m["format"], m["sample_rate"], m["channels"], m["bit_depth"]) == (
+        "wav", 44100, 1, 24)
+    assert sniff_meta(b"garbage")["format"] == "unknown"
+
+
+def _media_df(spark):
+    rows = [
+        Row(media_id=1, kind="image", payload=bytearray(png_bytes())),
+        Row(media_id=2, kind="image", payload=bytearray(jpeg_bytes())),
+        Row(media_id=3, kind="audio", payload=bytearray(wav_bytes())),
+        Row(media_id=4, kind="video", payload=bytearray(b"\x00" * 200)),
+    ]
+    return spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+
+
+def test_extract_meta_dataframe(spark):
+    out = {r["media_id"]: r for r in extract_meta(_media_df(spark)).collect()}
+    assert out[1]["format"] == "png" and out[1]["width"] == 32
+    assert out[2]["format"] == "jpeg" and out[2]["height"] == 48
+    assert out[3]["sample_rate"] == 16000
+    assert out[4]["format"] == "unknown" and out[4]["n_bytes"] == 200
+
+
+def test_image_features_shape_and_determinism(spark):
+    df = _media_df(spark).where("kind = 'image'")
+    a = {r["media_id"]: r["features"] for r in image_features(df).collect()}
+    b = {r["media_id"]: r["features"] for r in image_features(df).collect()}
+    assert a == b  # deterministic fake
+    assert all(len(v) == FEATURE_DIM for v in a.values())
+    assert all(-1.0 <= x <= 1.0 for v in a.values() for x in v)
+    assert a[1] != a[2]
+
+
+def test_sample_frames_fanout(spark):
+    df = _media_df(spark).where("kind = 'video'")
+    rows = sample_frames(df, every_n=50, max_frames=4).collect()
+    assert len(rows) == 4
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert all(len(r["frame"]) > 0 for r in rows)
+
+
+def test_balance_by_size(spark):
+    df = _media_df(spark)
+    out = balance_by_size(df, 2)
+    assert out.rdd.getNumPartitions() == 2
+    assert sorted(r["media_id"] for r in out.collect()) == [1, 2, 3, 4]
