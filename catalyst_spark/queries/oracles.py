@@ -176,7 +176,7 @@ _PIPELINE = {
     """,
     "text_stats": f"""
         SELECT lang, source, COUNT(*) AS n_docs,
-               SUM(n_tok) AS total_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
                ROUND(AVG(n_tok), 2) AS avg_tokens,
                ROUND(AVG(tok_len), 2) AS avg_tok_len,
                ROUND(AVG(stop_ratio), 2) AS avg_stop_ratio
@@ -208,8 +208,8 @@ _PIPELINE = {
     """,
     "token_counts": """
         SELECT source,
-               SUM(ws_tok) AS total_ws_tokens,
-               SUM(bpe_est) AS total_bpe_est,
+               CAST(SUM(ws_tok) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(bpe_est) AS BIGINT) AS total_bpe_est,
                ROUND(AVG(ws_tok), 2) AS avg_ws_tokens
         FROM (
           SELECT source, len(string_split(text, ' ')) AS ws_tok,
@@ -223,4 +223,89 @@ _PIPELINE = {
     """,
 }
 
-ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE}
+# ---------------------------------------------------------------------------
+# TSDB operators (DuckDB mirrors of queries/tsdb.py)
+# ---------------------------------------------------------------------------
+
+_TSDB = {
+    "asof_prior_click": """
+        SELECT event_id, user_id, ROUND(value, 2) AS purchase_value,
+               ROUND(prior_click, 2) AS prior_click_value
+        FROM (
+          SELECT event_id, user_id, event_type, value,
+                 last_value(CASE WHEN event_type = 'click' THEN value END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_click
+          FROM events) t
+        WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+    "sessionize": """
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sv
+        FROM (
+          SELECT user_id, value,
+                 1 + SUM(gap_flag)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM (
+            SELECT user_id, value, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000 THEN 1 ELSE 0 END AS gap_flag
+            FROM events) g) t
+        GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    "ts_rate": """
+        SELECT event_id, user_id, ROUND(dv / dt, 4) AS rate FROM (
+          SELECT event_id, user_id,
+                 value - lag(value) OVER w AS dv,
+                 (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        WHERE dv IS NOT NULL ORDER BY event_id
+    """,
+    "ts_downsample": """
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv,
+               ROUND(MAX(value), 2) AS mx
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "pivot_event_counts": """
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_cnt,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_cnt,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_cnt,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_cnt,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_cnt
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "rollup_doc_counts": """
+        SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+               COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY ROLLUP(lang, source)
+        ORDER BY lang, source
+    """,
+    "value_histogram": """
+        SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dedup_ngram_jaccard": """
+        WITH p AS (
+          SELECT doc_id,
+                 array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
+                 list_distinct(string_split(text, ' ')) AS tokset
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ROUND(len(list_intersect(a.tokset, b.tokset))
+                     / len(list_distinct(list_concat(a.tokset, b.tokset))), 4)
+                 AS jaccard
+        FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        ORDER BY a_id, b_id
+    """,
+}
+
+ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_TSDB}

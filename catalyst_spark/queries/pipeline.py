@@ -192,6 +192,41 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("a_id", "b_id")
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard over prefix-blocked candidate pairs.
+
+    Blocking key = the document's first three tokens: an equi-join
+    blocker (like LSH bands but content-defined), so the pair space is
+    per-block instead of all-pairs. Exact token-set Jaccard for every
+    blocked pair — SQL-expressible, so fully oracle-checked (unlike the
+    hash-based minhash variant).
+    """
+    documents = load(spark, sf_dir, "documents")
+    prepared = documents.select(
+        "doc_id",
+        F.expr(f"concat_ws(' ', slice({TOKENS}, 1, 3))").alias("block_key"),
+        F.expr(f"array_distinct({TOKENS})").alias("tokset"),
+    )
+    a = prepared.select(F.col("doc_id").alias("a_id"),
+                        "block_key", F.col("tokset").alias("ta"))
+    b = prepared.select(F.col("doc_id").alias("b_id"),
+                        "block_key", F.col("tokset").alias("tb"))
+    return (
+        a.join(b, ["block_key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (bit-vote over xxhash64 token hashes).
 
@@ -527,6 +562,7 @@ PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,

@@ -1,0 +1,172 @@
+"""TSDB-flavored analytical operators over the events stream table.
+
+The reference delegates every read to Warp 10 behind its reverse proxy
+(SURVEY §2.4 K2); these are the time-series reads a Warp 10 user
+actually runs, kept in-engine as declarative DataFrame plans (SURVEY
+§2.6 note). Every operator here is oracle-checked against DuckDB.
+
+Scale notes: each operator is one window or one aggregation over the
+series key (user_id / event_type) — a single shuffle, partial-agg where
+applicable, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from catalyst_spark.tables import load
+
+
+def asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join within the event stream: for every purchase, the value
+    of the same user's latest strictly-earlier click.
+
+    Spark has no native ASOF JOIN; the scalable formulation is the
+    union-ordered window — last_value(click IGNORE NULLS) over the
+    per-user timeline costs one shuffle on the series key, identical to
+    what a dedicated as-of operator would shuffle.
+    """
+    events = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    return (
+        events.withColumn("prior_click", F.last(click_val, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("purchase_value"),
+            F.round("prior_click", 2).alias("prior_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user: lag + a
+    running sum of gap flags assigns session ids in one window pass."""
+    events = load(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer µs math: exact, so the gap comparison is bit-identical in
+    # every engine (no float-epoch drift)
+    flagged = events.withColumn(
+        "gap_flag",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_order)
+            > 1800 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    with_session = flagged.withColumn(
+        "session_id",
+        F.sum("gap_flag").over(w_order.rowsBetween(W.unboundedPreceding, 0)) + 1,
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series rate of change (the counter->rate read of every TSDB):
+    (v - lag(v)) / seconds-elapsed over the per-user timeline."""
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1_000_000.0
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.round(dv / dt, 4).alias("rate"),
+        )
+        .where(F.col("rate").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute downsample per event_type (bucket as epoch seconds —
+    type-stable across engines)."""
+    events = load(spark, sf_dir, "events")
+    # sum, not avg: ROUND(AVG) of two cent-quantized values lands exactly
+    # on .xx5 ties where Spark (decimal HALF_UP) and DuckDB (binary
+    # rounding) disagree; ROUND(SUM) is never near a tie for such inputs
+    bucket = (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("bucket_s")
+    return (
+        events.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sv"),
+            F.round(F.max("value"), 2).alias("mx"),
+        )
+        .orderBy("bucket_s", "event_type")
+    )
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: per-user event counts as columns (explicit value list
+    so the plan is a single aggregation, no value-discovery scan)."""
+    events = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+    return out.select(
+        "user_id", *[F.col(k).alias(f"{k}_cnt") for k in kinds]
+    ).orderBy("user_id")
+
+
+def rollup_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (lang, source): per-group, per-lang subtotal and grand
+    total in one pass (Spark expands to a partial-agg expand node)."""
+    documents = load(spark, sf_dir, "documents")
+    return (
+        documents.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "docs",
+            "chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (bucket arithmetic
+    instead of an exact sort — the scalable distribution sketch)."""
+    events = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    return (
+        events.groupBy("event_type", bucket)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+TSDB_QUERIES = {
+    "asof_prior_click": asof_prior_click,
+    "sessionize": sessionize,
+    "ts_rate": ts_rate,
+    "ts_downsample": ts_downsample,
+    "pivot_event_counts": pivot_event_counts,
+    "rollup_doc_counts": rollup_doc_counts,
+    "value_histogram": value_histogram,
+}
