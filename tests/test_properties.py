@@ -1,0 +1,135 @@
+"""Property-based tests (SURVEY §5.4): parser round-trips, timestamp
+magnitude boundaries, snappy codec round-trip.
+
+Hypothesis drives the Python-side mirrors where they exist (wire codecs,
+influx tokenizer); Spark-side properties run on batched example sets to
+keep the JVM round-trips bounded.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from catalyst_spark.parsers.influxdb import parse_influx_line
+from catalyst_spark.parsers.wire import (
+    decode_write_request,
+    encode_write_request,
+    snappy_compress,
+    snappy_decompress,
+)
+
+NOW_NS = 1_700_000_000_000_000_000
+
+
+@given(st.binary(min_size=0, max_size=5000))
+@settings(max_examples=200, deadline=None)
+def test_snappy_roundtrip(data):
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.text(st.characters(min_codepoint=33, max_codepoint=126),
+                        min_size=1, max_size=8),
+                st.text(min_size=0, max_size=12),
+                max_size=4,
+            ),
+            st.lists(
+                st.tuples(
+                    st.floats(allow_nan=False, allow_infinity=False, width=64),
+                    st.integers(min_value=0, max_value=2**53),
+                ),
+                max_size=4,
+            ),
+        ),
+        max_size=3,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_write_request_roundtrip(series):
+    msg = [{"labels": labels, "samples": samples} for labels, samples in series]
+    decoded = decode_write_request(encode_write_request(msg))
+    # label dicts with duplicate keys collapse identically on both sides
+    assert len(decoded) == len(msg)
+    for want, got in zip(msg, decoded):
+        assert got["labels"] == want["labels"]
+        assert got["samples"] == [(v, t) for v, t in want["samples"]]
+
+
+_tag = st.text(
+    st.characters(min_codepoint=48, max_codepoint=122,
+                  exclude_characters=",= \\\"'"),
+    min_size=1, max_size=8,
+)
+
+
+@given(
+    measurement=_tag,
+    tags=st.dictionaries(_tag, _tag, max_size=3),
+    fields=st.dictionaries(
+        _tag,
+        st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.integers(min_value=-2**60, max_value=2**60),
+            st.booleans(),
+            st.text(min_size=0, max_size=15),
+        ),
+        min_size=1, max_size=4,
+    ),
+    ts=st.integers(min_value=0, max_value=2**60),
+)
+@settings(max_examples=200, deadline=None)
+def test_influx_tokenizer_roundtrip(measurement, tags, fields, ts):
+    """Build a line from structured parts, parse it back, expect the
+    same structure — exercising every escape path of the tokenizer."""
+
+    def esc(s):
+        return s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+
+    parts = [",".join([esc(measurement)] + [f"{esc(k)}={esc(v)}" for k, v in tags.items()])]
+    fparts = []
+    for k, v in fields.items():
+        if isinstance(v, bool):
+            fparts.append(f"{esc(k)}={'true' if v else 'false'}")
+        elif isinstance(v, int):
+            fparts.append(f"{esc(k)}={v}i")
+        elif isinstance(v, float):
+            fparts.append(f"{esc(k)}={v!r}")
+        else:
+            sv = v.replace("\\", "\\\\").replace('"', '\\"')
+            fparts.append(f'{esc(k)}="{sv}"')
+    line = f"{parts[0]} {','.join(fparts)} {ts}"
+
+    rows = parse_influx_line(line, 1, NOW_NS)
+    assert len(rows) == len(fields)
+    by_field = {r["name"]: r for r in rows}
+    for k, v in fields.items():
+        r = by_field[f"{measurement}.{k}"]
+        assert r["labels"] == tags
+        assert r["ts"] == ts // 1000
+        if isinstance(v, bool):
+            assert r["value_b"] is v and r["value_type"] == "boolean"
+        elif isinstance(v, int):
+            assert r["value_l"] == v and r["value_type"] == "long"
+        elif isinstance(v, float):
+            assert r["value_d"] == v and r["value_type"] == "double"
+        else:
+            assert r["value_s"] == v and r["value_type"] == "string"
+
+
+def test_ts_magnitude_boundaries(spark):
+    """0 / 2^32-1 / 2^32 through the graphite heuristic (T6)."""
+    from catalyst_spark.parsers import parse_graphite
+
+    now = 1_700_000_000_000_000
+    df = spark.createDataFrame(
+        [("m 1 0",), ("m 1 4294967294",), ("m 1 4294967295",), ("m 1 4294967296",)],
+        "line string",
+    )
+    rows = parse_graphite(df, now_us=now).collect()
+    assert rows[0]["ts"] == now                       # 0 => ingest-now
+    assert rows[1]["ts"] == 4294967294 * 1_000_000    # < 2^32-1 => seconds
+    assert rows[2]["ts"] == 4294967295 * 1000         # boundary => ms
+    assert rows[3]["ts"] == 4294967296 * 1000         # above => ms
