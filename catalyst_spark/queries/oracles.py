@@ -288,6 +288,16 @@ _TSDB = {
         FROM documents GROUP BY ROLLUP(lang, source)
         ORDER BY lang, source
     """,
+    "json_props_stats": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               MIN(k) AS k_min, MAX(k) AS k_max
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events) t
+        GROUP BY event_type ORDER BY event_type
+    """,
     "value_histogram": """
         SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
                COUNT(*) AS n

@@ -161,7 +161,28 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics: extract a field from the JSON props
+    column and aggregate it. The JSON path runs JVM-side
+    (get_json_object, no UDF); at scale the same pattern handles the
+    schemaless label/attribute payloads every event pipeline carries."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 TSDB_QUERIES = {
+    "json_props_stats": json_props_stats,
     "asof_prior_click": asof_prior_click,
     "sessionize": sessionize,
     "ts_rate": ts_rate,
