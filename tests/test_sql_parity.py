@@ -1,0 +1,27 @@
+"""SQL-API parity: the dialect-neutral §2.6 oracle strings run
+unchanged in Spark SQL over registered views and match the DataFrame
+builders — one logical surface, two equivalent APIs."""
+
+from __future__ import annotations
+
+import pytest
+
+from catalyst_spark.queries import ALL_QUERIES, ORACLE_SQL
+from catalyst_spark.tables import register_views
+from tests.conftest import SF_DIR
+from tests.oracle_harness import canonical, spark_run
+
+# DuckDB-specific constructs (list_*, epoch_us, json_extract_string)
+# keep these out of the Spark-SQL-portable set
+PORTABLE = [f"q{i}_" for i in range(1, 18)]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in ORACLE_SQL if any(n.startswith(p) for p in PORTABLE)],
+)
+def test_sql_matches_dataframe(spark, name):
+    register_views(spark, SF_DIR)
+    via_sql = canonical(*spark_run(spark.sql(ORACLE_SQL[name])))
+    via_df = canonical(*spark_run(ALL_QUERIES[name](spark, SF_DIR)))
+    assert via_sql == via_df
