@@ -298,6 +298,29 @@ _TSDB = {
           FROM events) t
         GROUP BY event_type ORDER BY event_type
     """,
+    "value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.95), 4) AS p95,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "top3_per_group": """
+        SELECT event_type, rnk, event_id, ROUND(value, 2) AS value FROM (
+          SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM events) t
+        WHERE rnk <= 3 ORDER BY event_type, rnk
+    """,
+    "cube_event_counts": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(user_bucket AS VARCHAR), 'ALL') AS user_bucket,
+               COUNT(*) AS n
+        FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events) t
+        GROUP BY CUBE(event_type, user_bucket)
+        ORDER BY event_type, user_bucket
+    """,
     "value_histogram": """
         SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
                COUNT(*) AS n

@@ -181,8 +181,63 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (the p50/p95/p99
+    latency read). Spark's percentile() and DuckDB's quantile_cont use
+    the same linear-interpolation definition, so the oracle match is
+    exact. At 100 TB you'd switch to percentile_approx (t-digest) and
+    accept the epsilon."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per type — the per-group top-k window
+    pattern (rank shuffles once on the group key; no global sort)."""
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", F.round("value", 2).alias("value"))
+        .orderBy("event_type", "rnk")
+    )
+
+
+def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, user bucket): all four grouping combinations in
+    one pass (Expand + partial aggregation)."""
+    events = load(spark, sf_dir, "events")
+    bucketed = events.select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    )
+    return (
+        bucketed.cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_bucket").cast("string"), F.lit("ALL")).alias(
+                "user_bucket"
+            ),
+            "n",
+        )
+        .orderBy("event_type", "user_bucket")
+    )
+
+
 TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
+    "value_percentiles": value_percentiles,
+    "top3_per_group": top3_per_group,
+    "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
     "sessionize": sessionize,
     "ts_rate": ts_rate,
