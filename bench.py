@@ -54,6 +54,31 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ingest-path throughput: synthesize wire lines from the events table
+    # and measure parse -> encode end-to-end (rows/sec, JVM-side paths)
+    from pyspark.sql import functions as F
+    from catalyst_spark.encode import encode_sensision
+    from catalyst_spark.parsers import parse_graphite
+    from catalyst_spark.schema import permissive
+    from catalyst_spark.tables import load as load_table2
+
+    events = load_table2(spark, sf_dir, "events")
+    lines = events.select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("evt."), F.col("event_type"), F.lit(";user="),
+                     F.col("user_id").cast("string")),
+            F.col("value").cast("string"),
+            F.unix_millis(F.col("ts")).cast("string"),
+        ).alias("line")
+    )
+    n_lines = lines.count()
+    t0 = time.perf_counter()
+    encode_sensision(permissive(parse_graphite(lines))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    parse_s = time.perf_counter() - t0
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "catalyst_spark_all_queries_runtime",
@@ -61,6 +86,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "ingest_rows_per_sec": round(n_lines / parse_s),
+        "ingest_rows": n_lines,
     }))
 
 
