@@ -246,10 +246,10 @@ _TSDB = {
                ROUND(SUM(value), 2) AS sv
         FROM (
           SELECT user_id, value,
-                 1 + SUM(gap_flag)
+                 CAST(1 + SUM(gap_flag)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+                   AS BIGINT) AS session_id
           FROM (
             SELECT user_id, value, ts, event_id,
                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
@@ -259,7 +259,7 @@ _TSDB = {
         GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
     "ts_rate": """
-        SELECT event_id, user_id, ROUND(dv / dt, 4) AS rate FROM (
+        SELECT event_id, user_id, ROUND(dv / dt, 4) + 0.0 AS rate FROM (
           SELECT event_id, user_id,
                  value - lag(value) OVER w AS dv,
                  (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt

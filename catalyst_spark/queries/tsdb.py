@@ -87,7 +87,9 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(
             "event_id",
             "user_id",
-            F.round(dv / dt, 4).alias("rate"),
+            # + 0.0 normalizes IEEE -0.0 to +0.0 so Spark (BigDecimal round,
+            # no -0) and DuckDB (sign-preserving round) hash identically
+            (F.round(dv / dt, 4) + F.lit(0.0)).alias("rate"),
         )
         .where(F.col("rate").isNotNull())
         .orderBy("event_id")
