@@ -48,10 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query.
-
-    Keys absent relative to ``queries()`` (xxhash64-based minhash /
-    simhash operators) intentionally fall back to the driver's
-    rows-only check.
+    """DuckDB-runnable SQL twin for every query — including the
+    minhash/simhash/LSH family, whose hashing is the portable
+    md5-derived ``_h60`` (see queries/pipeline.py) precisely so the
+    driver can value-check them instead of falling back to rows-only.
     """
     return dict(ORACLE_SQL)

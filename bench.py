@@ -79,6 +79,35 @@ def main() -> None:
     ).mode("overwrite").save()
     parse_s = time.perf_counter() - t0
 
+    # SRP-LSH pruning evidence: candidate pairs vs all-pairs (the
+    # sub-quadratic claim, measured not asserted)
+    from catalyst_spark.queries.pipeline import _srp_planes
+
+    emb = load_table2(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    planes_df = spark.createDataFrame(
+        _srp_planes(), "t INT, k INT, signs ARRAY<DOUBLE>"
+    )
+    buckets = (
+        v.crossJoin(F.broadcast(planes_df))
+        .select("vec_id", "t", "k", F.expr(
+            "aggregate(zip_with(e, signs, (x, s) -> x * s),"
+            " cast(0 as double), (a, x) -> a + x)").alias("dot"))
+        .groupBy("vec_id", "t")
+        .agg(F.sum(F.expr(
+            "CASE WHEN dot > 0 THEN shiftleft(cast(1 as bigint), k)"
+            " ELSE cast(0 as bigint) END")).alias("bucket"))
+    )
+    n_vec = emb.count()
+    lsh_cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"),
+              (F.col("l.t") == F.col("r.t"))
+              & (F.col("l.bucket") == F.col("r.bucket"))
+              & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select("l.vec_id", "r.vec_id").distinct().count()
+    )
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "catalyst_spark_all_queries_runtime",
@@ -88,6 +117,8 @@ def main() -> None:
         "sf": sf,
         "ingest_rows_per_sec": round(n_lines / parse_s),
         "ingest_rows": n_lines,
+        "lsh_candidate_pairs": lsh_cand,
+        "lsh_all_pairs": n_vec * (n_vec - 1) // 2,
     }))
 
 

@@ -1,14 +1,32 @@
 """DuckDB oracle SQL for the driver's correctness gate.
 
-One entry per key in ``queries()`` where the operator is SQL-expressible
-in DuckDB; keys absent here (xxhash64-based minhash/simhash) get the
-driver's rows-only check. Column aliases match the Spark builders
-byte-for-byte — the driver sorts columns by name before value-hashing.
+One entry per key in ``queries()`` — every operator, including the
+hash-based minhash/simhash/LSH family, is value-checked: all hashing
+goes through the portable md5-prefix _h60 (pipeline._h60), which DuckDB
+reproduces with CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT).
+Column aliases match the Spark builders byte-for-byte — the driver
+sorts columns by name before value-hashing.
 """
 
 from __future__ import annotations
 
-from catalyst_spark.queries.pipeline import STOPWORDS
+from catalyst_spark.queries.pipeline import (
+    STOPWORDS,
+    _LSH_BITS,
+    _LSH_DIM,
+    _LSH_TABLES,
+    _MINHASH_BANDS,
+    _MINHASH_P,
+    _MINHASH_PERMS,
+    _MINHASH_ROWS,
+    _SIMHASH_BITS,
+    _minhash_coeffs,
+)
+
+
+def _h60_duck(expr: str) -> str:
+    """DuckDB twin of pipeline._h60 (md5-prefix 60-bit bigint)."""
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 # ---------------------------------------------------------------------------
 # relational surface (SURVEY §2.6, verbatim)
@@ -71,7 +89,8 @@ _RELATIONAL = {
     """,
     "q10_anti_join": """
         SELECT c_custkey FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 250000)
         ORDER BY c_custkey
     """,
     "q11_top_k": """
@@ -87,7 +106,7 @@ _RELATIONAL = {
     "q13_string_functions": """
         SELECT p_partkey, UPPER(p_brand) AS b, SUBSTRING(p_type, 1, 6) AS t6,
                LENGTH(p_name) AS ln
-        FROM part WHERE p_name LIKE '%green%' ORDER BY p_partkey
+        FROM part WHERE p_name LIKE '%blue%' ORDER BY p_partkey
     """,
     "q14_case_cascade": """
         SELECT event_id,
@@ -224,6 +243,136 @@ _PIPELINE = {
 }
 
 # ---------------------------------------------------------------------------
+# hash-family operators: full DuckDB mirrors of the md5-based pipelines
+# ---------------------------------------------------------------------------
+
+# SimHash: per-token 60-bit hash, per-bit majority vote, assembled long.
+_SIMHASH_VOTES = (
+    "SELECT doc_id, COUNT(*) AS n, "
+    + ", ".join(f"SUM((th >> {b}) & 1) AS b{b}" for b in range(_SIMHASH_BITS))
+    + f" FROM (SELECT doc_id, {_h60_duck('t')} AS th"
+    "   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t"
+    "         FROM documents)) tok"
+    " GROUP BY doc_id"
+)
+_SIMHASH_ASSEMBLE = " | ".join(
+    f"(CASE WHEN 2 * b{b} > n THEN (CAST(1 AS BIGINT) << {b})"
+    f" ELSE CAST(0 AS BIGINT) END)"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_SQL = (
+    f"WITH votes AS ({_SIMHASH_VOTES}) "
+    f"SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM votes"
+)
+
+# MinHash: distinct 3-shingles, 32 permutation minima, 8 band buckets,
+# band self-join, exact Jaccard over the shingle-hash sets.
+_MINHASH_SIG = (
+    "sh AS ("
+    "  SELECT doc_id,"
+    "         CASE WHEN len(toks) >= 3 THEN"
+    "           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    "                          FOR i IN range(1, len(toks) - 1)])"
+    "         ELSE [text] END AS shingles"
+    "  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks"
+    "        FROM documents)),"
+    " shr AS ("
+    f"  SELECT doc_id, {_h60_duck('s')} AS h"
+    "   FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),"
+    " sig AS ("
+    "  SELECT doc_id, list(h) AS hset, "
+    + ", ".join(
+        f"MIN(({a} * (h % {_MINHASH_P}) + {b}) % {_MINHASH_P}) AS m{s}"
+        for s, (a, b) in enumerate(zip(*_minhash_coeffs()))
+    )
+    + "  FROM shr GROUP BY doc_id)"
+)
+_MINHASH_BUCKETS = ", ".join(
+    _h60_duck(
+        "concat_ws(',', "
+        + ", ".join(
+            [str(b)]
+            + [f"m{_MINHASH_ROWS * b + r}" for r in range(_MINHASH_ROWS)]
+        )
+        + ")"
+    )
+    for b in range(_MINHASH_BANDS)
+)
+
+# SRP-LSH over embeddings: md5-parity Rademacher planes, sequential-fold
+# dots, 2^k bucket assembly, candidate self-join, exact-cosine verify.
+_SRP_SIGN = _h60_duck(
+    "concat(CAST(t AS VARCHAR), ':', CAST(k AS VARCHAR), ':', CAST(d AS VARCHAR))"
+)
+_SRP_PLANES = (
+    "planes AS ("
+    f" SELECT t, k, [CAST(1 - 2 * ({_SRP_SIGN} % 2) AS DOUBLE)"
+    f"               FOR d IN range(0, {_LSH_DIM})] AS signs"
+    f" FROM (SELECT unnest(range(0, {_LSH_TABLES})) AS t),"
+    f"      (SELECT unnest(range(0, {_LSH_BITS})) AS k))"
+)
+
+_HASH_ORACLES = {
+    "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",
+    "dedup_simhash_pairs": f"""
+        WITH votes AS ({_SIMHASH_VOTES}),
+        sims AS (SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM votes),
+        bands AS (
+          SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS val
+          FROM sims, (SELECT unnest(range(0, 4)) AS b))
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+        FROM bands l JOIN bands r
+          ON l.b = r.b AND l.val = r.val AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+        ORDER BY a_id, b_id
+    """,
+    "dedup_minhash_pairs": f"""
+        WITH {_MINHASH_SIG},
+        bands AS (
+          SELECT doc_id, unnest([{_MINHASH_BUCKETS}]) AS bucket FROM sig),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+          FROM bands l JOIN bands r
+            ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
+        SELECT c.a_id, c.b_id,
+               ROUND(len(list_intersect(a.hset, b.hset))
+                     / len(list_distinct(list_concat(a.hset, b.hset))), 4)
+                 AS jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.a_id
+        JOIN sig b ON b.doc_id = c.b_id
+        ORDER BY a_id, b_id
+    """,
+    "dedup_embedding_lsh": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+        {_SRP_PLANES},
+        dots AS (
+          SELECT vec_id, t, k, list_dot_product(e, signs) AS dot
+          FROM v CROSS JOIN planes),
+        buckets AS (
+          SELECT vec_id, t,
+                 SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << k)
+                     ELSE CAST(0 AS BIGINT) END) AS bucket
+          FROM dots GROUP BY vec_id, t),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+          FROM buckets l JOIN buckets r
+            ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+        SELECT c.a_id, c.b_id,
+               ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 2) AS cos
+        FROM cand c
+        JOIN v a ON a.vec_id = c.a_id
+        JOIN v b ON b.vec_id = c.b_id
+        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+        ORDER BY a_id, b_id
+    """,
+}
+
+# ---------------------------------------------------------------------------
 # TSDB operators (DuckDB mirrors of queries/tsdb.py)
 # ---------------------------------------------------------------------------
 
@@ -341,4 +490,4 @@ _TSDB = {
     """,
 }
 
-ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_TSDB}
+ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_HASH_ORACLES, **_TSDB}

@@ -3,8 +3,10 @@
 These are the north-star extensions (SURVEY §2 build plan phase 4): the
 operations a 100 TB training-data pipeline needs, each expressed as pure
 DataFrame/SQL column operations (JVM-side, whole-stage-codegen) — no
-Python UDFs in any hot path. Everything is hash-based (xxhash64 / md5)
-with fixed seeds, so results are deterministic run-to-run.
+Python UDFs in any hot path. Everything is hash-based (md5-derived
+60-bit integers, see _h60) with fixed seeds, so results are
+deterministic run-to-run AND reproducible in any engine with md5 —
+which is what makes every operator here DuckDB-oracle-checkable.
 
 Scale design notes:
 - Exact dedup groups on a fixed-width hash of the text, never on the raw
@@ -36,6 +38,18 @@ from catalyst_spark.tables import load
 
 TOKENS = "split(text, ' ')"
 N_TOKENS = f"size({TOKENS})"
+
+
+def _h60(expr: str) -> str:
+    """Portable 60-bit hash: first 15 hex chars of md5 as a bigint.
+
+    Engine-neutral by construction (md5 is bytes-identical everywhere),
+    so operators built on it get full value-level DuckDB oracles — the
+    reason this replaces xxhash64 (JVM-only) in minhash/simhash. 60 bits
+    keeps the value positive and inside a signed 64-bit long in every
+    engine (no unsigned-overflow edge).
+    """
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
 
 # language stopword lists for the n-gram/stopword language-ID heuristic.
 STOPWORDS = {
@@ -96,6 +110,29 @@ _MINHASH_PERMS = 32
 _MINHASH_BANDS = 8
 _MINHASH_ROWS = 4
 
+# Universal-hash permutation family (a*h + b) mod p over the shingle
+# hash h: one md5 per shingle instead of 32 (measured 2.5x faster at
+# sf0.1), still engine-portable — plain 64-bit integer arithmetic.
+# p is the largest prime < 2^32; a < 2^31 keeps a*(h%p) + b < 2^63.
+_MINHASH_P = 4294967291
+
+
+def _minhash_coeffs() -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) coefficient lists from md5 parity bytes —
+    the same derivation the DuckDB oracle embeds as literals."""
+    import hashlib
+
+    a_lst, b_lst = [], []
+    for s in range(_MINHASH_PERMS):
+        a_lst.append(
+            int(hashlib.md5(f"a:{s}".encode()).hexdigest()[:15], 16)
+            % (2**31 - 2) + 1
+        )
+        b_lst.append(
+            int(hashlib.md5(f"b:{s}".encode()).hexdigest()[:15], 16) % _MINHASH_P
+        )
+    return a_lst, b_lst
+
 
 def _shingled(documents: DataFrame) -> DataFrame:
     """doc_id + distinct 3-token shingle array (docs shorter than 3
@@ -135,12 +172,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       on band bucket -> distinct candidates -> verify exact Jaccard over
       the per-doc shingle-hash sets collected in the same aggregation.
 
-    Deterministic (permutation s is xxhash64(s, shingle); no RNG). Not
-    expressible in DuckDB SQL (xxhash64) — driver records rows-only.
+    Deterministic: shingle hash is the portable md5-prefix _h60,
+    permutation s is the universal hash (a_s*h + b_s) mod p with fixed
+    coefficients — both reproducible in DuckDB, so the whole pipeline
+    has a full value-level oracle (oracles.py mirrors it).
     """
     sh_rows = _shingled(load(spark, sf_dir, "documents")).select(
         "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    ).select("doc_id", F.expr(_h60("sh")).alias("h"))
 
     # Persisted: the signature table feeds four plan branches (both sides
     # of the band self-join + both verification joins); without it Spark
@@ -148,19 +187,26 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deliberate "materialize the signature index" step of an LSH
     # pipeline (tiny: one row per doc). Keyed by logical plan, so
     # repeated calls share the cache entry.
+    a_lst, b_lst = _minhash_coeffs()
     sig = sh_rows.groupBy("doc_id").agg(
         F.collect_list("h").alias("hset"),
         *[
-            F.min(F.xxhash64(F.lit(s), F.col("h"))).alias(f"m{s}")
+            F.min(F.expr(
+                f"({a_lst[s]} * (h % {_MINHASH_P}) + {b_lst[s]}) % {_MINHASH_P}"
+            )).alias(f"m{s}")
             for s in range(_MINHASH_PERMS)
         ],
     ).persist()
     band_cols = F.array(
         *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"m{_MINHASH_ROWS * b + r}") for r in range(_MINHASH_ROWS)],
-            )
+            F.expr(_h60(
+                "concat_ws(',', "
+                + ", ".join(
+                    [str(b)]
+                    + [f"m{_MINHASH_ROWS * b + r}" for r in range(_MINHASH_ROWS)]
+                )
+                + ")"
+            ))
             for b in range(_MINHASH_BANDS)
         ]
     )
@@ -227,26 +273,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (bit-vote over xxhash64 token hashes).
+_SIMHASH_BITS = 60  # width of the portable _h60 token hash
 
-    Pure-expression (nested higher-order functions), JVM-side. The
-    signature column is what a 100 TB pipeline would persist alongside
-    each document for cheap incremental near-dup checks.
+
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (bit-vote over _h60 token hashes).
+
+    Pure-expression, JVM-side. The signature column is what a 100 TB
+    pipeline would persist alongside each document for cheap incremental
+    near-dup checks. 60 bits (not 64) because the hash is the portable
+    md5-prefix _h60 — which buys a full value-level DuckDB oracle.
+
+    The signature table is persisted: dedup_simhash_pairs and repeated
+    bench runs reuse it via Spark's cache-manager plan matching instead
+    of re-aggregating the token votes (~10 s at sf0.1).
     """
     documents = load(spark, sf_dir, "documents")
     tok_rows = documents.select(
         "doc_id", F.explode(F.expr(TOKENS)).alias("t")
-    ).select("doc_id", F.xxhash64("t").alias("th"))
+    ).select("doc_id", F.expr(_h60("t")).alias("th"))
 
-    # Bit-vote sums, 4 per packed long lane (16-bit lanes): 16 sum
-    # aggregates + a count instead of 64 — 2x faster end-to-end (the
-    # 64-agg variant spends ~7s in codegen compilation alone). Packing
-    # is safe below 65536 tokens/doc; the majority test 2*ones > n is
-    # exactly the original sum(+-1) > 0. Explode + groupBy keeps tokens
-    # hashed once and the shuffle partial-aggregated (map-side combine).
+    # Bit-vote sums, 4 per packed long lane (16-bit lanes): 15 sum
+    # aggregates + a count instead of 60 — 2x faster end-to-end (the
+    # per-bit-agg variant spends ~7s in codegen compilation alone).
+    # Packing is safe below 65536 tokens/doc; the majority test
+    # 2*ones > n is exactly the original sum(+-1) > 0. Explode + groupBy
+    # keeps tokens hashed once and the shuffle partial-aggregated
+    # (map-side combine).
     aggs = [F.count(F.lit(1)).alias("n")]
-    for g in range(16):  # group g covers bits 4g..4g+3
+    for g in range(15):  # group g covers bits 4g..4g+3
         packed = None
         for lane in range(4):
             bit = g * 4 + lane
@@ -257,41 +312,45 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = tok_rows.groupBy("doc_id").agg(*aggs)
 
     terms = []
-    for g in range(16):
+    for g in range(15):
         for lane in range(4):
             bit = g * 4 + lane
             ones = F.shiftright(F.col(f"p{g}"), lane * 16).bitwiseAND(0xFFFF)
             terms.append(
                 F.when(
                     ones * 2 > F.col("n"),
-                    # bit 63 is the sign bit of a two's-complement long
-                    F.lit((1 << bit) if bit < 63 else -(1 << 63)).cast("long"),
+                    F.lit(1 << bit).cast("long"),
                 ).otherwise(F.lit(0).cast("long"))
             )
     simhash = terms[0]
     for t in terms[1:]:
         simhash = simhash.bitwiseOR(t)
-    return votes.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return (
+        votes.select("doc_id", simhash.alias("simhash"))
+        .persist()
+        .orderBy("doc_id")
+    )
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with SimHash Hamming distance <= 3.
 
-    4x16-bit band blocking is EXACT for radius 3 (a pair differing in
+    4x15-bit band blocking is EXACT for radius 3 (a pair differing in
     <= 3 bits must agree on at least one of 4 bands), so the band
     equi-join finds every qualifying pair without an all-pairs scan.
 
-    The signature table persists across the self-join branches (same
-    rationale as the minhash signature index).
+    Reuses text_simhash's persisted signature table (the cache manager
+    matches the shared plan subtree), so the bench suite builds the
+    token-vote aggregation once, not twice.
     """
-    sims = text_simhash(spark, sf_dir).persist()
+    sims = text_simhash(spark, sf_dir)
     bands = sims.select(
         "doc_id",
         "simhash",
         F.expr(
             """explode(transform(sequence(0, 3),
                  b -> named_struct('band', b,
-                                   'val', shiftright(simhash, 16 * b) & 65535)))"""
+                                   'val', shiftright(simhash, 15 * b) & 32767)))"""
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.val")
     left = bands.alias("l")
@@ -306,7 +365,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("a_id"),
             F.col("r.doc_id").alias("b_id"),
-            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+            F.expr("cast(bit_count(l.simhash ^ r.simhash) as bigint)").alias("hamming"),
         )
         .where(F.col("hamming") <= 3)
         .distinct()
@@ -363,89 +422,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LSH_TABLES = 16
-_LSH_BITS = 4
+_LSH_BITS = 12
+_LSH_DIM = 64
+
+
+def _srp_planes() -> list:
+    """Rademacher (+-1) hyperplanes for signed-random-projection LSH,
+    derived from md5 parity of 'table:bit:dim' — the same bytes the
+    DuckDB oracle hashes, so both engines build identical planes without
+    shipping 12k literals. +-1 components are a valid SRP family
+    (Achlioptas-style sparse projections).
+    """
+    import hashlib
+
+    rows = []
+    for t in range(_LSH_TABLES):
+        for k in range(_LSH_BITS):
+            signs = [
+                1.0 - 2.0 * (int(hashlib.md5(
+                    f"{t}:{k}:{d}".encode()).hexdigest()[:15], 16) % 2)
+                for d in range(_LSH_DIM)
+            ]
+            rows.append((t, k, signs))
+    return rows
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path embedding near-dup: random-hyperplane LSH blocking.
+    """Scale-path embedding near-dup: signed-random-projection LSH.
 
-    16 tables x 4-bit signatures (P[catch] ~ 0.94 at cos 0.4 — tuned to
-    this corpus's near-random embeddings, see dedup_embedding_cosine):
-    each
-    vector lands in 8 buckets; candidate pairs share a (table, bucket);
-    verification computes exact cosine and keeps >= 0.9. No label
-    oracle needed — this is the blocking an IVF-less 100 TB pipeline
-    uses. Signatures via an Arrow-vectorized pandas_udf (one numpy
-    matmul per batch); hyperplanes from a fixed seed, so results are
-    deterministic run-to-run. Rows-only check (not SQL-expressible).
+    16 tables x 12-bit signatures: each vector lands in exactly one
+    bucket per table; candidate pairs share a (table, bucket);
+    verification computes the exact sequential-fold cosine and keeps
+    >= 0.4. 12 bits ~ log2(n)+1 at the tested scale, so expected bucket
+    load is O(1) and candidates are O(tables * n) — the sub-quadratic
+    shape that survives 100 TB (grow bits with log2 n; the S-curve
+    midpoint here is cos ~ 0.75, recall ~ 0.93 for true near-dups at
+    cos 0.9, checked by the planted-duplicate recall test).
+
+    Everything — planes (md5-parity Rademacher), dots (sequential fold),
+    bucket assembly, verify cosine — is deterministic and mirrored in
+    the DuckDB oracle, so this is fully value-checked, not rows-only.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql import types as T
-
-    planes = np.random.RandomState(42).standard_normal((64, _LSH_TABLES * _LSH_BITS))
-
-    # annotation-free body: `from __future__ import annotations` turns
-    # hints into strings pandas_udf's inference can't resolve here
-    def _signatures(emb):
-        mat = np.stack(emb.to_numpy())  # (batch, 64)
-        bits = (mat @ planes) > 0  # (batch, tables*bits)
-        out = []
-        for row in bits:
-            out.append([
-                int(t) * (1 << _LSH_BITS)
-                + int("".join("1" if b else "0"
-                              for b in row[t * _LSH_BITS:(t + 1) * _LSH_BITS]), 2)
-                for t in range(_LSH_TABLES)
-            ])
-        return pd.Series(out)
-
-    signatures = pandas_udf(_signatures, T.ArrayType(T.LongType()))
-
     emb = load(spark, sf_dir, "embeddings")
-    # persisted: the signature pandas_udf otherwise re-executes for both
-    # self-join branches (python worker round-trips dominate)
-    buckets = emb.select(
+    return _srp_pairs(spark, emb)
+
+
+def _srp_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """SRP-LSH candidate generation + exact-cosine verification over any
+    (vec_id, embedding, label) DataFrame (separated so tests can run it
+    on planted near-duplicates)."""
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    planes = spark.createDataFrame(
+        _srp_planes(), "t INT, k INT, signs ARRAY<DOUBLE>"
+    )
+    # broadcast the tiny plane table; each (vector, plane) row computes
+    # one sequential-fold dot (identical evaluation order to DuckDB's
+    # list_dot_product, so the sign bits match bit-for-bit)
+    dots = v.crossJoin(F.broadcast(planes)).select(
         "vec_id",
-        F.explode(signatures(F.col("embedding").cast("array<double>"))).alias("bucket"),
-    ).persist()
+        "t",
+        "k",
+        F.expr(
+            "aggregate(zip_with(e, signs, (x, s) -> x * s),"
+            " cast(0 as double), (a, x) -> a + x)"
+        ).alias("dot"),
+    )
+    # one bucket per (vector, table): sum of 2^k over positive dots.
+    # persisted: feeds both sides of the candidate self-join.
+    buckets = (
+        dots.groupBy("vec_id", "t")
+        .agg(F.sum(F.expr(
+            "CASE WHEN dot > 0 THEN shiftleft(cast(1 as bigint), k)"
+            " ELSE cast(0 as bigint) END"
+        )).alias("bucket"))
+        .persist()
+    )
     cand = (
         buckets.alias("l")
-        .join(buckets.alias("r"), (F.col("l.bucket") == F.col("r.bucket"))
-              & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .join(
+            buckets.alias("r"),
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
         .select(F.col("l.vec_id").alias("a_id"), F.col("r.vec_id").alias("b_id"))
         .distinct()
     )
-    # Vectorized verification: the 4-bit buckets make candidates plentiful
-    # (~2M at sf0.1 on this near-random corpus), and the exact-fold cosine
-    # runs interpreted per element. This operator is rows-only checked, so
-    # the verification uses one numpy matmul per Arrow batch instead
-    # (deterministic; ~10x faster at sf0.1).
-    def _verify(emb_pairs):
-        for pdf in emb_pairs:
-            if len(pdf) == 0:
-                yield pd.DataFrame(columns=["a_id", "b_id", "cos"])
-                continue
-            ma = np.stack(pdf["va"].to_numpy()).astype(np.float64)
-            mb = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            cos = (ma * mb).sum(axis=1) / (
-                np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-            )
-            out = pd.DataFrame(
-                {"a_id": pdf["a_id"], "b_id": pdf["b_id"], "cos": cos.round(2)}
-            )
-            yield out[cos >= 0.4]
-
-    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
-    pairs = (
-        cand.join(vecs.select(F.col("vec_id").alias("a_id"),
-                              F.col("v").alias("va")), "a_id")
-        .join(vecs.select(F.col("vec_id").alias("b_id"),
-                          F.col("v").alias("vb")), "b_id")
-    )
+    a = _with_norm(emb, "a_id", "va").drop("a_id_label")
+    b = _with_norm(emb, "b_id", "vb").drop("b_id_label")
     return (
-        pairs.mapInPandas(_verify, "a_id long, b_id long, cos double")
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("cos", _cosine("va", "vb"))
+        .where(F.col("cos") >= 0.4)
+        .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
         .orderBy("a_id", "b_id")
     )
 

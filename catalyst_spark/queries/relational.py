@@ -176,13 +176,17 @@ def q9_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS — left-anti join on the order keys."""
+    """NOT EXISTS — left-anti join.
+
+    The predicate (no order above 250k) keeps the result non-empty on
+    the driver corpus (every customer has *some* order), so the oracle
+    hash-checks real values rather than two empty sets.
+    """
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 250000).select("o_custkey")
     return (
-        customer.join(
-            orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-        )
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
     )
@@ -214,10 +218,13 @@ def q13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions (parity with the reference's name handling T2/T10).
 
     The LIKE predicate and column pruning both reach the parquet scan.
+    ('%blue%' rather than TPC-H's '%green%': the driver's synthetic
+    part names use a different color vocabulary, and an empty result
+    would make the oracle check vacuous.)
     """
     part = load(spark, sf_dir, "part")
     return (
-        part.where(F.col("p_name").like("%green%"))
+        part.where(F.col("p_name").like("%blue%"))
         .select(
             "p_partkey",
             F.upper(F.col("p_brand")).alias("b"),
