@@ -11,10 +11,12 @@ Byte-parity with the reference encoder (ref core/warp.go:423-478):
   fractional digits (:456); long -> ``%d`` (:461); string -> single-quoted
   URL-escaped (:468); nil -> ``%v`` of nil == ``<nil>`` escaped (:471-473)
 
-Escaping parity: the reference uses Go ``url.QueryEscape`` (unreserved =
-[A-Za-z0-9-_.~], uppercase hex, space -> '+', then '+' -> %20). Spark's
-``url_encode`` is Java URLEncoder (keeps '*', escapes '~'); the two
-post-fixes below reconcile: '%7E' -> '~', '*' -> '%2A'.
+Escaping parity: name and labels use Go ``url.QueryEscape`` FOLLOWED by
+the '+' -> '%20' fix-up (:435,441 — the Warp10 2.3.0 comment); string
+VALUES use plain QueryEscape with NO fix-up, so a space in a string
+value stays '+' (:468). Two escape variants below mirror that split.
+Spark's ``url_encode`` is Java URLEncoder (space -> '+', keeps '*',
+escapes '~'); fix-ups reconcile: '%7E' -> '~', '*' -> '%2A'.
 
 Deviation (documented): Go map iteration order is nondeterministic, so
 the reference emits labels in random order per record; we emit labels
@@ -29,12 +31,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def url_escape(col: Column) -> Column:
-    """Go url.QueryEscape semantics via Java url_encode + fix-ups."""
+def query_escape(col: Column) -> Column:
+    """Go url.QueryEscape semantics via Java url_encode + fix-ups
+    (space stays '+', as the reference's string-value branch :468)."""
     enc = F.url_encode(col)
-    enc = F.replace(enc, F.lit("+"), F.lit("%20"))
     enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
     return F.replace(enc, F.lit("*"), F.lit("%2A"))
+
+
+def url_escape(col: Column) -> Column:
+    """QueryEscape + the '+' -> '%20' fix-up the reference applies to
+    name and labels (:435,441) but NOT to string values."""
+    return F.replace(query_escape(col), F.lit("+"), F.lit("%20"))
 
 
 def _value_expr() -> Column:
@@ -46,7 +54,7 @@ def _value_expr() -> Column:
         .when(F.col("value_type") == "long",
               F.col("value_l").cast("string"))
         .when(F.col("value_type") == "string",
-              F.concat(F.lit("'"), url_escape(F.col("value_s")), F.lit("'")))
+              F.concat(F.lit("'"), query_escape(F.col("value_s")), F.lit("'")))
         # Go nil interface through the %v default branch -> "<nil>" escaped
         .otherwise(F.lit("%3Cnil%3E"))
     )

@@ -153,12 +153,27 @@ def _fake_floats(payload: bytes, n: int, salt: str) -> list[float]:
     return out
 
 
+def _pil_features(payload: bytes) -> list[float]:
+    """Real decode path: 4x4 grayscale thumbnail, pixels scaled to
+    [-1, 1] — FEATURE_DIM (16) floats. Runs only when PIL is present."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        gray = img.convert("L").resize((4, 4))
+        return [p / 127.5 - 1.0 for p in gray.getdata()]
+
+
 def image_features(df: DataFrame) -> DataFrame:
     """image payloads -> FEATURE_DIM float features.
 
-    With PIL: decode + downsample + normalized pixel stats would run
-    here. Without it (this container), a deterministic fake keeps the
-    plumbing (schema, batch shape, partitioning) fully exercisable.
+    With PIL installed the real decode runs (4x4 grayscale thumbnail,
+    normalized pixels). Without it (this container), a deterministic
+    clearly-marked fake keeps the plumbing — schema, batch shape,
+    partitioning — fully exercisable. The real path gates on _HAVE_PIL,
+    so installing the dependency upgrades the operator rather than
+    changing its shape.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,12 +182,10 @@ def image_features(df: DataFrame) -> DataFrame:
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"])
                 if _HAVE_PIL:
-                    raise NotImplementedError(
-                        "real PIL decode path not implemented in this build")
-                out.append({
-                    "media_id": row["media_id"],
-                    "features": _fake_floats(payload, FEATURE_DIM, "imgfeat"),
-                })
+                    feats = _pil_features(payload)
+                else:
+                    feats = _fake_floats(payload, FEATURE_DIM, "imgfeat")
+                out.append({"media_id": row["media_id"], "features": feats})
             yield pd.DataFrame(out, columns=["media_id", "features"])
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
@@ -206,12 +219,26 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> Data
 
 def balance_by_size(df: DataFrame, partitions: int, payload_col: str = "payload") -> DataFrame:
     """Repartition media rows so decode work (∝ payload bytes) spreads
-    evenly: range-partition on payload length rather than hashing ids —
-    at 100 TB a size-skewed decode stage straggles without this."""
-    from pyspark.sql import functions as F
+    evenly: round-robin stripe in descending size order — partition i
+    receives every `partitions`-th row of the size ranking, so per-
+    partition byte sums are near-equal (classic LPT-style balancing).
+    Range-partitioning on the size key does the opposite (it clusters
+    the largest payloads together).
 
+    Scale note: the global row_number is one narrow pass over (size,
+    id) pairs — not payloads — and at extreme scale the same striping
+    works on per-bucket ranks (rank within coarse size buckets) with
+    no global sort at all.
+    """
+    from pyspark.sql import Window, functions as F
+
+    rr = (
+        F.row_number().over(
+            Window.orderBy(F.length(F.col(payload_col)).desc())
+        ) % partitions
+    ).alias("_rr")
     return (
-        df.withColumn("_sz", F.length(F.col(payload_col)))
-        .repartitionByRange(partitions, "_sz")
-        .drop("_sz")
+        df.withColumn("_rr", rr)
+        .repartitionByRange(partitions, "_rr")
+        .drop("_rr")
     )

@@ -20,7 +20,11 @@ CASES = [
     ((1, "m", {}, None, None, True, None, "boolean"), "1// m{} T\r\n"),
     ((1, "m", {}, None, None, False, None, "boolean"), "1// m{} F\r\n"),
     ((1, "m", {}, None, 42, None, None, "long"), "1// m{} 42\r\n"),
-    ((1, "m", {}, None, None, None, "a'b c", "string"), "1// m{} 'a%27b%20c'\r\n"),
+    # string values use plain QueryEscape: space stays '+', no %20 fix-up
+    # (ref warp.go:468 vs the name/label fix-up at :435,441)
+    ((1, "m", {}, None, None, None, "a'b c", "string"), "1// m{} 'a%27b+c'\r\n"),
+    ((1, "n o", {"k": "p q"}, None, None, None, "r s", "string"),
+     "1// n%20o{k=p%20q} 'r+s'\r\n"),
     ((None, "m", {"k": "v"}, 1.5, None, None, None, "double"), "// m{k=v} 1.500000\r\n"),
     # Go nil interface -> "%v" of nil, URL-escaped (opentsdb JSON null value)
     ((1, "m", {}, None, None, None, None, "null"), "1// m{} %3Cnil%3E\r\n"),

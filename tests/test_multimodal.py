@@ -90,3 +90,38 @@ def test_balance_by_size(spark):
     out = balance_by_size(df, 2)
     assert out.rdd.getNumPartitions() == 2
     assert sorted(r["media_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_balance_by_size_separates_largest(spark):
+    # size-striping must put the two largest payloads in different
+    # partitions (range-partitioning on size clusters them — the
+    # straggler anti-pattern this function exists to avoid)
+    rows = [
+        Row(media_id=i, kind="blob", payload=bytearray(b"x" * sz))
+        for i, sz in enumerate([800, 700, 60, 50, 40, 30, 20, 10])
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    parts = balance_by_size(df, 2).rdd.glom().collect()
+    sums = [sum(len(r["payload"]) for r in p) for p in parts]
+    assert len(sums) == 2 and min(sums) > 0
+    # 800 and 700 split apart -> no partition carries both
+    assert max(sums) <= 800 + 60 + 40 + 20  # straggler bound, not 1500
+
+
+def test_image_features_real_decode_with_pil(spark):
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL.Image import new as pil_new
+
+    buf = io.BytesIO()
+    pil_new("RGB", (8, 8), color=(255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=bytearray(buf.getvalue()))],
+        "media_id long, kind string, payload binary",
+    )
+    feats = image_features(df).collect()[0]["features"]
+    assert len(feats) == FEATURE_DIM
+    assert all(-1.0 <= x <= 1.0 for x in feats)
