@@ -72,12 +72,41 @@ def main() -> None:
             F.unix_millis(F.col("ts")).cast("string"),
         ).alias("line")
     )
+    # x16 so per-job fixed cost doesn't dominate the throughput figure
+    for _ in range(4):
+        lines = lines.unionAll(lines)
+    lines = lines.repartition(cpus).persist()
     n_lines = lines.count()
-    t0 = time.perf_counter()
-    encode_sensision(permissive(parse_graphite(lines))).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    parse_s = time.perf_counter() - t0
+
+    def _timed(df):
+        df.write.format("noop").mode("overwrite").save()  # codegen warm-up
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    parse_s = _timed(encode_sensision(permissive(parse_graphite(lines))))
+
+    # influx ingest: same events as line protocol (2 fields per line ->
+    # 2 GTS rows after fan-out); the JVM fast path handles all of these
+    from catalyst_spark.parsers import parse_influx
+
+    influx_lines = events.select(
+        F.concat(
+            F.lit("evt,type="), F.col("event_type"),
+            F.lit(",user="), F.col("user_id").cast("string"),
+            F.lit(" value="), F.col("value").cast("string"), F.lit(",n=1i"),
+            F.lit(" "), (F.unix_micros("ts") * 1000).cast("string"),
+        ).alias("line")
+    )
+    for _ in range(4):
+        influx_lines = influx_lines.unionAll(influx_lines)
+    influx_lines = influx_lines.repartition(cpus).persist()
+    n_influx = influx_lines.count()
+    influx_s = _timed(
+        encode_sensision(permissive(parse_influx(influx_lines, now_ns=0)))
+    )
+    lines.unpersist()
+    influx_lines.unpersist()
 
     # SRP-LSH pruning evidence: candidate pairs vs all-pairs (the
     # sub-quadratic claim, measured not asserted)
@@ -117,6 +146,8 @@ def main() -> None:
         "sf": sf,
         "ingest_rows_per_sec": round(n_lines / parse_s),
         "ingest_rows": n_lines,
+        "influx_lines_per_sec": round(n_influx / influx_s),
+        "influx_lines": n_influx,
         "lsh_candidate_pairs": lsh_cand,
         "lsh_all_pairs": n_vec * (n_vec - 1) // 2,
     }))

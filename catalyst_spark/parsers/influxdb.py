@@ -14,12 +14,17 @@ field=v[,field=v...] [timestamp]) with its escaping rules:
   'value' field: 'cpu value=1' -> class 'cpu.value').
 - ts µs = ns / 1e3 with Go int64 truncating division (:75).
 
-This is the engine's one hand-written tokenizer: quoted field strings
-may contain commas/spaces (test fixtures from the reference's
-catalyser/influxdb_test.go:40-63), which a pure-regex split cannot
-frame. It runs as an Arrow-batched mapInPandas — the documented
-slow-path choice (SURVEY §7 phase 1); everything downstream stays
-columnar.
+Two-tier execution (the hot path stays JVM-side):
+- FAST PATH: lines with no quotes/escapes and numeric/bool field
+  values — ~all real telemetry traffic — match a strict validation
+  regex and parse as pure column expressions (split/explode/when,
+  whole-stage codegen, no Python).
+- SLOW PATH: anything else (quoted field strings that may contain
+  commas/spaces — reference fixtures catalyser/influxdb_test.go:40-63
+  — escapes, and malformed lines that must produce error rows) routes
+  to the hand-written tokenizer under Arrow-batched mapInPandas.
+The router is one rlike per line; the two outputs union into the same
+GTS schema, so downstream is identical either way.
 """
 
 from __future__ import annotations
@@ -232,6 +237,79 @@ _ERROR_ROW = {
     "value_l": None, "value_b": None, "value_s": None, "value_type": None,
 }
 
+# ---------------------------------------------------------------------------
+# JVM fast path: strict shape regex + pure-column parse
+# ---------------------------------------------------------------------------
+
+# A line qualifies only if the column parser is guaranteed to agree
+# with the tokenizer: no '"' or '\' anywhere, every tag has '=',
+# every field value is a plain int/float/bool literal (no strings,
+# no inf/nan — those fall back), optional integer timestamp.
+_BOOL_RE = "(t|T|f|F|true|True|TRUE|false|False|FALSE)"
+_INT_RE = r"[+-]?[0-9]+i"
+_FLT_RE = r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?"
+_VAL_RE = f"({_BOOL_RE}|{_INT_RE}|{_FLT_RE})"
+_KEY_RE = r'[^,="\\ ]+'
+_TAG_RE = f',{_KEY_RE}=[^,="\\\\ ]*'
+_FIELD_RE = f"{_KEY_RE}={_VAL_RE}"
+SIMPLE_LINE_RE = (
+    f"^{_KEY_RE}({_TAG_RE})* {_FIELD_RE}(,{_FIELD_RE})*( [+-]?[0-9]+)?$"
+)
+
+_TRUE_LIST = ", ".join(f"'{t}'" for t in _BOOL_TRUE)
+_FALSE_LIST = ", ".join(f"'{f}'" for f in _BOOL_FALSE)
+
+
+def _parse_simple(df: DataFrame, line_col: str, mult: int, now_ns: int) -> DataFrame:
+    """Column-expression parse of regex-validated simple lines."""
+    from pyspark.sql import functions as F
+
+    default_ns = (now_ns // mult) * mult
+    d = (
+        df.select(F.col(line_col).alias("_ln"))
+        .withColumn("_parts", F.split("_ln", " "))
+        .withColumn("_mt", F.split(F.element_at("_parts", 1), ","))
+        .withColumn(
+            "_tags",
+            F.expr(
+                "map_from_entries(transform(slice(_mt, 2, size(_mt) - 1),"
+                " t -> struct(split_part(t, '=', 1), split_part(t, '=', 2))))"
+            ),
+        )
+        .withColumn(
+            "_ts_ns",
+            F.when(
+                F.size("_parts") >= 3,
+                F.element_at("_parts", 3).cast("long") * F.lit(mult),
+            ).otherwise(F.lit(default_ns)),
+        )
+        .withColumn("_f", F.explode(F.split(F.element_at("_parts", 2), ",")))
+        .withColumn("_fv", F.expr("split_part(_f, '=', 2)"))
+    )
+    # the router regex already proved _fv is a valid INT/FLT/BOOL
+    # literal, so cheap discriminators suffice: only ints end in 'i',
+    # and the bool literals are fixed short strings (no regex here —
+    # these predicates repeat across the value columns and each `when`
+    # re-evaluates them)
+    is_int = F.col("_fv").endswith("i")
+    is_t = F.expr(f"_fv IN ({_TRUE_LIST})")
+    is_f = F.expr(f"_fv IN ({_FALSE_LIST})")
+    return d.select(
+        # Go int64 division truncates toward zero; Spark's `div` does too
+        F.expr("_ts_ns div 1000").alias("ts"),
+        F.concat(F.element_at("_mt", 1), F.lit("."),
+                 F.expr("split_part(_f, '=', 1)")).alias("name"),
+        F.col("_tags").alias("labels"),
+        F.when(~is_int & ~is_t & ~is_f, F.col("_fv").cast("double")).alias("value_d"),
+        F.when(is_int, F.expr(
+            "cast(substring(_fv, 1, length(_fv) - 1) as long)")).alias("value_l"),
+        F.when(is_t, F.lit(True)).when(is_f, F.lit(False)).alias("value_b"),
+        F.lit(None).cast("string").alias("value_s"),
+        F.when(is_int, "long").when(is_t | is_f, "boolean")
+         .otherwise("double").alias("value_type"),
+        F.lit(None).cast("string").alias("parse_error"),
+    )
+
 
 def parse_influx(
     df: DataFrame,
@@ -239,7 +317,14 @@ def parse_influx(
     precision: str = "n",
     now_ns: int | None = None,
 ) -> DataFrame:
-    """Parse InfluxDB line-protocol rows into the canonical GTS schema."""
+    """Parse InfluxDB line-protocol rows into the canonical GTS schema.
+
+    Routes each line through the JVM column fast path when it matches
+    SIMPLE_LINE_RE, else through the Python tokenizer (quoted strings,
+    escapes, and error-row generation).
+    """
+    from pyspark.sql import functions as F
+
     mult = _PRECISION_NS.get(precision)
     if mult is None:
         raise ValueError(f"unknown precision {precision!r}")
@@ -260,4 +345,7 @@ def parse_influx(
                 out, columns=[f.name for f in GTS_WITH_ERROR_SCHEMA.fields]
             )
 
-    return df.mapInPandas(run, GTS_WITH_ERROR_SCHEMA)
+    is_simple = F.coalesce(F.col(line_col).rlike(SIMPLE_LINE_RE), F.lit(False))
+    fast = _parse_simple(df.where(is_simple), line_col, mult, now_ns)
+    slow = df.where(~is_simple).mapInPandas(run, GTS_WITH_ERROR_SCHEMA)
+    return fast.unionByName(slow)

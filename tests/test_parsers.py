@@ -282,6 +282,45 @@ class TestInflux:
         [r] = self.parse(spark, ["no_fields_here"])
         assert r["parse_error"] == "Failed to parse datapoint"
 
+    # fast-path (JVM columns) vs tokenizer differential: both tiers must
+    # produce identical rows for every line the router sends JVM-side
+    SIMPLE_CORPUS = [
+        "cpu value=1",
+        "cpu,host=a,region=us value=0.64 1434055562000000000",
+        "m v=234i,f=t,g=FALSE 1478133071000000000",
+        "m v=-42i,w=+7i,x=1e3,y=-.5,z=+2.5E-2 -1000",
+        "disk,path=/var used=99.9,total=100.0",
+        "tag_empty_val,k= v=1 12345",
+    ]
+
+    def test_fast_path_routing(self, spark):
+        from catalyst_spark.parsers.influxdb import SIMPLE_LINE_RE
+        import re
+
+        for line in self.SIMPLE_CORPUS:
+            assert re.match(SIMPLE_LINE_RE, line), line
+        for line in ['s a="x y"', r"we\,ather v=1", "m v=", "m v=abc",
+                     "m v=inf", "", "# comment"]:
+            assert not re.match(SIMPLE_LINE_RE, line), line
+
+    def test_fast_path_matches_tokenizer(self, spark):
+        from catalyst_spark.parsers.influxdb import parse_influx_line
+
+        got = sorted(
+            (tuple(sorted((r["labels"] or {}).items())),
+             r["ts"], r["name"], r["value_d"], r["value_l"], r["value_b"],
+             r["value_s"], r["value_type"], r["parse_error"])
+            for r in self.parse(spark, self.SIMPLE_CORPUS)
+        )
+        expected = sorted(
+            (tuple(sorted(r["labels"].items())),
+             r["ts"], r["name"], r["value_d"], r["value_l"], r["value_b"],
+             r["value_s"], r["value_type"], r["parse_error"])
+            for line in self.SIMPLE_CORPUS
+            for r in parse_influx_line(line, 1, NOW_US * 1000)
+        )
+        assert got == expected
+
 
 # ---------------------------------------------------------------------------
 # remote_write (§3.4)
