@@ -8,7 +8,12 @@ to a ``readStream`` source (SURVEY §2.2).
 
 from catalyst_spark.parsers.graphite import parse_graphite, strip_token_prefix
 from catalyst_spark.parsers.opentsdb import parse_opentsdb
-from catalyst_spark.parsers.prometheus import parse_prom_text, path_to_labels
+from catalyst_spark.parsers.prometheus import (
+    negotiate_format,
+    parse_prom_proto,
+    parse_prom_text,
+    path_to_labels,
+)
 from catalyst_spark.parsers.influxdb import parse_influx
 from catalyst_spark.parsers.remote_write import parse_remote_write
 from catalyst_spark.parsers.warp import warp_passthrough
@@ -17,6 +22,8 @@ __all__ = [
     "parse_graphite",
     "strip_token_prefix",
     "parse_opentsdb",
+    "negotiate_format",
+    "parse_prom_proto",
     "parse_prom_text",
     "path_to_labels",
     "parse_influx",
