@@ -1,7 +1,8 @@
-"""Control plane: token extraction, ban registry, error taxonomy, txn ids
-(SURVEY §2.5 C1-C7)."""
+"""Control plane: token extraction, ban registry, error taxonomy, txn
+ids, access log (SURVEY §2.5 C1-C7)."""
 
 from catalyst_spark.control.errors import classify_error, classify_error_col
+from catalyst_spark.control.access_log import AccessLog, AccessLogListener
 from catalyst_spark.control.auth import (
     BanRegistry,
     extract_token,
@@ -11,6 +12,8 @@ from catalyst_spark.control.auth import (
 )
 
 __all__ = [
+    "AccessLog",
+    "AccessLogListener",
     "classify_error",
     "classify_error_col",
     "BanRegistry",

@@ -69,8 +69,12 @@ def parse_graphite(
     line_col: str = "line",
     parse_hierarchy: bool = True,
     now_us: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Parse Graphite plaintext lines into the canonical GTS schema.
+
+    keep_cols: pass-through columns (e.g. the TCP framing 'token') kept
+    alongside the GTS columns so the sink can group by them.
 
     Scale: everything is whole-stage-codegen'd string/array expressions;
     a 100 TB replay of Graphite traffic is a map-only scan with zero
@@ -145,6 +149,7 @@ def parse_graphite(
     )
 
     return df.select(
+        *[F.col(c) for c in keep_cols],
         *gts_columns(
             ts=ts_us,
             name=name,

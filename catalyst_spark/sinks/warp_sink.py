@@ -132,6 +132,52 @@ class WarpHTTPSink:
         df.select("sensision").foreachPartition(send_partition)
 
 
+class PerTokenWarpSink:
+    """Graphite TCP egress (S3): the reference opens one Warp update
+    stream per TCP connection, keyed by the connection's token
+    (catalyser/graphite.go:255-264). In the stream model the
+    per-connection session becomes a per-token group: the batch is
+    hash-repartitioned on token and sorted within partitions, so each
+    executor streams contiguous token runs and posts one chunked update
+    sequence per token — O(flush) memory, no per-token buffering of the
+    whole batch.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        transport: Transport | None = None,
+        ban_registry: BanRegistry | None = None,
+        flush_lines: int = PASSTHROUGH_FLUSH_LINES,
+    ) -> None:
+        self.endpoint = endpoint
+        self.transport = transport
+        self.ban_registry = ban_registry
+        self.flush_lines = flush_lines
+
+    def foreach_batch(self, df: DataFrame, epoch_id: int) -> None:
+        endpoint = self.endpoint
+        transport = self.transport
+        ban_registry = self.ban_registry
+        flush = self.flush_lines
+
+        def send_partition(rows) -> None:
+            from itertools import groupby
+
+            for token, grp in groupby(rows, key=lambda r: r["token"]):
+                WarpHTTPSink(
+                    endpoint, token, transport=transport,
+                    ban_registry=ban_registry, flush_lines=flush,
+                ).send_lines(r["sensision"] for r in grp)
+
+        (
+            df.select("token", "sensision")
+            .repartition("token")
+            .sortWithinPartitions("token")
+            .foreachPartition(send_partition)
+        )
+
+
 def console_dry_run(df: DataFrame, epoch_id: int = 0) -> None:
     """K3 --dryrun: print decoded payload instead of forwarding
     (ref core/handler.go:161-167)."""
