@@ -123,3 +123,57 @@ class TestBan:
 
 def test_txn_id():
     assert txn_id("1.2.3.4", 123) == hashlib.sha256(b"1.2.3.4123").hexdigest()
+
+
+class TestRoutes:
+    """S1/S4/C2/C10 shim decisions (cmd/root.go:116-146,
+    core/handler.go:130-133, catalyser/influxdb.go:52-57,
+    middlewares/auth.go:30-53)."""
+
+    def test_route_table(self):
+        from catalyst_spark.control.routes import route
+
+        assert route("/influxdb/write?precision=s".split("?")[0]) == "influxdb"
+        assert route("/influxdb/ping") == "influxdb_ping"
+        assert route("/influxdb") == "influxdb"
+        assert route("/prometheus/remote_write") == "remote_write"
+        assert route("/prometheus/job/node") == "prometheus"
+        assert route("/opentsdb/api/put") == "opentsdb"
+        assert route("/graphite/api/v1/sink") == "graphite"
+        assert route("/warp/api/v0/update") == "warp"
+        assert route("/warp/api/v0/delete") == "reverse_delete"
+        assert route("/warp/api/v0/exec") == "reverse"
+        assert route("/warp") == "warp"
+        assert route("/nope") is None
+
+    def test_method_allow_list(self):
+        from catalyst_spark.control.routes import check_method
+
+        assert check_method("/influxdb/write", "POST") is None
+        assert check_method("/influxdb/write", "GET") == 405
+        assert check_method("/prometheus/x/y", "PUT") is None
+        assert check_method("/prometheus/x/y", "DELETE") == 405
+        assert check_method("/opentsdb", "post") is None  # case-insensitive
+        # K2 passthrough accepts any verb (reverse.go forwards verbatim)
+        assert check_method("/warp/api/v0/exec", "GET") is None
+        assert check_method("/warp/api/v0/delete", "DELETE") is None
+
+    def test_ping(self):
+        from catalyst_spark.control.routes import ping_response
+
+        status, headers = ping_response("abc123")
+        assert status == 204
+        assert headers["X-Influxdb-Version"] == "1.4.x"
+        assert headers["Request-Id"] == "abc123"
+
+    def test_tarpit(self):
+        from catalyst_spark.control.routes import tarpit_check
+
+        reg = BanRegistry({"bad"})
+        slept = []
+        assert tarpit_check(reg, None, sleeper=slept.append) == 401
+        assert slept == []  # no token -> immediate 401, no tarpit
+        assert tarpit_check(reg, "bad", 3000, sleeper=slept.append) == 401
+        assert slept == [3.0]  # banned -> 3 s tarpit then 401
+        assert tarpit_check(reg, "good", sleeper=slept.append) is None
+        assert len(slept) == 1
