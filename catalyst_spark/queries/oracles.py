@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from catalyst_spark.queries.pipeline import (
     STOPWORDS,
+    _CLUSTER_JACCARD,
     _LSH_BITS,
     _LSH_DIM,
     _LSH_TABLES,
@@ -19,6 +20,8 @@ from catalyst_spark.queries.pipeline import (
     _MINHASH_P,
     _MINHASH_PERMS,
     _MINHASH_ROWS,
+    _SAMPLE_DEFAULT_PCT,
+    _SAMPLE_PCT,
     _SIMHASH_BITS,
     _minhash_coeffs,
 )
@@ -416,6 +419,19 @@ _TSDB = {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         WHERE dv IS NOT NULL ORDER BY event_id
     """,
+    "time_weighted_avg": """
+        SELECT user_id,
+               ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twa,
+               COUNT(*) AS n_intervals
+        FROM (
+          SELECT user_id, value,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dt_us
+          FROM events) t
+        WHERE dt_us IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
+    """,
     "ts_downsample": """
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
                event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv,
@@ -487,6 +503,60 @@ _TSDB = {
                  AS jaccard
         FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id
+    """,
+    # connected components via recursive CTE: min reachable id per node
+    # over the symmetric near-dup edge set (same pairs as
+    # dedup_ngram_jaccard, thresholded)
+    "dedup_clusters": f"""
+        WITH RECURSIVE p AS (
+          SELECT doc_id,
+                 array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
+                 list_distinct(string_split(text, ' ')) AS tokset
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.tokset, b.tokset))
+                / len(list_distinct(list_concat(a.tokset, b.tokset)))
+                >= {_CLUSTER_JACCARD}),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION
+          SELECT b_id AS u, a_id AS v FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u)
+        SELECT u AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY u ORDER BY doc_id
+    """,
+    "top_ngrams": """
+        WITH bg AS (
+          SELECT lang, unnest([toks[i] || ' ' || toks[i+1]
+                               FOR i IN range(1, len(toks))]) AS bigram
+          FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)),
+        c AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+        SELECT lang, rnk, bigram, n FROM (
+          SELECT lang, bigram, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, bigram) AS rnk
+          FROM c) t
+        WHERE rnk <= 5 ORDER BY lang, rnk
+    """,
+    "stratified_sample": (
+        "SELECT doc_id, lang, source FROM documents WHERE "
+        + _h60_duck("CAST(doc_id AS VARCHAR)") + " % 100 < CASE "
+        + " ".join(f"WHEN lang = '{lang}' THEN {p}"
+                   for lang, p in sorted(_SAMPLE_PCT.items()))
+        + f" ELSE {_SAMPLE_DEFAULT_PCT} END ORDER BY doc_id"
+    ),
+    "vocab_stats": """
+        SELECT source, COUNT(*) AS total_tokens,
+               COUNT(DISTINCT t) AS distinct_tokens,
+               ROUND(COUNT(DISTINCT t) / COUNT(*), 4) AS ttr
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY source ORDER BY source
     """,
 }
 

@@ -276,6 +276,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 60  # width of the portable _h60 token hash
 
 
+_CLUSTER_JACCARD = 0.5
+_CLUSTER_MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id,
+    cluster_id) where cluster_id = min doc_id reachable through pairs
+    with Jaccard >= 0.5 — the step every dedup pipeline needs between
+    "candidate pairs" and "keep one per group".
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetric edge list and takes the neighborhood minimum, converging
+    in O(component diameter) rounds (near-dup components are shallow).
+    Convergence is detected by the label-sum fixpoint (monotonically
+    decreasing), and each round localCheckpoints to cut lineage — the
+    standard large-graph CC loop (cf. the small-star/large-star
+    map-reduce formulation), expressed as DataFrame joins.
+
+    Deterministic, and value-checked against a DuckDB recursive-CTE
+    oracle computing min-reachable-id per node.
+    """
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .where(F.col("jaccard") >= _CLUSTER_JACCARD)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a_id").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(_CLUSTER_MAX_ITERS):
+        neigh_min = (
+            edges.join(labels, edges["b_id"] == labels["doc_id"])
+            .groupBy("a_id")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh_min, labels["doc_id"] == neigh_min["a_id"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (bit-vote over _h60 token hashes).
 
@@ -654,11 +712,81 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language by frequency — the n-gram corpus
+    statistics a tokenizer/contamination analysis starts from. Explode
+    to bigram rows (map-side combine on the count), then a per-lang
+    top-k window; no global sort."""
+    documents = load(spark, sf_dir, "documents")
+    bigrams = documents.select(
+        "lang",
+        F.explode(F.expr(
+            f"zip_with(slice({TOKENS}, 1, {N_TOKENS} - 1),"
+            f" slice({TOKENS}, 2, {N_TOKENS} - 1), (x, y) -> concat(x, ' ', y))"
+        )).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "rnk", "bigram", "n")
+        .orderBy("lang", "rnk")
+    )
+
+
+# per-lang sampling percentage (deterministic hash split)
+_SAMPLE_PCT = {"en": 10, "fr": 25, "de": 50}
+_SAMPLE_DEFAULT_PCT = 100
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc when
+    _h60(doc_id) % 100 < its language's percentage. Hash-split sampling
+    is reproducible run-to-run and machine-to-machine (unlike RNG
+    sampling), which is what makes training-data ablations comparable —
+    and lets DuckDB verify the exact sample."""
+    documents = load(spark, sf_dir, "documents")
+    bucket = F.expr(_h60("cast(doc_id as string)")) % 100
+    pct = F.col("lang")
+    expr = F.lit(_SAMPLE_DEFAULT_PCT)
+    for lang, p in sorted(_SAMPLE_PCT.items()):
+        expr = F.when(pct == lang, F.lit(p)).otherwise(expr)
+    return (
+        documents.where(bucket < expr)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics per source: total tokens, distinct tokens,
+    type-token ratio — the lexical-diversity screen for generated or
+    templated text. Exact COUNT(DISTINCT) over exploded tokens (at
+    100 TB you'd switch to approx_count_distinct and accept the
+    epsilon)."""
+    documents = load(spark, sf_dir, "documents")
+    toks = documents.select("source", F.explode(F.expr(TOKENS)).alias("t"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("t").alias("distinct_tokens"),
+            F.round(F.countDistinct("t") / F.count(F.lit(1)), 4).alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
+    "top_ngrams": top_ngrams,
+    "stratified_sample": stratified_sample,
+    "vocab_stats": vocab_stats,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,

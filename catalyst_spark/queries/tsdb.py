@@ -96,6 +96,31 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series time-weighted average: sum(value * dt) / sum(dt) with
+    dt = seconds until the next point (the last point carries no
+    weight). The TWA is what monitoring systems report for unevenly
+    sampled gauges — a plain AVG over-weights bursts. One window pass
+    on the series key, then one aggregation; integer-µs dt arithmetic
+    keeps both engines bit-identical."""
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_us = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    return (
+        events.select("user_id", "value", dt_us.alias("dt_us"))
+        .where(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us"))
+                / F.sum("dt_us"), 4
+            ).alias("twa"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute downsample per event_type (bucket as epoch seconds —
     type-stable across engines)."""
@@ -243,6 +268,7 @@ TSDB_QUERIES = {
     "asof_prior_click": asof_prior_click,
     "sessionize": sessionize,
     "ts_rate": ts_rate,
+    "time_weighted_avg": time_weighted_avg,
     "ts_downsample": ts_downsample,
     "pivot_event_counts": pivot_event_counts,
     "rollup_doc_counts": rollup_doc_counts,
