@@ -432,6 +432,59 @@ _TSDB = {
         WHERE dt_us IS NOT NULL
         GROUP BY user_id ORDER BY user_id
     """,
+    "ohlc_downsample": """
+        WITH flagged AS (
+          SELECT event_type, value,
+                 CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_s,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT),
+                                event_type
+                   ORDER BY ts, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT),
+                                event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT bucket_s, event_type,
+               ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+               ROUND(MAX(value), 2) AS high,
+               ROUND(MIN(value), 2) AS low,
+               ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+               COUNT(*) AS n
+        FROM flagged GROUP BY bucket_s, event_type
+        ORDER BY bucket_s, event_type
+    """,
+    "gap_fill": """
+        WITH hourly AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+                 ROUND(SUM(value), 2) AS sv
+          FROM events GROUP BY 1, 2),
+        spans AS (
+          SELECT user_id, MIN(bucket_s) AS lo, MAX(bucket_s) AS hi
+          FROM hourly GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket_s
+          FROM spans)
+        SELECT g.user_id, g.bucket_s,
+               last_value(h.sv IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.bucket_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+               h.sv IS NULL AS is_gap
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.bucket_s = h.bucket_s
+        ORDER BY g.user_id, g.bucket_s
+    """,
+    "range_join_events": """
+        SELECT e.event_id AS err_id, COUNT(*) AS n_nearby
+        FROM events e JOIN events p
+          ON e.user_id = p.user_id
+         AND p.event_type != 'error'
+         AND epoch_us(p.ts) >= epoch_us(e.ts) - 1800000000
+         AND epoch_us(p.ts) <= epoch_us(e.ts) + 1800000000
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id ORDER BY err_id
+    """,
     "ts_downsample": """
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
                event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv,

@@ -140,6 +140,115 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) per 6-hour bucket per event_type —
+    the candlestick downsample of financial/monitoring TSDBs. Open and
+    close come from first/last-row flags computed in two window passes
+    (deterministic (ts, event_id) order), then one aggregation; no
+    engine-specific first()/arg_min() so the oracle matches exactly."""
+    events = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("long")
+    w_asc = W.partitionBy("bucket_s", "event_type").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("bucket_s", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    flagged = (
+        events.select("event_type", "ts", "event_id", "value",
+                      bucket.alias("bucket_s"))
+        .withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+    )
+    return (
+        flagged.groupBy("bucket_s", "event_type")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket_s", "event_type")
+    )
+
+
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with forward fill (LOCF): per user, a dense 1-hour
+    grid from the series' first to last bucket, carrying the last
+    observed hourly sum forward through empty buckets — the read every
+    dashboard needs over irregular series.
+
+    Scale shape: the grid generates from per-user (min, max) aggregates
+    — sequence + explode, so grid size is rows-out not rows-in — and
+    the fill is one last(ignorenulls) window over the series key."""
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long").alias("bucket_s"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("sv"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, 3600)")).alias("bucket_s"),
+    )
+    w = W.partitionBy("user_id").orderBy("bucket_s")
+    return (
+        grid.join(hourly, ["user_id", "bucket_s"], "left")
+        .withColumn("filled", F.last("sv", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("sv").isNull())
+        .select("user_id", "bucket_s", "filled", "is_gap")
+        .orderBy("user_id", "bucket_s")
+    )
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join, bucketized: for every error event,
+    count same-user events inside [t-30min, t+30min].
+
+    Spark has no native range join — the naive formulation is a
+    BroadcastNestedLoopJoin (all-pairs). The scalable pattern: explode
+    each interval to the 30-min buckets it overlaps (<= 3), equi-join
+    probe events on (user, bucket), post-filter the exact bounds, then
+    aggregate. Shuffles only (user, bucket) keys — survives 100 TB.
+    The DuckDB oracle is the plain inequality join, so the bucketed
+    plan is verified against the naive semantics."""
+    events = load(spark, sf_dir, "events")
+    half_us = 1800 * 1_000_000
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.unix_micros("ts").alias("err_us"),
+    )
+    win_buckets = errors.select(
+        "err_id", "err_user", "err_us",
+        F.explode(F.expr(
+            f"sequence(floor((err_us - {half_us}) / {half_us}),"
+            f" floor((err_us + {half_us}) / {half_us}))"
+        )).alias("bucket"),
+    )
+    probes = events.where(F.col("event_type") != "error").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        F.floor(F.unix_micros("ts") / half_us).alias("bucket"),
+    )
+    return (
+        win_buckets.join(
+            probes,
+            (win_buckets["bucket"] == probes["bucket"])
+            & (F.col("err_user") == F.col("p_user")),  # both are equi-keys
+        )
+        .where(
+            (F.col("p_us") >= F.col("err_us") - half_us)
+            & (F.col("p_us") <= F.col("err_us") + half_us)
+        )
+        .groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+        .orderBy("err_id")
+    )
+
+
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide pivot: per-user event counts as columns (explicit value list
     so the plan is a single aggregation, no value-discovery scan)."""
@@ -270,6 +379,9 @@ TSDB_QUERIES = {
     "ts_rate": ts_rate,
     "time_weighted_avg": time_weighted_avg,
     "ts_downsample": ts_downsample,
+    "ohlc_downsample": ohlc_downsample,
+    "gap_fill": gap_fill,
+    "range_join_events": range_join_events,
     "pivot_event_counts": pivot_event_counts,
     "rollup_doc_counts": rollup_doc_counts,
     "value_histogram": value_histogram,

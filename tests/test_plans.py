@@ -91,3 +91,17 @@ def test_ann_broadcasts_probe_side(spark):
     plan = plan_of(spark, "ann_brute_topk")
     # probe set is broadcast; candidates never shuffle for the join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_equi_join(spark):
+    # bucketized interval join: (bucket, user) must be hash-join keys
+    # with the range bounds as residual — never a nested-loop all-pairs
+    plan = plan_of(spark, "range_join_events")
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_gap_fill_generates_from_aggregates(spark):
+    # grid explodes from per-user (min, max) spans, not from raw rows
+    plan = plan_of(spark, "gap_fill")
+    assert "Generate explode" in plan
