@@ -12,6 +12,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stream_dedup(
+    gts_stream: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-delivered datapoints keyed by
+    (name, labels-hash, ts) within the watermark horizon.
+
+    dropDuplicatesWithinWatermark keeps one state entry per key and
+    expires it once the watermark passes — the bounded-state streaming
+    twin of dedup_exact (without the watermark, dedup state grows
+    forever; this is the difference between a demo and a 100 TB
+    stream)."""
+    keyed = gts_stream.withColumn(
+        "event_time", F.timestamp_micros(F.col("ts"))
+    ).withColumn(
+        # map columns aren't comparable state keys; hash the sorted
+        # entry list to a stable one
+        "series_key",
+        F.sha2(F.concat_ws(
+            "|",
+            F.col("name"),
+            F.to_json(F.expr("array_sort(map_entries(labels))")),
+        ), 256),
+    )
+    return (
+        keyed.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["series_key", "event_time"])
+        .drop("series_key")
+    )
+
+
+def stream_sessionize(
+    gts_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's native
+    session_window: per-series windows that extend while datapoints
+    arrive within `gap` of each other and close when the watermark
+    passes the gap — the streaming twin of the batch `sessionize`
+    operator, with merge-and-expire state managed by the engine rather
+    than hand-rolled in applyInPandasWithState."""
+    with_ts = gts_stream.withColumn("event_time", F.timestamp_micros(F.col("ts")))
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("s"), F.col("name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_d").alias("sum_d"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "name",
+            "n_events",
+            "sum_d",
+        )
+    )
+
+
 def stream_downsample(
     gts_stream: DataFrame,
     window: str = "5 minutes",

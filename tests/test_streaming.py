@@ -216,3 +216,58 @@ def test_graphite_tcp_socket_end_to_end(spark, tmp_path):
     # TOKB's line went out under TOKB's header, not TOKA's
     toka_chunk = [c for c in sent.split("TOK") if c.startswith("A>")]
     assert all("other.metric" not in c for c in toka_chunk)
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup + native session windows
+# ---------------------------------------------------------------------------
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from catalyst_spark.streaming.aggregate import stream_dedup
+
+    d = tmp_path / "in_dedup"
+    d.mkdir()
+    # same (name, labels, ts) delivered twice in one batch + once again
+    # in a later batch inside the watermark -> exactly one survivor
+    (d / "b1.txt").write_text(
+        "ctr;dc=gra 10.5 1546420308\n"
+        "ctr;dc=gra 10.5 1546420308\n"
+        "other 1 1546420308\n"
+    )
+    gts = ingest_stream(stream_lines(spark, str(d)), "graphite",
+                        parse_hierarchy=False, now_us=NOW_US)
+    q = (stream_dedup(gts).writeStream.outputMode("append").format("memory")
+         .queryName("dedup_stream").start())
+    q.processAllAvailable()
+    (d / "b2.txt").write_text("ctr;dc=gra 10.5 1546420308\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select name from dedup_stream").collect()
+    assert sorted(r["name"] for r in rows) == ["ctr", "other"]
+
+
+def test_stream_sessionize_gap_windows(spark, tmp_path):
+    from catalyst_spark.streaming.aggregate import stream_sessionize
+
+    d = tmp_path / "in_sess"
+    d.mkdir()
+    t0 = 1546420000
+    # two bursts > 30 min apart -> two session windows for the series
+    (d / "b1.txt").write_text(
+        f"m 1.0 {t0}\n"
+        f"m 2.0 {t0 + 60}\n"
+        f"m 3.0 {t0 + 60 * 90}\n"       # 90 min later: new session
+        f"m 4.0 {t0 + 60 * 90 + 30}\n"
+    )
+    gts = ingest_stream(stream_lines(spark, str(d)), "graphite",
+                        parse_hierarchy=False, now_us=NOW_US)
+    q = (stream_sessionize(gts).writeStream.outputMode("complete")
+         .format("memory").queryName("sessions_stream").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(spark.sql("select * from sessions_stream").collect(),
+                  key=lambda r: r["session_start"])
+    assert len(rows) == 2
+    assert rows[0]["n_events"] == 2 and rows[0]["sum_d"] == 3.0
+    assert rows[1]["n_events"] == 2 and rows[1]["sum_d"] == 7.0
+    assert rows[0]["session_end"] <= rows[1]["session_start"]
