@@ -197,6 +197,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_MINHASH_PERMS)
         ],
     ).persist()
+    # materialize NOW: a lazily-persisted table race-computes once per
+    # self-join branch inside the first action (the cache only wins
+    # after one branch finishes) — measured 2x on the signature build
+    sig.count()
     band_cols = F.array(
         *[
             F.expr(_h60(
@@ -383,11 +387,9 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = terms[0]
     for t in terms[1:]:
         simhash = simhash.bitwiseOR(t)
-    return (
-        votes.select("doc_id", simhash.alias("simhash"))
-        .persist()
-        .orderBy("doc_id")
-    )
+    sims = votes.select("doc_id", simhash.alias("simhash")).persist()
+    sims.count()  # materialize before the pairs op's self-join branches
+    return sims.orderBy("doc_id")
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,6 +557,9 @@ def _srp_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
         )).alias("bucket"))
         .persist()
     )
+    # materialize: both candidate-join branches reuse the cached
+    # signatures instead of racing the expensive dot-product build
+    buckets.count()
     cand = (
         buckets.alias("l")
         .join(
