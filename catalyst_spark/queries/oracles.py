@@ -583,6 +583,33 @@ _TSDB = {
         SELECT u AS doc_id, MIN(r) AS cluster_id
         FROM reach GROUP BY u ORDER BY doc_id
     """,
+    "dedup_keep_one": f"""
+        WITH RECURSIVE p AS (
+          SELECT doc_id,
+                 array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
+                 list_distinct(string_split(text, ' ')) AS tokset
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.tokset, b.tokset))
+                / len(list_distinct(list_concat(a.tokset, b.tokset)))
+                >= {_CLUSTER_JACCARD}),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION
+          SELECT b_id AS u, a_id AS v FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u),
+        losers AS (
+          SELECT u AS doc_id FROM reach GROUP BY u HAVING u != MIN(r))
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+        ORDER BY d.doc_id
+    """,
     "top_ngrams": """
         WITH bg AS (
           SELECT lang, unnest([toks[i] || ' ' || toks[i+1]

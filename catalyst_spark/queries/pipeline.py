@@ -717,6 +717,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final dedup materialization: the corpus with every near-dup
+    cluster reduced to its representative (min doc_id). Anti-joins the
+    cluster losers against the full table — pairs -> clusters ->
+    filtered corpus, the complete pipeline a training run consumes.
+    Output is the per-doc keep decision table (kept docs + their id)."""
+    documents = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        documents.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 bigrams per language by frequency — the n-gram corpus
     statistics a tokenizer/contamination analysis starts from. Explode
@@ -789,6 +805,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_one": dedup_keep_one,
     "top_ngrams": top_ngrams,
     "stratified_sample": stratified_sample,
     "vocab_stats": vocab_stats,
