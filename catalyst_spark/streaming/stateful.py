@@ -35,20 +35,27 @@ STATE_SCHEMA = T.StructType([
 def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     (name,) = key
     last_ts, last_value = state.get if state.exists else (None, None)
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts"])
-        for _, row in pdf.iterrows():
-            if row["value_d"] is None or pd.isna(row["value_d"]):
-                continue
-            delta = (
-                float(row["value_d"]) - last_value if last_value is not None else None
-            )
-            out.append((name, int(row["ts"]), float(row["value_d"]), delta))
-            last_ts, last_value = int(row["ts"]), float(row["value_d"])
-    if last_ts is not None:
-        state.update((last_ts, last_value))
-    yield pd.DataFrame(out, columns=["name", "ts", "value_d", "delta"])
+    # vectorized: concat the batch, sort once, Series.diff for deltas;
+    # the carried state seeds the first diff via a sentinel row
+    parts = [p[["ts", "value_d"]] for p in pdfs]
+    pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        columns=["ts", "value_d"])
+    pdf = pdf.dropna(subset=["value_d"]).sort_values("ts", ignore_index=True)
+    if len(pdf):
+        vals = pdf["value_d"].astype(float)
+        delta = vals.diff()
+        if last_value is not None:
+            delta.iloc[0] = vals.iloc[0] - last_value
+        out = pd.DataFrame({
+            "name": name,
+            "ts": pdf["ts"].astype("int64"),
+            "value_d": vals,
+            "delta": delta,
+        })
+        state.update((int(pdf["ts"].iloc[-1]), float(vals.iloc[-1])))
+    else:
+        out = pd.DataFrame(columns=["name", "ts", "value_d", "delta"])
+    yield out
 
 
 def stream_series_delta(gts_stream: DataFrame) -> DataFrame:
