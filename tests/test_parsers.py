@@ -307,20 +307,65 @@ class TestInflux:
                      "m v=inf", "", "# comment"]:
             assert not re.match(SIMPLE_LINE_RE, line), line
 
+    @staticmethod
+    def _random_simple_lines(n=200, seed=11):
+        """Seeded generator of fast-path-eligible lines spanning the
+        whole simple grammar: tags present/absent, int/float/bool
+        values in every spelling, timestamp present/absent/negative."""
+        import random
+
+        rng = random.Random(seed)
+        words = ["cpu", "mem", "disk.io", "net:rx", "m-1", "a_b"]
+        bools = ["t", "T", "f", "F", "true", "True", "TRUE",
+                 "false", "False", "FALSE"]
+        lines = []
+        for _ in range(n):
+            mt = rng.choice(words)
+            for _ in range(rng.randint(0, 3)):
+                mt += f",{rng.choice(words)}={rng.choice(words + [''])}"
+            fields = []
+            for _ in range(rng.randint(1, 4)):
+                kind = rng.randint(0, 3)
+                if kind == 0:
+                    v = f"{rng.randint(-10**6, 10**6)}i"
+                elif kind == 1:
+                    v = repr(rng.uniform(-1e6, 1e6))
+                elif kind == 2:
+                    v = rng.choice(["1e3", "-.5", "+2.5E-2", ".25", "3."])
+                else:
+                    v = rng.choice(bools)
+                fields.append(f"{rng.choice(words)}={v}")
+            line = f"{mt} {','.join(fields)}"
+            if rng.random() < 0.6:
+                line += f" {rng.randint(-10**15, 10**18)}"
+            lines.append(line)
+        return lines
+
     def test_fast_path_matches_tokenizer(self, spark):
-        from catalyst_spark.parsers.influxdb import parse_influx_line
+        from catalyst_spark.parsers.influxdb import (
+            SIMPLE_LINE_RE, parse_influx_line,
+        )
+        import re
+
+        corpus = self.SIMPLE_CORPUS + self._random_simple_lines()
+        # every generated line must actually take the fast path
+        assert all(re.match(SIMPLE_LINE_RE, l) for l in corpus)
+
+        def _s(x):
+            return (x is None, x)
+
+        def key(r, labels):
+            return (tuple(sorted(labels.items())),
+                    _s(r["ts"]), _s(r["name"]), _s(r["value_d"]),
+                    _s(r["value_l"]), _s(r["value_b"]), _s(r["value_s"]),
+                    _s(r["value_type"]), _s(r["parse_error"]))
 
         got = sorted(
-            (tuple(sorted((r["labels"] or {}).items())),
-             r["ts"], r["name"], r["value_d"], r["value_l"], r["value_b"],
-             r["value_s"], r["value_type"], r["parse_error"])
-            for r in self.parse(spark, self.SIMPLE_CORPUS)
+            key(r, r["labels"] or {}) for r in self.parse(spark, corpus)
         )
         expected = sorted(
-            (tuple(sorted(r["labels"].items())),
-             r["ts"], r["name"], r["value_d"], r["value_l"], r["value_b"],
-             r["value_s"], r["value_type"], r["parse_error"])
-            for line in self.SIMPLE_CORPUS
+            key(r, r["labels"])
+            for line in corpus
             for r in parse_influx_line(line, 1, NOW_US * 1000)
         )
         assert got == expected
