@@ -432,6 +432,28 @@ _TSDB = {
         WHERE dt_us IS NOT NULL
         GROUP BY user_id ORDER BY user_id
     """,
+    "anomaly_zscore": """
+        SELECT event_id, user_id, ROUND(value, 2) AS value,
+               ROUND(z, 4) AS z
+        FROM (
+          SELECT event_id, user_id, value,
+                 (value - AVG(value) OVER (PARTITION BY user_id))
+                   / stddev_samp(value) OVER (PARTITION BY user_id) AS z
+          FROM events) t
+        WHERE abs(z) > 2 ORDER BY event_id
+    """,
+    "series_correlation": """
+        WITH hourly AS (
+          SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
+                 event_type, SUM(value) AS sv
+          FROM events GROUP BY 1, 2)
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               ROUND(corr(a.sv, b.sv), 4) AS pearson,
+               COUNT(*) AS n_buckets
+        FROM hourly a JOIN hourly b
+          ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY ta, tb
+    """,
     "ohlc_downsample": """
         WITH flagged AS (
           SELECT event_type, value,

@@ -249,6 +249,55 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series anomaly flags: events whose value deviates from the
+    series mean by more than 2 sample standard deviations — the
+    simplest online-able outlier screen. Mean/std per user via window
+    (one shuffle on the series key), z computed per row; both engines
+    use the same sample-stddev definition so the oracle is exact."""
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    mean = F.avg("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mean) / std
+    return (
+        events.select(
+            "event_id", "user_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+        .where(F.abs(F.col("z")) > 2)
+        .orderBy("event_id")
+    )
+
+
+def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type hourly series:
+    bucket sums per (hour, type), self-join on the hour, corr() per
+    type pair. The cross-series read behind dashboards' "metric A
+    tracks metric B" panels; corr is algebraic, so the plan is two
+    shuffles (bucket agg + pair agg) regardless of scale."""
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("h"),
+        "event_type",
+    ).agg(F.sum("value").alias("sv"))
+    a = hourly.select(F.col("h"), F.col("event_type").alias("ta"),
+                      F.col("sv").alias("va"))
+    b = hourly.select(F.col("h"), F.col("event_type").alias("tb"),
+                      F.col("sv").alias("vb"))
+    return (
+        a.join(b, "h")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.round(F.corr("va", "vb"), 4).alias("pearson"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide pivot: per-user event counts as columns (explicit value list
     so the plan is a single aggregation, no value-discovery scan)."""
@@ -382,6 +431,8 @@ TSDB_QUERIES = {
     "ohlc_downsample": ohlc_downsample,
     "gap_fill": gap_fill,
     "range_join_events": range_join_events,
+    "anomaly_zscore": anomaly_zscore,
+    "series_correlation": series_correlation,
     "pivot_event_counts": pivot_event_counts,
     "rollup_doc_counts": rollup_doc_counts,
     "value_histogram": value_histogram,
