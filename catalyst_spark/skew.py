@@ -1,12 +1,19 @@
 """Skew-handling utilities: salting for hot keys.
 
-AQE's skew-join splitting (on in session.py) covers joins; a skewed
-aggregation key still funnels one partition. Salting splits the hot key
-into `salt_factor` subkeys for the partial aggregation and re-combines —
-two shuffles of small partials instead of one shuffle with a straggler.
-Worth it only for algebraic aggregates (sum/count/min/max) on keys with
->> partition-size cardinality, which is exactly the 100 TB hot-series
-case.
+AQE's skew-join splitting (on in session.py) covers joins. For
+aggregations the picture splits:
+
+- ALGEBRAIC aggregates (sum/count/min/max): Spark's partial
+  HashAggregate already combines map-side, so each task ships one
+  partial per key and the hot key costs little — salting adds a shuffle
+  for marginal gain. `salted_agg` stays for the residual case (partial
+  agg disabled, or extreme per-task key cardinality), but reach for it
+  last.
+- HOLISTIC aggregates (collect_set/collect_list, exact percentiles):
+  there is no map-side shrinkage — every raw value of the hot key lands
+  in one reducer. This is where salting earns its shuffle:
+  `salted_collect_set` spreads the hot key over `salt_factor` tasks and
+  merges the per-salt sets.
 """
 
 from __future__ import annotations
@@ -47,6 +54,31 @@ def salted_agg(
             recombine[fn](f"_p_{c}_{fn}").alias(f"{fn}_{c}")
             for c, fn in aggs.items()
         ]
+    )
+
+
+def salted_collect_set(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    salt_factor: int = 16,
+) -> DataFrame:
+    """Two-phase collect_set for skewed keys — the aggregation shape
+    that genuinely needs salting (no map-side combine exists for
+    holistic aggregates, so an unsalted hot key funnels every raw value
+    into one task). Phase 1 collects per (key, salt); phase 2 merges
+    the <= salt_factor small sets per key. Output column: `{value}_set`
+    (sorted for determinism)."""
+    salt = (F.spark_partition_id() % salt_factor).alias("_salt")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.collect_set(value_col).alias("_part_set"))
+    )
+    return phase1.groupBy(*keys).agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("_part_set")))
+        ).alias(f"{value_col}_set")
     )
 
 

@@ -82,6 +82,36 @@ def fetch(
     return out
 
 
+def compact_store(spark: SparkSession, src: str, dest: str,
+                  files_per_partition: int = 1) -> None:
+    """Small-file compaction for the streaming-ingested store.
+
+    Each micro-batch append leaves one file per task per dt partition;
+    after a day of 30s triggers that's thousands of tiny files and the
+    scan cost is dominated by footer reads. Compaction rewrites every
+    partition clustered by (name, ts) into `files_per_partition` files.
+
+    Writes to a DISTINCT dest (Spark cannot safely overwrite a path it
+    is reading); the caller swaps directories after validation — the
+    same write-then-swap every table-format compaction does under the
+    hood.
+    """
+    if src.rstrip("/") == dest.rstrip("/"):
+        raise ValueError("compact_store needs a distinct dest path")
+    df = spark.read.parquet(src)
+    # hash-partition on (dt, name-salt): each (dt, salt) pair lands in
+    # exactly one task, so each dt partition gets <= files_per_partition
+    # files and series stay clustered within each file
+    salt = F.pmod(F.hash("name"), F.lit(files_per_partition))
+    (
+        df.repartition(F.col("dt"), salt)
+        .sortWithinPartitions("name", "ts")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(dest)
+    )
+
+
 def latest_per_series(df: DataFrame) -> DataFrame:
     """The canonical TSDB read: newest datapoint per (name, labels)."""
     w = W.partitionBy("name", F.map_entries("labels")).orderBy(F.col("ts").desc())

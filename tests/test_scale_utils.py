@@ -122,3 +122,19 @@ def test_percentile_approx_matches_exact_within_tolerance(spark):
         F.expr("percentile_approx(value, 0.95, 10000)").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.01 * abs(row["exact"])
+
+
+def test_salted_collect_set_equivalence(spark):
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.skew import salted_collect_set
+
+    df = spark.createDataFrame(
+        [("hot", i % 7) for i in range(500)] + [("cold", 99)],
+        "k string, v int",
+    )
+    got = {r["k"]: r["v_set"] for r in
+           salted_collect_set(df, ["k"], "v", salt_factor=8).collect()}
+    want = {r["k"]: sorted(r["s"]) for r in
+            df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()}
+    assert got == want

@@ -49,3 +49,36 @@ def test_latest_per_series(spark, tmp_path):
     by_key = {(r["name"], tuple(sorted(r["labels"].items()))): r for r in latest}
     assert len(latest) == 3  # cpu.load{host=a}, cpu.load{host=b}, mem.free
     assert by_key[("cpu.load", (("0", "cpu"), ("1", "load"), ("host", "a")))]["value_d"] == 0.7
+
+
+def test_compact_store_reduces_files(spark, tmp_path):
+    from catalyst_spark.parsers import parse_graphite as _pg
+    from catalyst_spark.store import compact_store
+
+    src = str(tmp_path / "store_src")
+    # simulate many small streaming appends (4 batches x N tasks)
+    for chunk in range(4):
+        lines = [
+            (f"cpu.load;host=h{i} {chunk}.{i} 1546420308",) for i in range(6)
+        ]
+        df = spark.createDataFrame(lines, "line string")
+        write_store(_pg(df, now_us=NOW_US), src)
+    dest = str(tmp_path / "store_compact")
+    compact_store(spark, src, dest)
+
+    import glob
+    src_files = glob.glob(f"{src}/dt=*/*.parquet")
+    dest_files = glob.glob(f"{dest}/dt=*/*.parquet")
+    assert len(dest_files) < len(src_files)
+    # row-for-row identical content (maps/Nones aren't orderable;
+    # compare canonical string keys)
+    def canon(path):
+        return sorted(
+            (r["name"], r["ts"], r["value_d"],
+             tuple(sorted((r["labels"] or {}).items())))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert canon(src) == canon(dest)
+    with __import__("pytest").raises(ValueError):
+        compact_store(spark, src, src)
