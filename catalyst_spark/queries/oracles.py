@@ -13,6 +13,9 @@ from __future__ import annotations
 from catalyst_spark.queries.pipeline import (
     STOPWORDS,
     _CLUSTER_JACCARD,
+    _CONTAM_EVAL_SOURCE,
+    _CONTAM_MIN_SHARED,
+    _QUALITY_BOUNDS,
     _LSH_BITS,
     _LSH_DIM,
     _LSH_TABLES,
@@ -659,6 +662,52 @@ _TSDB = {
         FROM (SELECT source, unnest(string_split(text, ' ')) AS t
               FROM documents)
         GROUP BY source ORDER BY source
+    """,
+    # decontamination sweep: distinct 3-shingle hashes on both sides,
+    # equi-join on the hash, threshold on shared-shingle count.
+    "contamination_overlap": f"""
+        WITH sh AS (
+          SELECT doc_id, source,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN range(1, len(toks) - 1)])
+                 ELSE [text] END AS shingles
+          FROM (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+                FROM documents)),
+        shr AS (
+          SELECT doc_id, source, {_h60_duck('s')} AS h
+          FROM (SELECT doc_id, source, unnest(shingles) AS s FROM sh))
+        SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+               COUNT(*) AS shared_shingles
+        FROM (SELECT doc_id, h FROM shr
+              WHERE source = '{_CONTAM_EVAL_SOURCE}') e
+        JOIN (SELECT doc_id, h FROM shr
+              WHERE source != '{_CONTAM_EVAL_SOURCE}') t USING (h)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
+        ORDER BY eval_id, train_id
+    """,
+    "quality_filter": f"""
+        WITH q AS (
+          SELECT source,
+                 len(string_split(text, ' ')) AS n_tok,
+                 length(replace(text, ' ', ''))
+                   / len(string_split(text, ' ')) AS tok_len,
+                 {_hits_duck('en')}
+                   / len(string_split(text, ' ')) AS stop_ratio
+          FROM documents)
+        SELECT source,
+               CASE WHEN n_tok < {_QUALITY_BOUNDS['min_tok']} THEN 'too_short'
+                    WHEN n_tok > {_QUALITY_BOUNDS['max_tok']} THEN 'too_long'
+                    WHEN tok_len < {_QUALITY_BOUNDS['min_tok_len']}
+                      THEN 'tokens_too_short'
+                    WHEN tok_len > {_QUALITY_BOUNDS['max_tok_len']}
+                      THEN 'tokens_too_long'
+                    WHEN stop_ratio < {_QUALITY_BOUNDS['min_stop']}
+                      THEN 'low_stopword_ratio'
+                    ELSE 'pass' END AS reason,
+               COUNT(*) AS n
+        FROM q GROUP BY 1, 2 ORDER BY source, reason
     """,
 }
 

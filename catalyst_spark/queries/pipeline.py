@@ -733,6 +733,69 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_MIN_SHARED = 3
+_CONTAM_EVAL_SOURCE = "src0"
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 3 distinct
+    3-token shingles with any doc of the held-out source ('src0' stands
+    in for the eval set). The plan is the standard decontamination
+    sweep: explode distinct shingles on both sides, equi-join on the
+    shingle hash (shuffles 8-byte keys), count shared shingles per
+    (eval, train) pair, threshold. No all-pairs comparison anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shingles = _shingled(docs).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.expr(_h60("sh")).alias("h"))
+    sources = docs.select("doc_id", "source")
+    tagged = shingles.join(sources, "doc_id")
+    eval_side = tagged.where(F.col("source") == _CONTAM_EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_id"), "h")
+    train_side = tagged.where(F.col("source") != _CONTAM_EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_id"), "h")
+    return (
+        eval_side.join(train_side, "h")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= _CONTAM_MIN_SHARED)
+        .orderBy("eval_id", "train_id")
+    )
+
+
+# quality-gate bounds (tokens, mean token length, stopword ratio)
+_QUALITY_BOUNDS = dict(min_tok=20, max_tok=1000, min_tok_len=2.0,
+                       max_tok_len=12.0, min_stop=0.05)
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate — the cheap pre-filter every training
+    pipeline runs before expensive dedup/scoring: token-count bounds,
+    mean token length bounds, minimum stopword ratio. Returns pass/fail
+    counts per (source, reason) so the gate's selectivity is auditable
+    (a silent filter is how corpora lose whole domains)."""
+    documents = load(spark, sf_dir, "documents")
+    b = _QUALITY_BOUNDS
+    n_tok = F.expr(N_TOKENS)
+    tok_len = F.length(F.regexp_replace("text", " ", "")) / n_tok
+    stop_ratio = F.expr(_hits("en")) / n_tok
+    reason = (
+        F.when(n_tok < b["min_tok"], "too_short")
+        .when(n_tok > b["max_tok"], "too_long")
+        .when(tok_len < b["min_tok_len"], "tokens_too_short")
+        .when(tok_len > b["max_tok_len"], "tokens_too_long")
+        .when(stop_ratio < b["min_stop"], "low_stopword_ratio")
+        .otherwise("pass")
+    )
+    return (
+        documents.select("source", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "reason")
+    )
+
+
 def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 bigrams per language by frequency — the n-gram corpus
     statistics a tokenizer/contamination analysis starts from. Explode
@@ -806,6 +869,8 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
+    "contamination_overlap": contamination_overlap,
+    "quality_filter": quality_filter,
     "top_ngrams": top_ngrams,
     "stratified_sample": stratified_sample,
     "vocab_stats": vocab_stats,
