@@ -28,6 +28,7 @@ from catalyst_spark.queries.pipeline import (
     _SIMHASH_BITS,
     _minhash_coeffs,
 )
+from catalyst_spark.queries.tsdb import _KMV_K, _KMV_SPACE
 
 
 def _h60_duck(expr: str) -> str:
@@ -456,6 +457,88 @@ _TSDB = {
         FROM hourly a JOIN hourly b
           ON a.h = b.h AND a.event_type < b.event_type
         GROUP BY 1, 2 ORDER BY ta, tb
+    """,
+    "counter_rate": """
+        WITH s AS (
+          SELECT user_id, epoch_us(ts) AS us, value,
+                 lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT user_id,
+               ROUND(SUM(CASE WHEN value >= prev THEN value - prev
+                              WHEN prev IS NOT NULL THEN value END), 2)
+                 AS total_inc,
+               CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_resets,
+               ROUND(SUM(CASE WHEN value >= prev THEN value - prev
+                              WHEN prev IS NOT NULL THEN value END)
+                     / ((MAX(us) - MIN(us)) / 1000000.0), 4) + 0.0 AS per_sec,
+               COUNT(*) AS n_points
+        FROM s GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_id
+    """,
+    "funnel_conversion": """
+        WITH t1 AS (
+          SELECT user_id, MIN(ts) AS ts_k FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        t2 AS (
+          SELECT e.user_id, MIN(e.ts) AS ts_k FROM events e
+          JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'view' AND e.ts > t1.ts_k GROUP BY 1),
+        t3 AS (
+          SELECT e.user_id, MIN(e.ts) AS ts_k FROM events e
+          JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'click' AND e.ts > t2.ts_k GROUP BY 1),
+        t4 AS (
+          SELECT e.user_id, MIN(e.ts) AS ts_k FROM events e
+          JOIN t3 ON e.user_id = t3.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t3.ts_k GROUP BY 1)
+        SELECT 1 AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users FROM t1
+        UNION ALL
+        SELECT 2, 'view', COUNT(*) FROM t2
+        UNION ALL
+        SELECT 3, 'click', COUNT(*) FROM t3
+        UNION ALL
+        SELECT 4, 'purchase', COUNT(*) FROM t4
+        ORDER BY stage_idx
+    """,
+    "retention_cohorts": """
+        WITH days AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+          FROM events),
+        first AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, d.day) AS day_offset,
+               COUNT(DISTINCT d.user_id) AS n_users
+        FROM days d JOIN first f ON d.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+    """,
+    "distinct_sketch": f"""
+        WITH hashes AS (
+          SELECT DISTINCT event_type,
+                 {_h60_duck('CAST(user_id AS VARCHAR)')} AS h
+          FROM events),
+        exact AS (
+          SELECT event_type, COUNT(*) AS exact_distinct
+          FROM hashes GROUP BY 1),
+        kth AS (
+          SELECT event_type, h AS hk FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rn
+            FROM hashes) t
+          WHERE rn = {_KMV_K})
+        SELECT e.event_type, e.exact_distinct,
+               CASE WHEN k.hk IS NOT NULL
+                    THEN CAST(floor({_KMV_K - 1} * {_KMV_SPACE!r} / k.hk)
+                              AS BIGINT)
+                    ELSE e.exact_distinct END AS est_distinct,
+               ROUND(abs(CASE WHEN k.hk IS NOT NULL
+                              THEN floor({_KMV_K - 1} * {_KMV_SPACE!r} / k.hk)
+                              ELSE e.exact_distinct END
+                         - e.exact_distinct) / e.exact_distinct, 4) AS rel_err
+        FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
+        ORDER BY e.event_type
     """,
     "ohlc_downsample": """
         WITH flagged AS (

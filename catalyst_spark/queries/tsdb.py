@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from catalyst_spark.queries.pipeline import _h60
 from catalyst_spark.tables import load
 
 
@@ -418,6 +419,151 @@ def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter rate per series (the Prometheus `rate()`
+    semantic): a drop in the raw value is a counter reset, so the
+    increase for that step is the new value itself, not the negative
+    delta. One window pass for the per-step increase, one aggregation
+    for total increase / elapsed span — both shuffle only the series
+    key. Integer-µs span math keeps the engines bit-identical; `+ 0.0`
+    normalizes IEEE -0.0 (same lesson as ts_rate)."""
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    inc = (
+        F.when(F.col("value") >= prev, F.col("value") - prev)
+        .when(prev.isNotNull(), F.col("value"))
+    )
+    stepped = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        inc.alias("inc"),
+        F.when(F.col("value") < prev, 1).otherwise(0).alias("is_reset"),
+    )
+    span_s = (F.max("us") - F.min("us")) / 1_000_000.0
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.round(F.sum("inc"), 2).alias("total_inc"),
+            F.sum("is_reset").cast("long").alias("n_resets"),
+            (F.round(F.sum("inc") / span_s, 4) + F.lit(0.0)).alias("per_sec"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .where(F.col("n_points") >= 2)
+        .orderBy("user_id")
+    )
+
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then viewed after signing
+    up, then clicked after that view, then purchased after that click.
+
+    Plan: four chained window-mins over ONE hash partitioning of the
+    user key (stage k's min references stage k-1's column, so Catalyst
+    stacks Window operators but inserts a single Exchange), then a
+    group-by that collapses to one row per user, then a global
+    conditional count unpivoted with stack(). Total cost: one shuffle
+    of (user_id, event_type, ts) + one tiny agg — no joins, no
+    re-scan per stage, which is what makes it hold at 100 TB."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    d = events
+    prev_col = None
+    for i, stage in enumerate(_FUNNEL_STAGES):
+        cond = F.col("event_type") == stage
+        if prev_col is not None:
+            cond = cond & (F.col("ts") > F.col(prev_col))
+        cur = f"t{i + 1}"
+        d = d.withColumn(cur, F.min(F.when(cond, F.col("ts"))).over(w))
+        prev_col = cur
+    per_user = d.groupBy("user_id").agg(
+        *[F.max(f"t{i + 1}").alias(f"t{i + 1}") for i in range(len(_FUNNEL_STAGES))]
+    )
+    counts = per_user.agg(
+        *[F.count(f"t{i + 1}").alias(f"c{i + 1}") for i in range(len(_FUNNEL_STAGES))]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{stage}', c{i + 1}" for i, stage in enumerate(_FUNNEL_STAGES)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(_FUNNEL_STAGES)}, {stack_args})"
+            " as (stage_idx, stage, n_users)"
+        )
+    ).orderBy("stage_idx")
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort day, day offset). Two shuffles — one
+    group-by on the user key for the cohort assignment, one on the
+    (cohort, offset) pair — both partial-aggregated map-side. The
+    day-offset matrix is what every retention dashboard plots."""
+    events = load(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # _h60 hash space
+
+
+def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type,
+    reported against the exact count as a calibration query: the k-th
+    smallest 60-bit hash h_k of the distinct user set estimates
+    n ~= (k-1) * 2^60 / h_k. KMV is the mergeable sketch shape a
+    100 TB rollup would keep per partition and union; md5-derived
+    hashing (pipeline._h60) makes the estimate bit-identical across
+    engines — unlike HLL, whose register layout is engine-private.
+    63 * 2^60 has 6 significant bits, so the double product is exact
+    and the floor() is deterministic everywhere."""
+    events = load(spark, sf_dir, "events")
+    hashes = events.select(
+        "event_type",
+        F.expr(_h60("cast(user_id as string)")).alias("h"),
+    ).distinct()
+    exact = hashes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    est = F.when(
+        F.col("hk").isNotNull(),
+        F.floor((_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("hk")),
+    ).otherwise(F.col("exact_distinct"))
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_distinct",
+            est.alias("est_distinct"),
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
 TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
     "value_percentiles": value_percentiles,
@@ -433,6 +579,10 @@ TSDB_QUERIES = {
     "range_join_events": range_join_events,
     "anomaly_zscore": anomaly_zscore,
     "series_correlation": series_correlation,
+    "counter_rate": counter_rate,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+    "distinct_sketch": distinct_sketch,
     "pivot_event_counts": pivot_event_counts,
     "rollup_doc_counts": rollup_doc_counts,
     "value_histogram": value_histogram,
