@@ -469,13 +469,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell equi-join — the scale path for near-dup at 100 TB.
     """
     emb = load(spark, sf_dir, "embeddings")
-    a = _with_norm(emb, "a_id", "va")
-    b = _with_norm(emb, "b_id", "vb")
+    v = emb.select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    # per-cell scoring as one Arrow-batched numpy gram matrix instead of
+    # a self-join of interpreted fold-dots (5.9 s -> sub-second at
+    # sf0.1). Tiled so memory stays O(tile * m) however hot a cell gets;
+    # numpy-vs-fold sum differences (~1e-16) can't move a round(.,2)
+    # output off the oracle except exactly on a .005 boundary.
+    import numpy as np
+
+    def _score_cell(pdf):
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.stack(pdf["e"].to_numpy()[order])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        out_a, out_b, out_c = [], [], []
+        tile = 1024
+        for lo in range(0, len(X), tile):
+            hi = min(lo + tile, len(X))
+            C = (X[lo:hi] @ X.T) / np.outer(nrm[lo:hi], nrm)
+            ii, jj = np.nonzero(C >= 0.4)
+            keep = (ii + lo) < jj  # a_id < b_id, ids sorted ascending
+            out_a.append(ids[(ii + lo)[keep]])
+            out_b.append(ids[jj[keep]])
+            out_c.append(C[ii[keep], jj[keep]])
+        return pd.DataFrame({
+            "a_id": np.concatenate(out_a) if out_a else np.array([], "i8"),
+            "b_id": np.concatenate(out_b) if out_b else np.array([], "i8"),
+            "cos": np.concatenate(out_c) if out_c else np.array([], "f8"),
+        })
+
     return (
-        a.join(b, (F.col("a_id_label") == F.col("b_id_label"))
-               & (F.col("a_id") < F.col("b_id")))
-        .withColumn("cos", _cosine("va", "vb"))
-        .where(F.col("cos") >= 0.4)
+        v.groupBy("label")
+        .applyInPandas(_score_cell, "a_id long, b_id long, cos double")
         .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
         .orderBy("a_id", "b_id")
     )
@@ -519,9 +549,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoint here is cos ~ 0.75, recall ~ 0.93 for true near-dups at
     cos 0.9, checked by the planted-duplicate recall test).
 
-    Everything — planes (md5-parity Rademacher), dots (sequential fold),
-    bucket assembly, verify cosine — is deterministic and mirrored in
-    the DuckDB oracle, so this is fully value-checked, not rows-only.
+    Everything — planes (md5-parity Rademacher), dot signs, bucket
+    assembly, verify cosine — is mirrored in the DuckDB oracle, so this
+    is fully value-checked, not rows-only (signature dots run as one
+    Arrow-batched numpy matmul; see _srp_pairs for the sign-margin
+    argument).
     """
     emb = load(spark, sf_dir, "embeddings")
     return _srp_pairs(spark, emb)
@@ -532,31 +564,40 @@ def _srp_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
     (vec_id, embedding, label) DataFrame (separated so tests can run it
     on planted near-duplicates)."""
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    planes = spark.createDataFrame(
-        _srp_planes(), "t INT, k INT, signs ARRAY<DOUBLE>"
-    )
-    # broadcast the tiny plane table; each (vector, plane) row computes
-    # one sequential-fold dot (identical evaluation order to DuckDB's
-    # list_dot_product, so the sign bits match bit-for-bit)
-    dots = v.crossJoin(F.broadcast(planes)).select(
-        "vec_id",
-        "t",
-        "k",
-        F.expr(
-            "aggregate(zip_with(e, signs, (x, s) -> x * s),"
-            " cast(0 as double), (a, x) -> a + x)"
-        ).alias("dot"),
-    )
-    # one bucket per (vector, table): sum of 2^k over positive dots.
+    # all 192 plane dots per vector in one Arrow-batched matmul
+    # (replaces a 192-way crossJoin of interpreted fold-aggregates that
+    # dominated the suite at 9 s for 2k vectors). The numpy sum order
+    # differs from the oracle's sequential fold by <= ~1e-13 relative,
+    # so a sign bit could only flip for |dot| below that — measure-zero
+    # for continuous embeddings (empirical min |dot| at sf0.1 is ~1e-5,
+    # eight orders of magnitude above the summation-order eps).
+    import numpy as np  # lazy: keeps module import light
+
+    planes = np.array(
+        [signs for _, _, signs in _srp_planes()], dtype=np.float64
+    )  # (_LSH_TABLES * _LSH_BITS, _LSH_DIM)
+    weights = np.array([1 << k for k in range(_LSH_BITS)], dtype=np.int64)
+
+    def _bucketize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["e"].to_numpy())  # (m, _LSH_DIM)
+            bits = (E @ planes.T) > 0  # (m, tables*bits)
+            B = bits.reshape(len(E), _LSH_TABLES, _LSH_BITS) @ weights  # (m, T)
+            m = len(E)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _LSH_TABLES),
+                "t": np.tile(np.arange(_LSH_TABLES, dtype=np.int32), m),
+                "bucket": B.reshape(-1),
+            })
+
     # persisted: feeds both sides of the candidate self-join.
-    buckets = (
-        dots.groupBy("vec_id", "t")
-        .agg(F.sum(F.expr(
-            "CASE WHEN dot > 0 THEN shiftleft(cast(1 as bigint), k)"
-            " ELSE cast(0 as bigint) END"
-        )).alias("bucket"))
-        .persist()
-    )
+    buckets = v.mapInPandas(
+        _bucketize, "vec_id long, t int, bucket long"
+    ).persist()
     # materialize: both candidate-join branches reuse the cached
     # signatures instead of racing the expensive dot-product build
     buckets.count()
