@@ -72,6 +72,52 @@ def stream_sessionize(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    bound: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: for every datapoint on
+    the left stream, the right-stream datapoints of the SAME series
+    name arriving within `bound` after it (the attribution/enrichment
+    join — e.g. error events joined to the deploy marker that preceded
+    them).
+
+    Both sides carry a watermark and the join condition bounds r_time
+    to [l_time, l_time + bound], so the engine can expire buffered
+    rows once the watermark passes — bounded state, the only
+    stream-stream join shape that survives an unbounded stream. The
+    join itself hash-shuffles both sides on `name` exactly like a
+    batch equi-join."""
+    l = (
+        left.select(
+            F.col("name").alias("l_name"),
+            F.timestamp_micros(F.col("ts")).alias("l_time"),
+            F.col("value_d").alias("l_value"),
+        ).withWatermark("l_time", watermark)
+    )
+    r = (
+        right.select(
+            F.col("name").alias("r_name"),
+            F.timestamp_micros(F.col("ts")).alias("r_time"),
+            F.col("value_d").alias("r_value"),
+        ).withWatermark("r_time", watermark)
+    )
+    return l.join(
+        r,
+        (F.col("l_name") == F.col("r_name"))
+        & (F.col("r_time") >= F.col("l_time"))
+        & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {bound}")),
+    ).select(
+        F.col("l_name").alias("name"),
+        "l_time",
+        "r_time",
+        "l_value",
+        "r_value",
+    )
+
+
 def stream_downsample(
     gts_stream: DataFrame,
     window: str = "5 minutes",

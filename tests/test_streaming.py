@@ -271,3 +271,31 @@ def test_stream_sessionize_gap_windows(spark, tmp_path):
     assert rows[0]["n_events"] == 2 and rows[0]["sum_d"] == 3.0
     assert rows[1]["n_events"] == 2 and rows[1]["sum_d"] == 7.0
     assert rows[0]["session_end"] <= rows[1]["session_start"]
+
+
+def test_stream_interval_join(spark, tmp_path):
+    from catalyst_spark.streaming.aggregate import stream_interval_join
+
+    dl = tmp_path / "in_join_l"
+    dr = tmp_path / "in_join_r"
+    dl.mkdir(); dr.mkdir()
+    t0 = 1546420000
+    # left: deploy markers; right: errors. Errors within 5 min after a
+    # deploy of the same service name join; the 10-min-later one doesn't.
+    (dl / "b1.txt").write_text(f"svc.a 1.0 {t0}\nsvc.b 1.0 {t0}\n")
+    (dr / "b1.txt").write_text(
+        f"svc.a 7.0 {t0 + 60}\n"        # joins (60 s after deploy)
+        f"svc.a 8.0 {t0 + 600}\n"       # outside the 5-min bound
+        f"svc.b 9.0 {t0 + 120}\n"       # joins
+        f"svc.c 5.0 {t0 + 60}\n"        # no matching deploy
+    )
+    mk = lambda d: ingest_stream(stream_lines(spark, str(d)), "graphite",
+                                 parse_hierarchy=False, now_us=NOW_US)
+    q = (stream_interval_join(mk(dl), mk(dr))
+         .writeStream.outputMode("append").format("memory")
+         .queryName("ivjoin_stream").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(spark.sql("select name, r_value from ivjoin_stream").collect())
+    assert [(r["name"], r["r_value"]) for r in rows] == [
+        ("svc.a", 7.0), ("svc.b", 9.0)]
