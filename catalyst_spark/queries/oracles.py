@@ -15,6 +15,8 @@ from catalyst_spark.queries.pipeline import (
     _CLUSTER_JACCARD,
     _CONTAM_EVAL_SOURCE,
     _CONTAM_MIN_SHARED,
+    _PACK_CAPACITY,
+    _PACK_SHARD,
     _QUALITY_BOUNDS,
     _LSH_BITS,
     _LSH_DIM,
@@ -769,6 +771,32 @@ _TSDB = {
         GROUP BY 1, 2
         HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
         ORDER BY eval_id, train_id
+    """,
+    # next-fit packing per (source, shard): the same recursion shape as
+    # the dedup_clusters oracle, one step per doc in doc_id order
+    "pack_sequences": f"""
+        WITH RECURSIVE t AS (
+          SELECT source, doc_id // {_PACK_SHARD} AS shard, doc_id,
+                 len(string_split(text, ' ')) AS tok,
+                 row_number() OVER (PARTITION BY source, doc_id // {_PACK_SHARD}
+                                    ORDER BY doc_id) AS rn
+          FROM documents),
+        r AS (
+          SELECT source, shard, doc_id, tok, rn,
+                 tok AS fill, CAST(0 AS BIGINT) AS bin
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.shard, t.doc_id, t.tok, t.rn,
+                 CASE WHEN r.fill + t.tok > {_PACK_CAPACITY} THEN t.tok
+                      ELSE r.fill + t.tok END,
+                 CASE WHEN r.fill + t.tok > {_PACK_CAPACITY} THEN r.bin + 1
+                      ELSE r.bin END
+          FROM t JOIN r ON t.source = r.source AND t.shard = r.shard
+                       AND t.rn = r.rn + 1)
+        SELECT source, shard, bin, COUNT(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS total_tok,
+               ROUND(SUM(tok) / {_PACK_CAPACITY}.0, 4) AS fill_ratio
+        FROM r GROUP BY 1, 2, 3 ORDER BY source, shard, bin
     """,
     "quality_filter": f"""
         WITH q AS (

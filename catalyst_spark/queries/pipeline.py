@@ -837,6 +837,62 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_CAPACITY = 512   # tokens per training sequence
+_PACK_SHARD = 256      # docs per packing shard
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy next-fit of documents (in doc_id order)
+    into fixed-capacity token bins — how training corpora become
+    fixed-length sample sequences without padding waste.
+
+    Next-fit is inherently sequential, so the unit of parallelism is a
+    (source, shard) slice of _PACK_SHARD consecutive docs: packing
+    never crosses a shard, which makes the operator embarrassingly
+    parallel at 100 TB (real pipelines pack per shard-file for the
+    same reason). Inside a shard an applyInPandas scan assigns bins;
+    output is the per-bin audit (docs, tokens, fill ratio). A doc
+    longer than the capacity gets a bin of its own — next-fit, both
+    engines. Oracle: per-shard recursive CTE (same recursion the
+    dedup_clusters oracle uses).
+    """
+    documents = load(spark, sf_dir, "documents")
+    d = documents.select(
+        "source",
+        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        "doc_id",
+        F.expr(N_TOKENS).alias("tok"),
+    )
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for tok in pdf["tok"]:
+            if fill + tok > _PACK_CAPACITY and fill > 0:
+                bin_id += 1
+                fill = 0
+            fill += tok
+            bins.append(bin_id)
+        pdf = pdf.assign(bin=bins)
+        return pdf[["source", "shard", "doc_id", "tok", "bin"]]
+
+    packed = d.groupBy("source", "shard").applyInPandas(
+        _pack, "source string, shard long, doc_id long, tok int, bin long"
+    )
+    return (
+        packed.groupBy("source", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tok"),
+            F.round(F.sum("tok") / F.lit(float(_PACK_CAPACITY)), 4).alias("fill_ratio"),
+        )
+        .orderBy("source", "shard", "bin")
+    )
+
+
 def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 bigrams per language by frequency — the n-gram corpus
     statistics a tokenizer/contamination analysis starts from. Explode
@@ -912,6 +968,7 @@ PIPELINE_QUERIES = {
     "dedup_keep_one": dedup_keep_one,
     "contamination_overlap": contamination_overlap,
     "quality_filter": quality_filter,
+    "pack_sequences": pack_sequences,
     "top_ngrams": top_ngrams,
     "stratified_sample": stratified_sample,
     "vocab_stats": vocab_stats,
