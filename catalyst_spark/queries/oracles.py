@@ -138,6 +138,42 @@ _RELATIONAL = {
     "q17_exact_dedup_counts": """
         SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS uniq FROM documents
     """,
+    "q18_running_total": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) / 100.0, 2)
+                 AS running_total
+        FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+    "q19_above_brand_avg": """
+        WITH b AS (
+          SELECT p_brand,
+                 SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS sum_cents,
+                 COUNT(*) AS n_parts
+          FROM part GROUP BY 1)
+        SELECT p_partkey, p.p_brand,
+               ROUND(p_retailprice, 2) AS p_retailprice,
+               CAST(round(p_retailprice * 100) AS BIGINT) * n_parts
+                 - sum_cents AS margin_x_n_cents
+        FROM part p JOIN b USING (p_brand)
+        WHERE CAST(round(p_retailprice * 100) AS BIGINT) * n_parts > sum_cents
+        ORDER BY p_partkey
+    """,
+    "q20_customer_deciles": """
+        WITH pc AS (
+          SELECT o_custkey,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT o_custkey, spend_cents,
+                 ntile(10) OVER (ORDER BY spend_cents DESC, o_custkey) AS decile
+          FROM pc)
+        SELECT decile, COUNT(*) AS n_customers,
+               ROUND(SUM(spend_cents) / 100.0, 2) AS decile_spend
+        FROM r GROUP BY 1 ORDER BY 1
+    """,
 }
 
 # ---------------------------------------------------------------------------

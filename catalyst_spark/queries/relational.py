@@ -284,6 +284,100 @@ def q17_exact_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over their order dates — the
+    running-total window every billing/balance query needs.
+
+    Scale: one shuffle on the customer key; the ordered cumulative
+    frame is computed within each partition after an in-partition sort
+    (no global sort). Integer cents (o_totalprice is 2-decimal) keep
+    the running sum exact, so the oracle matches bit-for-bit regardless
+    of accumulation order.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents")
+        )
+        .withColumn("run_cents", F.sum("cents").over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("run_cents") / 100.0, 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q19_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced above their brand's average retail price — the
+    correlated-aggregate-subquery shape, decorrelated into an
+    aggregate + broadcast join (exactly what Catalyst does to the
+    subquery form, stated explicitly here).
+
+    Scale: the per-brand aggregate is tiny (one row per brand),
+    broadcast back against the part table — no shuffle of the big side.
+    Correctness: `price > avg` is evaluated as the integer cross-product
+    `price_cents * n > sum_cents`, and the reported margin stays in
+    exact cents — no ROUND(AVG(...)) anywhere, because averaging
+    cent-quantized values produces exact .xx5 ties that Spark
+    (HALF_UP on the decimal repr) and DuckDB (binary-double round)
+    resolve differently.
+    """
+    part = load(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    brand = part.select("p_brand", cents.alias("cents")).groupBy("p_brand").agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        part.withColumn("p_cents", cents)
+        .join(F.broadcast(brand), "p_brand")
+        .where(F.col("p_cents") * F.col("n_parts") > F.col("sum_cents"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            (F.col("p_cents") * F.col("n_parts") - F.col("sum_cents"))
+            .alias("margin_x_n_cents"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q20_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into spend deciles (ntile over total order
+    value) with per-decile totals — the ranking/percentile report shape.
+
+    Scale: one shuffle to aggregate per customer; the ntile ranks the
+    aggregated (small) result, then a second tiny aggregation. Cent
+    arithmetic keeps sums exact across engines.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.select("o_custkey", cents.alias("cents")).groupBy(
+        "o_custkey"
+    ).agg(F.sum("cents").alias("spend_cents"))
+    ranked = per_cust.withColumn(
+        "decile",
+        # cast: Spark ntile is int32, DuckDB's is int64
+        F.ntile(10).over(W.orderBy(F.desc("spend_cents"), "o_custkey")).cast("long"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend_cents") / 100.0, 2).alias("decile_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q1_filter_project_sort": q1_filter_project_sort,
     "q2_time_bucket": q2_time_bucket,
@@ -302,4 +396,7 @@ RELATIONAL_QUERIES = {
     "q15_union_dedup": q15_union_dedup,
     "q16_text_group": q16_text_group,
     "q17_exact_dedup_counts": q17_exact_dedup_counts,
+    "q18_running_total": q18_running_total,
+    "q19_above_brand_avg": q19_above_brand_avg,
+    "q20_customer_deciles": q20_customer_deciles,
 }
