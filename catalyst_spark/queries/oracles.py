@@ -357,7 +357,52 @@ _SRP_PLANES = (
     f"      (SELECT unnest(range(0, {_LSH_BITS})) AS k))"
 )
 
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations mirroring pipeline.ivf_train: same
+    deterministic init (k lowest vec_ids), same |x|^2-2x.c+|c|^2
+    distance decomposition, ties by centroid id, empty clusters drop."""
+    from catalyst_spark.queries.pipeline import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _LSH_DIM,
+    )
+
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),",
+        f"dims AS (SELECT unnest(range(1, {_LSH_DIM + 1})) AS d),",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id,"
+        " e AS ce FROM (SELECT vec_id, e FROM v ORDER BY vec_id"
+        f" LIMIT {_KMEANS_K})),",
+    ]
+    for i in range(1, _KMEANS_ITERS + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"a{i} AS (SELECT vec_id, e, c_id FROM ("
+            " SELECT v.vec_id, v.e, c.c_id,"
+            " row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+            " list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
+            " + list_dot_product(c.ce, c.ce), c.c_id) AS rn"
+            f" FROM v, {prev} c) t WHERE rn = 1),"
+        )
+        parts.append(
+            f"m{i} AS (SELECT c_id, d, AVG(e[d]) AS m"
+            f" FROM a{i}, dims GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"c{i} AS (SELECT c_id, list(m ORDER BY d) AS ce"
+            f" FROM m{i} GROUP BY 1),"
+        )
+    # drop the trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT c_id, d, ROUND(m, 4) + 0.0 AS centroid FROM m{_KMEANS_ITERS}"
+        " ORDER BY c_id, d"
+    )
+    return "\n".join(parts)
+
+
 _HASH_ORACLES = {
+    "ivf_train": _kmeans_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",
     "dedup_simhash_pairs": f"""
         WITH votes AS ({_SIMHASH_VOTES}),

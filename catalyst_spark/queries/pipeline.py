@@ -511,6 +511,89 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training: k-means (k=8, 3 Lloyd
+    iterations), the iterative-algorithm shape Spark runs as a
+    driver-coordinated loop — the model (8x64 doubles) lives on the
+    driver between iterations, exactly like MLlib; the DATA never
+    leaves the executors.
+
+    Per iteration one mapInPandas pass computes assignments and
+    per-partition partial sums (k x 64 rows per batch, the map-side
+    combine), one tiny groupBy reduces them, and 512 doubles come back
+    to the driver. Init is deterministic (the k lowest vec_ids);
+    distance uses the same |x|^2 - 2x.c + |c|^2 decomposition in numpy
+    and in the DuckDB oracle's unrolled-CTE mirror, ties broken by
+    centroid id, so assignments match across engines (centroid
+    separation >> the ~1e-13 summation-order eps).
+
+    Returns the final per-dimension centroid means (c_id, d, centroid).
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    init = v.orderBy("vec_id").limit(_KMEANS_K).collect()
+    C = np.stack([np.asarray(r["e"]) for r in init])  # (k_active, dim)
+    cids = np.arange(_KMEANS_K, dtype="i8")  # original centroid ids
+
+    def _partials_for(C, cids):
+        Cn = (C * C).sum(axis=1)  # closure constants shipped per task
+        dim = C.shape[1]
+
+        def _assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["e"].to_numpy())
+                D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+                # argmin over rows ordered by original c_id -> lowest
+                # surviving c_id wins ties, same rule as the oracle
+                a = np.argmin(D, axis=1)
+                rows = []
+                for c in np.unique(a):
+                    mask = a == c
+                    rows.append(pd.DataFrame({
+                        "c_id": np.full(dim, cids[c], dtype="i8"),
+                        "d": np.arange(1, dim + 1, dtype="i8"),
+                        "s": X[mask].sum(axis=0),
+                        "n": np.full(dim, int(mask.sum()), dtype="i8"),
+                    }))
+                yield pd.concat(rows, ignore_index=True)
+
+        return _assign
+
+    means = None
+    for _ in range(_KMEANS_ITERS):
+        means = (
+            v.mapInPandas(
+                _partials_for(C, cids), "c_id long, d long, s double, n long"
+            )
+            .groupBy("c_id", "d")
+            .agg((F.sum("s") / F.sum("n")).alias("m"))
+        )
+        got = means.collect()
+        ids = sorted({r["c_id"] for r in got})  # empty clusters drop out
+        remap = {c: i for i, c in enumerate(ids)}
+        C = np.zeros((len(ids), C.shape[1]))
+        for r in got:
+            C[remap[r["c_id"]], r["d"] - 1] = r["m"]
+        cids = np.asarray(ids, dtype="i8")
+    return (
+        means.select(
+            "c_id", "d", (F.round("m", 4) + F.lit(0.0)).alias("centroid")
+        ).orderBy("c_id", "d")
+    )
+
+
 _LSH_TABLES = 16
 _LSH_BITS = 12
 _LSH_DIM = 64
@@ -975,6 +1058,7 @@ PIPELINE_QUERIES = {
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ivf_train": ivf_train,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
