@@ -284,6 +284,9 @@ _CLUSTER_JACCARD = 0.5
 _CLUSTER_MAX_ITERS = 20
 
 
+_CC_LABEL_CACHE: dict = {}  # (applicationId, sf_dir) -> converged labels
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id,
     cluster_id) where cluster_id = min doc_id reachable through pairs
@@ -300,7 +303,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic, and value-checked against a DuckDB recursive-CTE
     oracle computing min-reachable-id per node.
+
+    The converged label table is memoized per (application, sf_dir):
+    dedup_keep_one consumes the same clustering, and the result is
+    deterministic, so recomputing the iterative loop would only burn
+    time (the table itself is tiny — two longs per clustered doc).
     """
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_LABEL_CACHE.get(cache_key)
+    if cached is not None:
+        return cached.select(
+            "doc_id", F.col("label").alias("cluster_id")
+        ).orderBy("doc_id")
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .where(F.col("jaccard") >= _CLUSTER_JACCARD)
@@ -335,6 +349,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
+    _CC_LABEL_CACHE[cache_key] = labels
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
 
 
