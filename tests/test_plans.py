@@ -105,3 +105,31 @@ def test_gap_fill_generates_from_aggregates(spark):
     # grid explodes from per-user (min, max) spans, not from raw rows
     plan = plan_of(spark, "gap_fill")
     assert "Generate explode" in plan
+
+
+def test_q19_brand_avg_broadcast(spark):
+    # the per-brand aggregate must broadcast back; the big side unshuffled
+    assert "BroadcastHashJoin" in plan_of(spark, "q19_above_brand_avg")
+
+
+def test_q18_single_window_exchange(spark):
+    # running total: one hash exchange on the customer key, then the
+    # final range sort — no extra shuffles
+    plan = plan_of(spark, "q18_running_total")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_single_data_shuffle(spark):
+    # chained window-mins share one user_id partitioning; the only other
+    # exchange feeds the final single-row aggregate
+    plan = ALL_QUERIES["funnel_conversion"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Window" in plan
+
+
+def test_contamination_no_cartesian(spark):
+    plan = ALL_QUERIES["contamination_overlap"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
