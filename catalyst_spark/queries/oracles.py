@@ -801,6 +801,19 @@ _TSDB = {
         WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
         ORDER BY d.doc_id
     """,
+    "distinctive_terms": """
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT source, rnk, tok, tf, df FROM (
+          SELECT tf.source, tf.tok, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.source
+                                    ORDER BY tf.tf DESC, df.df, tf.tok) AS rnk
+          FROM tf JOIN df USING (tok)) t
+        WHERE rnk <= 5 ORDER BY source, rnk
+    """,
     "top_ngrams": """
         WITH bg AS (
           SELECT lang, unnest([toks[i] || ' ' || toks[i+1]

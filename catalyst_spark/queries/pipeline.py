@@ -991,6 +991,35 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: top-5 tokens ranked by
+    within-source frequency (desc) then cross-source document frequency
+    (asc) — the tf-idf intuition with integer-only ordering, so the
+    result is bit-deterministic in every engine (no ln(): Java's
+    Math.log and C libm may differ in the last ulp, and a ranking
+    must not depend on that).
+
+    Plan: explode -> two key-hashed aggregations (token tf per source,
+    source-df per token) -> equi-join on token -> per-source top-k
+    window over the aggregated (small) table. All shuffles carry
+    (token, counts) pairs, never documents.
+    """
+    documents = load(spark, sf_dir, "documents")
+    toks = documents.select(
+        "source", F.explode(F.expr(TOKENS)).alias("tok")
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("source").orderBy(F.desc("tf"), "df", "tok")
+    return (
+        tf.join(df, "tok")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("source", "rnk", "tok", "tf", "df")
+        .orderBy("source", "rnk")
+    )
+
+
 def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 bigrams per language by frequency — the n-gram corpus
     statistics a tokenizer/contamination analysis starts from. Explode
@@ -1067,6 +1096,7 @@ PIPELINE_QUERIES = {
     "contamination_overlap": contamination_overlap,
     "quality_filter": quality_filter,
     "pack_sequences": pack_sequences,
+    "distinctive_terms": distinctive_terms,
     "top_ngrams": top_ngrams,
     "stratified_sample": stratified_sample,
     "vocab_stats": vocab_stats,
