@@ -299,3 +299,31 @@ def test_stream_interval_join(spark, tmp_path):
     rows = sorted(spark.sql("select name, r_value from ivjoin_stream").collect())
     assert [(r["name"], r["r_value"]) for r in rows] == [
         ("svc.a", 7.0), ("svc.b", 9.0)]
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill the store-writer stream and restart from its checkpoint:
+    batch 1 must not be re-ingested (exactly-once into the store), and
+    batch 2 must be picked up — the engine-level replacement for the
+    reference's replay buffer (core/warp.go retry-once semantics)."""
+    from catalyst_spark.streaming.ingest import start_store_writer
+
+    src = tmp_path / "in_ckpt"; src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "b1.txt").write_text("m.one 1.0 1546420308\nm.two 2.0 1546420308\n")
+    gts = ingest_stream(stream_lines(spark, str(src)), "graphite",
+                        parse_hierarchy=False, now_us=NOW_US)
+    q = start_store_writer(gts, store, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert spark.read.parquet(store).count() == 2
+
+    # new data arrives while the stream is down; restart from checkpoint
+    (src / "b2.txt").write_text("m.three 3.0 1546420309\n")
+    gts2 = ingest_stream(stream_lines(spark, str(src)), "graphite",
+                         parse_hierarchy=False, now_us=NOW_US)
+    q2 = start_store_writer(gts2, store, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    rows = spark.read.parquet(store).select("name", "value_d").collect()
+    assert sorted((r["name"], r["value_d"]) for r in rows) == [
+        ("m.one", 1.0), ("m.three", 3.0), ("m.two", 2.0)]
