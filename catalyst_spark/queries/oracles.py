@@ -392,17 +392,58 @@ def _kmeans_sql() -> str:
             f"c{i} AS (SELECT c_id, list(m ORDER BY d) AS ce"
             f" FROM m{i} GROUP BY 1),"
         )
-    # drop the trailing comma of the last CTE
-    parts[-1] = parts[-1].rstrip(",")
-    parts.append(
-        f"SELECT c_id, d, ROUND(m, 4) + 0.0 AS centroid FROM m{_KMEANS_ITERS}"
-        " ORDER BY c_id, d"
-    )
     return "\n".join(parts)
 
 
+def _kmeans_final_select() -> str:
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS
+
+    prefix = _kmeans_sql().rstrip()
+    assert prefix.endswith(",")
+    return (
+        prefix.rstrip(",")
+        + f"\nSELECT c_id, d, ROUND(m, 4) + 0.0 AS centroid"
+        f" FROM m{_KMEANS_ITERS} ORDER BY c_id, d"
+    )
+
+
+def _ivf_trained_sql() -> str:
+    """Unrolled k-means + nearest-centroid assignment + in-cell exact
+    cosine rerank — the oracle twin of pipeline.ann_ivf_trained_topk."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS
+
+    last_c = f"c{_KMEANS_ITERS}"
+    return _kmeans_sql() + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        assign AS (SELECT vec_id, c_id FROM dist WHERE rn = 1),
+        nv AS (
+          SELECT v.vec_id, v.e, sqrt(list_dot_product(v.e, v.e)) AS nrm,
+                 a.c_id
+          FROM v JOIN assign a USING (vec_id)),
+        s AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM nv q JOIN nv c ON q.c_id = c.c_id AND q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0)
+        SELECT q_id, "rank", neighbor_id, ROUND(cos_raw, 2) AS cos FROM (
+          SELECT q_id, neighbor_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_raw DESC, neighbor_id)
+                   AS "rank"
+          FROM s) t
+        WHERE "rank" <= 5 ORDER BY q_id, "rank"
+    """
+
+
 _HASH_ORACLES = {
-    "ivf_train": _kmeans_sql(),
+    "ivf_train": _kmeans_final_select(),
+    "ann_ivf_trained_topk": _ivf_trained_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",
     "dedup_simhash_pairs": f"""
         WITH votes AS ({_SIMHASH_VOTES}),

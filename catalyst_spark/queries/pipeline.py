@@ -548,12 +548,25 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns the final per-dimension centroid means (c_id, d, centroid).
     """
-    import numpy as np
-
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    _, _, means = _kmeans_fit(spark, v)
+    return (
+        means.select(
+            "c_id", "d", (F.round("m", 4) + F.lit(0.0)).alias("centroid")
+        ).orderBy("c_id", "d")
+    )
+
+
+def _kmeans_fit(spark: SparkSession, v: DataFrame):
+    """Driver-coordinated Lloyd loop over (vec_id, e); returns the final
+    centroid matrix, its surviving original ids, and the last-iteration
+    means DataFrame (c_id, d, m). See ivf_train for the scale/parity
+    argument."""
+    import numpy as np
+
     init = v.orderBy("vec_id").limit(_KMEANS_K).collect()
     C = np.stack([np.asarray(r["e"]) for r in init])  # (k_active, dim)
     cids = np.arange(_KMEANS_K, dtype="i8")  # original centroid ids
@@ -602,10 +615,64 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in got:
             C[remap[r["c_id"]], r["d"] - 1] = r["m"]
         cids = np.asarray(ids, dtype="i8")
+    return C, cids, means
+
+
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF path: train the coarse quantizer (_kmeans_fit),
+    assign every vector to its nearest trained centroid in one
+    Arrow-batched argmin pass, then answer the standard probe set
+    (vec_id % 50 == 0, nprobe=1) by joining only within the probe's
+    cell and exact-cosine reranking — train -> index -> probe, the
+    100 TB ANN shape (each cell is a partition; the scoring join never
+    leaves a cell).
+
+    Rank ties and distances follow the same conventions as the other
+    ANN operators, so the DuckDB oracle replays the unrolled k-means
+    plus the same assignment and rerank.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    C, cids, _ = _kmeans_fit(spark, v)
+    Cn = (C * C).sum(axis=1)
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "c_id": cids[np.argmin(D, axis=1)],
+            })
+
+    assign = v.mapInPandas(_assign, "vec_id long, c_id long").persist()
+    assign.count()  # materialize: feeds both sides of the cell join
+    probes = assign.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "c_id"
+    )
+    members = assign.select(F.col("vec_id").alias("n_id"), "c_id")
+    qn = _with_norm(emb, "q_id", "vq").drop("q_id_label")
+    cn = _with_norm(emb, "n_id", "vc").drop("n_id_label")
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
     return (
-        means.select(
-            "c_id", "d", (F.round("m", 4) + F.lit(0.0)).alias("centroid")
-        ).orderBy("c_id", "d")
+        probes.join(members, "c_id")
+        .where(F.col("n_id") != F.col("q_id"))
+        .join(qn, "q_id")
+        .join(cn, "n_id")
+        .withColumn("cos_raw", _cosine("vq", "vc"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
+                F.round("cos_raw", 2).alias("cos"))
+        .orderBy("q_id", "rank")
     )
 
 
@@ -1104,6 +1171,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ivf_train": ivf_train,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
