@@ -475,6 +475,27 @@ _HASH_ORACLES = {
         JOIN sig b ON b.doc_id = c.b_id
         ORDER BY a_id, b_id
     """,
+    "minhash_jaccard_estimate": f"""
+        WITH {_MINHASH_SIG},
+        bands AS (
+          SELECT doc_id, unnest([{_MINHASH_BUCKETS}]) AS bucket FROM sig),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+          FROM bands l JOIN bands r
+            ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
+        SELECT c.a_id, c.b_id,
+               ROUND(({" + ".join(
+                   f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END"
+                   for s in range(_MINHASH_PERMS))})
+                 / {_MINHASH_PERMS}.0, 4) AS est_jaccard,
+               ROUND(len(list_intersect(a.hset, b.hset))
+                     / len(list_distinct(list_concat(a.hset, b.hset))), 4)
+                 AS jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.a_id
+        JOIN sig b ON b.doc_id = c.b_id
+        ORDER BY a_id, b_id
+    """,
     "dedup_embedding_lsh": f"""
         WITH v AS (
           SELECT vec_id, embedding::DOUBLE[] AS e,

@@ -177,6 +177,31 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficients — both reproducible in DuckDB, so the whole pipeline
     has a full value-level oracle (oracles.py mirrors it).
     """
+    sig, cand = _minhash_sig_cand(spark, sf_dir)
+    hsets = sig.select("doc_id", "hset")
+    verified = (
+        cand.join(hsets.select(F.col("doc_id").alias("a_id"),
+                               F.col("hset").alias("h_a")), "a_id")
+        .join(hsets.select(F.col("doc_id").alias("b_id"),
+                           F.col("hset").alias("h_b")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.size(F.array_intersect("h_a", "h_b"))
+                / F.size(F.array_union("h_a", "h_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.orderBy("a_id", "b_id")
+
+
+def _minhash_sig_cand(spark: SparkSession, sf_dir: str):
+    """Shared MinHash machinery: the persisted signature table (hset +
+    m0..m31) and the banded candidate pairs. Identical logical plans
+    across callers, so Spark's cache manager serves every caller from
+    the same persisted signature table within a session."""
     sh_rows = _shingled(load(spark, sf_dir, "documents")).select(
         "doc_id", F.explode("shingles").alias("sh")
     ).select("doc_id", F.expr(_h60("sh")).alias("h"))
@@ -223,23 +248,45 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
         .distinct()
     )
-    hsets = sig.select("doc_id", "hset")
-    verified = (
-        cand.join(hsets.select(F.col("doc_id").alias("a_id"),
-                               F.col("hset").alias("h_a")), "a_id")
-        .join(hsets.select(F.col("doc_id").alias("b_id"),
-                           F.col("hset").alias("h_b")), "b_id")
+    return sig, cand
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: the MinHash similarity ESTIMATE
+    (signature-agreement fraction, the number every sketch-only
+    pipeline trusts) side by side with the exact Jaccard, for the
+    banded candidate pairs. matches/32 is an exact binary fraction, so
+    the estimate is bit-identical in every engine — the same
+    calibration pattern as distinct_sketch (estimate vs ground truth
+    in one result table).
+    """
+    sig, cand = _minhash_sig_cand(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("a_id"), F.col("hset").alias("h_a"),
+        *[F.col(f"m{s}").alias(f"a{s}") for s in range(_MINHASH_PERMS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("b_id"), F.col("hset").alias("h_b"),
+        *[F.col(f"m{s}").alias(f"b{s}") for s in range(_MINHASH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_MINHASH_PERMS)
+    )
+    return (
+        cand.join(a, "a_id").join(b, "b_id")
         .select(
             "a_id",
             "b_id",
+            F.round(matches / float(_MINHASH_PERMS), 4).alias("est_jaccard"),
             F.round(
                 F.size(F.array_intersect("h_a", "h_b"))
                 / F.size(F.array_union("h_a", "h_b")),
                 4,
             ).alias("jaccard"),
         )
+        .orderBy("a_id", "b_id")
     )
-    return verified.orderBy("a_id", "b_id")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1157,6 +1204,7 @@ PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
