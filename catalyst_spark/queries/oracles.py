@@ -603,6 +603,17 @@ _TSDB = {
           ON a.h = b.h AND a.event_type < b.event_type
         GROUP BY 1, 2 ORDER BY ta, tb
     """,
+    "rolling_window_7d": """
+        SELECT event_id, user_id,
+               CAST(SUM(vc) OVER w AS BIGINT) AS sum_7d_cents,
+               COUNT(*) OVER w AS n_7d
+        FROM (SELECT event_id, user_id, epoch(ts) AS es,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM events) t
+        WINDOW w AS (PARTITION BY user_id ORDER BY es
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
     "counter_rate": """
         WITH s AS (
           SELECT user_id, epoch_us(ts) AS us, value,

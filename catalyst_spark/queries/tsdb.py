@@ -454,6 +454,40 @@ def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling aggregate per series (exact cent sum + point count) — the RANGE-frame window (a
+    time-based frame, not a row count: sparse series get exactly the
+    points inside the interval). One shuffle on the series key; the
+    frame scan is an in-partition sorted sweep.
+
+    The frame is defined on integer epoch-seconds and the rolling sum
+    is kept in exact integer cents (ROUND(AVG(double)) is the one
+    formulation the oracle gate can't survive: a mean that lands within
+    float-eps of a rounding boundary resolves differently under Spark's
+    HALF_UP-on-decimal-repr and DuckDB's binary-double round — observed
+    live at sf0.001 before this was integerized)."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-7 * 24 * 3600, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select(
+            "event_id", "user_id", F.unix_seconds(F.col("ts")).alias("es"),
+            cents.alias("vc"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("vc").over(w).alias("sum_7d_cents"),
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
@@ -580,6 +614,7 @@ TSDB_QUERIES = {
     "anomaly_zscore": anomaly_zscore,
     "series_correlation": series_correlation,
     "counter_rate": counter_rate,
+    "rolling_window_7d": rolling_window_7d,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "distinct_sketch": distinct_sketch,
