@@ -174,6 +174,15 @@ _RELATIONAL = {
                ROUND(SUM(spend_cents) / 100.0, 2) AS decile_spend
         FROM r GROUP BY 1 ORDER BY 1
     """,
+    # the salt is plan-level only — semantically this IS the plain join
+    "q21_salted_skew_join": """
+        SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+               ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+                 AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment, event_type
+        ORDER BY c_mktsegment, event_type
+    """,
 }
 
 # ---------------------------------------------------------------------------
@@ -913,6 +922,27 @@ _TSDB = {
                ROUND(COUNT(DISTINCT t) / COUNT(*), 4) AS ttr
         FROM (SELECT source, unnest(string_split(text, ' ')) AS t
               FROM documents)
+        GROUP BY source ORDER BY source
+    """,
+    # repetition filter: top-token count per doc; the repetitive flag is
+    # integer-only (top*5 >= n <=> ratio >= 0.2) so both engines agree
+    # bit-for-bit at the decision boundary.
+    "repetition_ratio": """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(top_cnt) AS BIGINT) AS top_tok_hits,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN top_cnt * 5 >= n_tok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repetitive,
+               ROUND(SUM(top_cnt) * 1.0 / SUM(n_tok), 4) AS wtd_top_ratio
+        FROM (
+          SELECT doc_id, source, MAX(c) AS top_cnt, SUM(c) AS n_tok
+          FROM (
+            SELECT doc_id, source, t, COUNT(*) AS c
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY doc_id, source, t)
+          GROUP BY doc_id, source)
         GROUP BY source ORDER BY source
     """,
     # decontamination sweep: distinct 3-shingle hashes on both sides,

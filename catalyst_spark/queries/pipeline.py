@@ -1200,6 +1200,43 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signal (the Gopher-style repetition filter):
+    count of the single most-frequent token over total tokens. Templated
+    or looping generations spike this ratio long before TTR moves.
+
+    Plan: explode tokens -> count per (doc, token) -> max/sum per doc ->
+    per-source rollup. Two shuffles, both on doc_id-prefixed keys, both
+    partial-aggregated map-side; nothing wider than (doc_id, token_hash)
+    ever moves. The repetitive flag is pure integer math
+    (top_cnt * 5 >= n_tok  <=>  ratio >= 0.2), so it is bit-identical in
+    every engine — no float threshold at the decision boundary.
+    """
+    documents = load(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", "source", F.explode(F.expr(TOKENS)).alias("t")
+    )
+    per_tok = toks.groupBy("doc_id", "source", "t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        F.max("c").alias("top_cnt"), F.sum("c").alias("n_tok")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("top_cnt").alias("top_tok_hits"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("top_cnt") * 5 >= F.col("n_tok"), 1).otherwise(0)
+            ).cast("bigint").alias("n_repetitive"),
+            F.round(F.sum("top_cnt") / F.sum("n_tok"), 4).alias("wtd_top_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -1215,6 +1252,7 @@ PIPELINE_QUERIES = {
     "top_ngrams": top_ngrams,
     "stratified_sample": stratified_sample,
     "vocab_stats": vocab_stats,
+    "repetition_ratio": repetition_ratio,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,

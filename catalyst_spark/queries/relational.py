@@ -378,6 +378,54 @@ def q20_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALT_FACTOR = 8
+
+
+def q21_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim join: salt the hot key instead of
+    broadcasting (the move when the dim side is too big to broadcast
+    and a handful of fact keys dominate — AQE skew splitting handles
+    sort-merge spills, but salting also spreads the *hash* join's
+    build-probe hotspots).
+
+    Plan: fact rows get a deterministic salt (h60(event_id) % S — not
+    rand(), so the query stays reproducible and oracle-checkable); the
+    dim side is exploded S ways so every (key, salt) pair finds its
+    match. The join shuffles on (user_id, salt) — a hot user_id now
+    lands on S reducers instead of one. Salting is invisible to
+    semantics: the oracle is the plain unsalted join.
+    Exact cent arithmetic end-to-end.
+    """
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer")
+    fact = events.withColumn(
+        "_salt",
+        F.expr(
+            "pmod(cast(conv(substring(md5(cast(event_id as string)), 1, 15),"
+            f" 16, 10) as bigint), {_SALT_FACTOR})"
+        ),
+    )
+    dim = customer.select(
+        "c_custkey", "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_FACTOR - 1))).alias("_salt"),
+    ).hint("shuffle_hash")  # keep the demo a shuffle join even at toy SF
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        fact.withColumn("cents", cents)
+        .join(
+            dim,
+            (fact["user_id"] == dim["c_custkey"])
+            & (fact["_salt"] == dim["_salt"]),
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q1_filter_project_sort": q1_filter_project_sort,
     "q2_time_bucket": q2_time_bucket,
@@ -399,4 +447,5 @@ RELATIONAL_QUERIES = {
     "q18_running_total": q18_running_total,
     "q19_above_brand_avg": q19_above_brand_avg,
     "q20_customer_deciles": q20_customer_deciles,
+    "q21_salted_skew_join": q21_salted_skew_join,
 }

@@ -133,3 +133,20 @@ def test_contamination_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_salted_join_is_shuffle_not_broadcast(spark):
+    # the whole point: a shuffle join keyed on (user_id, salt) — no
+    # broadcast (the demo models a dim too big to broadcast), and no
+    # Python anywhere (the salt is a codegen'd md5 expression)
+    plan = plan_of(spark, "q21_salted_skew_join")
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_repetition_ratio_partial_aggs(spark):
+    # both groupBys must partial-aggregate map-side; no raw-text shuffle
+    plan = plan_of(spark, "repetition_ratio")
+    assert plan.count("HashAggregate") >= 4
+    assert "EvalPython" not in plan
