@@ -796,6 +796,13 @@ _TSDB = {
                ROUND(quantile_cont(value, 0.99), 4) AS p99
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # the oracle asserts the sketch's rank-error guarantee holds (ok=1);
+    # a drifting approx_percentile makes the Spark side emit 0 and fail
+    "percentile_sketch": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(1 AS BIGINT) AS ok50, CAST(1 AS BIGINT) AS ok90
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "top3_per_group": """
         SELECT event_type, rnk, event_id, ROUND(value, 2) AS value FROM (
           SELECT event_type, event_id, value,

@@ -385,6 +385,51 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTL_ACCURACY = 10_000  # approx_percentile rank error <= n / accuracy
+_PCTL_RANK_TOL = 0.01    # + slack for summary-merge boundaries
+
+
+def percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (the sketch a 100 TB rollup actually runs —
+    one mergeable summary per partition, no global sort) calibrated
+    against its own rank-error guarantee.
+
+    The sketch returns a real data value v; its true rank interval is
+    [frac(< v), frac(<= v)] (an interval because of ties in the
+    2-decimal-quantized values). The guarantee says the target quantile
+    q lies inside that interval widened by the rank tolerance. The
+    oracle asserts the guarantee (ok = 1 per group): if the sketch ever
+    drifts out of tolerance, the Spark side emits 0 and the value-hash
+    gate fails — same calibration pattern as distinct_sketch /
+    minhash_jaccard_estimate.
+    """
+    events = load(spark, sf_dir, "events")
+    approx = events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, _PCTL_ACCURACY).alias("ap50"),
+        F.percentile_approx("value", 0.9, _PCTL_ACCURACY).alias("ap90"),
+    )
+    joined = events.join(F.broadcast(approx), "event_type")
+
+    def ok(ap: str, q: float):
+        n = F.count(F.lit(1))
+        lt = F.sum((F.col("value") < F.col(ap)).cast("long")) / n
+        le = F.sum((F.col("value") <= F.col(ap)).cast("long")) / n
+        return (
+            (F.lit(q) >= lt - _PCTL_RANK_TOL)
+            & (F.lit(q) <= le + _PCTL_RANK_TOL)
+        ).cast("long")
+
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ok("ap50", 0.5).alias("ok50"),
+            ok("ap90", 0.9).alias("ok90"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per type — the per-group top-k window
     pattern (rank shuffles once on the group key; no global sort)."""
@@ -601,6 +646,7 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
     "value_percentiles": value_percentiles,
+    "percentile_sketch": percentile_sketch,
     "top3_per_group": top3_per_group,
     "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
