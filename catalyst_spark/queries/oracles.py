@@ -796,6 +796,13 @@ _TSDB = {
                ROUND(quantile_cont(value, 0.99), 4) AS p99
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # exact distinct is oracle-reproduced; the HLL estimate is
+    # engine-private, so the oracle asserts the 3-sigma claim (ok=1)
+    "hll_distinct_sketch": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+               CAST(1 AS BIGINT) AS ok_3sigma
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     # the oracle asserts the sketch's rank-error guarantee holds (ok=1);
     # a drifting approx_percentile makes the Spark side emit 0 and fail
     "percentile_sketch": """

@@ -385,6 +385,37 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_RSD = 0.05       # HyperLogLog++ relative standard deviation (1 sigma)
+_HLL_TOL = 3 * _HLL_RSD  # accept within 3 sigma
+
+
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) calibrated against the
+    exact distinct count — the engine-native sketch a 100 TB rollup
+    would actually keep (unlike the md5-KMV of distinct_sketch, HLL's
+    register layout is engine-private, so the ESTIMATE can't be
+    oracle-reproduced; the CLAIM that it sits within 3x its declared
+    relative standard deviation can). One map-side-mergeable sketch per
+    group, no shuffle of raw user ids."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_distinct"),
+            F.approx_count_distinct("user_id", _HLL_RSD).alias("hll"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("hll") - F.col("exact_distinct"))
+                <= _HLL_TOL * F.col("exact_distinct")
+            ).cast("long").alias("ok_3sigma"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _PCTL_ACCURACY = 10_000  # approx_percentile rank error <= n / accuracy
 _PCTL_RANK_TOL = 0.01    # + slack for summary-merge boundaries
 
@@ -647,6 +678,7 @@ TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
     "value_percentiles": value_percentiles,
     "percentile_sketch": percentile_sketch,
+    "hll_distinct_sketch": hll_distinct_sketch,
     "top3_per_group": top3_per_group,
     "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
