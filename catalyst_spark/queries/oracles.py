@@ -844,6 +844,23 @@ _TSDB = {
         FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id
     """,
+    # near-dup pairs (same blocking + threshold as dedup_clusters)
+    # attributed to their sources, unordered-pair normalized
+    "near_dup_source_matrix": """
+        WITH p AS (
+          SELECT doc_id, source,
+                 array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
+                 list_distinct(string_split(text, ' ')) AS tokset
+          FROM documents)
+        SELECT least(a.source, b.source) AS source_lo,
+               greatest(a.source, b.source) AS source_hi,
+               COUNT(*) AS n_pairs
+        FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.tokset, b.tokset))
+              / len(list_distinct(list_concat(a.tokset, b.tokset))) >= 0.5
+        GROUP BY source_lo, source_hi
+        ORDER BY source_lo, source_hi
+    """,
     # connected components via recursive CTE: min reachable id per node
     # over the symmetric near-dup edge set (same pairs as
     # dedup_ngram_jaccard, thresholded)

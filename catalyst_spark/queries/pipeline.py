@@ -1200,6 +1200,56 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources copy from each other: the verified near-dup pairs
+    (prefix-blocked token-set Jaccard >= 0.5, same threshold as
+    dedup_clusters) rolled up to an unordered (source, source) matrix —
+    the diagnostic that tells a corpus owner where the mirror/scrape
+    overlap actually lives before they pick what to drop.
+
+    The pair side reuses the blocked equi-join shape (no all-pairs);
+    source attribution is two joins against the tiny (doc_id, source)
+    projection, then least/greatest normalizes the pair so A-copies-B
+    and B-copies-A count together.
+    """
+    docs = load(spark, sf_dir, "documents")
+    prepared = docs.select(
+        "doc_id",
+        F.expr(f"concat_ws(' ', slice({TOKENS}, 1, 3))").alias("block_key"),
+        F.expr(f"array_distinct({TOKENS})").alias("tokset"),
+    )
+    a = prepared.select(F.col("doc_id").alias("a_id"),
+                        "block_key", F.col("tokset").alias("ta"))
+    b = prepared.select(F.col("doc_id").alias("b_id"),
+                        "block_key", F.col("tokset").alias("tb"))
+    pairs = (
+        a.join(b, ["block_key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb"))
+            >= _CLUSTER_JACCARD
+        )
+        .select("a_id", "b_id")
+    )
+    src = docs.select("doc_id", "source")
+    attributed = (
+        pairs.join(src.withColumnRenamed("doc_id", "a_id")
+                      .withColumnRenamed("source", "src_a"), "a_id")
+        .join(src.withColumnRenamed("doc_id", "b_id")
+                 .withColumnRenamed("source", "src_b"), "b_id")
+    )
+    return (
+        attributed.select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition signal (the Gopher-style repetition filter):
     count of the single most-frequent token over total tokens. Templated
@@ -1253,6 +1303,7 @@ PIPELINE_QUERIES = {
     "stratified_sample": stratified_sample,
     "vocab_stats": vocab_stats,
     "repetition_ratio": repetition_ratio,
+    "near_dup_source_matrix": near_dup_source_matrix,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
