@@ -150,3 +150,10 @@ def test_repetition_ratio_partial_aggs(spark):
     plan = plan_of(spark, "repetition_ratio")
     assert plan.count("HashAggregate") >= 4
     assert "EvalPython" not in plan
+
+
+def test_near_dup_source_matrix_blocked_join(spark):
+    # pair generation must stay a blocked equi-join — no all-pairs
+    plan = plan_of(spark, "near_dup_source_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -86,3 +86,42 @@ def test_pack_sequences_fill(spark):
     for srows in by_shard.values():
         srows.sort(key=lambda r: r["bin"])
         assert [r["bin"] for r in srows] == list(range(len(srows)))
+
+
+def test_repetition_ratio_matches_python_reference(spark):
+    """Seeded randomized docs through the Spark op vs a pure-Python
+    twin — catches tokenize/flag drift independently of the DuckDB
+    oracle (which shares SQL-ish semantics with Spark)."""
+    import collections
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dd", "eee"]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 40))),
+         f"s{i % 3}")
+        for i in range(60)
+    ]
+    from pyspark.sql import functions as F
+    from catalyst_spark.queries.pipeline import TOKENS
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    toks = df.select("doc_id", "source", F.explode(F.expr(TOKENS)).alias("t"))
+    per_tok = toks.groupBy("doc_id", "source", "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        F.max("c").alias("top_cnt"), F.sum("c").alias("n_tok"))
+    got = {
+        (r["source"]): (r["n_repetitive"], r["top_hits"])
+        for r in per_doc.groupBy("source").agg(
+            F.sum(F.when(F.col("top_cnt") * 5 >= F.col("n_tok"), 1)
+                  .otherwise(0)).alias("n_repetitive"),
+            F.sum("top_cnt").alias("top_hits"),
+        ).collect()
+    }
+    want = collections.defaultdict(lambda: [0, 0])
+    for _i, text, src in docs:
+        counts = collections.Counter(text.split(" "))
+        top, n = max(counts.values()), sum(counts.values())
+        want[src][0] += int(top * 5 >= n)
+        want[src][1] += top
+    assert got == {k: tuple(v) for k, v in want.items()}
