@@ -247,6 +247,38 @@ _PIPELINE = {
           FROM s) t
         WHERE "rank" <= 5 ORDER BY q_id, "rank"
     """,
+    # recall@5 of the IVF cell-probe path vs the brute-force baseline;
+    # identical tie-break (cos DESC, neighbor_id) on both sides makes
+    # the intersection engine-reproducible
+    "ann_recall_at_5": _EMB_NORMED + """
+        , sb AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM v q JOIN v c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        brute AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS r
+            FROM sb) t WHERE r <= 5),
+        si AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM v q JOIN v c ON q.label = c.label AND q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        ivf AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS r
+            FROM si) t WHERE r <= 5)
+        SELECT b.q_id, COUNT(i.neighbor_id) AS hits,
+               ROUND(COUNT(i.neighbor_id) / 5.0, 2) AS recall_at_5
+        FROM brute b LEFT JOIN ivf i
+          ON b.q_id = i.q_id AND b.neighbor_id = i.neighbor_id
+        GROUP BY b.q_id ORDER BY b.q_id
+    """,
     "text_stats": f"""
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
