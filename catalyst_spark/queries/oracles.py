@@ -876,6 +876,18 @@ _TSDB = {
         FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id
     """,
+    # uniform-target resampling weights over per-source token shares
+    "mixture_weights": """
+        WITH ps AS (
+          SELECT source,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+          FROM documents GROUP BY source)
+        SELECT source, src_tokens,
+               ROUND(src_tokens * 1.0 / SUM(src_tokens) OVER (), 4) AS share,
+               ROUND(SUM(src_tokens) OVER () * 1.0
+                     / (COUNT(*) OVER () * src_tokens), 4) AS uniform_weight
+        FROM ps ORDER BY source
+    """,
     # near-dup pairs (same blocking + threshold as dedup_clusters)
     # attributed to their sources, unordered-pair normalized
     "near_dup_source_matrix": """

@@ -1227,6 +1227,36 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-source token shares and the resampling
+    weight that would equalize the mixture (weight = target_share /
+    actual_share with a uniform target) — the knob every training run
+    turns to rebalance over- and under-represented sources.
+
+    One shuffle to the per-source token aggregate; the total and the
+    source count come from an unpartitioned window over that ~S-row
+    aggregate (tiny by construction — never over the raw corpus).
+    """
+    documents = load(spark, sf_dir, "documents")
+    per_src = documents.groupBy("source").agg(
+        F.sum(F.expr(N_TOKENS)).alias("src_tokens")
+    )
+    w = W.partitionBy()
+    return (
+        per_src.withColumn("total", F.sum("src_tokens").over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(w))
+        .select(
+            "source",
+            "src_tokens",
+            F.round(F.col("src_tokens") / F.col("total"), 4).alias("share"),
+            F.round(
+                F.col("total") / (F.col("n_src") * F.col("src_tokens")), 4
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )
+
+
 def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which sources copy from each other: the verified near-dup pairs
     (prefix-blocked token-set Jaccard >= 0.5, same threshold as
@@ -1331,6 +1361,7 @@ PIPELINE_QUERIES = {
     "vocab_stats": vocab_stats,
     "repetition_ratio": repetition_ratio,
     "near_dup_source_matrix": near_dup_source_matrix,
+    "mixture_weights": mixture_weights,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
