@@ -828,6 +828,27 @@ _TSDB = {
                ROUND(quantile_cont(value, 0.99), 4) AS p99
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # alpha=1/2 EWMA: power-of-two weights keep the weighted sum in
+    # exact integer math; the only float op is the final division
+    "ewma_smooth": """
+        WITH e AS (
+          SELECT event_id, user_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        w AS (
+          SELECT event_id, user_id,
+                 list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                   AS l
+          FROM e)
+        SELECT event_id, user_id,
+               ROUND(CAST(list_sum(list_transform(l,
+                       (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1))))
+                     AS BIGINT)
+                     / CAST(((CAST(1 AS BIGINT) << len(l)) - 1) * 100
+                            AS DOUBLE), 4) AS ewma
+        FROM w ORDER BY event_id
+    """,
     # exact distinct is oracle-reproduced; the HLL estimate is
     # engine-private, so the oracle asserts the 3-sigma claim (ok=1)
     "hll_distinct_sketch": """

@@ -97,6 +97,39 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per series (the classic
+    TSDB smoother), alpha = 1/2 over a trailing 8-sample frame.
+
+    alpha = 1/2 is chosen so every weight is a power of two: with
+    integer cents in, the whole weighted sum is EXACT integer math
+    (cents * 2^(i-1), normalizer 2^n - 1) — no float accumulation
+    order to diverge between engines, short leading frames normalize
+    themselves, and the only float op is the final division. One
+    window pass, one shuffle on user_id.
+    """
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    scaled = F.expr(
+        "aggregate(zip_with(arr, sequence(1, size(arr)),"
+        " (x, i) -> x * shiftleft(cast(1 as bigint), i - 1)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    norm = F.expr(
+        "cast((shiftleft(cast(1 as bigint), size(arr)) - 1) * 100 as double)"
+    )
+    return (
+        events.withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .withColumn("arr", F.collect_list("cents").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(scaled / norm, 4).alias("ewma"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series time-weighted average: sum(value * dt) / sum(dt) with
     dt = seconds until the next point (the last point carries no
@@ -679,6 +712,7 @@ TSDB_QUERIES = {
     "value_percentiles": value_percentiles,
     "percentile_sketch": percentile_sketch,
     "hll_distinct_sketch": hll_distinct_sketch,
+    "ewma_smooth": ewma_smooth,
     "top3_per_group": top3_per_group,
     "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
