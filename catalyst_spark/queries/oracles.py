@@ -828,6 +828,33 @@ _TSDB = {
                ROUND(quantile_cont(value, 0.99), 4) AS p99
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # median/MAD outliers: 2x-scaled integer medians keep the flag an
+    # exact integer comparison in both engines
+    "robust_outliers": """
+        WITH c AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        m AS (
+          SELECT event_type, cents,
+                 CAST(2 * quantile_cont(cents, 0.5)
+                        OVER (PARTITION BY event_type) AS BIGINT) AS med2
+          FROM c),
+        d AS (
+          SELECT event_type, cents, med2,
+                 abs(2 * cents - med2) AS dev2
+          FROM m),
+        mm AS (
+          SELECT event_type, cents, med2, dev2,
+                 CAST(2 * quantile_cont(dev2, 0.5)
+                        OVER (PARTITION BY event_type) AS BIGINT) AS mad4
+          FROM d)
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               ROUND(MAX(med2) / CAST(200 AS DOUBLE), 2) AS med,
+               ROUND(MAX(mad4) / CAST(400 AS DOUBLE), 4) AS mad
+        FROM mm GROUP BY event_type ORDER BY event_type
+    """,
     # alpha=1/2 EWMA: power-of-two weights keep the weighted sum in
     # exact integer math; the only float op is the final division
     "ewma_smooth": """
@@ -896,6 +923,20 @@ _TSDB = {
                  AS jaccard
         FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id
+    """,
+    # exact >=5% document-frequency heavy hitters (integer threshold)
+    "heavy_hitters": """
+        WITH dfc AS (
+          SELECT t, COUNT(*) AS doc_freq FROM (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents)
+          GROUP BY t),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT t AS token, doc_freq,
+               ROUND(doc_freq * 1.0 / n_docs, 4) AS df_ratio
+        FROM dfc, n
+        WHERE doc_freq * 20 >= n_docs
+        ORDER BY doc_freq DESC, token
     """,
     # uniform-target resampling weights over per-source token shares
     "mixture_weights": """

@@ -1227,6 +1227,38 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters by document frequency: tokens present in
+    >= 5% of documents — stopword induction / vocabulary-pruning input.
+
+    Plan: per-doc DISTINCT tokens (array_distinct before the explode,
+    so a token repeated in one doc counts once), one groupBy on the
+    token, then an integer threshold (df * 20 >= n_docs <=> 5%)
+    against the broadcast scalar doc count. Exact — at 100 TB you'd
+    front this with a count-min/space-saving pass and verify only the
+    survivors, but the verify step IS this query.
+    """
+    documents = load(spark, sf_dir, "documents")
+    n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    df_counts = (
+        documents.select(
+            "doc_id", F.explode(F.expr(f"array_distinct({TOKENS})")).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .where(F.col("doc_freq") * 20 >= F.col("n_docs"))
+        .select(
+            F.col("t").alias("token"),
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("n_docs"), 4).alias("df_ratio"),
+        )
+        .orderBy(F.desc("doc_freq"), "token")
+    )
+
+
 def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing weights: per-source token shares and the resampling
     weight that would equalize the mixture (weight = target_share /
@@ -1362,6 +1394,7 @@ PIPELINE_QUERIES = {
     "repetition_ratio": repetition_ratio,
     "near_dup_source_matrix": near_dup_source_matrix,
     "mixture_weights": mixture_weights,
+    "heavy_hitters": heavy_hitters,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,

@@ -97,6 +97,45 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier counts per event type — the
+    anomaly screen that survives the heavy tails that wreck
+    mean/stddev z-scores (anomaly_zscore's fragile twin).
+
+    Exactness: medians of integer cents interpolate to halves at
+    worst, so 2x scaling keeps every intermediate (2*med, 2*dev,
+    2*mad) an exact integer and the outlier flag
+    (2*dev2 > 3*mad4 <=> |v - med| > 3 * MAD) is pure integer
+    comparison. Both percentile passes share one event_type window
+    partitioning — a single shuffle.
+    """
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    c = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    m = c.withColumn(
+        "med2",
+        (2 * F.expr("percentile(cents, 0.5)").over(w)).cast("long"),
+    ).withColumn("dev2", F.abs(2 * F.col("cents") - F.col("med2")))
+    mm = m.withColumn(
+        "mad4",
+        (2 * F.expr("percentile(dev2, 0.5)").over(w)).cast("long"),
+    )
+    return (
+        mm.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.round(F.max("med2") / F.expr("cast(200 as double)"), 2).alias("med"),
+            F.round(F.max("mad4") / F.expr("cast(400 as double)"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per series (the classic
     TSDB smoother), alpha = 1/2 over a trailing 8-sample frame.
@@ -713,6 +752,7 @@ TSDB_QUERIES = {
     "percentile_sketch": percentile_sketch,
     "hll_distinct_sketch": hll_distinct_sketch,
     "ewma_smooth": ewma_smooth,
+    "robust_outliers": robust_outliers,
     "top3_per_group": top3_per_group,
     "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
