@@ -537,6 +537,39 @@ _HASH_ORACLES = {
         JOIN sig b ON b.doc_id = c.b_id
         ORDER BY a_id, b_id
     """,
+    # merged per-source signatures (min-of-mins) vs exact source Jaccard
+    "source_minhash_similarity": f"""
+        WITH {_MINHASH_SIG},
+        src AS (SELECT doc_id, source FROM documents),
+        ssig AS (
+          SELECT src.source, {", ".join(
+              f"MIN(m{s}) AS m{s}" for s in range(_MINHASH_PERMS))}
+          FROM sig JOIN src ON sig.doc_id = src.doc_id
+          GROUP BY src.source),
+        sset AS (
+          SELECT DISTINCT src.source, u.h
+          FROM (SELECT doc_id, unnest(hset) AS h FROM sig) u
+          JOIN src ON u.doc_id = src.doc_id),
+        scount AS (SELECT source, COUNT(*) AS n FROM sset GROUP BY source),
+        inter AS (
+          SELECT x.source AS source_a, y.source AS source_b, COUNT(*) AS i
+          FROM sset x JOIN sset y
+            ON x.h = y.h AND x.source < y.source
+          GROUP BY x.source, y.source)
+        SELECT a.source AS source_a, b.source AS source_b,
+               ROUND(({" + ".join(
+                   f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END"
+                   for s in range(_MINHASH_PERMS))})
+                 / {_MINHASH_PERMS}.0, 4) AS est_jaccard,
+               ROUND(COALESCE(i.i, 0) * 1.0
+                     / (ca.n + cb.n - COALESCE(i.i, 0)), 4) AS jaccard
+        FROM ssig a
+        JOIN ssig b ON a.source < b.source
+        LEFT JOIN inter i ON i.source_a = a.source AND i.source_b = b.source
+        JOIN scount ca ON ca.source = a.source
+        JOIN scount cb ON cb.source = b.source
+        ORDER BY source_a, source_b
+    """,
     "dedup_embedding_lsh": f"""
         WITH v AS (
           SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -923,6 +956,14 @@ _TSDB = {
                  AS jaccard
         FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id
+    """,
+    # deterministic 90/5/5 content-hash split with per-(split,lang) audit
+    "train_val_test_split": f"""
+        SELECT CASE WHEN {_h60_duck('text')} % 100 < 90 THEN 'train'
+                    WHEN {_h60_duck('text')} % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, COUNT(*) AS n_docs
+        FROM documents GROUP BY split, lang ORDER BY split, lang
     """,
     # exact >=5% document-frequency heavy hitters (integer threshold)
     "heavy_hitters": """

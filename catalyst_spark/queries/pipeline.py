@@ -289,6 +289,87 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level similarity from MERGED MinHash sketches — the
+    mergeability demo that is the whole point of sketches at 100 TB:
+    a source's signature is the elementwise MIN of its documents'
+    signatures (min-of-mins == min over the source's shingle union),
+    so rollups to any grouping reuse the per-doc sketch index with NO
+    rescan of text. Estimate = signature agreement / 32 (exact binary
+    fraction), calibrated against the exact shingle-set Jaccard
+    computed the expensive way.
+
+    Plan: per-doc signatures come from the same persisted table as
+    dedup_minhash_pairs; the merge is a 20-row aggregate; exact
+    Jaccard shuffles only (source, shingle-hash) pairs.
+    """
+    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ssig = (
+        sig.join(src, "doc_id")
+        .groupBy("source")
+        .agg(*[F.min(f"m{s}").alias(f"m{s}") for s in range(_MINHASH_PERMS)])
+    )
+    a = ssig.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"m{s}").alias(f"a{s}") for s in range(_MINHASH_PERMS)],
+    )
+    b = ssig.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"m{s}").alias(f"b{s}") for s in range(_MINHASH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_MINHASH_PERMS)
+    )
+    pairs = a.join(b, F.col("source_a") < F.col("source_b")).select(
+        "source_a", "source_b",
+        F.round(matches / float(_MINHASH_PERMS), 4).alias("est_jaccard"),
+    )
+    sset = (
+        sig.select("doc_id", F.explode("hset").alias("h"))
+        .join(src, "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    scount = sset.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sset.alias("x")
+        .join(
+            sset.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(scount.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n", "na")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(scount.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n", "nb")),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "est_jaccard",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard over prefix-blocked candidate pairs.
 
@@ -1208,6 +1289,33 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# train/val/test boundaries on the 0..99 hash-bucket line
+_SPLIT_VAL_LO, _SPLIT_TEST_LO = 90, 95
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content hash
+    with a per-(split, lang) audit — the split every training run must
+    reproduce bit-for-bit across reruns, engines, and machines (RNG
+    splits silently reshuffle when partitioning changes; hash splits
+    never do). Hashing the TEXT, not the doc_id, keeps exact
+    duplicates in the same split — the standard leakage guard.
+    """
+    documents = load(spark, sf_dir, "documents")
+    bucket = F.expr(_h60("text")) % 100
+    split = (
+        F.when(bucket < _SPLIT_VAL_LO, "train")
+        .when(bucket < _SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    return (
+        documents.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
 def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary statistics per source: total tokens, distinct tokens,
     type-token ratio — the lexical-diversity screen for generated or
@@ -1381,6 +1489,7 @@ PIPELINE_QUERIES = {
     "dedup_token_set": dedup_token_set,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
+    "source_minhash_similarity": source_minhash_similarity,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
@@ -1395,6 +1504,7 @@ PIPELINE_QUERIES = {
     "near_dup_source_matrix": near_dup_source_matrix,
     "mixture_weights": mixture_weights,
     "heavy_hitters": heavy_hitters,
+    "train_val_test_split": train_val_test_split,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
