@@ -1008,6 +1008,27 @@ _TSDB = {
         GROUP BY source_lo, source_hi
         ORDER BY source_lo, source_hi
     """,
+    # ground truth for the prefix-filter join: brute-force ALL pairs
+    # >= 0.5 — the completeness guarantee makes the pruned algorithm's
+    # output equal the exhaustive one
+    "dedup_prefix_filter": """
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN range(1, len(toks) - 1)])
+                 ELSE [text] END AS tokset
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                FROM documents))
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ROUND(len(list_intersect(a.tokset, b.tokset)) * 1.0
+                     / len(list_distinct(list_concat(a.tokset, b.tokset))),
+                     4) AS jaccard
+        FROM p a JOIN p b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.tokset, b.tokset)) * 1.0
+              / len(list_distinct(list_concat(a.tokset, b.tokset))) >= 0.5
+        ORDER BY a_id, b_id
+    """,
     # connected components via recursive CTE: min reachable id per node
     # over the symmetric near-dup edge set (same pairs as
     # dedup_ngram_jaccard, thresholded)

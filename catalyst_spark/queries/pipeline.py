@@ -289,6 +289,76 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREFIX_JACCARD = 0.5
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with the prefix-filtering guarantee
+    (AllPairs/PPJoin family): order every doc's distinct tokens by
+    ascending global document frequency, keep only the first
+    n - ceil(theta*n) + 1 tokens as the "prefix", and equi-join on
+    prefix tokens. The theorem: two sets with Jaccard >= theta MUST
+    share a prefix token under any consistent global order — so unlike
+    content blocking (dedup_ngram_jaccard's first-3-tokens heuristic),
+    this finds ALL qualifying pairs, and the oracle can be brute-force
+    ground truth.
+
+    The set representation is the 3-token shingle set (the same one
+    minhash sketches): sequence-sensitive, so similarity is
+    discriminative even over a small shared vocabulary — raw token
+    SETS in this corpus overlap so heavily that theta=0.5 qualifies
+    most of the quadratic pair space, which is a statement about token
+    sets, not about the algorithm.
+
+    Scale shape: the df table is an aggregate over (doc, shingle)
+    pairs; rare-shingle prefixes make candidate buckets tiny (the
+    hottest shingle in a prefix is by construction the rarest in its
+    doc). Exact verification re-joins shingle sets by doc_id only for
+    candidates.
+    """
+    documents = load(spark, sf_dir, "documents")
+    tsets = _shingled(documents).withColumnRenamed("shingles", "tokset")
+    toks = tsets.select("doc_id", F.explode("tokset").alias("t"))
+    df_t = toks.groupBy("t").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = toks.join(df_t, "t")
+    lists = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("dfreq", "t"))).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(_PREFIX_JACCARD) * F.col("n")) + 1
+    ).cast("int")
+    prefix = lists.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.expr("transform(arr, x -> x.t)"), F.lit(1), prefix_len)
+        ).alias("t"),
+    )
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"),
+              (F.col("l.t") == F.col("r.t"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("a_id"),
+                F.col("r.doc_id").alias("b_id"))
+        .distinct()
+    )
+    return (
+        cand.join(tsets.select(F.col("doc_id").alias("a_id"),
+                               F.col("tokset").alias("ta")), "a_id")
+        .join(tsets.select(F.col("doc_id").alias("b_id"),
+                           F.col("tokset").alias("tb")), "b_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")),
+        )
+        .where(F.col("jaccard") >= _PREFIX_JACCARD)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
 def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-level similarity from MERGED MinHash sketches — the
     mergeability demo that is the whole point of sketches at 100 TB:
@@ -1491,6 +1561,7 @@ PIPELINE_QUERIES = {
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "source_minhash_similarity": source_minhash_similarity,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
     "contamination_overlap": contamination_overlap,

@@ -157,3 +157,10 @@ def test_near_dup_source_matrix_blocked_join(spark):
     plan = plan_of(spark, "near_dup_source_matrix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filter_no_cartesian(spark):
+    # candidate generation is an equi-join on prefix shingles
+    plan = plan_of(spark, "dedup_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
