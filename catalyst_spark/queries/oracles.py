@@ -1011,15 +1011,19 @@ _TSDB = {
     # ground truth for the prefix-filter join: brute-force ALL pairs
     # >= 0.5 — the completeness guarantee makes the pruned algorithm's
     # output equal the exhaustive one
-    "dedup_prefix_filter": """
-        WITH p AS (
+    "dedup_prefix_filter": f"""
+        WITH sh AS (
           SELECT doc_id,
                  CASE WHEN len(toks) >= 3 THEN
                    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                                   FOR i IN range(1, len(toks) - 1)])
-                 ELSE [text] END AS tokset
+                 ELSE [text] END AS shingles
           FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-                FROM documents))
+                FROM documents)),
+        p AS (
+          SELECT doc_id, list({_h60_duck('s')}) AS tokset
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+          GROUP BY doc_id)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                ROUND(len(list_intersect(a.tokset, b.tokset)) * 1.0
                      / len(list_distinct(list_concat(a.tokset, b.tokset))),

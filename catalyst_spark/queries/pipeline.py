@@ -315,33 +315,49 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hottest shingle in a prefix is by construction the rarest in its
     doc). Exact verification re-joins shingle sets by doc_id only for
     candidates.
+
+    Every join/sort key is the 60-bit shingle hash, never the shingle
+    string — the same "shuffle hashes, not text" rule as the minhash
+    family (string keys measured ~3x slower end-to-end here); the
+    oracle hashes identically, so set identity is preserved on both
+    sides.
     """
     documents = load(spark, sf_dir, "documents")
-    tsets = _shingled(documents).withColumnRenamed("shingles", "tokset")
-    toks = tsets.select("doc_id", F.explode("tokset").alias("t"))
-    df_t = toks.groupBy("t").agg(F.count(F.lit(1)).alias("dfreq"))
-    ranked = toks.join(df_t, "t")
+    toks = _shingled(documents).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.expr(_h60("sh")).alias("h"))
+    df_t = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = toks.join(df_t, "h")
     lists = ranked.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("dfreq", "t"))).alias("arr"),
+        F.sort_array(F.collect_list(F.struct("dfreq", "h"))).alias("arr"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).persist()  # feeds prefix explode AND both verify branches
     prefix_len = (
         F.col("n") - F.ceil(F.lit(_PREFIX_JACCARD) * F.col("n")) + 1
     ).cast("int")
     prefix = lists.select(
         "doc_id",
+        "n",
         F.explode(
-            F.slice(F.expr("transform(arr, x -> x.t)"), F.lit(1), prefix_len)
-        ).alias("t"),
+            F.slice(F.expr("transform(arr, x -> x.h)"), F.lit(1), prefix_len)
+        ).alias("h"),
     )
+    # length filter (PPJoin): |A| >= theta * |B| is necessary for
+    # J(A,B) >= theta, so size-mismatched bucket-mates never become
+    # candidate pairs
     cand = (
         prefix.alias("l")
         .join(prefix.alias("r"),
-              (F.col("l.t") == F.col("r.t"))
-              & (F.col("l.doc_id") < F.col("r.doc_id")))
+              (F.col("l.h") == F.col("r.h"))
+              & (F.col("l.doc_id") < F.col("r.doc_id"))
+              & (F.col("l.n") >= _PREFIX_JACCARD * F.col("r.n"))
+              & (F.col("r.n") >= _PREFIX_JACCARD * F.col("l.n")))
         .select(F.col("l.doc_id").alias("a_id"),
                 F.col("r.doc_id").alias("b_id"))
         .distinct()
+    )
+    tsets = lists.select(
+        "doc_id", F.expr("transform(arr, x -> x.h)").alias("tokset")
     )
     return (
         cand.join(tsets.select(F.col("doc_id").alias("a_id"),
