@@ -861,6 +861,17 @@ _TSDB = {
                ROUND(quantile_cont(value, 0.99), 4) AS p99
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # from-scratch daily rollup — the merged-partials identity target
+    "incremental_rollup_merge": """
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+               ROUND(SUM(CAST(round(value * 100) AS BIGINT))
+                     / CAST(100 AS DOUBLE), 2) AS total_value,
+               ROUND(MIN(CAST(round(value * 100) AS BIGINT))
+                     / CAST(100 AS DOUBLE), 2) AS min_value,
+               ROUND(MAX(CAST(round(value * 100) AS BIGINT))
+                     / CAST(100 AS DOUBLE), 2) AS max_value
+        FROM events GROUP BY day, event_type ORDER BY day, event_type
+    """,
     # median/MAD outliers: 2x-scaled integer medians keep the flag an
     # exact integer comparison in both engines
     "robust_outliers": """

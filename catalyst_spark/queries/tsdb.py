@@ -97,6 +97,59 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance identity: a daily rollup maintained
+    as two independent partial rollups (old partition + new increment,
+    split here at the time midpoint) and MERGED by re-aggregation must
+    equal the rollup computed from scratch — the algebraic-aggregate
+    mergeability every incremental 100 TB pipeline (and every streaming
+    checkpoint restore) silently relies on. The oracle computes the
+    from-scratch rollup; any non-mergeable aggregate slipped into the
+    partial pass would hash-fail.
+
+    counts and integer-cent sums re-combine exactly; min/max are
+    idempotent under merge. Each partial aggregates map-side before its
+    shuffle, and the merge aggregates the (tiny) union of partials.
+    """
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        cents.alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    mid = base.select(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    halves = base.crossJoin(F.broadcast(mid))
+
+    def partial(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    old = partial(halves.where(F.col("us") < F.col("mid")))
+    inc = partial(halves.where(F.col("us") >= F.col("mid")))
+    return (
+        old.unionAll(inc)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_cents") / F.expr("cast(100 as double)"), 2)
+            .alias("total_value"),
+            F.round(F.min("min_cents") / F.expr("cast(100 as double)"), 2)
+            .alias("min_value"),
+            F.round(F.max("max_cents") / F.expr("cast(100 as double)"), 2)
+            .alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier counts per event type — the
     anomaly screen that survives the heavy tails that wreck
@@ -753,6 +806,7 @@ TSDB_QUERIES = {
     "hll_distinct_sketch": hll_distinct_sketch,
     "ewma_smooth": ewma_smooth,
     "robust_outliers": robust_outliers,
+    "incremental_rollup_merge": incremental_rollup_merge,
     "top3_per_group": top3_per_group,
     "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
