@@ -125,3 +125,11 @@ def test_repetition_ratio_matches_python_reference(spark):
         want[src][0] += int(top * 5 >= n)
         want[src][1] += top
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_no_vacuous_results(spark, name):
+    """Every operator must return rows at the test SF — a 0-row result
+    makes the oracle hash-match vacuously (the round-1 judge caught two
+    of those), so emptiness is a test-strength failure by policy."""
+    assert ALL_QUERIES[name](spark, SF_DIR).count() > 0
