@@ -633,6 +633,29 @@ _TSDB = {
             FROM events) g) t
         GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
+    # unordered event-type pairs co-occurring within a session
+    "session_cooccurrence": """
+        WITH baskets AS (
+          SELECT DISTINCT user_id, session_id, event_type FROM (
+            SELECT user_id, event_type,
+                   CAST(1 + SUM(gap_flag)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id
+            FROM (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS gap_flag
+              FROM events) g) t)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_sessions
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id
+                      AND a.session_id = b.session_id
+                      AND a.event_type <= b.event_type
+        GROUP BY type_a, type_b ORDER BY type_a, type_b
+    """,
     "ts_rate": """
         SELECT event_id, user_id, ROUND(dv / dt, 4) + 0.0 AS rate FROM (
           SELECT event_id, user_id,

@@ -77,6 +77,49 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence within sessions (the market-basket
+    read over sessionized telemetry): for every unordered type pair,
+    how many sessions contain both. Drives "users who error also
+    retry"-style analyses.
+
+    Plan: the same single-window sessionization as `sessionize`, then
+    distinct (user, session, type) — the per-session basket, at most
+    5 types wide — self-joined per session. The join key is the
+    session, so the pair space is per-basket (<= 5x5), never global.
+    Counts are pure integers.
+    """
+    events = load(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "gap_flag",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_order)
+            > 1800 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    baskets = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("gap_flag").over(
+                w_order.rowsBetween(W.unboundedPreceding, 0)
+            ) + 1,
+        )
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    a = baskets.withColumnRenamed("event_type", "type_a")
+    b = baskets.withColumnRenamed("event_type", "type_b")
+    return (
+        a.join(b, ["user_id", "session_id"])
+        .where(F.col("type_a") <= F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("type_a", "type_b")
+    )
+
+
 def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series rate of change (the counter->rate read of every TSDB):
     (v - lag(v)) / seconds-elapsed over the per-user timeline."""
@@ -807,6 +850,7 @@ TSDB_QUERIES = {
     "ewma_smooth": ewma_smooth,
     "robust_outliers": robust_outliers,
     "incremental_rollup_merge": incremental_rollup_merge,
+    "session_cooccurrence": session_cooccurrence,
     "top3_per_group": top3_per_group,
     "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
