@@ -537,6 +537,26 @@ _HASH_ORACLES = {
         JOIN sig b ON b.doc_id = c.b_id
         ORDER BY a_id, b_id
     """,
+    # banded-LSH recall against the complete >= 0.5 pair set (both from
+    # the shared signature CTE; exact side is brute-force over hsets)
+    "lsh_recall_vs_exact": f"""
+        WITH {_MINHASH_SIG},
+        exact AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.hset, b.hset)) * 1.0
+                / len(list_distinct(list_concat(a.hset, b.hset))) >= 0.5),
+        bands AS (
+          SELECT doc_id, unnest([{{buckets}}]) AS bucket FROM sig),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+          FROM bands l JOIN bands r
+            ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
+        SELECT COUNT(*) AS n_exact, COUNT(c.a_id) AS n_found,
+               ROUND(COUNT(c.a_id) * 1.0 / COUNT(*), 4) AS recall
+        FROM exact e LEFT JOIN cand c
+          ON e.a_id = c.a_id AND e.b_id = c.b_id
+    """.replace("{buckets}", _MINHASH_BUCKETS),
     # merged per-source signatures (min-of-mins) vs exact source Jaccard
     "source_minhash_similarity": f"""
         WITH {_MINHASH_SIG},

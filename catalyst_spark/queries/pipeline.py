@@ -375,6 +375,29 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of MinHash-LSH banding against COMPLETE ground
+    truth: the prefix-filter join (provably finds every pair with
+    Jaccard >= 0.5) is the denominator, the banded candidate set the
+    numerator. This is the number that justifies trusting the sketch
+    path at 100 TB, measured rather than quoted from the (1-(1-s^r)^b)
+    curve — and it is deterministic here because both sides are.
+
+    Cost shape: both inputs are the already-bucketed plans (band
+    equi-join, prefix equi-join); the final comparison joins two tiny
+    pair sets.
+    """
+    _sig, cand = _minhash_sig_cand(spark, sf_dir)
+    exact = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
+    return exact.join(
+        cand.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_found"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
 def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-level similarity from MERGED MinHash sketches — the
     mergeability demo that is the whole point of sketches at 100 TB:
@@ -1578,6 +1601,7 @@ PIPELINE_QUERIES = {
     "source_minhash_similarity": source_minhash_similarity,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_prefix_filter": dedup_prefix_filter,
+    "lsh_recall_vs_exact": lsh_recall_vs_exact,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
     "contamination_overlap": contamination_overlap,
