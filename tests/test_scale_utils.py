@@ -138,3 +138,50 @@ def test_salted_collect_set_equivalence(spark):
     want = {r["k"]: sorted(r["s"]) for r in
             df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()}
     assert got == want
+
+
+def test_stream_batch_downsample_equivalence(spark, tmp_path):
+    """Lambda-architecture consistency: replaying a corpus through the
+    watermarked streaming rollup must equal the batch groupBy over the
+    same parsed rows — else backfill (batch) and live (stream) paths
+    silently diverge."""
+    import random
+
+    from catalyst_spark.parsers import parse_graphite
+
+    rng = random.Random(11)
+    t0 = 1546420000
+    lines = "".join(
+        f"s{rng.randint(0, 4)} {rng.randint(1, 99) / 2} {t0 + rng.randint(0, 3600)}\n"
+        for _ in range(300)
+    )
+    d = tmp_path / "in_eq"
+    d.mkdir()
+    (d / "b.txt").write_text(lines)
+    now_us = 1_700_000_000_000_000
+
+    gts = ingest_stream(stream_lines(spark, str(d)), "graphite",
+                        parse_hierarchy=False, now_us=now_us)
+    q = (stream_downsample(gts).writeStream.outputMode("update")
+         .format("memory").queryName("eq_stream").start())
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r["window_start"], r["name"]): (r["n"], r["sum_d"], r["max_l"])
+        for r in spark.sql("select * from eq_stream").collect()
+    }
+
+    batch_gts = parse_graphite(
+        spark.createDataFrame([(ln,) for ln in lines.splitlines()], "line string"),
+        parse_hierarchy=False, now_us=now_us,
+    )
+    batched = {
+        (r["w"]["start"], r["name"]): (r["n"], r["sum_d"], r["max_l"])
+        for r in batch_gts.withColumn(
+            "event_time", F.timestamp_micros(F.col("ts"))
+        ).groupBy(F.window("event_time", "5 minutes").alias("w"), F.col("name"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_d").alias("sum_d"),
+             F.max("value_l").alias("max_l"))
+        .collect()
+    }
+    assert streamed == batched
