@@ -119,12 +119,15 @@ def extract_meta(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
+            # zip over columns, not iterrows: per-row Series construction
+            # costs ~10x the byte sniffing itself on large Arrow batches
+            for mid, kind, raw in zip(pdf["media_id"], pdf["kind"],
+                                      pdf["payload"]):
+                payload = bytes(raw)
                 m = sniff_meta(payload)
                 out.append({
-                    "media_id": row["media_id"],
-                    "kind": row["kind"],
+                    "media_id": mid,
+                    "kind": kind,
                     **m,
                     "n_bytes": len(payload),
                 })
@@ -179,13 +182,13 @@ def image_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw)
                 if _HAVE_PIL:
                     feats = _pil_features(payload)
                 else:
                     feats = _fake_floats(payload, FEATURE_DIM, "imgfeat")
-                out.append({"media_id": row["media_id"], "features": feats})
+                out.append({"media_id": mid, "features": feats})
             yield pd.DataFrame(out, columns=["media_id", "features"])
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
@@ -202,13 +205,13 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> Data
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw)
                 n = min(max_frames, max(1, len(payload) // max(every_n, 1)))
                 step = max(1, len(payload) // max(n, 1))
                 for k in range(n):
                     out.append({
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "frame_idx": k,
                         "frame": payload[k * step: k * step + step],
                     })
