@@ -27,8 +27,10 @@ def test_rows_only_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_every_oracle_key_has_query():
-    assert set(ORACLE_SQL) <= set(ALL_QUERIES)
+def test_every_query_is_oracle_checked():
+    # exact equality, not subset: a new operator without a DuckDB twin
+    # would silently downgrade to the weak rows-only gate
+    assert set(ORACLE_SQL) == set(ALL_QUERIES)
 
 
 def test_entry_smoke(spark):
