@@ -904,6 +904,20 @@ _TSDB = {
                ROUND(quantile_cont(value, 0.99), 4) AS p99
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # equi-depth (quantile) bins; deterministic ntile tie-break
+    "equi_depth_bins": """
+        SELECT event_type, bin, COUNT(*) AS n,
+               MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+        FROM (
+          SELECT event_type, cents,
+                 CAST(ntile(10) OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id)
+                      AS BIGINT) AS bin
+          FROM (SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events) c) t
+        GROUP BY event_type, bin ORDER BY event_type, bin
+    """,
     # from-scratch daily rollup — the merged-partials identity target
     "incremental_rollup_merge": """
         SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,

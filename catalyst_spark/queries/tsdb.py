@@ -140,6 +140,38 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH binning (quantile buckets) of event values — the
+    feature-engineering discretization where every bin holds the same
+    row count, vs value_histogram's equi-width bins. ntile with a
+    deterministic tie-break (value, event_id) makes bin edges exact in
+    both engines; output reports each bin's span and population, in
+    cents at the edges so the hash never sees float noise.
+
+    One shuffle: ntile ranks once over the value order, the per-bin
+    aggregate reuses that partitioning.
+    """
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ranked = events.select(
+        "event_type", cents.alias("cents"), "event_id"
+    ).withColumn(
+        "bin",
+        F.ntile(10).over(
+            W.partitionBy("event_type").orderBy("cents", "event_id")
+        ).cast("long"),
+    )
+    return (
+        ranked.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
 def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-view-maintenance identity: a daily rollup maintained
     as two independent partial rollups (old partition + new increment,
@@ -851,6 +883,7 @@ TSDB_QUERIES = {
     "robust_outliers": robust_outliers,
     "incremental_rollup_merge": incremental_rollup_merge,
     "session_cooccurrence": session_cooccurrence,
+    "equi_depth_bins": equi_depth_bins,
     "top3_per_group": top3_per_group,
     "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
