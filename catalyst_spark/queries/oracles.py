@@ -904,6 +904,31 @@ _TSDB = {
                ROUND(quantile_cont(value, 0.99), 4) AS p99
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # lag/lead feature matrix in exact cents, one window partitioning
+    "lag_features": """
+        SELECT event_id, user_id, cents,
+               lag(cents, 1) OVER w AS lag1_cents,
+               lag(cents, 2) OVER w AS lag2_cents,
+               lead(cents, 1) OVER w AS lead1_cents,
+               epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events) c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    # growth curve: first-seen day per user, then a running sum
+    "user_growth_curve": """
+        WITH fs AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+          FROM events GROUP BY user_id),
+        pd AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day)
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users
+        FROM pd ORDER BY day
+    """,
     # equi-depth (quantile) bins; deterministic ntile tie-break
     "equi_depth_bins": """
         SELECT event_type, bin, COUNT(*) AS n,

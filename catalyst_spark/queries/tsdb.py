@@ -140,6 +140,56 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature matrix for time-series models:
+    per-series lag-1/lag-2 and lead-1 of the value plus the gap to the
+    previous point — the windowing step every forecasting pipeline
+    runs before training. All four features share ONE (user_id, ts)
+    window partitioning — a single shuffle; values stay in exact cents.
+    """
+    events = load(spark, sf_dir, "events")
+    # ordering by the µs long is the same total order as (ts, event_id)
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select(
+            "event_id", "user_id", cents.alias("cents"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            F.lag("cents", 1).over(w).alias("lag1_cents"),
+            F.lag("cents", 2).over(w).alias("lag2_cents"),
+            F.lead("cents", 1).over(w).alias("lead1_cents"),
+            (F.col("us") - F.lag("us", 1).over(w)).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct-users-by-day (the growth curve): running
+    COUNT(DISTINCT) is not a window aggregate anywhere, so the scalable
+    formulation is first-seen-day per user (one aggregate) -> new users
+    per day -> running sum over the tiny day table. Two shuffles, the
+    second over ~150 rows — never a distinct-per-prefix recompute.
+    """
+    events = load(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_day.withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
 def equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH binning (quantile buckets) of event values — the
     feature-engineering discretization where every bin holds the same
@@ -884,6 +934,8 @@ TSDB_QUERIES = {
     "incremental_rollup_merge": incremental_rollup_merge,
     "session_cooccurrence": session_cooccurrence,
     "equi_depth_bins": equi_depth_bins,
+    "lag_features": lag_features,
+    "user_growth_curve": user_growth_curve,
     "top3_per_group": top3_per_group,
     "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
