@@ -10,7 +10,52 @@ from catalyst_spark.queries.pipeline import PIPELINE_QUERIES
 from catalyst_spark.queries.tsdb import TSDB_QUERIES
 from catalyst_spark.queries.oracles import ORACLE_SQL
 
-ALL_QUERIES = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **TSDB_QUERIES}
+def _interleave(*groups):
+    """Round-robin the query groups so the driver's 50-entry CORRECTNESS
+    window (insertion order) samples every family each round instead of
+    leaving a permanent blind spot at the tail (VERDICT r2 item 2)."""
+    iters = [iter(g.items()) for g in groups]
+    out = {}
+    while iters:
+        nxt = []
+        for it in iters:
+            try:
+                k, v = next(it)
+            except StopIteration:
+                continue
+            out[k] = v
+            nxt.append(it)
+        iters = nxt
+    return out
+
+
+def _prioritize(group, first):
+    """Move ``first`` keys to the front of a group (keys the driver has
+    never emitted a CORRECTNESS row for go first so they land inside the
+    50-entry window this round)."""
+    ordered = {k: group[k] for k in first if k in group}
+    ordered.update((k, v) for k, v in group.items() if k not in ordered)
+    return ordered
+
+
+_TSDB_PRIORITY = [
+    "sessionize", "ts_rate", "counter_rate", "rolling_window_7d",
+    "funnel_conversion", "retention_cohorts", "gap_fill", "anomaly_zscore",
+    "series_correlation", "time_weighted_avg", "ts_downsample",
+    "ohlc_downsample", "range_join_events", "distinct_sketch",
+    "pivot_event_counts", "value_histogram",
+]
+
+_PIPELINE_PRIORITY = [
+    "ann_ivf_topk", "ann_recall_at_5", "text_stats", "lang_id_confusion",
+    "token_counts", "doc_fingerprint",
+]
+
+ALL_QUERIES = _interleave(
+    RELATIONAL_QUERIES,
+    _prioritize(PIPELINE_QUERIES, _PIPELINE_PRIORITY),
+    _prioritize(TSDB_QUERIES, _TSDB_PRIORITY),
+)
 
 __all__ = [
     "RELATIONAL_QUERIES",

@@ -155,8 +155,8 @@ _RELATIONAL = {
           FROM part GROUP BY 1)
         SELECT p_partkey, p.p_brand,
                ROUND(p_retailprice, 2) AS p_retailprice,
-               CAST(round(p_retailprice * 100) AS BIGINT) * n_parts
-                 - sum_cents AS margin_x_n_cents
+               CAST(CAST(round(p_retailprice * 100) AS BIGINT) * n_parts
+                 - sum_cents AS BIGINT) AS margin_x_n_cents
         FROM part p JOIN b USING (p_brand)
         WHERE CAST(round(p_retailprice * 100) AS BIGINT) * n_parts > sum_cents
         ORDER BY p_partkey
