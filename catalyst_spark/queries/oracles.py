@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from catalyst_spark.queries.pipeline import (
     STOPWORDS,
-    _CLUSTER_JACCARD,
     _CONTAM_EVAL_SOURCE,
     _CONTAM_MIN_SHARED,
     _PACK_CAPACITY,
@@ -36,6 +35,35 @@ from catalyst_spark.queries.tsdb import _KMV_K, _KMV_SPACE
 def _h60_duck(expr: str) -> str:
     """DuckDB twin of pipeline._h60 (md5-prefix 60-bit bigint)."""
     return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# Brute-force ALL 3-shingle-set pairs with Jaccard >= 0.5: ground truth
+# for dedup_prefix_filter, and — because that join is provably complete
+# at theta >= 0.5 — the shared edge set of the dedup_clusters /
+# dedup_keep_one / near_dup_source_matrix oracles. (CTE fragment; the
+# consumers prepend WITH [RECURSIVE].)
+_SHINGLE_PAIRS_CTE = """
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN range(1, len(toks) - 1)])
+                 ELSE [text] END AS shingles
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                FROM documents)),
+        p AS (
+          SELECT doc_id, list({h60}) AS tokset
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+          GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 len(list_intersect(a.tokset, b.tokset)) * 1.0
+                   / len(list_distinct(list_concat(a.tokset, b.tokset)))
+                   AS jaccard
+          FROM p a JOIN p b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.tokset, b.tokset)) * 1.0
+                / len(list_distinct(list_concat(a.tokset, b.tokset)))
+                >= 0.5)""".format(h60=_h60_duck("s"))
 
 # ---------------------------------------------------------------------------
 # relational surface (SURVEY §2.6, verbatim)
@@ -1084,20 +1112,16 @@ _TSDB = {
                      / (COUNT(*) OVER () * src_tokens), 4) AS uniform_weight
         FROM ps ORDER BY source
     """,
-    # near-dup pairs (same blocking + threshold as dedup_clusters)
+    # the COMPLETE near-dup pair set (same edges as dedup_clusters)
     # attributed to their sources, unordered-pair normalized
-    "near_dup_source_matrix": """
-        WITH p AS (
-          SELECT doc_id, source,
-                 array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
-                 list_distinct(string_split(text, ' ')) AS tokset
-          FROM documents)
-        SELECT least(a.source, b.source) AS source_lo,
-               greatest(a.source, b.source) AS source_hi,
+    "near_dup_source_matrix": f"""
+        WITH {_SHINGLE_PAIRS_CTE}
+        SELECT least(sa.source, sb.source) AS source_lo,
+               greatest(sa.source, sb.source) AS source_hi,
                COUNT(*) AS n_pairs
-        FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.tokset, b.tokset))
-              / len(list_distinct(list_concat(a.tokset, b.tokset))) >= 0.5
+        FROM pairs
+        JOIN documents sa ON sa.doc_id = pairs.a_id
+        JOIN documents sb ON sb.doc_id = pairs.b_id
         GROUP BY source_lo, source_hi
         ORDER BY source_lo, source_hi
     """,
@@ -1105,42 +1129,15 @@ _TSDB = {
     # >= 0.5 — the completeness guarantee makes the pruned algorithm's
     # output equal the exhaustive one
     "dedup_prefix_filter": f"""
-        WITH sh AS (
-          SELECT doc_id,
-                 CASE WHEN len(toks) >= 3 THEN
-                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                                  FOR i IN range(1, len(toks) - 1)])
-                 ELSE [text] END AS shingles
-          FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-                FROM documents)),
-        p AS (
-          SELECT doc_id, list({_h60_duck('s')}) AS tokset
-          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
-          GROUP BY doc_id)
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               ROUND(len(list_intersect(a.tokset, b.tokset)) * 1.0
-                     / len(list_distinct(list_concat(a.tokset, b.tokset))),
-                     4) AS jaccard
-        FROM p a JOIN p b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.tokset, b.tokset)) * 1.0
-              / len(list_distinct(list_concat(a.tokset, b.tokset))) >= 0.5
-        ORDER BY a_id, b_id
+        WITH {_SHINGLE_PAIRS_CTE}
+        SELECT a_id, b_id, ROUND(jaccard, 4) AS jaccard
+        FROM pairs ORDER BY a_id, b_id
     """,
     # connected components via recursive CTE: min reachable id per node
-    # over the symmetric near-dup edge set (same pairs as
-    # dedup_ngram_jaccard, thresholded)
+    # over the symmetric COMPLETE near-dup edge set (same brute-force
+    # shingle pairs that ground-truth dedup_prefix_filter)
     "dedup_clusters": f"""
-        WITH RECURSIVE p AS (
-          SELECT doc_id,
-                 array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
-                 list_distinct(string_split(text, ' ')) AS tokset
-          FROM documents),
-        pairs AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.tokset, b.tokset))
-                / len(list_distinct(list_concat(a.tokset, b.tokset)))
-                >= {_CLUSTER_JACCARD}),
+        WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
         edges AS (
           SELECT a_id AS u, b_id AS v FROM pairs
           UNION
@@ -1153,17 +1150,7 @@ _TSDB = {
         FROM reach GROUP BY u ORDER BY doc_id
     """,
     "dedup_keep_one": f"""
-        WITH RECURSIVE p AS (
-          SELECT doc_id,
-                 array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
-                 list_distinct(string_split(text, ' ')) AS tokset
-          FROM documents),
-        pairs AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.tokset, b.tokset))
-                / len(list_distinct(list_concat(a.tokset, b.tokset)))
-                >= {_CLUSTER_JACCARD}),
+        WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
         edges AS (
           SELECT a_id AS u, b_id AS v FROM pairs
           UNION

@@ -342,20 +342,34 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = lists.select(
         "doc_id",
         "n",
-        F.explode(
+        F.posexplode(
             F.slice(F.expr("transform(arr, x -> x.h)"), F.lit(1), prefix_len)
-        ).alias("h"),
+        ).alias("pos", "h"),
     )
     # length filter (PPJoin): |A| >= theta * |B| is necessary for
     # J(A,B) >= theta, so size-mismatched bucket-mates never become
-    # candidate pairs
+    # candidate pairs.
+    #
+    # positional filter (PPJoin): a shared prefix token at 0-based
+    # positions (pa, pb) bounds the overlap by
+    #   1 + min(|A| - pa - 1, |B| - pb - 1)
+    # (the token itself plus the shorter remaining suffix; sound at the
+    # FIRST common token because nothing common precedes it, and the
+    # first common token of a qualifying pair provably sits inside both
+    # prefixes). J >= 1/2 needs overlap >= (|A|+|B|)/3, so the keep
+    # condition is the integer-exact 3*(1 + min(...)) >= |A| + |B| —
+    # pairs whose only shared prefix tokens sit too deep are pruned
+    # before the expensive verify join ever sees them.
     cand = (
         prefix.alias("l")
         .join(prefix.alias("r"),
               (F.col("l.h") == F.col("r.h"))
               & (F.col("l.doc_id") < F.col("r.doc_id"))
               & (F.col("l.n") >= _PREFIX_JACCARD * F.col("r.n"))
-              & (F.col("r.n") >= _PREFIX_JACCARD * F.col("l.n")))
+              & (F.col("r.n") >= _PREFIX_JACCARD * F.col("l.n"))
+              & (3 * (1 + F.least(F.col("l.n") - F.col("l.pos") - 1,
+                                  F.col("r.n") - F.col("r.pos") - 1))
+                 >= F.col("l.n") + F.col("r.n")))
         .select(F.col("l.doc_id").alias("a_id"),
                 F.col("r.doc_id").alias("b_id"))
         .distinct()
@@ -521,7 +535,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 60  # width of the portable _h60 token hash
 
 
-_CLUSTER_JACCARD = 0.5
+# cluster edges = dedup_prefix_filter pairs (shingle Jaccard >= 0.5);
+# kept as a named constant because the oracle SQL quotes the threshold
+_CLUSTER_JACCARD = _PREFIX_JACCARD
 _CLUSTER_MAX_ITERS = 20
 
 
@@ -531,8 +547,16 @@ _CC_LABEL_CACHE: dict = {}  # (applicationId, sf_dir) -> converged labels
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id,
     cluster_id) where cluster_id = min doc_id reachable through pairs
-    with Jaccard >= 0.5 — the step every dedup pipeline needs between
-    "candidate pairs" and "keep one per group".
+    with shingle-set Jaccard >= 0.5 — the step every dedup pipeline
+    needs between "candidate pairs" and "keep one per group".
+
+    Edges come from dedup_prefix_filter — the join with the
+    prefix-filtering COMPLETENESS guarantee — so the clustering (and
+    dedup_keep_one, the artifact a training run consumes) provably
+    contains every qualifying pair. r2 used the first-3-token content
+    blocker here, which silently missed near-dups whose openings
+    differ; the complete edge set costs nothing extra because the
+    prefix join's signature table is persisted and shared.
 
     Iterative min-label propagation: each round joins labels to the
     symmetric edge list and takes the neighborhood minimum, converging
@@ -556,11 +580,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached.select(
             "doc_id", F.col("label").alias("cluster_id")
         ).orderBy("doc_id")
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .where(F.col("jaccard") >= _CLUSTER_JACCARD)
-        .select("a_id", "b_id")
-    )
+    pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
     edges = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).persist()
@@ -1511,37 +1531,22 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which sources copy from each other: the verified near-dup pairs
-    (prefix-blocked token-set Jaccard >= 0.5, same threshold as
-    dedup_clusters) rolled up to an unordered (source, source) matrix —
-    the diagnostic that tells a corpus owner where the mirror/scrape
-    overlap actually lives before they pick what to drop.
+    """Which sources copy from each other: the COMPLETE near-dup pair
+    set (dedup_prefix_filter, shingle-set Jaccard >= 0.5 — the same
+    edges dedup_clusters clusters on) rolled up to an unordered
+    (source, source) matrix — the diagnostic that tells a corpus owner
+    where the mirror/scrape overlap actually lives before they pick
+    what to drop. r2 built this on the first-3-token content blocker,
+    so cross-source copies with edited openings were invisible —
+    exactly the pairs this matrix exists to surface.
 
-    The pair side reuses the blocked equi-join shape (no all-pairs);
-    source attribution is two joins against the tiny (doc_id, source)
-    projection, then least/greatest normalizes the pair so A-copies-B
-    and B-copies-A count together.
+    The pair side reuses the persisted prefix-join signature table (no
+    all-pairs); source attribution is two joins against the tiny
+    (doc_id, source) projection, then least/greatest normalizes the
+    pair so A-copies-B and B-copies-A count together.
     """
     docs = load(spark, sf_dir, "documents")
-    prepared = docs.select(
-        "doc_id",
-        F.expr(f"concat_ws(' ', slice({TOKENS}, 1, 3))").alias("block_key"),
-        F.expr(f"array_distinct({TOKENS})").alias("tokset"),
-    )
-    a = prepared.select(F.col("doc_id").alias("a_id"),
-                        "block_key", F.col("tokset").alias("ta"))
-    b = prepared.select(F.col("doc_id").alias("b_id"),
-                        "block_key", F.col("tokset").alias("tb"))
-    pairs = (
-        a.join(b, ["block_key"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(
-            F.size(F.array_intersect("ta", "tb"))
-            / F.size(F.array_union("ta", "tb"))
-            >= _CLUSTER_JACCARD
-        )
-        .select("a_id", "b_id")
-    )
+    pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
     src = docs.select("doc_id", "source")
     attributed = (
         pairs.join(src.withColumnRenamed("doc_id", "a_id")

@@ -129,6 +129,35 @@ def test_repetition_ratio_matches_python_reference(spark):
     assert got == {k: tuple(v) for k, v in want.items()}
 
 
+def test_clusters_catch_edited_openings(spark, tmp_path):
+    """Two near-dups whose FIRST THREE tokens differ must land in one
+    cluster — exactly the pair class the r2 first-3-token content
+    blocker could never see. Edges now come from dedup_prefix_filter
+    (complete for Jaccard >= 0.5), so the cluster and the keep-one
+    materialization both recover it."""
+    from catalyst_spark.queries.pipeline import dedup_clusters, dedup_keep_one
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = "a very different opening " + base
+    texts = [
+        (0, base),
+        (1, edited),  # shares every 3-shingle of base; opening differs
+        (2, "completely unrelated filler words about maritime law and tax"),
+    ]
+    rows = [(i, t, "en", "srcT", len(t)) for i, t in texts]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in dedup_clusters(spark, d).collect()}
+    assert labels.get(0) == 0 and labels.get(1) == 0, labels
+    assert 2 not in labels  # unrelated doc forms no pair at all
+    kept = {r["doc_id"] for r in dedup_keep_one(spark, d).collect()}
+    assert kept == {0, 2}
+
+
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_no_vacuous_results(spark, name):
     """Every operator must return rows at the test SF — a 0-row result
