@@ -138,7 +138,7 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "catalyst_spark_all_queries_runtime",
         "value": total,
         "unit": "sec",
@@ -150,7 +150,37 @@ def main() -> None:
         "influx_lines": n_influx,
         "lsh_candidate_pairs": lsh_cand,
         "lsh_all_pairs": n_vec * (n_vec - 1) // 2,
-    }))
+    }
+
+    # machine-checked regression tracking: ratio vs the previous run's
+    # committed summary (only at the same sf — cross-sf ratios are noise)
+    summary_path = REPO / "bench_summary.json"
+    try:
+        prev = json.loads(summary_path.read_text())
+    except (OSError, ValueError):
+        prev = None
+    if prev and prev.get("sf") == sf and prev.get("queries"):
+        pq = prev["queries"]
+        payload["prev_value"] = prev.get("value")
+        payload["vs_prev"] = {
+            n: round(t / pq[n], 2) for n, t in timings.items()
+            if pq.get(n)
+        }
+        # flag only material regressions (>1.3x AND >0.3 s absolute —
+        # sub-second timings swing with ambient load)
+        payload["regressions"] = sorted(
+            n for n, r in payload["vs_prev"].items()
+            if r > 1.3 and timings[n] - pq[n] > 0.3
+        )
+
+    # the driver keeps only a bounded stdout TAIL, which can truncate
+    # this (long) line — the durable copy lives in bench_summary.json
+    summary_path.write_text(json.dumps(payload, indent=1) + "\n")
+    print(json.dumps(payload), flush=True)
+    # compact trailer (no per-query map) small enough to always fit in a
+    # truncated tail window
+    print(json.dumps({k: v for k, v in payload.items()
+                      if k not in ("queries", "vs_prev")}), flush=True)
 
 
 if __name__ == "__main__":
