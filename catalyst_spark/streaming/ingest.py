@@ -88,6 +88,27 @@ def graphite_tcp_ingest(
     )
 
 
+def graphite_tcp_ingest_framed(
+    conn_lines: DataFrame,
+    parse_hierarchy: bool = True,
+    now_us: int | None = None,
+) -> DataFrame:
+    """S3 head with exact per-connection framing parity (quirk A.6):
+    a (conn_id, line_seq, line) stream — a TCP front that tags each
+    line with its connection and sequence, e.g. a Kafka topic keyed by
+    connection — is length-framed with cross-batch state exactly like
+    catalyser/graphite.go:240-273, then Graphite-parsed. The plain
+    socket source (no connection identity) keeps the per-line
+    strip_token_prefix head in graphite_tcp_ingest."""
+    from catalyst_spark.streaming.stateful import stream_frame_connections
+
+    framed = stream_frame_connections(conn_lines)
+    return parse_graphite(
+        framed, parse_hierarchy=parse_hierarchy, now_us=now_us,
+        keep_cols=("token",),
+    )
+
+
 def ingest_stream(lines: DataFrame, protocol: str, **parser_kwargs: Any) -> DataFrame:
     """lines/bodies stream -> canonical GTS stream (+ parse_error)."""
     try:
