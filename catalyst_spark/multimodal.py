@@ -9,15 +9,17 @@ What is REAL here (tested, no external libs):
 - container metadata sniffing straight off the payload bytes: PNG IHDR
   width/height, JPEG SOFn dimensions, WAV fmt chunk (channels, sample
   rate, bit depth), magic-number kind detection;
+- PNG pixel decode (stdlib zlib inflate + scanline unfilter + luma +
+  box-average thumbnail) — image_features on PNGs is real pixel math;
 - the Spark plumbing: schemas, mapInPandas signatures, Arrow batch
   shapes, balanced repartitioning by payload size.
 
 What is STUBBED (this container ships no PIL/ffmpeg — the decode body
 is behind an import-try):
-- full pixel decode / resize / video frame sampling fall back to a
-  clearly-marked deterministic fake (xxhash-derived) so the pipeline
+- JPEG pixel decode / video frame sampling fall back to a
+  clearly-marked deterministic fake (digest-derived) so the pipeline
   shape is exercisable end-to-end; with PIL installed the same entry
-  points do the real decode.
+  points do the real decode for those formats too.
 """
 
 from __future__ import annotations
@@ -156,6 +158,105 @@ def _fake_floats(payload: bytes, n: int, salt: str) -> list[float]:
     return out
 
 
+def _png_decode_gray(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib PNG decode to 8-bit grayscale pixels (row-major).
+
+    Implements the PNG spec directly (public format: RFC 2083): chunk
+    walk, IHDR geometry, IDAT concat + zlib inflate, per-scanline
+    unfilter (None/Sub/Up/Average/Paeth), then ITU-R 601-2 luma for
+    color images — so PNG features are REAL pixel math in this
+    container, no PIL needed. Supports the mainline encodings
+    (8-bit depth, gray / gray+alpha / RGB / RGBA, non-interlaced);
+    anything else raises and the caller falls back.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos: pos + 4])
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError("unsupported PNG encoding")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG data")
+    gray: list[int] = []
+    prev = bytearray(stride)
+    off = 0
+    for _y in range(h):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1: off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:    # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b, c = prev[i], (prev[i - channels] if i >= channels else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        if channels in (1, 2):      # gray / gray+alpha
+            gray.extend(line[0::channels])
+        else:                       # RGB / RGBA -> 601-2 luma
+            gray.extend(
+                (line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114) // 1000
+                for i in range(0, stride, channels)
+            )
+        prev = line
+    return w, h, gray
+
+
+def _png_features(payload: bytes) -> list[float] | None:
+    """PNG -> 4x4 box-averaged grayscale thumbnail, scaled to [-1, 1]
+    (FEATURE_DIM floats) — the pixel-real no-dependency path."""
+    try:
+        w, h, gray = _png_decode_gray(payload)
+    except Exception:
+        return None
+    feats = []
+    for by in range(4):
+        y0, y1 = by * h // 4, max((by + 1) * h // 4, by * h // 4 + 1)
+        y0, y1 = min(y0, h - 1), min(y1, h)
+        for bx in range(4):
+            x0, x1 = bx * w // 4, max((bx + 1) * w // 4, bx * w // 4 + 1)
+            x0, x1 = min(x0, w - 1), min(x1, w)
+            tot = n = 0
+            for y in range(y0, max(y1, y0 + 1)):
+                row = y * w
+                for x in range(x0, max(x1, x0 + 1)):
+                    tot += gray[row + x]
+                    n += 1
+            feats.append(tot / n / 127.5 - 1.0)
+    return feats
+
+
 def _pil_features(payload: bytes) -> list[float]:
     """Real decode path: 4x4 grayscale thumbnail, pixels scaled to
     [-1, 1] — FEATURE_DIM (16) floats. Runs only when PIL is present."""
@@ -171,12 +272,12 @@ def _pil_features(payload: bytes) -> list[float]:
 def image_features(df: DataFrame) -> DataFrame:
     """image payloads -> FEATURE_DIM float features.
 
-    With PIL installed the real decode runs (4x4 grayscale thumbnail,
-    normalized pixels). Without it (this container), a deterministic
-    clearly-marked fake keeps the plumbing — schema, batch shape,
-    partitioning — fully exercisable. The real path gates on _HAVE_PIL,
-    so installing the dependency upgrades the operator rather than
-    changing its shape.
+    Decode ladder: PIL if installed (any format) -> pure-stdlib PNG
+    decode (REAL pixel math: zlib inflate + scanline unfilter + luma +
+    4x4 box average; no dependencies) -> deterministic clearly-marked
+    fake (JPEG/video only — nothing in the stdlib can inflate DCT
+    entropy coding). Installing PIL upgrades the remaining formats
+    without changing the operator's shape.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -184,9 +285,15 @@ def image_features(df: DataFrame) -> DataFrame:
             out = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(raw)
+                feats = None
                 if _HAVE_PIL:
-                    feats = _pil_features(payload)
-                else:
+                    try:
+                        feats = _pil_features(payload)
+                    except Exception:
+                        feats = None
+                if feats is None:
+                    feats = _png_features(payload)
+                if feats is None:
                     feats = _fake_floats(payload, FEATURE_DIM, "imgfeat")
                 out.append({"media_id": mid, "features": feats})
             yield pd.DataFrame(out, columns=["media_id", "features"])

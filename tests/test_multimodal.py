@@ -125,3 +125,106 @@ def test_image_features_real_decode_with_pil(spark):
     feats = image_features(df).collect()[0]["features"]
     assert len(feats) == FEATURE_DIM
     assert all(-1.0 <= x <= 1.0 for x in feats)
+
+
+# --- real PNG pixel decode (no PIL): encoder below writes spec-valid
+# PNGs with a CHOSEN scanline filter so every unfilter branch is hit.
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _z
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels, w, h, color=2, filter_type=0) -> bytes:
+    """Minimal spec-correct PNG writer. pixels = row-major tuples (or
+    ints for gray); the requested filter is APPLIED (delta-encoded) so
+    decoding must actually undo it."""
+    import zlib as _z
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * channels
+    flat = []
+    for px in pixels:
+        flat.extend((px,) if isinstance(px, int) else tuple(px))
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        line = bytearray(flat[y * stride:(y + 1) * stride])
+        enc = bytearray(line)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b, c = prev[i], (prev[i - channels] if i >= channels else 0)
+            if filter_type == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif filter_type == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif filter_type == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif filter_type == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.append(filter_type)
+        raw.extend(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def test_png_decode_pixel_features_no_pil():
+    """Features must be PIXEL-derived: solid white -> all 1.0; a
+    half-black/half-white image -> -1.0 cells left, 1.0 cells right."""
+    from catalyst_spark.multimodal import _png_features
+
+    white = encode_png([(255, 255, 255)] * 64, 8, 8)
+    assert _png_features(white) == [1.0] * 16
+
+    split = [((0, 0, 0) if x < 4 else (255, 255, 255))
+             for _y in range(8) for x in range(8)]
+    f = _png_features(encode_png(split, 8, 8))
+    assert f is not None
+    for i, v in enumerate(f):
+        assert v == (-1.0 if i % 4 < 2 else 1.0)
+
+
+def test_png_unfilter_all_filter_types():
+    """The same image encoded under Sub/Up/Average/Paeth must decode to
+    identical features as the filter-0 encoding."""
+    from catalyst_spark.multimodal import _png_features
+
+    import random
+    rng = random.Random(7)
+    img = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(12 * 10)]
+    base = _png_features(encode_png(img, 12, 10, filter_type=0))
+    assert base is not None
+    for ft in (1, 2, 3, 4):
+        assert _png_features(encode_png(img, 12, 10, filter_type=ft)) == base
+
+
+def test_png_gray_and_rgba_colortypes():
+    from catalyst_spark.multimodal import _png_features
+
+    gray = encode_png([128] * 16, 4, 4, color=0)
+    f = _png_features(gray)
+    assert f is not None and all(abs(v - (128 / 127.5 - 1)) < 1e-9 for v in f)
+    rgba = encode_png([(10, 200, 30, 255)] * 16, 4, 4, color=6)
+    f2 = _png_features(rgba)
+    luma = (10 * 299 + 200 * 587 + 30 * 114) // 1000
+    assert f2 is not None and all(abs(v - (luma / 127.5 - 1)) < 1e-9 for v in f2)
+
+
+def test_image_features_operator_uses_real_png_path(spark):
+    """End-to-end through mapInPandas: a decodable PNG yields the
+    pixel-derived features, NOT the digest fake."""
+    from catalyst_spark.multimodal import _fake_floats, image_features
+
+    payload = encode_png([(255, 255, 255)] * 64, 8, 8)
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=bytearray(payload))])
+    (row,) = image_features(df).collect()
+    assert row["features"] == [1.0] * 16
+    assert row["features"] != _fake_floats(payload, 16, "imgfeat")
