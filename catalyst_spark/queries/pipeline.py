@@ -27,7 +27,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from catalyst_spark.tables import load
@@ -197,6 +197,62 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("a_id", "b_id")
 
 
+def _band_buckets_array() -> Column:
+    """LSH band buckets from signature columns m0..m31: an array of 8
+    per-band hashes (band index salted in, so bands never collide with
+    each other). Shared by the batch self-join and the streaming
+    stream-vs-index join — identical bucketing by construction."""
+    return F.array(
+        *[
+            F.expr(_h60(
+                "concat_ws(',', "
+                + ", ".join(
+                    [str(b)]
+                    + [f"m{_MINHASH_ROWS * b + r}" for r in range(_MINHASH_ROWS)]
+                )
+                + ")"
+            ))
+            for b in range(_MINHASH_BANDS)
+        ]
+    )
+
+
+def minhash_signatures_rowwise(docs: DataFrame) -> DataFrame:
+    """Stateless per-ROW MinHash signatures: m_s = min over the doc's
+    shingle hashes of the universal hash, computed with array
+    expressions only — no explode, no aggregation, so it runs
+    unmodified on a STREAMING DataFrame (append mode, no watermark
+    needed). Values are identical to the batch explode+groupBy
+    formulation (_minhash_sig_cand) by construction: same _h60 shingle
+    hash, same (a, b) coefficients.
+
+    The batch path keeps the explode+groupBy shape because the Generate
+    barrier stops CollapseProject from inlining the shingle build into
+    all 32 permutation lambdas (see dedup_minhash_pairs docstring); in
+    the per-batch streaming setting batches are small and statelessness
+    is what matters.
+    """
+    a_lst, b_lst = _minhash_coeffs()
+    hs = f"transform(shingles, sh -> {_h60('sh')})"
+    return _shingled(docs).select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform({hs}, h -> "
+                f"({a_lst[s]} * (h % {_MINHASH_P}) + {b_lst[s]}) % {_MINHASH_P}))"
+            ).alias(f"m{s}")
+            for s in range(_MINHASH_PERMS)
+        ],
+    )
+
+
+def minhash_index_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted signature index's (doc_id, bucket) table — the
+    static side of the incremental stream-vs-index near-dup join."""
+    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    return sig.select("doc_id", F.explode(_band_buckets_array()).alias("bucket"))
+
+
 def _minhash_sig_cand(spark: SparkSession, sf_dir: str):
     """Shared MinHash machinery: the persisted signature table (hset +
     m0..m31) and the banded candidate pairs. Identical logical plans
@@ -226,20 +282,7 @@ def _minhash_sig_cand(spark: SparkSession, sf_dir: str):
     # self-join branch inside the first action (the cache only wins
     # after one branch finishes) — measured 2x on the signature build
     sig.count()
-    band_cols = F.array(
-        *[
-            F.expr(_h60(
-                "concat_ws(',', "
-                + ", ".join(
-                    [str(b)]
-                    + [f"m{_MINHASH_ROWS * b + r}" for r in range(_MINHASH_ROWS)]
-                )
-                + ")"
-            ))
-            for b in range(_MINHASH_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_cols).alias("bucket"))
+    bands = sig.select("doc_id", F.explode(_band_buckets_array()).alias("bucket"))
 
     cand = (
         bands.alias("l")

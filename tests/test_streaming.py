@@ -327,3 +327,47 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(store).select("name", "value_d").collect()
     assert sorted((r["name"], r["value_d"]) for r in rows) == [
         ("m.one", 1.0), ("m.three", 3.0), ("m.two", 2.0)]
+
+
+def test_stream_minhash_matches_batch(spark, tmp_path):
+    """Incremental near-dup: replaying the corpus as a stream against
+    its own persisted signature index must produce exactly the batch
+    operator's banded candidate set — including pairs whose two docs
+    arrive in DIFFERENT micro-batches (the index join, not intra-batch
+    state, carries them)."""
+    import json
+
+    from catalyst_spark.queries.pipeline import (
+        _minhash_sig_cand,
+        minhash_index_bands,
+    )
+    from catalyst_spark.streaming.minhash import stream_minhash_candidates
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    _sig, cand = _minhash_sig_cand(spark, SF_DIR)
+    batch_pairs = {(r["a_id"], r["b_id"]) for r in cand.collect()}
+    assert batch_pairs  # vacuous replay would prove nothing
+
+    index = minhash_index_bands(spark, SF_DIR)
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    d = tmp_path / "docs"
+    d.mkdir()
+    half = len(docs) // 2
+    for fname, chunk in (("b1.json", docs[:half]), ("b2.json", docs[half:])):
+        (d / fname).write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_minhash_candidates(stream, index)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("mh_cand").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["a_id"], r["b_id"])
+           for r in spark.sql("select * from mh_cand").collect()}
+    assert got == batch_pairs
