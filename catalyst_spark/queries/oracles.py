@@ -1100,6 +1100,37 @@ _TSDB = {
         WHERE doc_freq * 20 >= n_docs
         ORDER BY doc_freq DESC, token
     """,
+    # count-min sketch calibration: 4x512 bucket sums from the exact tf
+    # table, estimate = min over rows, integer-exact overestimate
+    "approx_topk_tokens": f"""
+        WITH tf AS (
+          SELECT t, COUNT(*) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY t),
+        rws AS (SELECT unnest(range(4)) AS r),
+        bs AS (
+          SELECT r,
+                 {_h60_duck("CAST(r AS VARCHAR) || ':' || t")} % 512 AS bucket,
+                 CAST(SUM(cnt) AS BIGINT) AS bsum
+          FROM tf, rws GROUP BY 1, 2),
+        top AS (
+          SELECT t, cnt, rnk FROM (
+            SELECT t, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, t) AS rnk
+            FROM tf) x
+          WHERE rnk <= 25),
+        probes AS (
+          SELECT top.t, top.cnt, top.rnk, rws.r,
+                 {_h60_duck("CAST(rws.r AS VARCHAR) || ':' || top.t")} % 512
+                   AS bucket
+          FROM top, rws)
+        SELECT p.rnk, p.t AS token, CAST(p.cnt AS BIGINT) AS exact_cnt,
+               CAST(MIN(bs.bsum) AS BIGINT) AS cms_est,
+               CAST(MIN(bs.bsum) - p.cnt AS BIGINT) AS overestimate
+        FROM probes p JOIN bs ON bs.r = p.r AND bs.bucket = p.bucket
+        GROUP BY p.rnk, p.t, p.cnt
+        ORDER BY p.rnk
+    """,
     # uniform-target resampling weights over per-source token shares
     "mixture_weights": """
         WITH ps AS (

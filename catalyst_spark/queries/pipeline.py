@@ -1543,6 +1543,79 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry: 4 hash rows x 512 buckets; top-25 report.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_TOPK = 25
+
+
+def _cms_probe_array(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> Column:
+    """(row, bucket) probes for token column t — one md5-derived hash
+    per sketch row, salted by the row index (same derivation the DuckDB
+    oracle reproduces literally)."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            (F.expr(_h60(f"concat('{r}:', t)")) % width).alias("bucket"),
+        )
+        for r in range(depth)
+    ])
+
+
+def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch calibration against the exact token counts —
+    the approx-top-k pattern a 100 TB pipeline actually runs (sketch
+    pass -> candidate set -> exact verify), with the sketch's
+    overestimate MEASURED per token instead of quoted from the
+    eps = e/width bound. CMS never underestimates (est = min over rows
+    of bucket sums, every bucket sum includes the token's own count),
+    and the reported overestimate is exactly the hash-collision mass —
+    deterministic here because the hashes are.
+
+    Plan shape: one shuffle to the exact term-frequency table (the
+    sketch is built FROM it — same counts as a streaming CMS would
+    accumulate, without a second corpus scan); bucket sums are a
+    (depth x width)-row aggregate; the top-k rank runs on the
+    vocabulary-sized tf table (at 100 TB: orderBy+limit, not a global
+    window). Integer-only output — bit-exact in any engine.
+    """
+    documents = load(spark, sf_dir, "documents")
+    tf = (
+        documents.select(F.explode(F.expr(TOKENS)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()  # feeds bucket sums AND the top-k rank
+    )
+    rb = tf.select(
+        "cnt", F.explode(_cms_probe_array()).alias("rb")
+    ).select("cnt", "rb.r", "rb.bucket")
+    bsums = rb.groupBy("r", "bucket").agg(F.sum("cnt").alias("bsum"))
+    top = (
+        tf.select(
+            "t", "cnt",
+            F.row_number()
+            .over(W.orderBy(F.col("cnt").desc(), "t"))
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= _CMS_TOPK)
+    )
+    probes = top.select(
+        "t", "cnt", "rnk", F.explode(_cms_probe_array()).alias("rb")
+    ).select("t", "cnt", "rnk", "rb.r", "rb.bucket")
+    est = (
+        probes.join(bsums, ["r", "bucket"])
+        .groupBy("t", "cnt", "rnk")
+        .agg(F.min("bsum").alias("cms_est"))
+    )
+    return est.select(
+        "rnk",
+        F.col("t").alias("token"),
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).alias("overestimate"),
+    ).orderBy("rnk")
+
+
 def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing weights: per-source token shares and the resampling
     weight that would equalize the mixture (weight = target_share /
@@ -1667,6 +1740,7 @@ PIPELINE_QUERIES = {
     "near_dup_source_matrix": near_dup_source_matrix,
     "mixture_weights": mixture_weights,
     "heavy_hitters": heavy_hitters,
+    "approx_topk_tokens": approx_topk_tokens,
     "train_val_test_split": train_val_test_split,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,

@@ -164,3 +164,14 @@ def test_no_vacuous_results(spark, name):
     makes the oracle hash-match vacuously (the round-1 judge caught two
     of those), so emptiness is a test-strength failure by policy."""
     assert ALL_QUERIES[name](spark, SF_DIR).count() > 0
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min property: estimate >= exact for every reported token
+    (each bucket sum contains the token's own count)."""
+    from catalyst_spark.queries.pipeline import approx_topk_tokens
+
+    rows = approx_topk_tokens(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
