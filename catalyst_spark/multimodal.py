@@ -335,20 +335,43 @@ def balance_by_size(df: DataFrame, partitions: int, payload_col: str = "payload"
     Range-partitioning on the size key does the opposite (it clusters
     the largest payloads together).
 
-    Scale note: the global row_number is one narrow pass over (size,
-    id) pairs — not payloads — and at extreme scale the same striping
-    works on per-bucket ranks (rank within coarse size buckets) with
-    no global sort at all.
+    The rank is computed WITHIN coarse log2-size buckets (one window
+    per bucket, partition-parallel), not as one global sort: rows in
+    the same power-of-two bucket differ by <2x in cost, so striping
+    them round-robin per bucket balances byte sums just as well while
+    removing the single-task global Window.orderBy funnel — the 100 TB
+    scale fix the r2 version only sketched in a comment. Each bucket's
+    stripe phase is offset by the cumulative count of smaller buckets
+    (a <=64-row aggregate, broadcast back), which keeps the global
+    assignment an exact round robin: stripe weights balanced to ±1 row
+    — no stripe systematically collects every bucket's largest payload,
+    and the range exchange never sees skewed key weights (whose bound
+    placement can otherwise degenerate).
     """
     from pyspark.sql import Window, functions as F
 
-    rr = (
-        F.row_number().over(
-            Window.orderBy(F.length(F.col(payload_col)).desc())
-        ) % partitions
-    ).alias("_rr")
+    size = F.length(F.col(payload_col))
+    with_bk = df.withColumn("_bk", F.floor(F.log2(size + F.lit(1))))
+    offsets = (
+        with_bk.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bk")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    rank0 = (
+        F.row_number().over(Window.partitionBy("_bk").orderBy(size.desc())) - 1
+    )
     return (
-        df.withColumn("_rr", rr)
+        with_bk.join(F.broadcast(offsets), "_bk")
+        .withColumn("_rr", (rank0 + F.col("_off")) % partitions)
         .repartitionByRange(partitions, "_rr")
-        .drop("_rr")
+        .drop("_bk", "_off", "_rr")
     )
