@@ -3,9 +3,9 @@
 Reference semantics (ref catalyser/opentsdb.go:31-144):
 - the body may carry arbitrary leading bytes, discarded until the first
   '[' or '{' (:38-58); '[' first -> array of points, '{' first -> single
-  point (trailing bytes after a solo object are ignored by Go's
-  json.Decoder; we parse the object strictly — documented deviation only
-  for garbage-after-JSON bodies).
+  point; trailing bytes after a solo object are ignored exactly like
+  Go's json.Decoder (the matching close brace is found with a
+  string-aware depth scan and the body truncated there).
 - point: {"metric": s, "timestamp": int, "value": any, "tags": {s: s}}
 - JSON value typing follows encoding/json into interface{}: number ->
   float64, string -> string, bool -> bool (:25-26). We recover the JSON
@@ -33,6 +33,37 @@ _VAL_D = "array<struct<value:double>>"
 _VAL_B = "array<struct<value:boolean>>"
 _VAL_S = "array<struct<value:string>>"
 
+# 1-based position of the close brace matching _clean's leading '{'
+# (string-aware JSON depth scan; -1 if the object never closes).
+# State: d = brace depth, instr/esc = inside-string / just-escaped,
+# pos = found end (freezes the scan), i = chars consumed.
+_MATCH_END = """
+    aggregate(
+      split(_clean, ''),
+      named_struct('d', 0, 'instr', false, 'esc', false,
+                   'pos', -1, 'i', 0),
+      (a, c) -> named_struct(
+        'd', CASE WHEN a.pos >= 0 OR a.instr THEN a.d
+                  WHEN c = '{' THEN a.d + 1
+                  WHEN c = '}' THEN a.d - 1
+                  ELSE a.d END,
+        'instr', CASE WHEN a.pos >= 0 THEN a.instr
+                      WHEN a.instr THEN
+                        CASE WHEN a.esc THEN true
+                             WHEN c = '"' THEN false
+                             ELSE true END
+                      ELSE c = '"' END,
+        'esc', CASE WHEN a.pos >= 0 THEN false
+                    WHEN a.instr AND NOT a.esc AND c = '\\\\' THEN true
+                    ELSE false END,
+        'pos', CASE WHEN a.pos >= 0 THEN a.pos
+                    WHEN NOT a.instr AND c = '}' AND a.d = 1
+                      THEN a.i + 1
+                    ELSE -1 END,
+        'i', a.i + 1),
+      a -> a.pos)
+"""
+
 
 def parse_opentsdb(
     df: DataFrame, body_col: str = "body", now_us: int | None = None
@@ -49,12 +80,27 @@ def parse_opentsdb(
     pos_arr = F.instr(body, "[")
     pos_obj = F.instr(body, "{")
     start = F.least(F.nullif(pos_arr, F.lit(0)), F.nullif(pos_obj, F.lit(0)))
-    clean = F.substring(body, start, 2147483647)
+    pre = df.select(
+        start.alias("_start"),
+        F.substring(body, start, 2147483647).alias("_clean"),
+    )
+    clean = F.col("_clean")
     solo = clean.startswith("{")
+    # Go's json.Decoder reads ONE complete value and ignores trailing
+    # bytes (opentsdb.go:63-104: a solo object followed by garbage still
+    # ingests). Reproduce by scanning for the solo object's matching
+    # close brace — a string-aware depth counter over the characters
+    # (JVM lambda, no Python) — and truncating there; no match leaves
+    # the body as-is, which fails the parse exactly like Go's
+    # incomplete-JSON decode error.
+    solo_end = F.expr(_MATCH_END)
+    clean = F.when(
+        solo & (solo_end > 0), F.substring(clean, 1, solo_end)
+    ).otherwise(clean)
     as_array = F.when(solo, F.concat(F.lit("["), clean, F.lit("]"))).otherwise(clean)
 
-    parsed = df.select(
-        start.alias("_start"),
+    parsed = pre.select(
+        "_start",
         F.from_json(as_array, _BASE).alias("base"),
         F.from_json(as_array, _VAL_D).alias("vd"),
         F.from_json(as_array, _VAL_B).alias("vb"),

@@ -151,6 +151,31 @@ class TestOpenTSDB:
         [r] = self.parse(spark, ["plain garbage"])
         assert r["parse_error"] == "Failed to parse datapoint - EOF"
 
+    def test_solo_with_trailing_garbage(self, spark):
+        """Go's json.Decoder reads ONE value and ignores trailing bytes
+        (opentsdb.go:63-104) — including garbage that itself contains
+        braces and quotes, and values whose STRINGS contain '}'."""
+        [r] = self.parse(spark, [
+            'xx{"metric": "m", "timestamp": 1346846400, "value": "a}b", '
+            '"tags": {"h": "w1"}}trailing {"not": "parsed"} }}'
+        ])
+        assert r["parse_error"] is None
+        assert r["name"] == "m"
+        assert r["value_s"] == "a}b" and r["value_type"] == "string"
+        assert r["labels"] == {"h": "w1"}
+
+    def test_solo_unclosed_object_is_error(self, spark):
+        [r] = self.parse(spark, ['{"metric": "m", "timestamp": 1'])
+        assert r["parse_error"] is not None
+
+    def test_solo_escaped_quote_in_string(self, spark):
+        [r] = self.parse(spark, [
+            '{"metric": "m", "timestamp": 1, "value": "q\\"}", '
+            '"tags": {}}extra'
+        ])
+        assert r["parse_error"] is None
+        assert r["value_s"] == 'q"}'
+
 
 # ---------------------------------------------------------------------------
 # Prometheus exposition (§3.3)
