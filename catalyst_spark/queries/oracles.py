@@ -1197,6 +1197,88 @@ _TSDB = {
         WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
         ORDER BY d.doc_id
     """,
+    # keep-best variant: cluster representative = longest doc (doc_id
+    # tie-break) over the same complete edge set
+    "dedup_keep_best": f"""
+        WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION
+          SELECT b_id AS u, a_id AS v FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u),
+        cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+        ranked AS (
+          SELECT d.doc_id,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                                    ORDER BY d.n_chars DESC, d.doc_id) AS rk
+          FROM documents d JOIN cl ON cl.doc_id = d.doc_id),
+        losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+        ORDER BY d.doc_id
+    """,
+    "dedup_rate_by_source": f"""
+        WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION
+          SELECT b_id AS u, a_id AS v FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u),
+        losers AS (
+          SELECT u AS doc_id FROM reach GROUP BY u HAVING u != MIN(r))
+        SELECT d.source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               ROUND(SUM(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 4) AS keep_ratio
+        FROM documents d LEFT JOIN losers l USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
+    """,
+    # corpus-hapax share per source over per-doc DISTINCT tokens
+    "rare_token_ratio": """
+        WITH dt AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(string_split(text, ' '))) AS t
+          FROM documents),
+        tdf AS (SELECT t, COUNT(*) AS tdf FROM dt GROUP BY t)
+        SELECT source, COUNT(*) AS n_distinct_tokens,
+               CAST(SUM(CASE WHEN tdf <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               ROUND(SUM(CASE WHEN tdf <= 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 4) AS hapax_ratio
+        FROM dt JOIN tdf USING (t)
+        GROUP BY source ORDER BY source
+    """,
+    # first-seen 3-shingle novelty share per source
+    "ngram_novelty": f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN range(1, len(toks) - 1)])
+                 ELSE [text] END AS shingles
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                FROM documents)),
+        shr AS (
+          SELECT doc_id, {_h60_duck('s')} AS h
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        fs AS (SELECT h, MIN(doc_id) AS first_id FROM shr GROUP BY h)
+        SELECT d.source, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN shr.doc_id = fs.first_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN shr.doc_id = fs.first_id THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 4) AS novelty_ratio
+        FROM shr JOIN fs USING (h)
+        JOIN documents d ON d.doc_id = shr.doc_id
+        GROUP BY d.source ORDER BY d.source
+    """,
     "distinctive_terms": """
         WITH toks AS (
           SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -1270,6 +1270,123 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_keep_one's production variant: per near-dup cluster keep
+    the BEST document (longest text, doc_id tie-break) instead of the
+    smallest id — what pipelines actually do, since near-dups often
+    differ by truncation and the longest copy carries the most signal.
+
+    Same memoized clustering as dedup_keep_one (complete prefix-filter
+    edges); the representative choice is one row_number window over the
+    cluster-sized label table, never the corpus."""
+    documents = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    ranked = (
+        clusters.join(documents.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("cluster_id")
+                .orderBy(F.col("n_chars").desc(), "doc_id")
+            ),
+        )
+    )
+    losers = ranked.where(F.col("_rk") > 1).select("doc_id")
+    return (
+        documents.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup audit every corpus owner reports: per source, how many
+    documents survive near-dup removal (dedup_keep_one semantics) and
+    the survival ratio. One join of the corpus against the cluster-
+    loser set, one source-sized aggregate."""
+    documents = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    losers = clusters.where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id").withColumn("_lost", F.lit(1))
+    return (
+        documents.select("doc_id", "source")
+        .join(losers, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_lost").isNull(), 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            "source", "n_docs", "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 4).alias("keep_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_RARE_DF_MAX = 1  # hapax legomena: tokens appearing in exactly one doc
+
+
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hapax quality signal: per source, the share of per-doc
+    DISTINCT tokens that occur in no other document — high ratios flag
+    OCR noise, boilerplate mangling, or synthetic gibberish; low ratios
+    flag templated text. Integer counts end to end (one df aggregate on
+    the token, one join back), ratio rounded only at the surface."""
+    documents = load(spark, sf_dir, "documents")
+    doc_toks = documents.select(
+        "doc_id", "source",
+        F.explode(F.expr(f"array_distinct({TOKENS})")).alias("t"),
+    )
+    tok_df = doc_toks.groupBy("t").agg(F.count(F.lit(1)).alias("tdf"))
+    return (
+        doc_toks.join(tok_df, "t")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(F.when(F.col("tdf") <= _RARE_DF_MAX, 1).otherwise(0))
+            .alias("n_hapax"),
+        )
+        .select(
+            "source", "n_distinct_tokens", "n_hapax",
+            F.round(F.col("n_hapax") / F.col("n_distinct_tokens"), 4)
+            .alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty: per source, the share of its documents'
+    3-shingles that are FIRST seen in that document (first = smallest
+    doc_id over the corpus) — the measure an append-only ingest uses to
+    decide whether new data still adds content or just re-crawls.
+    Shuffle keys are 8-byte shingle hashes; first-seen is one min
+    aggregate over them."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingled(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.expr(_h60("s")).alias("h"))
+    first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        sh.join(first_seen, "h")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("doc_id") == F.col("first_id"), 1).otherwise(0))
+            .alias("n_novel"),
+        )
+        .select(
+            "source", "n_shingles", "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4)
+            .alias("novelty_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 _CONTAM_MIN_SHARED = 3
 _CONTAM_EVAL_SOURCE = "src0"
 
@@ -1741,6 +1858,10 @@ PIPELINE_QUERIES = {
     "mixture_weights": mixture_weights,
     "heavy_hitters": heavy_hitters,
     "approx_topk_tokens": approx_topk_tokens,
+    "dedup_keep_best": dedup_keep_best,
+    "dedup_rate_by_source": dedup_rate_by_source,
+    "rare_token_ratio": rare_token_ratio,
+    "ngram_novelty": ngram_novelty,
     "train_val_test_split": train_val_test_split,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
