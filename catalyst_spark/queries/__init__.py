@@ -49,6 +49,9 @@ _TSDB_PRIORITY = [
 _PIPELINE_PRIORITY = [
     "ann_ivf_topk", "ann_recall_at_5", "text_stats", "lang_id_confusion",
     "token_counts", "doc_fingerprint",
+    # new in r3 — no driver row yet
+    "approx_topk_tokens", "dedup_keep_best", "dedup_rate_by_source",
+    "rare_token_ratio", "ngram_novelty",
 ]
 
 ALL_QUERIES = _interleave(
