@@ -164,3 +164,28 @@ def test_prefix_filter_no_cartesian(spark):
     plan = plan_of(spark, "dedup_prefix_filter")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r3_operators_no_cartesian_no_python(spark):
+    # every r3 addition stays an equi-join plan with zero Python
+    for q in ("approx_topk_tokens", "dedup_keep_best",
+              "dedup_rate_by_source", "rare_token_ratio", "ngram_novelty"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "EvalPython" not in plan, q
+        assert "PythonUDF" not in plan, q
+
+
+def test_cms_bucket_sums_partial_agg(spark):
+    # the sketch bucket sums must map-side combine (tf table -> 4x512
+    # rows), never shuffle raw token rows per sketch row
+    plan = plan_of(spark, "approx_topk_tokens")
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_ngram_novelty_shuffles_hashes_only(spark):
+    # the first-seen join is keyed on the 8-byte shingle hash; the raw
+    # shingle strings must not survive past the projection
+    plan = plan_of(spark, "ngram_novelty")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
