@@ -1707,20 +1707,23 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt", F.explode(_cms_probe_array()).alias("rb")
     ).select("cnt", "rb.r", "rb.bucket")
     bsums = rb.groupBy("r", "bucket").agg(F.sum("cnt").alias("bsum"))
+    # top-k via TakeOrderedAndProject (per-task top-k + merge), then the
+    # rank window runs on the k-row result — never a global sort of the
+    # vocabulary
     top = (
-        tf.select(
+        tf.orderBy(F.col("cnt").desc(), "t").limit(_CMS_TOPK)
+        .select(
             "t", "cnt",
             F.row_number()
             .over(W.orderBy(F.col("cnt").desc(), "t"))
             .alias("rnk"),
         )
-        .where(F.col("rnk") <= _CMS_TOPK)
     )
     probes = top.select(
         "t", "cnt", "rnk", F.explode(_cms_probe_array()).alias("rb")
     ).select("t", "cnt", "rnk", "rb.r", "rb.bucket")
     est = (
-        probes.join(bsums, ["r", "bucket"])
+        F.broadcast(probes).join(bsums, ["r", "bucket"])
         .groupBy("t", "cnt", "rnk")
         .agg(F.min("bsum").alias("cms_est"))
     )
