@@ -51,7 +51,7 @@ _PIPELINE_PRIORITY = [
     "token_counts", "doc_fingerprint",
     # new in r3 — no driver row yet
     "approx_topk_tokens", "dedup_keep_best", "dedup_rate_by_source",
-    "rare_token_ratio", "ngram_novelty",
+    "rare_token_ratio", "ngram_novelty", "embedding_norm_outliers",
 ]
 
 ALL_QUERIES = _interleave(

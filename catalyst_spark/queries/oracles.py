@@ -1279,6 +1279,22 @@ _TSDB = {
         JOIN documents d ON d.doc_id = shr.doc_id
         GROUP BY d.source ORDER BY d.source
     """,
+    # per-label L2-norm outlier screen; norm folded in element order
+    "embedding_norm_outliers": """
+        WITH v AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        s AS (SELECT label, AVG(nrm) AS mu, stddev_pop(nrm) AS sd
+              FROM v GROUP BY label)
+        SELECT v.label, COUNT(*) AS n_vecs,
+               ROUND(AVG(nrm), 4) AS mean_norm,
+               CAST(SUM(CASE WHEN abs(nrm - mu) > 2 * sd THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM v JOIN s USING (label)
+        GROUP BY v.label ORDER BY v.label
+    """,
     "distinctive_terms": """
         WITH toks AS (
           SELECT source, unnest(string_split(text, ' ')) AS tok

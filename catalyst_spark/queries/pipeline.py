@@ -1387,6 +1387,40 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality screen: per label, vectors whose L2 norm sits
+    more than 2 sigma from the label mean — the cheap pre-ANN sanity
+    gate that catches failed/truncated encoder outputs (near-zero
+    norms) and fp blowups before they poison cosine similarities.
+
+    The norm is an in-order fold over the array (same element order in
+    both engines); per-label mean/std is a 10-row aggregate broadcast
+    back. One corpus scan, one tiny join.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(aggregate(embedding, cast(0 as double),"
+        " (a, x) -> a + cast(x as double) * cast(x as double)))"
+    )
+    v = emb.select("label", norm.alias("nrm"))
+    stats = v.groupBy("label").agg(
+        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sd")
+    )
+    return (
+        v.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("mean_norm"),
+            F.sum(
+                F.when(F.abs(F.col("nrm") - F.col("mu")) > 2 * F.col("sd"), 1)
+                .otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
 _CONTAM_MIN_SHARED = 3
 _CONTAM_EVAL_SOURCE = "src0"
 
@@ -1865,6 +1899,7 @@ PIPELINE_QUERIES = {
     "dedup_rate_by_source": dedup_rate_by_source,
     "rare_token_ratio": rare_token_ratio,
     "ngram_novelty": ngram_novelty,
+    "embedding_norm_outliers": embedding_norm_outliers,
     "train_val_test_split": train_val_test_split,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,

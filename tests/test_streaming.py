@@ -371,3 +371,55 @@ def test_stream_minhash_matches_batch(spark, tmp_path):
     got = {(r["a_id"], r["b_id"])
            for r in spark.sql("select * from mh_cand").collect()}
     assert got == batch_pairs
+
+
+def test_stream_contamination_matches_batch(spark, tmp_path):
+    """Streaming decontamination: replaying the eval source against the
+    train shingle index must reproduce the batch sweep's counts exactly
+    (update-mode aggregate; threshold applied at read)."""
+    import json
+
+    from catalyst_spark.queries.pipeline import (
+        _CONTAM_EVAL_SOURCE,
+        _CONTAM_MIN_SHARED,
+        contamination_overlap,
+    )
+    from catalyst_spark.streaming.contamination import (
+        stream_contamination_counts,
+        train_shingle_index,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["eval_id"], r["train_id"]): r["shared_shingles"]
+            for r in contamination_overlap(spark, SF_DIR).collect()}
+    assert want
+
+    index = train_shingle_index(spark, SF_DIR, _CONTAM_EVAL_SOURCE)
+    ev = (load(spark, SF_DIR, "documents")
+          .where(f"source = '{_CONTAM_EVAL_SOURCE}'")
+          .select("doc_id", "text").collect())
+    d = tmp_path / "eval"
+    d.mkdir()
+    half = len(ev) // 2
+    for fname, chunk in (("b1.json", ev[:half]), ("b2.json", ev[half:])):
+        (d / fname).write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_contamination_counts(stream, index)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("contam_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    # update mode re-emits rows per batch: the LAST value per pair is
+    # the running total
+    rows = spark.sql("select * from contam_stream").collect()
+    got = {}
+    for r in rows:
+        got[(r["eval_id"], r["train_id"])] = r["shared_shingles"]
+    got = {k: v for k, v in got.items() if v >= _CONTAM_MIN_SHARED}
+    assert got == want
