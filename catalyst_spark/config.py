@@ -17,6 +17,9 @@ from dataclasses import dataclass, fields
 class Config:
     # egress (ref cmd/root.go:46-52)
     warp_endpoint: str = "http://127.0.0.1:8080"
+    # K2 reverse-proxy targets (ref cmd/root.go:139-146); delete may
+    # point at a different Warp 10 (the reference configures it apart)
+    warp_endpoint_delete: str = "http://127.0.0.1:8080"
     warp_connection_timeout_s: int = 300
     warp_connection_idle_max: int = 2000
     warp_connection_keepalive_timeout_s: int = 30

@@ -177,3 +177,91 @@ class TestRoutes:
         assert slept == [3.0]  # banned -> 3 s tarpit then 401
         assert tarpit_check(reg, "good", sleeper=slept.append) is None
         assert len(slept) == 1
+
+
+class TestReverseProxy:
+    """K2 passthrough parity (middlewares/reverse.go:18-66)."""
+
+    @staticmethod
+    def _transport_recording(calls, status=200,
+                             resp_headers=None, body=b"ok"):
+        def t(method, url, headers, req_body):
+            calls.append((method, url, headers, req_body))
+            return status, dict(resp_headers or {}), body
+        return t
+
+    def test_wildcard_join_and_query(self):
+        from catalyst_spark.control.reverse import reverse
+
+        calls = []
+        r = reverse("http://w10/api/v0", "fetch", method="GET",
+                    query="selector=~cpu{}&now=123",
+                    headers={"X-Warp10-Token": "tok"},
+                    transport=self._transport_recording(calls))
+        (method, url, headers, body), = calls
+        assert url == "http://w10/api/v0/fetch?selector=~cpu{}&now=123"
+        assert method == "GET" and body is None
+        assert headers == {"X-Warp10-Token": "tok"}  # forwarded verbatim
+        assert r.status == 200 and r.body == b"ok"
+
+    def test_fixed_path_overrides_wildcard(self):
+        from catalyst_spark.control.reverse import reverse
+
+        calls = []
+        reverse("http://w10d/api/v0", "ignored", fixed_path="/delete",
+                method="POST", query="deleteall=true",
+                transport=self._transport_recording(calls))
+        assert calls[0][1] == "http://w10d/api/v0/delete?deleteall=true"
+
+    def test_only_xwarp_headers_copied_back(self):
+        from catalyst_spark.control.reverse import reverse
+
+        r = reverse("http://w10/api/v0", "fetch",
+                    transport=self._transport_recording(
+                        [], resp_headers={
+                            "X-Warp10-Elapsed": "12",
+                            "X-Warp10-Fetched": "40",
+                            "Server": "warp",
+                            "Content-Type": "text/plain",
+                        }))
+        assert r.headers == {"X-Warp10-Elapsed": "12",
+                             "X-Warp10-Fetched": "40"}
+        assert r.content_type == "text/plain"
+
+    def test_transport_error_is_502_no_content(self):
+        from catalyst_spark.control.reverse import reverse
+
+        def boom(method, url, headers, body):
+            raise OSError("connection refused")
+
+        r = reverse("http://w10/api/v0", "fetch", transport=boom)
+        assert r.status == 502 and r.body == b""
+
+    def test_backend_error_status_streams_through(self):
+        from catalyst_spark.control.reverse import reverse
+
+        r = reverse("http://w10/api/v0", "exec",
+                    transport=self._transport_recording(
+                        [], status=403, body=b"forbidden"))
+        assert r.status == 403 and r.body == b"forbidden"
+
+    def test_route_level_dispatch(self):
+        from catalyst_spark.config import Config
+        from catalyst_spark.control.reverse import reverse_for_route
+        from catalyst_spark.control.routes import route
+
+        cfg = Config(warp_endpoint="http://a", warp_endpoint_delete="http://b")
+        calls = []
+        t = self._transport_recording(calls)
+
+        p = "/warp/api/v0/fetch"
+        assert route(p) == "reverse"
+        reverse_for_route("reverse", p, cfg, query="q=1", transport=t)
+        assert calls[-1][1] == "http://a/api/v0/fetch?q=1"
+
+        p = "/warp/api/v0/delete"
+        assert route(p) == "reverse_delete"
+        reverse_for_route("reverse_delete", p, cfg, method="POST",
+                          query="deleteall=true", transport=t)
+        assert calls[-1][1] == "http://b/api/v0/delete?deleteall=true"
+        assert calls[-1][0] == "POST"
