@@ -39,7 +39,7 @@ def _prioritize(group, first):
 
 
 _TSDB_PRIORITY = [
-    "sessionize", "ts_rate", "counter_rate", "rolling_window_7d",
+    "histogram_quantile", "sessionize", "ts_rate", "counter_rate", "rolling_window_7d",
     "funnel_conversion", "retention_cohorts", "gap_fill", "anomaly_zscore",
     "series_correlation", "time_weighted_avg", "ts_downsample",
     "ohlc_downsample", "range_join_events", "distinct_sketch",

@@ -29,7 +29,7 @@ from catalyst_spark.queries.pipeline import (
     _SIMHASH_BITS,
     _minhash_coeffs,
 )
-from catalyst_spark.queries.tsdb import _KMV_K, _KMV_SPACE
+from catalyst_spark.queries.tsdb import _HQ_BOUNDS, _HQ_QS, _KMV_K, _KMV_SPACE
 
 
 def _h60_duck(expr: str) -> str:
@@ -1064,6 +1064,33 @@ _TSDB = {
         SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
                COUNT(*) AS n
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # promql bucketQuantile: first bucket with cum >= q*total, linear
+    # interpolation inside it, +Inf clamps to the top finite bound.
+    # Arithmetic written identically to the Spark builder.
+    "histogram_quantile": f"""
+        WITH b AS (
+          SELECT event_type,
+                 CASE {" ".join(f"WHEN value <= {le} THEN CAST({lo} AS DOUBLE)" for lo, le in zip((0.0,) + _HQ_BOUNDS[:-1], _HQ_BOUNDS))}
+                      ELSE CAST({_HQ_BOUNDS[-1]} AS DOUBLE) END AS lo,
+                 CASE {" ".join(f"WHEN value <= {le} THEN CAST({le} AS DOUBLE)" for le in _HQ_BOUNDS)}
+                      ELSE CAST('inf' AS DOUBLE) END AS le
+          FROM events),
+        c AS (SELECT event_type, lo, le, COUNT(*) AS n FROM b GROUP BY 1, 2, 3),
+        w AS (SELECT event_type, lo, le, n,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY le) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS total
+              FROM c),
+        x AS (SELECT w.*, q
+              FROM w, (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _HQ_QS)}]) AS q)),
+        p AS (SELECT *, row_number() OVER (PARTITION BY event_type, q
+                                           ORDER BY le) AS pick
+              FROM x WHERE cum >= q * total)
+        SELECT event_type, q,
+               ROUND(CASE WHEN le = CAST('inf' AS DOUBLE) THEN lo
+                          ELSE lo + (le - lo) * (q * total - (cum - n)) / n
+                     END, 4) AS hq
+        FROM p WHERE pick = 1 ORDER BY event_type, q
     """,
     "dedup_ngram_jaccard": """
         WITH p AS (

@@ -924,6 +924,73 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# histogram_quantile bucket bounds (le) and quantiles — the Prometheus
+# cumulative-histogram read (promql bucketQuantile semantics)
+_HQ_BOUNDS = (25.0, 50.0, 100.0, 200.0, 400.0)
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus histogram_quantile() over cumulative le-buckets: the
+    estimator every metrics stack runs against pre-bucketed counters —
+    linear interpolation inside the first bucket whose cumulative count
+    reaches rank q*total, the +Inf bucket clamping to the highest
+    finite bound (public promql bucketQuantile semantics).
+
+    The bucket table is what a scraped histogram would store (one row
+    per (series, le)); the quantile read touches only that tiny
+    aggregate — the whole point of histogram storage at 100 TB: the
+    raw observations are never re-sorted. Interpolation arithmetic is
+    written identically in the oracle, so values match bit-for-bit.
+    """
+    events = load(spark, sf_dir, "events")
+    lo_le = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN value <= {le} THEN struct(cast({lo} as double) as lo,"
+            f" cast({le} as double) as le)"
+            for lo, le in zip((0.0,) + _HQ_BOUNDS[:-1], _HQ_BOUNDS)
+        )
+        + f" ELSE struct(cast({_HQ_BOUNDS[-1]} as double) as lo,"
+        " cast('inf' as double) as le) END"
+    )
+    buckets = (
+        events.select("event_type", lo_le.alias("b"))
+        .groupBy("event_type", "b.lo", "b.le")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wcum = W.partitionBy("event_type").orderBy("le")
+    wtot = W.partitionBy("event_type")
+    cum = (
+        buckets.withColumn("cum", F.sum("n").over(wcum))
+        .withColumn("total", F.sum("n").over(wtot))
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q")
+    ranked = (
+        cum.select("*", qs)
+        .where(F.col("cum") >= F.col("q") * F.col("total"))
+        .withColumn(
+            "pick",
+            F.row_number().over(
+                W.partitionBy("event_type", "q").orderBy("le")
+            ),
+        )
+        .where(F.col("pick") == 1)
+    )
+    hq = (
+        F.when(F.col("le") == float("inf"), F.col("lo"))
+        .otherwise(
+            F.col("lo")
+            + (F.col("le") - F.col("lo"))
+            * (F.col("q") * F.col("total") - (F.col("cum") - F.col("n")))
+            / F.col("n")
+        )
+    )
+    return ranked.select(
+        "event_type", "q", F.round(hq, 4).alias("hq")
+    ).orderBy("event_type", "q")
+
+
 TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
     "value_percentiles": value_percentiles,
@@ -956,4 +1023,5 @@ TSDB_QUERIES = {
     "pivot_event_counts": pivot_event_counts,
     "rollup_doc_counts": rollup_doc_counts,
     "value_histogram": value_histogram,
+    "histogram_quantile": histogram_quantile,
 }
