@@ -334,6 +334,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PREFIX_JACCARD = 0.5
 
+# (applicationId, sf_dir) -> persisted verified pair table. Four
+# consumers (the query itself, lsh_recall_vs_exact, the cluster chain,
+# near_dup_source_matrix) share one build; the table is tiny (verified
+# pairs only) but its build walks the corpus.
+_PREFIX_PAIRS_CACHE: dict = {}
+
 
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join with the prefix-filtering guarantee
@@ -365,6 +371,10 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hashes identically, so set identity is preserved on both
     sides.
     """
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PREFIX_PAIRS_CACHE.get(cache_key)
+    if cached is not None:
+        return cached.orderBy("a_id", "b_id")
     documents = load(spark, sf_dir, "documents")
     toks = _shingled(documents).select(
         "doc_id", F.explode("shingles").alias("sh")
@@ -420,7 +430,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = lists.select(
         "doc_id", F.expr("transform(arr, x -> x.h)").alias("tokset")
     )
-    return (
+    pairs = (
         cand.join(tsets.select(F.col("doc_id").alias("a_id"),
                                F.col("tokset").alias("ta")), "a_id")
         .join(tsets.select(F.col("doc_id").alias("b_id"),
@@ -432,8 +442,10 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= _PREFIX_JACCARD)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
-        .orderBy("a_id", "b_id")
+        .persist()
     )
+    _PREFIX_PAIRS_CACHE[cache_key] = pairs
+    return pairs.orderBy("a_id", "b_id")
 
 
 def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
