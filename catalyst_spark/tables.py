@@ -34,14 +34,20 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as
-        # a raw nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong, set
-        # in session.py). Truncate ns -> µs exactly like DuckDB/Arrow do
-        # when surfacing TIMESTAMP_NS at µs precision (floor division).
+        # events.ts arrives in one of two parquet physical forms depending
+        # on the generator: TIMESTAMP(NANOS) — readable only as a raw
+        # nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong, set in
+        # session.py) — or TIMESTAMP(MICROS) with isAdjustedToUTC=false,
+        # which Spark 4 surfaces as TIMESTAMP_NTZ. Normalize both to the
+        # session-local TIMESTAMP (session tz pinned to UTC, so the NTZ
+        # cast is value-preserving and matches DuckDB's naive reading).
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
