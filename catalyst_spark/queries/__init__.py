@@ -39,6 +39,7 @@ def _prioritize(group, first):
 
 
 _TSDB_PRIORITY = [
+    "path_transitions",  # new in r3b — no driver row yet
     "histogram_quantile", "sessionize", "ts_rate", "counter_rate", "rolling_window_7d",
     "funnel_conversion", "retention_cohorts", "gap_fill", "anomaly_zscore",
     "series_correlation", "time_weighted_avg", "ts_downsample",
@@ -52,6 +53,8 @@ _PIPELINE_PRIORITY = [
     # new in r3 — no driver row yet
     "approx_topk_tokens", "dedup_keep_best", "dedup_rate_by_source",
     "rare_token_ratio", "ngram_novelty", "embedding_norm_outliers",
+    # new in r3b — no driver row yet
+    "chunk_dedup", "bloom_decontaminate",
 ]
 
 ALL_QUERIES = _interleave(

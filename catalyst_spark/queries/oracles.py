@@ -12,6 +12,9 @@ from __future__ import annotations
 
 from catalyst_spark.queries.pipeline import (
     STOPWORDS,
+    _BLOOM_BITS_LOG2,
+    _BLOOM_K,
+    _CHUNK_TOKENS,
     _CONTAM_EVAL_SOURCE,
     _CONTAM_MIN_SHARED,
     _PACK_CAPACITY,
@@ -353,6 +356,91 @@ _PIPELINE = {
     "doc_fingerprint": """
         SELECT doc_id, substring(md5(lower(text)), 1, 16) AS fp
         FROM documents ORDER BY doc_id
+    """,
+    # non-overlapping 8-token chunks; a chunk is duplicated when its
+    # hash appears in >= 2 distinct docs (CCNet-style sub-doc dedup)
+    "chunk_dedup": f"""
+        WITH d AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, source,
+                 [array_to_string(toks[(ch * {_CHUNK_TOKENS} + 1)
+                                       :(ch * {_CHUNK_TOKENS} + {_CHUNK_TOKENS})], ' ')
+                  FOR ch IN range(0, CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0)
+                                          AS BIGINT))] AS chunks
+          FROM d),
+        x AS (
+          SELECT doc_id, source, {_h60_duck('ch')} AS h
+          FROM (SELECT doc_id, source, unnest(chunks) AS ch FROM c)),
+        dup AS (
+          SELECT h FROM x GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT x.source, COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               ROUND(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 4) AS dup_share
+        FROM x LEFT JOIN dup ON x.h = dup.h
+        GROUP BY x.source ORDER BY x.source
+    """,
+    # portable bloom filter (2^14 bits as 512 32-bit words, 3 probes
+    # from disjoint 14-bit md5-hash slices) vs exact membership
+    "bloom_decontaminate": f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  FOR i IN range(1, len(toks) - 1)])
+                 ELSE [text] END AS shingles
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                FROM documents)),
+        shr AS (
+          SELECT DISTINCT doc_id, {_h60_duck('s')} AS h
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        tag AS (
+          SELECT shr.doc_id, d.source, shr.h
+          FROM shr JOIN documents d ON d.doc_id = shr.doc_id),
+        train AS (SELECT h FROM tag WHERE source != '{_CONTAM_EVAL_SOURCE}'),
+        evals AS (SELECT doc_id AS eval_id, h FROM tag
+                  WHERE source = '{_CONTAM_EVAL_SOURCE}'),
+        tpos AS (
+          SELECT unnest([{", ".join(
+              f"(h >> {_BLOOM_BITS_LOG2 * j}) & {(1 << _BLOOM_BITS_LOG2) - 1}"
+              for j in range(_BLOOM_K))}]) AS p
+          FROM train),
+        bloom AS (
+          SELECT p >> 5 AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INT)) AS bits
+          FROM tpos GROUP BY 1),
+        probes AS (
+          SELECT eval_id, h,
+                 unnest([{", ".join(
+              f"(h >> {_BLOOM_BITS_LOG2 * j}) & {(1 << _BLOOM_BITS_LOG2) - 1}"
+              for j in range(_BLOOM_K))}]) AS p
+          FROM evals),
+        bh AS (
+          SELECT eval_id, h
+          FROM (SELECT pr.eval_id, pr.h,
+                       SUM(CASE WHEN b.bits
+                                     & (CAST(1 AS BIGINT) << CAST(pr.p & 31 AS INT))
+                                  = (CAST(1 AS BIGINT) << CAST(pr.p & 31 AS INT))
+                                THEN 1 ELSE 0 END) AS set_bits
+                FROM probes pr LEFT JOIN bloom b ON (pr.p >> 5) = b.word_idx
+                GROUP BY pr.eval_id, pr.h) t
+          WHERE set_bits = {_BLOOM_K}),
+        eh AS (
+          SELECT e.eval_id, e.h,
+                 CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END AS ex
+          FROM evals e LEFT JOIN (SELECT DISTINCT h FROM train) t
+            ON e.h = t.h)
+        SELECT eh.eval_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bloom_hits,
+               CAST(SUM(eh.ex) AS BIGINT) AS exact_hits,
+               CAST(SUM(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)
+                    - SUM(eh.ex) AS BIGINT) AS false_pos
+        FROM eh LEFT JOIN bh ON eh.eval_id = bh.eval_id AND eh.h = bh.h
+        GROUP BY eh.eval_id ORDER BY eh.eval_id
     """,
 }
 
@@ -1455,6 +1543,20 @@ _TSDB = {
                     ELSE 'pass' END AS reason,
                COUNT(*) AS n
         FROM q GROUP BY 1, 2 ORDER BY source, reason
+    """,
+    "path_transitions": """
+        WITH l AS (
+          SELECT event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type
+          FROM events),
+        c AS (
+          SELECT from_type, to_type, COUNT(*) AS n_trans
+          FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n_trans,
+               ROUND(n_trans * 1.0
+                     / SUM(n_trans) OVER (PARTITION BY from_type), 4) AS prob
+        FROM c ORDER BY from_type, to_type
     """,
 }
 

@@ -1902,6 +1902,177 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chunk_dedup: non-overlapping token-window size (a "paragraph" stand-in
+# for the synthetic corpus, whose text carries no sentence punctuation).
+_CHUNK_TOKENS = 8
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (line/paragraph-level) duplication audit — the
+    CCNet-style pass that catches boilerplate shared across documents
+    that whole-document dedup never sees (headers, licence blocks,
+    navigation chrome). Documents are cut into non-overlapping
+    8-token chunks (partial tail kept); a chunk is duplicated when its
+    hash occurs in >= 2 distinct documents.
+
+    Plan shape: explode chunks -> hash (60-bit; the chunk text never
+    reaches a shuffle) -> one aggregate for the duplicated-hash set ->
+    hash equi-join back -> per-source rollup. At 100 TB both shuffles
+    key on 8-byte hashes and the duplicated-hash set is corpus-boiler-
+    plate-sized, far below the chunk count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"""transform(
+                  sequence(0, cast(ceil({N_TOKENS} / {_CHUNK_TOKENS}.0) as int) - 1),
+                  c -> concat_ws(' ', slice({TOKENS},
+                                            c * {_CHUNK_TOKENS} + 1,
+                                            {_CHUNK_TOKENS})))"""
+        ).alias("chunks"),
+    ).select(
+        "doc_id", "source", F.explode("chunks").alias("chunk")
+    ).select("doc_id", "source", F.expr(_h60("chunk")).alias("h"))
+    dup_hashes = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    return (
+        chunks.join(dup_hashes, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# bloom_decontaminate: 2^18-bit filter as 8192 32-bit words (32 KB), 3
+# probes per shingle from disjoint 18-bit slices of the 60-bit md5 hash.
+# Sized for ~1% fp at the test corpus's shingle cardinality; a production
+# run re-sizes m to ~10 bits/element for the same fp target.
+_BLOOM_BITS_LOG2 = 18
+_BLOOM_K = 3
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination sweep, calibrated against exact
+    truth — the constant-memory membership screen a pipeline runs when
+    the training shingle set is too large to join against directly.
+
+    The filter is engine-portable by construction: m = 2^14 bits held
+    as 512 32-bit words, k = 3 probe positions taken from disjoint
+    14-bit slices of the portable 60-bit md5 hash, OR-combined with
+    integer bit_or — every engine reproduces the identical filter, so
+    the oracle checks exact VALUES (hits and false positives), not just
+    a tolerance claim.
+
+    Output per eval doc (source 'src0', the held-out set): distinct
+    shingles, bloom hits, exact hits (ground-truth semi-join against
+    the train shingle set), and false positives. Bloom has no false
+    negatives, so bloom_hits >= exact_hits always — the fp count is the
+    measured cost of the 2 KB memory footprint.
+
+    Scale shape: the filter aggregate is 512 rows (broadcastable at ANY
+    corpus size — that is the whole point of the sketch); the probe side
+    joins each eval shingle against it by word index. The exact
+    ground-truth join disappears at production scale (it exists here to
+    measure the fp rate); the bloom path alone never shuffles more than
+    (eval shingles x 3) 12-byte rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shingles = _shingled(docs).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.expr(_h60("sh")).alias("h")).distinct()
+    tagged = shingles.join(docs.select("doc_id", "source"), "doc_id")
+    train = tagged.where(F.col("source") != _CONTAM_EVAL_SOURCE)
+    eval_side = tagged.where(F.col("source") == _CONTAM_EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    mask = (1 << _BLOOM_BITS_LOG2) - 1
+    probe_exprs = [
+        f"shiftright(h, {_BLOOM_BITS_LOG2 * j}) & {mask}" for j in range(_BLOOM_K)
+    ]
+    # build: train shingle -> 3 bit positions -> per-word OR of 32-bit
+    # masks. 512 rows regardless of corpus size.
+    bloom = (
+        train.select(
+            F.explode(F.expr(f"array({', '.join(probe_exprs)})")).alias("p")
+        )
+        .select(
+            F.expr("shiftright(p, 5)").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p & 31 as int))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    # probe: each eval shingle emits its 3 (word_idx, mask) rows; the
+    # shingle is a bloom hit iff all 3 probed bits are set.
+    probes = eval_side.select(
+        "eval_id",
+        "h",
+        F.explode(F.expr(f"array({', '.join(probe_exprs)})")).alias("p"),
+    ).select(
+        "eval_id",
+        "h",
+        F.expr("shiftright(p, 5)").alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p & 31 as int))").alias("m"),
+    )
+    bloom_hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("eval_id", "h")
+        .agg(
+            F.sum(
+                F.when(F.expr("bits & m = m"), 1).otherwise(0)
+            ).alias("set_bits")
+        )
+        .where(F.col("set_bits") == _BLOOM_K)
+        .select("eval_id", "h", F.lit(1).alias("_bloom"))
+    )
+    exact_hits = (
+        eval_side.join(
+            train.select("h").distinct().withColumn("_exact", F.lit(1)),
+            "h",
+            "left",
+        )
+        .select("eval_id", "h", "_exact")
+    )
+    return (
+        exact_hits.join(bloom_hits, ["eval_id", "h"], "left")
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_bloom").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bloom_hits"),
+            F.sum(F.when(F.col("_exact").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_hits"),
+        )
+        .select(
+            "eval_id",
+            "n_shingles",
+            "bloom_hits",
+            "exact_hits",
+            (F.col("bloom_hits") - F.col("exact_hits")).alias("false_pos"),
+        )
+        .orderBy("eval_id")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -1930,6 +2101,8 @@ PIPELINE_QUERIES = {
     "rare_token_ratio": rare_token_ratio,
     "ngram_novelty": ngram_novelty,
     "embedding_norm_outliers": embedding_norm_outliers,
+    "chunk_dedup": chunk_dedup,
+    "bloom_decontaminate": bloom_decontaminate,
     "train_val_test_split": train_val_test_split,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,

@@ -991,6 +991,41 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "q")
 
 
+def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-path matrix: per user timeline ordered by
+    (ts, event_id), count every consecutive (from_type -> to_type)
+    transition and its share among the from-state's outgoing edges —
+    the Markov-chain view behind journey analysis and next-event
+    prediction features.
+
+    One window shuffle on the series key (user_id) for the lag, then a
+    transition-matrix-sized aggregate (|event_type|^2 rows at most); the
+    per-from normalization windows over that tiny aggregate, never the
+    event stream.
+    """
+    events = load(spark, sf_dir, "events")
+    lagged = events.select(
+        "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = lagged.groupBy(
+        F.col("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_trans"))
+    return (
+        counts.withColumn(
+            "prob",
+            F.round(
+                F.col("n_trans")
+                / F.sum("n_trans").over(W.partitionBy("from_type")),
+                4,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
     "value_percentiles": value_percentiles,
@@ -1024,4 +1059,5 @@ TSDB_QUERIES = {
     "rollup_doc_counts": rollup_doc_counts,
     "value_histogram": value_histogram,
     "histogram_quantile": histogram_quantile,
+    "path_transitions": path_transitions,
 }

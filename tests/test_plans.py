@@ -189,3 +189,30 @@ def test_ngram_novelty_shuffles_hashes_only(spark):
     plan = plan_of(spark, "ngram_novelty")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_shuffles_hashes_only(spark):
+    # chunk text is hashed before any shuffle; the dup-set join is an
+    # equi-join on the 8-byte hash
+    plan = plan_of(spark, "chunk_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bloom_probe_join_broadcasts_filter(spark):
+    # the 8192-word filter table must broadcast into the probe join —
+    # the whole point of the sketch is that the probe side never
+    # shuffles against the train corpus
+    plan = plan_of(spark, "bloom_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_path_transitions_single_window_shuffle(spark):
+    # one hash-partitioning exchange on the series key for the lag;
+    # the probability window runs over the matrix-sized aggregate
+    plan = plan_of(spark, "path_transitions")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Window") >= 1
