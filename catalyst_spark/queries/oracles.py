@@ -1544,6 +1544,29 @@ _TSDB = {
                COUNT(*) AS n
         FROM q GROUP BY 1, 2 ORDER BY source, reason
     """,
+    # Holt level/trend recursion in fixed-point (cents << 8) with
+    # arithmetic-shift halving — bit-identical to the Spark aggregate()
+    # pass; same recursion shape as the pack_sequences oracle
+    "holt_linear_smooth": """
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id,
+                 (CAST(round(value * 100) AS BIGINT) << 8) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        h AS (
+          SELECT user_id, event_id, rn, v AS lvl, CAST(0 AS BIGINT) AS tr
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn,
+                 (e.v + h.lvl + h.tr) >> 1 AS lvl,
+                 (((e.v + h.lvl + h.tr) >> 1) - h.lvl + h.tr) >> 1 AS tr
+          FROM e JOIN h ON e.user_id = h.user_id AND e.rn = h.rn + 1)
+        SELECT event_id, user_id,
+               lvl / 25600.0 AS level,
+               tr / 25600.0 AS trend
+        FROM h ORDER BY event_id
+    """,
     "path_transitions": """
         WITH l AS (
           SELECT event_type AS to_type,

@@ -991,6 +991,78 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "q")
 
 
+def holt_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per series (level + trend,
+    alpha = beta = 1/2) — the forecast smoother one step up from EWMA,
+    able to track drifting gauges instead of lagging them.
+
+    Exactness: the recursion runs in fixed-point (cents << 8) and every
+    halving is an ARITHMETIC RIGHT SHIFT, which floors identically in
+    Spark and DuckDB for negative trends too (integer `div`/`//` would
+    diverge: Spark truncates toward zero, DuckDB floors). No float
+    enters until the final display division, so the recursion is
+    bit-identical across engines by construction.
+
+    Scale shape: one shuffle on the series key to assemble each
+    series' ordered samples, then the recursion runs as a single
+    aggregate() pass over the per-series array — the same per-series
+    state pattern as sessionize. Series length is bounded by the
+    retention window in any real TSDB; a series too long for one array
+    chunk would move to applyInPandasWithState.
+    """
+    events = load(spark, sf_dir, "events")
+    g = events.select(
+        "user_id",
+        F.struct(
+            "ts", F.col("event_id").alias("eid"),
+            F.expr("shiftleft(cast(round(value * 100) as bigint), 8)").alias("v"),
+        ).alias("s"),
+    ).groupBy("user_id").agg(F.sort_array(F.collect_list("s")).alias("xs"))
+    step = (
+        "named_struct("
+        " 'out', concat(acc.out, array(named_struct("
+        "    'eid', x.eid,"
+        "    'lvl', shiftright(x.v + acc.lvl + acc.tr, 1),"
+        "    'tr', shiftright(shiftright(x.v + acc.lvl + acc.tr, 1)"
+        "                     - acc.lvl + acc.tr, 1)))),"
+        " 'lvl', shiftright(x.v + acc.lvl + acc.tr, 1),"
+        " 'tr', shiftright(shiftright(x.v + acc.lvl + acc.tr, 1)"
+        "                  - acc.lvl + acc.tr, 1),"
+        " 'init', true)"
+    )
+    first = (
+        "named_struct("
+        " 'out', array(named_struct('eid', x.eid, 'lvl', x.v,"
+        "                           'tr', cast(0 as bigint))),"
+        " 'lvl', x.v, 'tr', cast(0 as bigint), 'init', true)"
+    )
+    smoothed = g.select(
+        "user_id",
+        F.expr(
+            f"""aggregate(xs,
+                  named_struct(
+                    'out', cast(array() as
+                        array<struct<eid: bigint, lvl: bigint, tr: bigint>>),
+                    'lvl', cast(0 as bigint), 'tr', cast(0 as bigint),
+                    'init', false),
+                  (acc, x) -> if(acc.init, {step}, {first}),
+                  acc -> acc.out)"""
+        ).alias("out"),
+    ).select("user_id", F.explode("out").alias("o"))
+    # NO ROUND here: 1/25600 terminates in decimal, so rounded output
+    # lands exactly on 4-decimal half-ties where Spark (HALF_UP on the
+    # exact binary value) and DuckDB (libm) disagree. The numerator is
+    # a deterministic integer, so the single IEEE division itself is
+    # bit-identical across engines — exact as-is.
+    scale = float((1 << 8) * 100)
+    return smoothed.select(
+        F.col("o.eid").alias("event_id"),
+        "user_id",
+        (F.col("o.lvl") / scale).alias("level"),
+        (F.col("o.tr") / scale).alias("trend"),
+    ).orderBy("event_id")
+
+
 def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-path matrix: per user timeline ordered by
     (ts, event_id), count every consecutive (from_type -> to_type)
@@ -1060,4 +1132,5 @@ TSDB_QUERIES = {
     "value_histogram": value_histogram,
     "histogram_quantile": histogram_quantile,
     "path_transitions": path_transitions,
+    "holt_linear_smooth": holt_linear_smooth,
 }

@@ -216,3 +216,12 @@ def test_path_transitions_single_window_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_holt_single_series_shuffle_no_python(spark):
+    # one exchange on the series key to assemble the per-series arrays;
+    # the recursion is a codegen'd aggregate() pass, zero Python
+    plan = plan_of(spark, "holt_linear_smooth")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "PythonUDF" not in plan
