@@ -43,3 +43,75 @@ def stream_contamination_counts(
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )
+
+
+def bloom_filter_words(spark: SparkSession, sf_dir: str, eval_source: str) -> list[int]:
+    """Dense 8192-word (2^18-bit) Bloom filter over the train corpus's
+    shingle hashes — the list is model-sized (32 KB regardless of corpus
+    size), so collecting it to the driver is the same pattern as
+    ivf_train's centroids: the MODEL moves, the data never does."""
+    from catalyst_spark.queries.pipeline import _BLOOM_BITS_LOG2, _BLOOM_K
+
+    mask = (1 << _BLOOM_BITS_LOG2) - 1
+    probe = ", ".join(
+        f"shiftright(h, {_BLOOM_BITS_LOG2 * j}) & {mask}" for j in range(_BLOOM_K)
+    )
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") != eval_source)
+    rows = (
+        _shingled(train)
+        .select(F.explode("shingles").alias("s"))
+        .select(F.expr(_h60("s")).alias("h"))
+        .select(F.explode(F.expr(f"array({probe})")).alias("p"))
+        .select(
+            F.expr("shiftright(p, 5)").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p & 31 as int))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()
+    )
+    words = [0] * (1 << (_BLOOM_BITS_LOG2 - 5))
+    for r in rows:
+        words[r["word_idx"]] = r["bits"]
+    return words
+
+
+def stream_bloom_probe(eval_stream: DataFrame, bloom_words: list[int]) -> DataFrame:
+    """(doc_id, text) eval stream -> per-doc (eval_id, n_shingles,
+    bloom_hits) against the broadcast Bloom filter — the constant-memory
+    streaming twin of queries.pipeline.bloom_decontaminate's probe path.
+
+    COMPLETELY STATELESS: the filter rides into the plan as one
+    array<bigint> literal row (stream-static broadcast cross join of a
+    single row), and the probe is a row-wise higher-order-function
+    projection — append mode, no watermark, no state store. This is the
+    shape that screens an unbounded document stream against a fixed
+    training corpus at any throughput.
+    """
+    from catalyst_spark.queries.pipeline import _BLOOM_BITS_LOG2, _BLOOM_K
+
+    spark = eval_stream.sparkSession
+    bloom_row = spark.createDataFrame([(bloom_words,)], "bloom array<bigint>")
+    mask = (1 << _BLOOM_BITS_LOG2) - 1
+    bit_checks = " and ".join(
+        f"""(element_at(bloom,
+               cast(shiftright(shiftright(h, {_BLOOM_BITS_LOG2 * j}) & {mask}, 5)
+                    as int) + 1)
+             & shiftleft(cast(1 as bigint),
+                         cast((shiftright(h, {_BLOOM_BITS_LOG2 * j}) & {mask}) & 31
+                              as int))) != 0"""
+        for j in range(_BLOOM_K)
+    )
+    return (
+        _shingled(eval_stream)
+        .crossJoin(F.broadcast(bloom_row))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.expr("size(shingles)").alias("n_shingles"),
+            F.expr(
+                f"""size(filter(transform(shingles, sh -> {_h60('sh')}),
+                                h -> {bit_checks}))"""
+            ).cast("bigint").alias("bloom_hits"),
+        )
+    )

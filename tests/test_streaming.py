@@ -423,3 +423,50 @@ def test_stream_contamination_matches_batch(spark, tmp_path):
         got[(r["eval_id"], r["train_id"])] = r["shared_shingles"]
     got = {k: v for k, v in got.items() if v >= _CONTAM_MIN_SHARED}
     assert got == want
+
+
+def test_stream_bloom_probe_matches_batch(spark, tmp_path):
+    """The stateless streaming Bloom probe must reproduce the batch
+    sweep's per-doc (n_shingles, bloom_hits) exactly — append mode,
+    no state store, filter broadcast as a single literal row."""
+    import json
+
+    from catalyst_spark.queries.pipeline import (
+        _CONTAM_EVAL_SOURCE,
+        bloom_decontaminate,
+    )
+    from catalyst_spark.streaming.contamination import (
+        bloom_filter_words,
+        stream_bloom_probe,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {r["eval_id"]: (r["n_shingles"], r["bloom_hits"])
+            for r in bloom_decontaminate(spark, SF_DIR).collect()}
+    assert want
+
+    words = bloom_filter_words(spark, SF_DIR, _CONTAM_EVAL_SOURCE)
+    assert any(words), "filter must have bits set"
+    ev = (load(spark, SF_DIR, "documents")
+          .where(f"source = '{_CONTAM_EVAL_SOURCE}'")
+          .select("doc_id", "text").collect())
+    d = tmp_path / "bloom_eval"
+    d.mkdir()
+    half = len(ev) // 2
+    for fname, chunk in (("b1.json", ev[:half]), ("b2.json", ev[half:])):
+        (d / fname).write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_bloom_probe(stream, words)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("bloom_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["eval_id"]: (r["n_shingles"], r["bloom_hits"])
+           for r in spark.sql("select * from bloom_stream").collect()}
+    assert got == want
