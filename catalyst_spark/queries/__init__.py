@@ -54,7 +54,7 @@ _PIPELINE_PRIORITY = [
     "approx_topk_tokens", "dedup_keep_best", "dedup_rate_by_source",
     "rare_token_ratio", "ngram_novelty", "embedding_norm_outliers",
     # new in r3b — no driver row yet
-    "chunk_dedup", "bloom_decontaminate",
+    "chunk_dedup", "bloom_decontaminate", "semdedup_ivf",
 ]
 
 ALL_QUERIES = _interleave(

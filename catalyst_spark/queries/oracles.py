@@ -598,9 +598,37 @@ def _ivf_trained_sql() -> str:
     """
 
 
+def _semdedup_sql() -> str:
+    """Unrolled k-means + assignment + in-cell pair scan — the oracle
+    twin of pipeline.semdedup_ivf."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS
+
+    last_c = f"c{_KMEANS_ITERS}"
+    return _kmeans_sql() + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        assign AS (SELECT vec_id, c_id FROM dist WHERE rn = 1),
+        nv AS (
+          SELECT v.vec_id, v.e, sqrt(list_dot_product(v.e, v.e)) AS nrm,
+                 a.c_id
+          FROM v JOIN assign a USING (vec_id))
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 2) AS cos
+        FROM nv a JOIN nv b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+        ORDER BY a_id, b_id
+    """
+
+
 _HASH_ORACLES = {
     "ivf_train": _kmeans_final_select(),
     "ann_ivf_trained_topk": _ivf_trained_sql(),
+    "semdedup_ivf": _semdedup_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",
     "dedup_simhash_pairs": f"""
         WITH votes AS ({_SIMHASH_VOTES}),

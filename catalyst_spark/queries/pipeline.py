@@ -822,11 +822,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
 
-    # per-cell scoring as one Arrow-batched numpy gram matrix instead of
-    # a self-join of interpreted fold-dots (5.9 s -> sub-second at
-    # sf0.1). Tiled so memory stays O(tile * m) however hot a cell gets;
-    # numpy-vs-fold sum differences (~1e-16) can't move a round(.,2)
-    # output off the oracle except exactly on a .005 boundary.
+    return (
+        v.groupBy("label")
+        .applyInPandas(_gram_pairs_scorer(0.4), "a_id long, b_id long, cos double")
+        .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _gram_pairs_scorer(theta: float):
+    """Per-cell pair scorer: one Arrow-batched numpy gram matrix per
+    group instead of a self-join of interpreted fold-dots (5.9 s ->
+    sub-second at sf0.1). Tiled so memory stays O(tile * m) however hot
+    a cell gets; numpy-vs-fold sum differences (~1e-16) can't move a
+    round(.,2) output off the oracle except exactly on a .005 boundary.
+    Shared by the label-blocked and IVF-cell-blocked dedup paths."""
     import numpy as np
 
     def _score_cell(pdf):
@@ -841,7 +851,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lo in range(0, len(X), tile):
             hi = min(lo + tile, len(X))
             C = (X[lo:hi] @ X.T) / np.outer(nrm[lo:hi], nrm)
-            ii, jj = np.nonzero(C >= 0.4)
+            ii, jj = np.nonzero(C >= theta)
             keep = (ii + lo) < jj  # a_id < b_id, ids sorted ascending
             out_a.append(ids[(ii + lo)[keep]])
             out_b.append(ids[jj[keep]])
@@ -852,12 +862,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos": np.concatenate(out_c) if out_c else np.array([], "f8"),
         })
 
-    return (
-        v.groupBy("label")
-        .applyInPandas(_score_cell, "a_id long, b_id long, cos double")
-        .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
-        .orderBy("a_id", "b_id")
-    )
+    return _score_cell
 
 
 _KMEANS_K = 8
@@ -1007,6 +1012,52 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
                 F.round("cos_raw", 2).alias("cos"))
         .orderBy("q_id", "rank")
+    )
+
+
+def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the trained IVF index: train the coarse quantizer
+    (_kmeans_fit), assign every vector to its nearest centroid, and
+    score pairs ONLY within each learned cell — the production semantic
+    dedup path (SemDeDup, Abbas et al. 2023): at 100 TB the quadratic
+    all-pairs scan is impossible, so the quantizer's cells are the
+    blocking structure, and the within-cell gram matrix is the same
+    tiled Arrow pass as the label-blocked variant.
+
+    Unlike dedup_embedding_cosine (whose blocks are the given labels),
+    the blocks here are LEARNED — this is the operator a pipeline runs
+    when no labels exist. Oracle replays the unrolled k-means, the
+    assignment, and the in-cell pair scan.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    C, cids, _ = _kmeans_fit(spark, v)
+    Cn = (C * C).sum(axis=1)
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "c_id": cids[np.argmin(D, axis=1)],
+            })
+
+    assign = v.mapInPandas(_assign, "vec_id long, c_id long")
+    return (
+        v.join(assign, "vec_id")
+        .groupBy("c_id")
+        .applyInPandas(_gram_pairs_scorer(0.4), "a_id long, b_id long, cos double")
+        .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
+        .orderBy("a_id", "b_id")
     )
 
 
@@ -2103,6 +2154,7 @@ PIPELINE_QUERIES = {
     "embedding_norm_outliers": embedding_norm_outliers,
     "chunk_dedup": chunk_dedup,
     "bloom_decontaminate": bloom_decontaminate,
+    "semdedup_ivf": semdedup_ivf,
     "train_val_test_split": train_val_test_split,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,

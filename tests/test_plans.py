@@ -225,3 +225,12 @@ def test_holt_single_series_shuffle_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_semdedup_cell_join_no_cartesian(spark):
+    # pair scoring happens inside learned cells (groupBy c_id +
+    # applyInPandas); nothing may degenerate to an all-pairs join
+    plan = plan_of(spark, "semdedup_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
