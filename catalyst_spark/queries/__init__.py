@@ -39,7 +39,7 @@ def _prioritize(group, first):
 
 
 _TSDB_PRIORITY = [
-    "path_transitions", "holt_linear_smooth",  # new in r3b — no driver row yet
+    "path_transitions", "holt_linear_smooth", "cusum_changepoints",  # new in r3b — no driver row yet
     "histogram_quantile", "sessionize", "ts_rate", "counter_rate", "rolling_window_7d",
     "funnel_conversion", "retention_cohorts", "gap_fill", "anomaly_zscore",
     "series_correlation", "time_weighted_avg", "ts_downsample",

@@ -32,7 +32,14 @@ from catalyst_spark.queries.pipeline import (
     _SIMHASH_BITS,
     _minhash_coeffs,
 )
-from catalyst_spark.queries.tsdb import _HQ_BOUNDS, _HQ_QS, _KMV_K, _KMV_SPACE
+from catalyst_spark.queries.tsdb import (
+    _CUSUM_ALARM_CENTS,
+    _CUSUM_DRIFT_CENTS,
+    _HQ_BOUNDS,
+    _HQ_QS,
+    _KMV_K,
+    _KMV_SPACE,
+)
 
 
 def _h60_duck(expr: str) -> str:
@@ -1594,6 +1601,29 @@ _TSDB = {
                lvl / 25600.0 AS level,
                tr / 25600.0 AS trend
         FROM h ORDER BY event_id
+    """,
+    # integer CUSUM recursion (cents, integer drift/alarm constants) —
+    # bit-identical to the Spark aggregate() fold by construction
+    "cusum_changepoints": f"""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        h AS (
+          SELECT user_id, event_id, rn,
+                 greatest(CAST(0 AS BIGINT), v - {_CUSUM_DRIFT_CENTS}) AS s
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn,
+                 greatest(CAST(0 AS BIGINT),
+                          h.s + e.v - {_CUSUM_DRIFT_CENTS}) AS s
+          FROM e JOIN h ON e.user_id = h.user_id AND e.rn = h.rn + 1)
+        SELECT event_id, user_id, s AS cusum_cents,
+               CAST(CASE WHEN s >= {_CUSUM_ALARM_CENTS} THEN 1 ELSE 0 END
+                    AS BIGINT) AS alarm
+        FROM h WHERE s > 0 ORDER BY event_id
     """,
     "path_transitions": """
         WITH l AS (

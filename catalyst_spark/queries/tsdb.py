@@ -1063,6 +1063,62 @@ def holt_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# one-sided CUSUM drift/threshold, in integer cents: detect an upward
+# level shift of the series mean (~49.6) past the 60.00 reference.
+_CUSUM_DRIFT_CENTS = 6000
+_CUSUM_ALARM_CENTS = 20000
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint screen per series: the classic
+    s_t = max(0, s_{t-1} + (x_t - k)) recursion with alarm threshold h —
+    the standard online detector for upward level shifts (Page 1954),
+    run here as a batch sweep over every series.
+
+    Entirely integer arithmetic (cents, drift k and alarm h are integer
+    constants), so the recursion is bit-identical across engines with
+    no fixed-point scaling at all. Same per-series aggregate() pass as
+    holt_linear_smooth: one shuffle on the series key, recursion inside
+    the codegen'd fold, alarm rows selected at the end.
+    """
+    events = load(spark, sf_dir, "events")
+    g = events.select(
+        "user_id",
+        F.struct(
+            "ts", F.col("event_id").alias("eid"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        ).alias("s"),
+    ).groupBy("user_id").agg(F.sort_array(F.collect_list("s")).alias("xs"))
+    fold = g.select(
+        "user_id",
+        F.expr(
+            f"""aggregate(xs,
+                  named_struct(
+                    'out', cast(array() as array<struct<eid: bigint, s: bigint>>),
+                    's', cast(0 as bigint)),
+                  (acc, x) -> named_struct(
+                    'out', concat(acc.out, array(named_struct(
+                      'eid', x.eid,
+                      's', greatest(cast(0 as bigint),
+                                    acc.s + x.v - {_CUSUM_DRIFT_CENTS})))),
+                    's', greatest(cast(0 as bigint),
+                                  acc.s + x.v - {_CUSUM_DRIFT_CENTS})),
+                  acc -> acc.out)"""
+        ).alias("out"),
+    ).select("user_id", F.explode("out").alias("o"))
+    return (
+        fold.select(
+            F.col("o.eid").alias("event_id"),
+            "user_id",
+            F.col("o.s").alias("cusum_cents"),
+            F.when(F.col("o.s") >= _CUSUM_ALARM_CENTS, 1)
+            .otherwise(0).cast("bigint").alias("alarm"),
+        )
+        .where(F.col("cusum_cents") > 0)
+        .orderBy("event_id")
+    )
+
+
 def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-path matrix: per user timeline ordered by
     (ts, event_id), count every consecutive (from_type -> to_type)
@@ -1133,4 +1189,5 @@ TSDB_QUERIES = {
     "histogram_quantile": histogram_quantile,
     "path_transitions": path_transitions,
     "holt_linear_smooth": holt_linear_smooth,
+    "cusum_changepoints": cusum_changepoints,
 }

@@ -234,3 +234,12 @@ def test_semdedup_cell_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_cusum_single_series_shuffle_no_python(spark):
+    # same per-series aggregate() fold as holt: one exchange on the
+    # series key, recursion in codegen, zero Python
+    plan = plan_of(spark, "cusum_changepoints")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "PythonUDF" not in plan
