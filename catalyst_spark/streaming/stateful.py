@@ -135,3 +135,67 @@ def stream_frame_connections(lines: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Online CUSUM changepoint alarms (streaming twin of
+# queries.tsdb.cusum_changepoints). State per series: the running CUSUM
+# statistic in integer cents — one BIGINT per series, the cheapest
+# state any detector can carry. The recursion is identical integer math
+# to the batch fold, so a time-ordered replay reproduces the batch
+# sweep exactly (tested).
+
+CUSUM_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("cusum_cents", T.LongType()),
+    T.StructField("alarm", T.LongType()),
+])
+
+CUSUM_STATE_SCHEMA = T.StructType([
+    T.StructField("s", T.LongType()),
+])
+
+
+def _cusum_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    from catalyst_spark.queries.tsdb import (
+        _CUSUM_ALARM_CENTS,
+        _CUSUM_DRIFT_CENTS,
+    )
+
+    (user_id,) = key
+    (s,) = state.get if state.exists else (0,)
+    parts = [p[["event_id", "ts_us", "cents"]] for p in pdfs]
+    pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        columns=["event_id", "ts_us", "cents"])
+    pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+    out_eid, out_s = [], []
+    for eid, v in zip(pdf["event_id"].astype("int64"), pdf["cents"].astype("int64")):
+        s = max(0, s + int(v) - _CUSUM_DRIFT_CENTS)
+        out_eid.append(int(eid))
+        out_s.append(s)
+    state.update((int(s),))
+    out = pd.DataFrame({
+        "event_id": pd.Series(out_eid, dtype="int64"),
+        "user_id": user_id,
+        "cusum_cents": pd.Series(out_s, dtype="int64"),
+        "alarm": pd.Series(
+            [1 if x >= _CUSUM_ALARM_CENTS else 0 for x in out_s], dtype="int64"),
+    })
+    yield out[out["cusum_cents"] > 0]
+
+
+def stream_cusum_alarms(event_stream: DataFrame) -> DataFrame:
+    """(event_id, ts_us, user_id, cents) stream -> online CUSUM rows
+    (positive statistic only, alarm flag at threshold) with one BIGINT
+    of state per series."""
+    return (
+        event_stream.select("event_id", "ts_us", "user_id", "cents")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cusum_update,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

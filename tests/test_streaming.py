@@ -470,3 +470,47 @@ def test_stream_bloom_probe_matches_batch(spark, tmp_path):
     got = {r["eval_id"]: (r["n_shingles"], r["bloom_hits"])
            for r in spark.sql("select * from bloom_stream").collect()}
     assert got == want
+
+
+def test_stream_cusum_matches_batch(spark, tmp_path):
+    """Online CUSUM with one BIGINT of keyed state must reproduce the
+    batch sweep exactly over a time-ordered 2-batch replay."""
+    import json
+
+    from catalyst_spark.queries.tsdb import cusum_changepoints
+    from catalyst_spark.streaming.stateful import stream_cusum_alarms
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    want = {r["event_id"]: (r["user_id"], r["cusum_cents"], r["alarm"])
+            for r in cusum_changepoints(spark, SF_DIR).collect()}
+    assert want
+
+    ev = (load(spark, SF_DIR, "events")
+          .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+                  F.expr("cast(round(value * 100) as bigint)").alias("cents"))
+          .orderBy("ts_us", "event_id").collect())
+    d = tmp_path / "cusum_events"
+    d.mkdir()
+    half = len(ev) // 2
+    # time-split: batch 1 strictly precedes batch 2, so per-series
+    # arrival order matches event time and state carries across batches
+    for fname, chunk in (("b1.json", ev[:half]), ("b2.json", ev[half:])):
+        (d / fname).write_text("\n".join(
+            json.dumps({"event_id": r["event_id"], "ts_us": r["ts_us"],
+                        "user_id": r["user_id"], "cents": r["cents"]})
+            for r in chunk))
+
+    stream = (spark.readStream
+              .schema("event_id long, ts_us long, user_id long, cents long")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_cusum_alarms(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("cusum_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["event_id"]: (r["user_id"], r["cusum_cents"], r["alarm"])
+           for r in spark.sql("select * from cusum_stream").collect()}
+    assert got == want
