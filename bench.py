@@ -48,7 +48,17 @@ def main() -> None:
         sf = -1.0
 
     timings: dict[str, float] = {}
-    for name, fn in ALL_QUERIES.items():
+    # run the owners of session-shared builds FIRST so their one-time
+    # cost (verified prefix pairs, minhash signature index) is timed
+    # against the operator that owns it, not whichever downstream
+    # consumer happens to run first in registry order; consumers then
+    # show their true marginal cost.
+    _build_owners = ("dedup_prefix_filter", "dedup_minhash_pairs")
+    ordered = [
+        *((n, ALL_QUERIES[n]) for n in _build_owners if n in ALL_QUERIES),
+        *((n, f) for n, f in ALL_QUERIES.items() if n not in _build_owners),
+    ]
+    for name, fn in ordered:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
