@@ -1015,6 +1015,100 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/latency knob, measured: recall@5 of the trained
+    index probing 1 cell vs probing 2 cells (multi-probe), per query,
+    against the brute-force exact baseline. nprobe is THE parameter an
+    operator tunes at 100 TB — more cells probed buys recall with a
+    linearly larger scoring join, and this query emits the evidence
+    (recall_p2 >= recall_p1 by construction, since the p1 candidate set
+    is a subset).
+
+    Cell ranking ties break by centroid id on both engines (lexsort by
+    (distance, c_id) here, ORDER BY distance, c_id in the oracle), so
+    the probed cell sets — and the recalls — are engine-reproducible.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    C, cids, _ = _kmeans_fit(spark, v)
+    Cn = (C * C).sum(axis=1)
+
+    def _assign_top2(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            out_id, out_c, out_r = [], [], []
+            for row_id, drow in zip(pdf["vec_id"].to_numpy(), D):
+                order = np.lexsort((cids, drow))  # (distance, c_id) ties
+                for r in (0, 1):
+                    out_id.append(int(row_id))
+                    out_c.append(int(cids[order[r]]))
+                    out_r.append(r + 1)
+            yield pd.DataFrame({
+                "q_id": pd.Series(out_id, dtype="int64"),
+                "c_id": pd.Series(out_c, dtype="int64"),
+                "probe_rank": pd.Series(out_r, dtype="int64"),
+            })
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            yield pd.DataFrame({
+                "n_id": pdf["vec_id"].to_numpy(),
+                "c_id": cids[np.argmin(D, axis=1)],
+            })
+
+    members = v.mapInPandas(_assign, "n_id long, c_id long")
+    probes = v.where(F.col("vec_id") % 50 == 0).mapInPandas(
+        _assign_top2, "q_id long, c_id long, probe_rank long"
+    ).persist()
+    probes.count()  # feeds the p1 and p2 candidate branches
+    qn = _with_norm(emb, "q_id", "vq").drop("q_id_label")
+    cn = _with_norm(emb, "n_id", "vc").drop("n_id_label")
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+
+    def _topk(probe_side):
+        return (
+            probe_side.join(members, "c_id")
+            .where(F.col("n_id") != F.col("q_id"))
+            .select("q_id", "n_id").distinct()
+            .join(qn, "q_id").join(cn, "n_id")
+            .withColumn("cos_raw", _cosine("vq", "vc"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("q_id", F.col("n_id").alias("neighbor_id"))
+        )
+
+    ivf1 = _topk(probes.where(F.col("probe_rank") == 1)).withColumn("_h1", F.lit(1))
+    ivf2 = _topk(probes).withColumn("_h2", F.lit(1))
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        brute.join(ivf1, ["q_id", "neighbor_id"], "left")
+        .join(ivf2, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_h1").alias("hits_p1"),
+            F.count("_h2").alias("hits_p2"),
+            F.round(F.count("_h1") / 5.0, 2).alias("recall_p1"),
+            F.round(F.count("_h2") / 5.0, 2).alias("recall_p2"),
+        )
+        .orderBy("q_id")
+    )
+
+
 def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the trained IVF index: train the coarse quantizer
     (_kmeans_fit), assign every vector to its nearest centroid, and
