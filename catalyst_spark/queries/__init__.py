@@ -63,6 +63,25 @@ ALL_QUERIES = _interleave(
     _prioritize(TSDB_QUERIES, _TSDB_PRIORITY),
 )
 
+# Round-4 driver window (VERDICT r3 item 1): the 11 queries that have
+# never had a driver CORRECTNESS row in any round, plus the 5 whose code
+# or oracle changed since their last green row, go at positions 0-15 so
+# the driver's first-50 window confirms them this round.
+_R4_FRONT = [
+    # never driver-checked (registry positions 50-82 in r1-r3)
+    "percentile_sketch", "hll_distinct_sketch", "ewma_smooth",
+    "robust_outliers", "incremental_rollup_merge", "session_cooccurrence",
+    "equi_depth_bins", "lag_features", "user_growth_curve",
+    "range_join_events", "distinct_sketch",
+    # changed since last driver-green row
+    "q19_above_brand_avg", "dedup_clusters", "dedup_keep_one",
+    "near_dup_source_matrix", "dedup_prefix_filter",
+    # new in r4 — no driver row yet
+    "ann_multiprobe_recall",
+]
+
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R4_FRONT)
+
 __all__ = [
     "RELATIONAL_QUERIES",
     "PIPELINE_QUERIES",

@@ -390,8 +390,9 @@ _PIPELINE = {
         FROM x LEFT JOIN dup ON x.h = dup.h
         GROUP BY x.source ORDER BY x.source
     """,
-    # portable bloom filter (2^14 bits as 512 32-bit words, 3 probes
-    # from disjoint 14-bit md5-hash slices) vs exact membership
+    # portable bloom filter (2^_BLOOM_BITS_LOG2 = 2^18 bits as 8192
+    # 32-bit words, _BLOOM_K = 3 probes from disjoint 18-bit md5-hash
+    # slices) vs exact membership
     "bloom_decontaminate": f"""
         WITH sh AS (
           SELECT doc_id,
@@ -605,6 +606,83 @@ def _ivf_trained_sql() -> str:
     """
 
 
+def _multiprobe_sql() -> str:
+    """Unrolled k-means + top-2 cell probes per query vs top-1 member
+    assignment + exact-cosine rerank of each candidate set, graded
+    against the brute-force top-5 — the oracle twin of
+    pipeline.ann_multiprobe_recall. Same tie-breaks everywhere:
+    (distance, c_id) for cell ranking, (cos DESC, neighbor_id) for the
+    top-5 rank, so the probed cells and recalls are engine-exact."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS
+
+    last_c = f"c{_KMEANS_ITERS}"
+    return _kmeans_sql() + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        members AS (SELECT vec_id AS n_id, c_id FROM dist WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id, rn AS probe_rank
+          FROM dist WHERE rn <= 2 AND vec_id % 50 = 0),
+        nv AS (
+          SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        cand2 AS (
+          SELECT DISTINCT p.q_id, m.n_id
+          FROM probes p JOIN members m USING (c_id)
+          WHERE m.n_id != p.q_id),
+        cand1 AS (
+          SELECT DISTINCT p.q_id, m.n_id
+          FROM probes p JOIN members m USING (c_id)
+          WHERE p.probe_rank = 1 AND m.n_id != p.q_id),
+        ivf1 AS (
+          SELECT q_id, n_id FROM (
+            SELECT c.q_id, c.n_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY
+                     list_dot_product(q.e, n.e) / (q.nrm * n.nrm) DESC,
+                     c.n_id) AS rnk
+            FROM cand1 c
+            JOIN nv q ON q.vec_id = c.q_id
+            JOIN nv n ON n.vec_id = c.n_id) t
+          WHERE rnk <= 5),
+        ivf2 AS (
+          SELECT q_id, n_id FROM (
+            SELECT c.q_id, c.n_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY
+                     list_dot_product(q.e, n.e) / (q.nrm * n.nrm) DESC,
+                     c.n_id) AS rnk
+            FROM cand2 c
+            JOIN nv q ON q.vec_id = c.q_id
+            JOIN nv n ON n.vec_id = c.n_id) t
+          WHERE rnk <= 5),
+        sb AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        brute AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id)
+                     AS rnk
+            FROM sb) t
+          WHERE rnk <= 5)
+        SELECT b.q_id,
+               COUNT(i1.n_id) AS hits_p1,
+               COUNT(i2.n_id) AS hits_p2,
+               ROUND(COUNT(i1.n_id) / 5.0, 2) AS recall_p1,
+               ROUND(COUNT(i2.n_id) / 5.0, 2) AS recall_p2
+        FROM brute b
+        LEFT JOIN ivf1 i1 ON b.q_id = i1.q_id AND b.neighbor_id = i1.n_id
+        LEFT JOIN ivf2 i2 ON b.q_id = i2.q_id AND b.neighbor_id = i2.n_id
+        GROUP BY b.q_id ORDER BY b.q_id
+    """
+
+
 def _semdedup_sql() -> str:
     """Unrolled k-means + assignment + in-cell pair scan — the oracle
     twin of pipeline.semdedup_ivf."""
@@ -635,6 +713,7 @@ def _semdedup_sql() -> str:
 _HASH_ORACLES = {
     "ivf_train": _kmeans_final_select(),
     "ann_ivf_trained_topk": _ivf_trained_sql(),
+    "ann_multiprobe_recall": _multiprobe_sql(),
     "semdedup_ivf": _semdedup_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",
     "dedup_simhash_pairs": f"""

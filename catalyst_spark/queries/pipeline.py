@@ -1075,7 +1075,7 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = v.where(F.col("vec_id") % 50 == 0).mapInPandas(
         _assign_top2, "q_id long, c_id long, probe_rank long"
     ).persist()
-    probes.count()  # feeds the p1 and p2 candidate branches
+    probes.count()  # feeds the p1 and p2 candidate branches; released below
     qn = _with_norm(emb, "q_id", "vq").drop("q_id_label")
     cn = _with_norm(emb, "n_id", "vc").drop("n_id_label")
     w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
@@ -1095,7 +1095,7 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf1 = _topk(probes.where(F.col("probe_rank") == 1)).withColumn("_h1", F.lit(1))
     ivf2 = _topk(probes).withColumn("_h2", F.lit(1))
     brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
-    return (
+    out = (
         brute.join(ivf1, ["q_id", "neighbor_id"], "left")
         .join(ivf2, ["q_id", "neighbor_id"], "left")
         .groupBy("q_id")
@@ -1106,7 +1106,12 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_h2") / 5.0, 2).alias("recall_p2"),
         )
         .orderBy("q_id")
+        # one row per query — materialize the tiny result eagerly so the
+        # probe cache can be released before returning (no cache leak)
+        .localCheckpoint()
     )
+    probes.unpersist()
+    return out
 
 
 def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2118,20 +2123,21 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth — the constant-memory membership screen a pipeline runs when
     the training shingle set is too large to join against directly.
 
-    The filter is engine-portable by construction: m = 2^14 bits held
-    as 512 32-bit words, k = 3 probe positions taken from disjoint
-    14-bit slices of the portable 60-bit md5 hash, OR-combined with
-    integer bit_or — every engine reproduces the identical filter, so
-    the oracle checks exact VALUES (hits and false positives), not just
-    a tolerance claim.
+    The filter is engine-portable by construction: m = 2^18 bits held
+    as 8192 32-bit words (32 KB), k = 3 probe positions taken from
+    disjoint 18-bit slices of the portable 60-bit md5 hash (see
+    _BLOOM_BITS_LOG2 / _BLOOM_K above), OR-combined with integer
+    bit_or — every engine reproduces the identical filter, so the
+    oracle checks exact VALUES (hits and false positives), not just a
+    tolerance claim.
 
     Output per eval doc (source 'src0', the held-out set): distinct
     shingles, bloom hits, exact hits (ground-truth semi-join against
     the train shingle set), and false positives. Bloom has no false
     negatives, so bloom_hits >= exact_hits always — the fp count is the
-    measured cost of the 2 KB memory footprint.
+    measured cost of the 32 KB memory footprint.
 
-    Scale shape: the filter aggregate is 512 rows (broadcastable at ANY
+    Scale shape: the filter aggregate is 8192 rows (broadcastable at ANY
     corpus size — that is the whole point of the sketch); the probe side
     joins each eval shingle against it by word index. The exact
     ground-truth join disappears at production scale (it exists here to
@@ -2152,7 +2158,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"shiftright(h, {_BLOOM_BITS_LOG2 * j}) & {mask}" for j in range(_BLOOM_K)
     ]
     # build: train shingle -> 3 bit positions -> per-word OR of 32-bit
-    # masks. 512 rows regardless of corpus size.
+    # masks. 2^(_BLOOM_BITS_LOG2-5) = 8192 rows regardless of corpus size.
     bloom = (
         train.select(
             F.explode(F.expr(f"array({', '.join(probe_exprs)})")).alias("p")
@@ -2259,6 +2265,7 @@ PIPELINE_QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_at_5": ann_recall_at_5,
+    "ann_multiprobe_recall": ann_multiprobe_recall,
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
     "token_counts": token_counts,

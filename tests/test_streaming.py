@@ -7,6 +7,7 @@ runs a real local socket server feeding the socket source.
 
 from __future__ import annotations
 
+import os
 import socket
 import threading
 import time
@@ -496,11 +497,18 @@ def test_stream_cusum_matches_batch(spark, tmp_path):
     half = len(ev) // 2
     # time-split: batch 1 strictly precedes batch 2, so per-series
     # arrival order matches event time and state carries across batches
-    for fname, chunk in (("b1.json", ev[:half]), ("b2.json", ev[half:])):
+    for i, (fname, chunk) in enumerate(
+        (("b1.json", ev[:half]), ("b2.json", ev[half:]))
+    ):
         (d / fname).write_text("\n".join(
             json.dumps({"event_id": r["event_id"], "ts_us": r["ts_us"],
                         "user_id": r["user_id"], "cents": r["cents"]})
             for r in chunk))
+        # FileStreamSource orders same-batch files by mtime with an
+        # unspecified tie-break; force b1 strictly older than b2 so the
+        # stateful replay order is deterministic
+        t = os.path.getmtime(d / fname) - 60 + 30 * i
+        os.utime(d / fname, (t, t))
 
     stream = (spark.readStream
               .schema("event_id long, ts_us long, user_id long, cents long")
