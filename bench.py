@@ -47,7 +47,6 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    timings: dict[str, float] = {}
     # run the owners of session-shared builds FIRST so their one-time
     # cost (verified prefix pairs, minhash signature index) is timed
     # against the operator that owns it, not whichever downstream
@@ -58,11 +57,40 @@ def main() -> None:
         *((n, ALL_QUERIES[n]) for n in _build_owners if n in ALL_QUERIES),
         *((n, f) for n, f in ALL_QUERIES.items() if n not in _build_owners),
     ]
-    for name, fn in ordered:
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+
+    def _reset_session_caches() -> None:
+        """Return the session to a cold state so every timing pass pays
+        the same costs: drop the module-level shared-build caches (the
+        verified prefix pairs and connected-component labels) and every
+        cache-manager entry (minhash/simhash signature tables persist by
+        logical plan)."""
+        from catalyst_spark.queries import pipeline as _p
+
+        for cache in (_p._PREFIX_PAIRS_CACHE, _p._CC_LABEL_CACHE):
+            for df in cache.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            cache.clear()
+        spark.catalog.clearCache()
+
+    # median-of-n per query: one timing per pass, each pass fully cold, so
+    # sub-second ambient noise can't masquerade as a regression while
+    # build-owner attribution stays identical in every pass
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {n: [] for n, _ in ordered}
+    for _ in range(runs):
+        _reset_session_caches()
+        for name, fn in ordered:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {
+        n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()
+    }
+    spread = {n: round(max(ts) - min(ts), 3) for n, ts in samples.items()}
 
     # ingest-path throughput: synthesize wire lines from the events table
     # and measure parse -> encode end-to-end (rows/sec, JVM-side paths)
@@ -153,6 +181,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "bench_runs": runs,
         "sf": sf,
         "ingest_rows_per_sec": round(n_lines / parse_s),
         "ingest_rows": n_lines,
@@ -190,7 +220,8 @@ def main() -> None:
     # compact trailer (no per-query map) small enough to always fit in a
     # truncated tail window
     print(json.dumps({k: v for k, v in payload.items()
-                      if k not in ("queries", "vs_prev")}), flush=True)
+                      if k not in ("queries", "vs_prev", "spread")}),
+          flush=True)
 
 
 if __name__ == "__main__":
