@@ -77,7 +77,7 @@ _R4_FRONT = [
     "q19_above_brand_avg", "dedup_clusters", "dedup_keep_one",
     "near_dup_source_matrix", "dedup_prefix_filter",
     # new in r4 — no driver row yet
-    "ann_multiprobe_recall",
+    "ann_multiprobe_recall", "cusum_chunked", "holt_chunked",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R4_FRONT)

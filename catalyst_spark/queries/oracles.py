@@ -1721,3 +1721,9 @@ _TSDB = {
 }
 
 ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_HASH_ORACLES, **_TSDB}
+
+# the chunked fold variants are output-identical to their whole-series
+# twins by construction, so they share the recursive-CTE oracles — the
+# value being verified is precisely that chunking changes nothing
+ORACLE_SQL["cusum_chunked"] = ORACLE_SQL["cusum_changepoints"]
+ORACLE_SQL["holt_chunked"] = ORACLE_SQL["holt_linear_smooth"]

@@ -1119,6 +1119,225 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rows per series chunk for the chunked fold variants. 16 keeps the
+# driver-scale series (~66 points) split across several chunks so the
+# carry logic is exercised by every correctness run; a production run
+# sizes this to taste (e.g. 64k) — correctness is chunk-size-invariant
+# (the bit-exactness test sweeps sizes).
+_SERIES_CHUNK = 16
+
+
+def cusum_chunked(
+    spark: SparkSession, sf_dir: str, chunk: int = _SERIES_CHUNK
+) -> DataFrame:
+    """cusum_changepoints with BOUNDED row size: the per-series fold is
+    sharded into fixed-size chunks folded in parallel, and the chunk
+    carries compose in one tiny second pass — closing the one
+    100x-scale caveat of the whole-series collect_list fold (a
+    multi-million-point series there becomes one giant array row in
+    one task; here no task ever sees more than `chunk` points).
+
+    Why CUSUM composes: s_t = max(0, s_{t-1} + d_t) is a max-plus scan.
+    With in-chunk prefix sums P_i (P_0 = 0), the reset identity gives
+      s_i = max(0, s_in + P_i, P_i - min_{0<=j<i} P_j),
+    so a chunk acts on its incoming state as the max-plus affine map
+      s_out = max(s_in + A, B),  A = P_n,
+      B = max(0, A - min_{0<=j<n} P_j),
+    and (A, B) is a two-integer summary that composes associatively
+    across chunks. All integer math — bit-identical to the unchunked
+    fold by construction (test_chunked_folds asserts equality against
+    the unchunked operator and against the exact recursion on a
+    100k-point series).
+
+    Plan: one shuffle per pass, no arrays anywhere — window on user_id
+    (chunk ids), windows on (user_id, chunk) for the parallel in-chunk
+    prefix scans (they also dodge the O(len^2) array-append cost of the
+    whole-series aggregate() fold), groupBy user_id over the
+    two-integer summaries (tiny) for the carries, and one
+    (user_id, chunk)-keyed join to re-attach carries to chunk rows.
+    """
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                F.expr("cast(round(value * 100) as bigint)")
+                - F.lit(_CUSUM_DRIFT_CENTS)
+            ).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("ck", F.expr(f"(rn - 1) div {chunk}"))
+    )
+    # parallel chunk scans, pure windows — no arrays anywhere, so a row
+    # is never wider than its own columns and the in-chunk work streams
+    # through the sorter: prefix sum p and min-prefix-before mp (P_0 = 0
+    # folded in via least(0, ...); the empty frame's null min is skipped
+    # by least's null rule)
+    wc = W.partitionBy("user_id", "ck").orderBy("rn")
+    zero = F.lit(0).cast("bigint")
+    pref = rows.withColumn("p", F.sum("d").over(wc)).withColumn(
+        "mp",
+        F.least(
+            zero, F.min("p").over(wc.rowsBetween(W.unboundedPreceding, -1))
+        ),
+    )
+    # two-integer chunk summaries: mp is non-increasing within a chunk,
+    # so min(mp) is the min prefix over P_0..P_{n-1}
+    summ = pref.groupBy("user_id", "ck").agg(
+        F.sum("d").alias("a"),
+        F.greatest(zero, F.sum("d") - F.min("mp")).alias("b"),
+    )
+    # carry pass over the summaries: n_chunks tiny rows per series,
+    # folded with the max-plus composition s' = max(s + a, b)
+    carries = (
+        summ.select("user_id", F.struct("ck", "a", "b").alias("c"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("c")).alias("cs"))
+        .select(
+            "user_id",
+            F.explode(F.expr("""aggregate(cs,
+                named_struct(
+                  'out', cast(array() as array<struct<ck: bigint, sin: bigint>>),
+                  's', cast(0 as bigint)),
+                (acc, c) -> named_struct(
+                  'out', concat(acc.out, array(named_struct(
+                    'ck', c.ck, 'sin', acc.s))),
+                  's', greatest(acc.s + c.a, c.b)),
+                acc -> acc.out)""")).alias("c"),
+        )
+        .select("user_id", F.col("c.ck").alias("ck"), F.col("c.sin").alias("sin"))
+    )
+    return (
+        pref.join(carries, ["user_id", "ck"])
+        .select(
+            "event_id",
+            "user_id",
+            F.greatest(
+                zero,
+                F.col("sin") + F.col("p"),
+                F.col("p") - F.col("mp"),
+            ).alias("cusum_cents"),
+        )
+        .withColumn(
+            "alarm",
+            F.when(F.col("cusum_cents") >= _CUSUM_ALARM_CENTS, 1)
+            .otherwise(0)
+            .cast("bigint"),
+        )
+        .where(F.col("cusum_cents") > 0)
+        .orderBy("event_id")
+    )
+
+
+def holt_chunked(
+    spark: SparkSession, sf_dir: str, chunk: int = _SERIES_CHUNK
+) -> DataFrame:
+    """holt_linear_smooth with BOUNDED row size. Unlike CUSUM's
+    max-plus scan, Holt's fixed-point recursion is NOT summary-
+    composable: each step's arithmetic right shift is a floor, so a
+    chunk's effect on its incoming (level, trend) state has no compact
+    exact representation (composing floor-affine maps does not collapse
+    to one floor-affine map). The bounded-row formulation is therefore
+    an iterated carry: chunk k of EVERY series folds in one parallel
+    job (bounded arrays, all series concurrently), and the resulting
+    per-series (level, trend) — two integers — carries into the next
+    chunk's fold via its aggregate() initial value. n_chunks tiny
+    sequential jobs, never a giant row; bit-identical to the unchunked
+    fold (same integer recursion, test-asserted on a 100k-point
+    series).
+    """
+    from functools import reduce
+
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("shiftleft(cast(round(value * 100) as bigint), 8)").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("ck", F.expr(f"(rn - 1) div {chunk}"))
+    )
+    g = (
+        rows.select(
+            "user_id", "ck",
+            F.struct("rn", F.col("event_id").alias("eid"), "v").alias("s"),
+        )
+        .groupBy("user_id", "ck")
+        .agg(F.sort_array(F.collect_list("s")).alias("xs"))
+        .persist()  # one chunk-assembly shuffle feeds every chunk job
+    )
+    n_chunks = (g.agg(F.max("ck")).first()[0] or 0) + 1
+    step = (
+        "named_struct("
+        " 'out', concat(acc.out, array(named_struct("
+        "    'eid', x.eid,"
+        "    'lvl', shiftright(x.v + acc.lvl + acc.tr, 1),"
+        "    'tr', shiftright(shiftright(x.v + acc.lvl + acc.tr, 1)"
+        "                     - acc.lvl + acc.tr, 1)))),"
+        " 'lvl', shiftright(x.v + acc.lvl + acc.tr, 1),"
+        " 'tr', shiftright(shiftright(x.v + acc.lvl + acc.tr, 1)"
+        "                  - acc.lvl + acc.tr, 1),"
+        " 'init', true)"
+    )
+    first = (
+        "named_struct("
+        " 'out', array(named_struct('eid', x.eid, 'lvl', x.v,"
+        "                           'tr', cast(0 as bigint))),"
+        " 'lvl', x.v, 'tr', cast(0 as bigint), 'init', true)"
+    )
+    # the carry state seeds the fold's initial value (aggregate's zero
+    # may reference columns — evaluated per row)
+    fold = f"""aggregate(xs,
+        named_struct(
+          'out', cast(array() as
+              array<struct<eid: bigint, lvl: bigint, tr: bigint>>),
+          'lvl', lvl0, 'tr', tr0, 'init', init0),
+        (acc, x) -> if(acc.init, {step}, {first}),
+        acc -> acc)"""
+    carry = (
+        g.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(0).cast("bigint").alias("lvl0"),
+            F.lit(0).cast("bigint").alias("tr0"),
+            F.lit(False).alias("init0"),
+        )
+        .localCheckpoint()
+    )
+    parts = []
+    for ck in range(n_chunks):
+        folded = (
+            g.where(F.col("ck") == ck)
+            .join(carry, "user_id")
+            .select("user_id", F.expr(fold).alias("f"))
+            # eager: each chunk job runs once; its tiny (user, state) row
+            # set seeds the next iteration without lineage growth
+            .localCheckpoint()
+        )
+        parts.append(folded.select("user_id", F.explode("f.out").alias("o")))
+        carry = folded.select(
+            "user_id",
+            F.col("f.lvl").alias("lvl0"),
+            F.col("f.tr").alias("tr0"),
+            F.col("f.init").alias("init0"),
+        )
+    g.unpersist()
+    scale = float((1 << 8) * 100)
+    return reduce(DataFrame.unionAll, parts).select(
+        F.col("o.eid").alias("event_id"),
+        "user_id",
+        (F.col("o.lvl") / scale).alias("level"),
+        (F.col("o.tr") / scale).alias("trend"),
+    ).orderBy("event_id")
+
+
 def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-path matrix: per user timeline ordered by
     (ts, event_id), count every consecutive (from_type -> to_type)
@@ -1190,4 +1409,6 @@ TSDB_QUERIES = {
     "path_transitions": path_transitions,
     "holt_linear_smooth": holt_linear_smooth,
     "cusum_changepoints": cusum_changepoints,
+    "cusum_chunked": cusum_chunked,
+    "holt_chunked": holt_chunked,
 }
