@@ -30,6 +30,7 @@ from catalyst_spark.queries.pipeline import (
     _SAMPLE_DEFAULT_PCT,
     _SAMPLE_PCT,
     _SIMHASH_BITS,
+    _WIN_TOKENS,
     _minhash_coeffs,
 )
 from catalyst_spark.queries.tsdb import (
@@ -389,6 +390,52 @@ _PIPELINE = {
                      * 1.0 / COUNT(*), 4) AS dup_share
         FROM x LEFT JOIN dup ON x.h = dup.h
         GROUP BY x.source ORDER BY x.source
+    """,
+    # overlapping stride-1 8-token windows with positions; an eval doc
+    # is flagged when any window appears verbatim in the train split;
+    # max_run = longest consecutive matched-position island
+    "window_decontaminate": f"""
+        WITH d AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id, source, u.pos AS pos, {_h60_duck('u.w')} AS h
+          FROM (
+            SELECT doc_id, source,
+                   unnest([{{'pos': i,
+                            'w': array_to_string(
+                                   toks[i:(i + {_WIN_TOKENS} - 1)], ' ')}}
+                           FOR i IN range(1, greatest(2, len(toks)
+                                                         - {_WIN_TOKENS - 2}))])
+                     AS u
+            FROM d)),
+        ew AS (SELECT doc_id AS eval_id, pos, h FROM w WHERE source = 'src0'),
+        tw AS (SELECT doc_id AS train_id, h FROM w WHERE source != 'src0'),
+        th AS (SELECT DISTINCT h FROM tw),
+        stats AS (
+          SELECT e.eval_id, COUNT(*) AS n_windows,
+                 CAST(SUM(CASE WHEN th.h IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS matched_windows
+          FROM ew e LEFT JOIN th ON e.h = th.h
+          GROUP BY 1),
+        td AS (
+          SELECT e.eval_id, COUNT(DISTINCT t.train_id) AS n_train_docs
+          FROM ew e JOIN tw t ON e.h = t.h GROUP BY 1),
+        isl AS (
+          SELECT e.eval_id, e.pos,
+                 e.pos - row_number() OVER (PARTITION BY e.eval_id
+                                            ORDER BY e.pos) AS g
+          FROM ew e JOIN th ON e.h = th.h),
+        runs AS (
+          SELECT eval_id, MAX(run) AS max_run FROM (
+            SELECT eval_id, g, COUNT(*) AS run FROM isl GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT s.eval_id, s.n_windows, s.matched_windows,
+               td.n_train_docs, runs.max_run
+        FROM stats s
+        JOIN td USING (eval_id) JOIN runs USING (eval_id)
+        WHERE s.matched_windows >= 1
+        ORDER BY s.eval_id
     """,
     # portable bloom filter (2^_BLOOM_BITS_LOG2 = 2^18 bits as 8192
     # 32-bit words, _BLOOM_K = 3 probes from disjoint 18-bit md5-hash

@@ -2110,6 +2110,89 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# overlapping-window substring decontamination: stride-1 8-token windows
+_WIN_TOKENS = 8
+
+
+def window_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level decontamination sweep over OVERLAPPING token
+    windows with positions — the Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") style pass that
+    chunk_dedup's non-overlapping chunks and contamination_overlap's
+    3-token shingles both approximate. An eval document is flagged when
+    any of its stride-1 8-token windows appears verbatim anywhere in
+    the training split; positions make contaminated SPANS measurable: a
+    run of R consecutive matched window positions certifies that every
+    8-token window of an (R+7)-token span of the eval doc occurs in
+    training.
+
+    Output per flagged eval doc (source 'src0'): total windows, matched
+    windows, distinct training docs sharing a window, and the longest
+    consecutive matched-position run.
+
+    Plan shape: windows hash to 60-bit ints at the scan (window TEXT
+    never shuffles); the train side reduces to distinct hashes before
+    the probe join, so both shuffles move 8-byte keys; the run/island
+    computation windows over matched EVAL positions only (eval sets
+    are tiny relative to training corpora). Documents shorter than 8
+    tokens contribute one whole-text window.
+    """
+    docs = load(spark, sf_dir, "documents")
+    win = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, {N_TOKENS} - {_WIN_TOKENS - 1})),"
+                f" i -> concat_ws(' ', slice({TOKENS}, i, {_WIN_TOKENS})))"
+            )
+        ).alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(_h60("w")).alias("h"),
+    )
+    eval_w = win.where(F.col("source") == _CONTAM_EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_id"), "pos", "h"
+    )
+    train_w = win.where(F.col("source") != _CONTAM_EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    train_h = train_w.select("h").distinct().withColumn("_m", F.lit(1))
+    probed = eval_w.join(train_h, "h", "left")
+    stats = probed.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("matched_windows"),
+    )
+    tdocs = (
+        eval_w.join(train_w, "h")
+        .groupBy("eval_id")
+        .agg(F.countDistinct("train_id").alias("n_train_docs"))
+    )
+    # islands: consecutive matched positions share (pos - rank)
+    wr = W.partitionBy("eval_id").orderBy("pos")
+    runs = (
+        probed.where(F.col("_m").isNotNull())
+        .select("eval_id", "pos")
+        .withColumn("g", F.col("pos") - F.row_number().over(wr))
+        .groupBy("eval_id", "g")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("eval_id")
+        .agg(F.max("run").alias("max_run"))
+    )
+    return (
+        stats.where(F.col("matched_windows") >= 1)
+        .join(tdocs, "eval_id")
+        .join(runs, "eval_id")
+        .select("eval_id", "n_windows", "matched_windows", "n_train_docs",
+                "max_run")
+        .orderBy("eval_id")
+    )
+
+
 # bloom_decontaminate: 2^18-bit filter as 8192 32-bit words (32 KB), 3
 # probes per shingle from disjoint 18-bit slices of the 60-bit md5 hash.
 # Sized for ~1% fp at the test corpus's shingle cardinality; a production
@@ -2253,6 +2336,7 @@ PIPELINE_QUERIES = {
     "ngram_novelty": ngram_novelty,
     "embedding_norm_outliers": embedding_norm_outliers,
     "chunk_dedup": chunk_dedup,
+    "window_decontaminate": window_decontaminate,
     "bloom_decontaminate": bloom_decontaminate,
     "semdedup_ivf": semdedup_ivf,
     "train_val_test_split": train_val_test_split,

@@ -200,6 +200,16 @@ def test_chunk_dedup_shuffles_hashes_only(spark):
     assert "EvalPython" not in plan
 
 
+def test_window_decontaminate_shuffles_hashes_only(spark):
+    # overlapping windows hash at the scan; every join is an equi-join
+    # on the 8-byte hash or the eval doc id — never window text, never
+    # a nested loop
+    plan = plan_of(spark, "window_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_bloom_probe_join_broadcasts_filter(spark):
     # the 8192-word filter table must broadcast into the probe join —
     # the whole point of the sketch is that the probe side never
