@@ -72,6 +72,18 @@ FRAMES_SCHEMA = T.StructType([
     T.StructField("frame", T.BinaryType()),
 ])
 
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zero_crossing_rate", T.DoubleType()),
+])
+
 
 # ---------------------------------------------------------------------------
 # real byte-level metadata sniffing
@@ -255,6 +267,99 @@ def _png_features(payload: bytes) -> list[float] | None:
                     n += 1
             feats.append(tot / n / 127.5 - 1.0)
     return feats
+
+
+def _wav_decode_pcm(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Pure-stdlib WAV PCM decode (public RIFF/WAVE spec): chunk walk,
+    fmt geometry, integer PCM frames mixed to mono by per-frame channel
+    SUM (kept as exact integers; normalization happens once in the
+    feature math). Returns (sample_rate, channels, bit_depth,
+    mono_sums). Supports integer PCM at 8/16/24/32 bits; anything else
+    (float PCM, ADPCM, truncated) raises and the caller emits nulls —
+    the same honest-fallback policy as the PNG path.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i: i + 4]
+        clen = struct.unpack("<I", payload[i + 4: i + 8])[0]
+        body = payload[i + 8: i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    afmt, channels, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if afmt != 1 or channels < 1 or bits not in (8, 16, 24, 32):
+        raise ValueError("not integer PCM")
+    step = bits // 8
+    n_frames = len(data) // (step * channels)
+    usable = n_frames * step * channels
+    if bits == 8:        # unsigned, center at 128
+        vals = [b - 128 for b in data[:usable]]
+    elif bits == 16:
+        vals = list(struct.unpack(f"<{usable // 2}h", data[:usable]))
+    elif bits == 32:
+        vals = list(struct.unpack(f"<{usable // 4}i", data[:usable]))
+    else:                # 24-bit signed little-endian, no struct code
+        vals = [
+            int.from_bytes(data[j: j + 3], "little", signed=True)
+            for j in range(0, usable, 3)
+        ]
+    if channels == 1:
+        mono = vals
+    else:
+        mono = [
+            sum(vals[k * channels: (k + 1) * channels])
+            for k in range(n_frames)
+        ]
+    return rate, channels, bits, mono
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """audio payloads -> sample-derived features: duration, RMS, peak,
+    zero-crossing rate — all computed from REAL decoded PCM samples
+    (stdlib struct; no audio libraries), the audio twin of the
+    pure-stdlib PNG pixel path. Integer sample math throughout
+    (per-frame channel sums, sum of squares); floats appear only in
+    the final normalizations by channels * 2^(bits-1). Non-PCM or
+    non-WAV payloads yield null feature columns rather than fakes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                row = {f.name: None for f in AUDIO_SCHEMA.fields}
+                row["media_id"] = mid
+                try:
+                    rate, channels, bits, mono = _wav_decode_pcm(bytes(raw))
+                except Exception:
+                    out.append(row)
+                    continue
+                n = len(mono)
+                full = float(channels * (1 << (bits - 1)))
+                row.update(
+                    sample_rate=rate, channels=channels, bit_depth=bits,
+                    n_frames=n,
+                    duration_s=(n / rate) if rate else None,
+                )
+                if n:
+                    row["rms"] = (sum(v * v for v in mono) / n) ** 0.5 / full
+                    row["peak"] = max(abs(v) for v in mono) / full
+                    row["zero_crossing_rate"] = (
+                        sum(
+                            1 for a, b in zip(mono, mono[1:]) if (a < 0) != (b < 0)
+                        ) / (n - 1) if n > 1 else 0.0
+                    )
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)
 
 
 def _pil_features(payload: bytes) -> list[float]:

@@ -228,3 +228,98 @@ def test_image_features_operator_uses_real_png_path(spark):
     (row,) = image_features(df).collect()
     assert row["features"] == [1.0] * 16
     assert row["features"] != _fake_floats(payload, 16, "imgfeat")
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM: sample-derived audio features (stdlib struct, no audio libs)
+# ---------------------------------------------------------------------------
+
+def wav_pcm_bytes(samples, rate=16000, channels=1, bits=16) -> bytes:
+    """A complete RIFF/WAVE file with an integer-PCM data chunk.
+    `samples` is channel-interleaved."""
+    if bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    elif bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 24:
+        data = b"".join(
+            int(s).to_bytes(3, "little", signed=True) for s in samples)
+    else:
+        data = struct.pack(f"<{len(samples)}i", *samples)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_decode_pcm_bit_depths():
+    from catalyst_spark.multimodal import _wav_decode_pcm
+
+    rate, ch, bits, mono = _wav_decode_pcm(
+        wav_pcm_bytes([1000, -1000, 0, 32767, -32768], bits=16))
+    assert (rate, ch, bits) == (16000, 1, 16)
+    assert mono == [1000, -1000, 0, 32767, -32768]
+
+    _, _, _, mono = _wav_decode_pcm(wav_pcm_bytes([127, -128, 0, 64], bits=8))
+    assert mono == [127, -128, 0, 64]
+
+    _, _, _, mono = _wav_decode_pcm(
+        wav_pcm_bytes([1 << 20, -(1 << 20)], bits=24))
+    assert mono == [1 << 20, -(1 << 20)]
+
+    # stereo mixes to per-frame channel sums, exact integers
+    _, ch, _, mono = _wav_decode_pcm(
+        wav_pcm_bytes([100, -40, -100, 40], channels=2, bits=16))
+    assert ch == 2 and mono == [60, -60]
+
+
+def test_audio_features_square_wave_exact(spark):
+    """16-bit mono square wave: every feature lands on an exact value
+    derivable by hand from the PCM samples."""
+    from catalyst_spark.multimodal import audio_features
+
+    amp, period, n = 16384, 8, 1600
+    samples = [amp if (i % period) < period // 2 else -amp for i in range(n)]
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="audio",
+             payload=bytearray(wav_pcm_bytes(samples, rate=16000)))],
+        "media_id long, kind string, payload binary")
+    r = audio_features(df).collect()[0]
+    assert (r["sample_rate"], r["channels"], r["bit_depth"]) == (16000, 1, 16)
+    assert r["n_frames"] == n
+    assert r["duration_s"] == n / 16000
+    assert r["peak"] == 0.5          # 16384 / 32768
+    assert r["rms"] == 0.5           # constant magnitude
+    # sign flips at i % 4 == 3 boundaries: i in {3, 7, ..., 1595} -> 399
+    assert r["zero_crossing_rate"] == 399 / 1599
+
+
+def test_audio_features_stereo_and_fallbacks(spark):
+    from catalyst_spark.multimodal import audio_features
+
+    # stereo alternating-sign left, silent right: mono sums alternate,
+    # zcr exactly 1, peak/rms normalized by channels * 2^15
+    samples = []
+    for i in range(10):
+        samples += [1000 if i % 2 == 0 else -1000, 0]
+    rows = [
+        Row(media_id=1, kind="audio",
+            payload=bytearray(wav_pcm_bytes(samples, channels=2, bits=16))),
+        Row(media_id=2, kind="audio", payload=bytearray(wav_bytes())),
+        Row(media_id=3, kind="image", payload=bytearray(png_bytes())),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    st = got[1]
+    assert st["channels"] == 2 and st["n_frames"] == 10
+    assert st["peak"] == 1000 / 65536
+    assert st["rms"] == 1000 / 65536
+    assert st["zero_crossing_rate"] == 1.0
+    # zero-length data chunk is a VALID empty PCM stream: zero frames,
+    # zero duration, no sample-derived features; PNG -> all nulls
+    assert got[2]["n_frames"] == 0 and got[2]["duration_s"] == 0.0
+    assert got[2]["rms"] is None and got[2]["peak"] is None
+    assert got[3]["sample_rate"] is None and got[3]["rms"] is None
