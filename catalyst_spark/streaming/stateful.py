@@ -199,3 +199,74 @@ def stream_cusum_alarms(event_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Online Holt double-exponential smoothing (streaming twin of
+# queries.tsdb.holt_linear_smooth). State per series: the fixed-point
+# (level, trend) pair — two BIGINTs, nothing else. The recursion is the
+# same integer arithmetic-shift math as the batch fold (cents << 8,
+# halvings as arithmetic right shifts), so a time-ordered replay
+# reproduces the batch sweep bit-exactly: the level/trend doubles are
+# the same integer numerators over the same 25600.0 divisor (tested).
+
+HOLT_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+])
+
+HOLT_STATE_SCHEMA = T.StructType([
+    T.StructField("lvl", T.LongType()),
+    T.StructField("tr", T.LongType()),
+])
+
+
+def _holt_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        lvl, tr = (int(x) for x in state.get)
+        have = True
+    else:
+        lvl = tr = 0
+        have = False
+    parts = [p[["event_id", "ts_us", "cents"]] for p in pdfs]
+    pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        columns=["event_id", "ts_us", "cents"])
+    pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+    out_eid, out_lvl, out_tr = [], [], []
+    for eid, cents in zip(pdf["event_id"].astype("int64"),
+                          pdf["cents"].astype("int64")):
+        v = int(cents) << 8
+        if not have:
+            lvl, tr, have = v, 0, True
+        else:
+            nlvl = (v + lvl + tr) >> 1   # arithmetic shift == batch fold
+            tr = (nlvl - lvl + tr) >> 1
+            lvl = nlvl
+        out_eid.append(int(eid))
+        out_lvl.append(lvl)
+        out_tr.append(tr)
+    state.update((int(lvl), int(tr)))
+    yield pd.DataFrame({
+        "event_id": pd.Series(out_eid, dtype="int64"),
+        "user_id": user_id,
+        "level": pd.Series([x / 25600.0 for x in out_lvl], dtype="float64"),
+        "trend": pd.Series([x / 25600.0 for x in out_tr], dtype="float64"),
+    })
+
+
+def stream_holt_smooth(event_stream: DataFrame) -> DataFrame:
+    """(event_id, ts_us, user_id, cents) stream -> online Holt
+    (level, trend) rows with two BIGINTs of state per series."""
+    return (
+        event_stream.select("event_id", "ts_us", "user_id", "cents")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _holt_update,
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -522,3 +522,50 @@ def test_stream_cusum_matches_batch(spark, tmp_path):
     got = {r["event_id"]: (r["user_id"], r["cusum_cents"], r["alarm"])
            for r in spark.sql("select * from cusum_stream").collect()}
     assert got == want
+
+
+def test_stream_holt_matches_batch(spark, tmp_path):
+    """Online Holt with two BIGINTs of keyed state must reproduce the
+    batch sweep bit-exactly over a time-ordered 2-batch replay."""
+    import json
+
+    from catalyst_spark.queries.tsdb import holt_linear_smooth
+    from catalyst_spark.streaming.stateful import stream_holt_smooth
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    want = {r["event_id"]: (r["user_id"], r["level"], r["trend"])
+            for r in holt_linear_smooth(spark, SF_DIR).collect()}
+    assert want
+
+    ev = (load(spark, SF_DIR, "events")
+          .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+                  F.expr("cast(round(value * 100) as bigint)").alias("cents"))
+          .orderBy("ts_us", "event_id").collect())
+    d = tmp_path / "holt_events"
+    d.mkdir()
+    half = len(ev) // 2
+    for i, (fname, chunk) in enumerate(
+        (("b1.json", ev[:half]), ("b2.json", ev[half:]))
+    ):
+        (d / fname).write_text("\n".join(
+            json.dumps({"event_id": r["event_id"], "ts_us": r["ts_us"],
+                        "user_id": r["user_id"], "cents": r["cents"]})
+            for r in chunk))
+        # deterministic replay order (same fix as the CUSUM twin)
+        t = os.path.getmtime(d / fname) - 60 + 30 * i
+        os.utime(d / fname, (t, t))
+
+    stream = (spark.readStream
+              .schema("event_id long, ts_us long, user_id long, cents long")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_holt_smooth(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("holt_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["event_id"]: (r["user_id"], r["level"], r["trend"])
+           for r in spark.sql("select * from holt_stream").collect()}
+    assert got == want
