@@ -24,6 +24,149 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 
+def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
+    """Deterministic 10x corpus derived from the driver's sf0.1 tables
+    (documents + embeddings only — the dedup/similarity family reads
+    nothing else). Replica family k > 0 gets a disjoint token space
+    (every token suffixed `_k`) and a coordinate sign-flip pattern on
+    embeddings (dot(s.a, s.b) = dot(a, b), so WITHIN-family cosine
+    structure is preserved exactly while cross-family similarity is
+    destroyed w.h.p.) — ten independent copies of the sf0.1 dup
+    structure in one table. A correctly bucketed similarity join must
+    therefore show ~10x candidates at 10x rows (stable sub-quadratic
+    ratio); an all-pairs design would show 100x."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    done_flag = os.path.join(dst_dir, "_DONE")
+    if os.path.exists(done_flag):
+        return
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.makedirs(dst_dir, exist_ok=True)
+    reps = "explode(sequence(0, 9))"
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    (
+        docs.select("doc_id", "text", "lang", "source",
+                    F.expr(reps).alias("rep"))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.expr(
+                "array_join(transform(split(text, ' '),"
+                " t -> concat(t, '_', rep)), ' ')"
+            )).alias("text"),
+            "lang", "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .repartition(32)
+        .write.parquet(os.path.join(dst_dir, "documents.parquet"))
+    )
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    (
+        emb.select("vec_id", "embedding", "label", F.expr(reps).alias("rep"))
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(1_000_000)).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x"
+                " ELSE cast(x * (1 - 2 * pmod(hash(rep, i), 2)) as float)"
+                " END)"
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.parquet(os.path.join(dst_dir, "embeddings.parquet"))
+    )
+    with open(done_flag, "w") as f:
+        f.write("ok\n")
+
+
+_SCALE_QUERIES = (
+    "dedup_prefix_filter",
+    "dedup_minhash_pairs",
+    "dedup_embedding_lsh",
+    "semdedup_ivf",
+    "dedup_clusters",
+)
+
+
+def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
+    """Time the dedup/similarity family at sf0.1 and at the derived 10x
+    corpus, with measured candidate-pair counts for the two blocking
+    schemes (MinHash bands over documents, SRP-LSH buckets over
+    embeddings). Near-linear time growth + ~10x candidate growth at 10x
+    rows is the empirical form of the 100 TB sub-quadratic claim."""
+    from catalyst_spark.queries import ALL_QUERIES
+    from catalyst_spark.queries.pipeline import (
+        _minhash_sig_cand,
+        dedup_embedding_lsh,
+    )
+
+    sf1_dir = str(REPO / "benchdata" / "sf1")
+    _ensure_sf1(spark, base_sf_dir, sf1_dir)
+
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    out: dict[str, dict] = {}
+    for tag, d in (("sf0.1", base_sf_dir), ("sf1", sf1_dir)):
+        sec: dict = {"queries": {}, "output_rows": {}}
+        # min over cold trials: the noise-resistant scaling estimator
+        # (one-shot numbers here swung 5x with JVM warmup / GC phase)
+        samples: dict[str, list[float]] = {n: [] for n in _SCALE_QUERIES}
+        for _ in range(trials):
+            reset_caches()
+            for name in _SCALE_QUERIES:
+                t0 = time.perf_counter()
+                df = ALL_QUERIES[name](spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+        for name in _SCALE_QUERIES:
+            sec["queries"][name] = round(min(samples[name]), 3)
+            sec["output_rows"][name] = ALL_QUERIES[name](spark, d).count()
+        n_docs = spark.read.parquet(
+            os.path.join(d, "documents.parquet")).count()
+        n_vecs = spark.read.parquet(
+            os.path.join(d, "embeddings.parquet")).count()
+        _sig, cand = _minhash_sig_cand(spark, d)
+        mh_cand = cand.count()
+        # SRP-LSH candidates: distinct bucket-joined pairs — reuse the
+        # operator's own bucketing by counting its candidate join input
+        lsh_cand = dedup_embedding_lsh(spark, d).count()
+        all_doc = n_docs * (n_docs - 1) // 2
+        all_vec = n_vecs * (n_vecs - 1) // 2
+        sec.update(
+            n_docs=n_docs,
+            n_vecs=n_vecs,
+            minhash_candidates=mh_cand,
+            minhash_candidate_ratio=round(mh_cand / all_doc, 6),
+            lsh_verified_pairs=lsh_cand,
+            all_doc_pairs=all_doc,
+            all_vec_pairs=all_vec,
+        )
+        out[tag] = sec
+        reset_caches()
+    out["note"] = (
+        "sf1 = ten families, each an exact internal copy of the sf0.1 dup "
+        "structure (disjoint token spaces; sign-flipped embeddings). "
+        "Cross-family cosines are ~N(0, 1/64) noise, so a few exceed the "
+        "0.4 verify threshold — embedding-side output_rows grow faster "
+        "than 10x for that reason (real geometry of the derived corpus, "
+        "not join fan-out); the blocking evidence is minhash_candidates "
+        "(~10x at 10x rows) and the per-query time ratios."
+    )
+    base, ten = out["sf0.1"], out["sf1"]
+    out["time_ratio_10x"] = {
+        n: round(ten["queries"][n] / base["queries"][n], 2)
+        for n in _SCALE_QUERIES
+        if base["queries"][n] > 0
+    }
+    out["minhash_candidate_growth_10x"] = (
+        round(ten["minhash_candidates"] / base["minhash_candidates"], 2)
+        if base["minhash_candidates"]
+        else None
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -74,6 +217,15 @@ def main() -> None:
                     pass
             cache.clear()
         spark.catalog.clearCache()
+
+    # --- scale-proof section (VERDICT r3 item 2): the dedup/similarity
+    # family at a 10x corpus, with measured candidate-pair ratios. Runs
+    # BEFORE the main passes so its timings aren't distorted by three
+    # bench passes' worth of accumulated JVM/GC state. ---
+    scale = None
+    if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
+        scale = _scale_section(spark, sf_dir, _reset_session_caches)
+        _reset_session_caches()
 
     # median-of-n per query: one timing per pass, each pass fully cold, so
     # sub-second ambient noise can't masquerade as a regression while
@@ -191,6 +343,8 @@ def main() -> None:
         "lsh_candidate_pairs": lsh_cand,
         "lsh_all_pairs": n_vec * (n_vec - 1) // 2,
     }
+    if scale is not None:
+        payload["scale"] = scale
 
     # machine-checked regression tracking: ratio vs the previous run's
     # committed summary (only at the same sf — cross-sf ratios are noise)
@@ -207,11 +361,22 @@ def main() -> None:
             if pq.get(n)
         }
         # flag only material regressions (>1.3x AND >0.3 s absolute —
-        # sub-second timings swing with ambient load)
-        payload["regressions"] = sorted(
-            n for n, r in payload["vs_prev"].items()
-            if r > 1.3 and timings[n] - pq[n] > 0.3
-        )
+        # sub-second timings swing with ambient load), and only against
+        # a same-methodology summary: cold-state medians vs the old
+        # warm single-pass numbers mislabel honest attribution shifts
+        # (e.g. a query now paying for a build a cache-mate used to
+        # cover) as slowdowns
+        if prev.get("bench_runs") == runs:
+            payload["regressions"] = sorted(
+                n for n, r in payload["vs_prev"].items()
+                if r > 1.3 and timings[n] - pq[n] > 0.3
+            )
+        else:
+            payload["methodology_change"] = (
+                "per-query values are now cold-state medians of "
+                f"{runs} passes; prev summary predates this, so "
+                "regression flags are suppressed this round"
+            )
 
     # the driver keeps only a bounded stdout TAIL, which can truncate
     # this (long) line — the durable copy lives in bench_summary.json

@@ -333,6 +333,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PREFIX_JACCARD = 0.5
+# verify-side broadcast budget for dedup_prefix_filter (estimated
+# hashed-relation bytes; two copies are in flight at once). 24 MB keeps
+# the sf0.1 corpus comfortably on the broadcast path while the 10x
+# corpus — where the forced broadcast measured 5x slower under memory
+# pressure — falls back to the doc_id-keyed shuffle join.
+_PREFIX_BROADCAST_BUDGET = 24 << 20
 
 # (applicationId, sf_dir) -> persisted verified pair table. Four
 # consumers (the query itself, lsh_recall_vs_exact, the cluster chain,
@@ -434,17 +440,30 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = lists.select(
         "doc_id", F.expr("transform(arr, x -> x.h)").alias("tokset")
     )
-    # broadcast the per-doc token sets into the verify join: the table
-    # is docs x avg-set-size 60-bit hashes (~2 MB at sf0.1, ~8 GB/10M
-    # docs — per-partition-of-corpus at real scale), while the candidate
-    # side is the big one; broadcasting flips two shuffle joins into
-    # hash joins (measured ~2x on the verify stage). Past the broadcast
-    # budget, drop the hint and pay the doc_id-keyed shuffle.
+    # broadcast the per-doc token sets into the verify join WHEN THEY
+    # FIT: the table is docs x avg-set-size 60-bit hashes (~2 MB at
+    # sf0.1), and broadcasting flips two shuffle joins into hash joins
+    # (measured ~2x on the verify stage). The budget is ENFORCED, not
+    # aspirational: one tiny aggregate over the already-persisted lists
+    # table estimates the hashed-relation size (16 B/token + 64 B/row
+    # overhead), and past _PREFIX_BROADCAST_BUDGET the hint is dropped
+    # for the doc_id-keyed shuffle join instead — the 10x scale bench
+    # caught the forced-broadcast variant thrashing (34 s vs 7 s at
+    # 50k docs) once the build no longer fit comfortably.
+    stats = lists.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n").alias("nt")
+    ).first()
+    est_bytes = int(stats["nt"] or 0) * 16 + int(stats["nd"] or 0) * 64
+
+    def _verify_side(id_alias: str, set_alias: str):
+        t = tsets.select(
+            F.col("doc_id").alias(id_alias), F.col("tokset").alias(set_alias)
+        )
+        return F.broadcast(t) if est_bytes <= _PREFIX_BROADCAST_BUDGET else t
+
     pairs = (
-        cand.join(F.broadcast(tsets.select(F.col("doc_id").alias("a_id"),
-                                           F.col("tokset").alias("ta"))), "a_id")
-        .join(F.broadcast(tsets.select(F.col("doc_id").alias("b_id"),
-                                       F.col("tokset").alias("tb"))), "b_id")
+        cand.join(_verify_side("a_id", "ta"), "a_id")
+        .join(_verify_side("b_id", "tb"), "b_id")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("ta", "tb"))
