@@ -269,6 +269,207 @@ def _png_features(payload: bytes) -> list[float] | None:
     return feats
 
 
+def _jpeg_decode_gray_dc(payload: bytes) -> tuple[int, int, int, int, list[float]]:
+    """Pure-stdlib baseline-JPEG decode of the luma DC plane (public
+    format: ITU-T T.81). Full segment walk (DQT/DHT/SOF0/DRI/SOS),
+    canonical Huffman decode of the entropy-coded scan — every DC and
+    AC coefficient is entropy-decoded — but only the DC terms are kept:
+    the dequantized DC of an 8x8 block IS 8x its pixel mean (the IDCT's
+    constant basis), so block means come out EXACTLY without any IDCT.
+    A w/8 x h/8 mean-map is all a thumbnail featurizer needs.
+
+    Returns (width, height, grid_w, grid_h, block_means) with means on
+    the 0..255 luma scale. Baseline sequential (SOF0/SOF1) only;
+    progressive/arithmetic raise and the caller falls back.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    i = 2
+    scan_comps = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("marker desync")
+        m = payload[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            raise ValueError("EOI before SOS")
+        seg_len = struct.unpack(">H", payload[i + 2: i + 4])[0]
+        body = payload[i + 4: i + 2 + seg_len]
+        if m == 0xDB:                      # DQT (possibly several tables)
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if pq:
+                    qt[tq] = list(struct.unpack(f">64H", body[j: j + 128]))
+                    j += 128
+                else:
+                    qt[tq] = list(body[j: j + 64])
+                    j += 64
+        elif m == 0xC4:                    # DHT (possibly several tables)
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1: j + 17])
+                j += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = body[j]
+                        j += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif m in (0xC0, 0xC1):            # SOF0/SOF1: baseline
+            _prec, h, w = struct.unpack(">BHH", body[:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c: 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof = (w, h, comps)
+        elif m in (0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG")
+        elif m == 0xDD:                    # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif m == 0xDA:                    # SOS — entropy data follows
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                           body[2 + 2 * c] & 0x0F) for c in range(ns)]
+            i += 2 + seg_len
+            break
+        i += 2 + seg_len
+    if sof is None or scan_comps is None:
+        raise ValueError("missing SOF/SOS")
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # bit reader over the entropy segment: FF00 unstuffing, RSTn resets
+    data = payload
+    pos = i
+    bitbuf = 0
+    bitcnt = 0
+
+    def read_bit() -> int:
+        nonlocal pos, bitbuf, bitcnt
+        if bitcnt == 0:
+            if pos >= len(data):
+                raise ValueError("truncated scan")
+            b = data[pos]
+            pos += 1
+            if b == 0xFF:
+                nxt = data[pos] if pos < len(data) else 0xD9
+                if nxt == 0x00:
+                    pos += 1
+                else:
+                    raise ValueError("marker inside scan")
+            bitbuf, bitcnt = b, 8
+        bitcnt -= 1
+        return (bitbuf >> bitcnt) & 1
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def decode_sym(table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bit()
+            s = table.get((length, code))
+            if s is not None:
+                return s
+        raise ValueError("bad huffman code")
+
+    def extend(v: int, t: int) -> int:
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    def sync_restart() -> None:
+        nonlocal pos, bitcnt
+        bitcnt = 0
+        while pos + 1 < len(data) and not (
+            data[pos] == 0xFF and 0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            pos += 1
+        pos += 2
+
+    # component id -> (dc table, ac table) from the scan header
+    tables = {cs: (huff[(0, td)], huff[(1, ta)]) for cs, td, ta in scan_comps}
+    y_cid, y_h, y_v, y_tq = comps[0]
+    grid_w, grid_h = mcus_x * y_h, mcus_y * y_v
+    dc_q = qt[y_tq][0]
+    means = [0.0] * (grid_w * grid_h)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                sync_restart()
+                pred = {cid: 0 for cid, _, _, _ in comps}
+            for cid, ch, cv, _tq in comps:
+                dc_t, ac_t = tables[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        t = decode_sym(dc_t)
+                        diff = extend(read_bits(t), t) if t else 0
+                        pred[cid] += diff
+                        if cid == y_cid:
+                            gx, gy = mx * ch + bx, my * cv + by
+                            mean = pred[cid] * dc_q / 8.0 + 128.0
+                            means[gy * grid_w + gx] = min(255.0, max(0.0, mean))
+                        k = 1
+                        while k < 64:      # AC: decode to advance, discard
+                            rs = decode_sym(ac_t)
+                            if rs == 0x00:             # EOB
+                                break
+                            if rs == 0xF0:             # ZRL
+                                k += 16
+                                continue
+                            k += (rs >> 4) + 1
+                            read_bits(rs & 0x0F)
+            mcu_count += 1
+    return w, h, grid_w, grid_h, means
+
+
+def _jpeg_features(payload: bytes) -> list[float] | None:
+    """JPEG -> 4x4 box-averaged luma means from the DC plane, scaled to
+    [-1, 1] — pixel-REAL features (the DC term is exact block-mean
+    math), no dependencies. None on non-baseline/corrupt input."""
+    try:
+        w, h, gw, gh, means = _jpeg_decode_gray_dc(payload)
+    except Exception:
+        return None
+    # the DC grid can overhang the true image by partial blocks; crop
+    # the grid to blocks whose origin is inside the image
+    use_w, use_h = max(1, (w + 7) // 8), max(1, (h + 7) // 8)
+    use_w, use_h = min(use_w, gw), min(use_h, gh)
+    feats = []
+    for by in range(4):
+        y0, y1 = by * use_h // 4, max((by + 1) * use_h // 4, by * use_h // 4 + 1)
+        y0, y1 = min(y0, use_h - 1), min(y1, use_h)
+        for bx in range(4):
+            x0, x1 = bx * use_w // 4, max((bx + 1) * use_w // 4, bx * use_w // 4 + 1)
+            x0, x1 = min(x0, use_w - 1), min(x1, use_w)
+            tot = n = 0.0
+            for y in range(y0, max(y1, y0 + 1)):
+                for x in range(x0, max(x1, x0 + 1)):
+                    tot += means[y * gw + x]
+                    n += 1
+            feats.append(tot / n / 127.5 - 1.0)
+    return feats
+
+
 def _wav_decode_pcm(payload: bytes) -> tuple[int, int, int, list[int]]:
     """Pure-stdlib WAV PCM decode (public RIFF/WAVE spec): chunk walk,
     fmt geometry, integer PCM frames mixed to mono by per-frame channel
@@ -379,10 +580,12 @@ def image_features(df: DataFrame) -> DataFrame:
 
     Decode ladder: PIL if installed (any format) -> pure-stdlib PNG
     decode (REAL pixel math: zlib inflate + scanline unfilter + luma +
-    4x4 box average; no dependencies) -> deterministic clearly-marked
-    fake (JPEG/video only — nothing in the stdlib can inflate DCT
-    entropy coding). Installing PIL upgrades the remaining formats
-    without changing the operator's shape.
+    4x4 box average) -> pure-stdlib baseline-JPEG DC decode (REAL pixel
+    math: full Huffman entropy decode, exact 8x8 block means from the
+    dequantized DC plane) -> deterministic clearly-marked fake (only
+    for formats with no stdlib decode path left, e.g. video
+    containers). Installing PIL upgrades those without changing the
+    operator's shape.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -398,6 +601,8 @@ def image_features(df: DataFrame) -> DataFrame:
                         feats = None
                 if feats is None:
                     feats = _png_features(payload)
+                if feats is None:
+                    feats = _jpeg_features(payload)
                 if feats is None:
                     feats = _fake_floats(payload, FEATURE_DIM, "imgfeat")
                 out.append({"media_id": mid, "features": feats})

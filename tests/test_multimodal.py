@@ -323,3 +323,128 @@ def test_audio_features_stereo_and_fallbacks(spark):
     assert got[2]["n_frames"] == 0 and got[2]["duration_s"] == 0.0
     assert got[2]["rms"] is None and got[2]["peak"] is None
     assert got[3]["sample_rate"] is None and got[3]["rms"] is None
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: DC-plane decode (pure stdlib, full Huffman entropy pass)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v, nbits):
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:      # byte stuffing
+                    self.buf.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def done(self) -> bytes:
+        while self.n:                     # pad with 1s
+            self.write(1, 1)
+        return bytes(self.buf)
+
+
+def jpeg_gray_bytes(block_means, grid_w, grid_h, with_ac=False) -> bytes:
+    """Minimal single-component baseline JPEG whose 8x8 blocks have
+    EXACTLY the given means (DC quant 8 -> dc = mean - 128; flat AC).
+    Custom canonical Huffman tables are emitted in the stream: DC
+    symbols 0..7 as the 3-bit codes 000..111, AC symbols
+    (EOB, 0x01, ZRL) as 2-bit codes. Means must lie in [1, 255]."""
+    def seg(marker, body):
+        return b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def canonical(bits, vals):
+        codes, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                codes[vals[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return codes
+
+    # DC: categories 0..8 (7 codes of len 3, 2 of len 4); AC: EOB,
+    # (run 0, size 1), ZRL as 2-bit codes
+    dc_bits, dc_vals = [0, 0, 7, 2] + [0] * 12, list(range(9))
+    ac_bits, ac_vals = [0, 3] + [0] * 14, [0x00, 0x01, 0xF0]
+    dc_code = canonical(dc_bits, dc_vals)
+    ac_code = canonical(ac_bits, ac_vals)
+
+    w, h = grid_w * 8, grid_h * 8
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes([8] + [1] * 63))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00] + dc_bits + dc_vals))
+    out += seg(0xC4, bytes([0x10] + ac_bits + ac_vals))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    pred = 0
+    for mean in block_means:
+        dc = int(mean) - 128
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        length, code = dc_code[t]                 # DC symbol == category
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        if with_ac:
+            length, code = ac_code[0x01]          # AC (run 0, size 1)
+            bw.write(code, length)
+            bw.write(1, 1)                        # coefficient +1
+        length, code = ac_code[0x00]              # EOB
+        bw.write(code, length)
+    return out + bw.done() + b"\xff\xd9"
+
+
+def test_jpeg_dc_decode_exact_block_means():
+    from catalyst_spark.multimodal import _jpeg_decode_gray_dc
+
+    means = [10, 50, 90, 130, 170, 210, 250, 128, 64, 32, 16, 200]
+    for with_ac in (False, True):
+        payload = jpeg_gray_bytes(means, 4, 3, with_ac=with_ac)
+        w, h, gw, gh, got = _jpeg_decode_gray_dc(payload)
+        assert (w, h, gw, gh) == (32, 24, 4, 3)
+        assert got == [float(m) for m in means], f"with_ac={with_ac}"
+
+
+def test_jpeg_features_box_average():
+    from catalyst_spark.multimodal import FEATURE_DIM, _jpeg_features
+
+    # 4x4 grid of blocks -> each feature is exactly one block's mean
+    means = [(i * 16 + 8) for i in range(16)]
+    feats = _jpeg_features(jpeg_gray_bytes(means, 4, 4))
+    assert feats is not None and len(feats) == FEATURE_DIM
+    assert feats == [m / 127.5 - 1.0 for m in means]
+
+
+def test_jpeg_features_rejects_non_baseline():
+    from catalyst_spark.multimodal import _jpeg_features
+
+    # progressive SOF2 must fall through to None, not decode garbage
+    payload = jpeg_gray_bytes([100], 1, 1).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _jpeg_features(payload) is None
+    assert _jpeg_features(b"\xff\xd8garbage") is None
+
+
+def test_image_features_operator_uses_real_jpeg_path(spark):
+    from catalyst_spark.multimodal import image_features, _HAVE_PIL
+
+    if _HAVE_PIL:
+        import pytest
+        pytest.skip("PIL present: ladder prefers PIL for JPEG")
+    means = [40] * 16
+    df = spark.createDataFrame(
+        [Row(media_id=9, kind="image",
+             payload=bytearray(jpeg_gray_bytes(means, 4, 4)))],
+        "media_id long, kind string, payload binary")
+    [r] = image_features(df).collect()
+    want = 40 / 127.5 - 1.0
+    assert all(abs(f - want) < 1e-6 for f in r["features"])
