@@ -78,7 +78,7 @@ _R4_FRONT = [
     "near_dup_source_matrix", "dedup_prefix_filter",
     # new in r4 — no driver row yet
     "ann_multiprobe_recall", "cusum_chunked", "holt_chunked",
-    "window_decontaminate",
+    "window_decontaminate", "window_selfdup_spans", "boilerplate_spans",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R4_FRONT)

@@ -437,6 +437,71 @@ _PIPELINE = {
         WHERE s.matched_windows >= 1
         ORDER BY s.eval_id
     """,
+    # train-side substring self-dedup: per doc, windows occurring in
+    # >= 2 distinct docs, with longest consecutive dup-position run
+    "window_selfdup_spans": f"""
+        WITH d AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id, source, u.pos AS pos, {_h60_duck('u.w')} AS h
+          FROM (
+            SELECT doc_id, source,
+                   unnest([{{'pos': i,
+                            'w': array_to_string(
+                                   toks[i:(i + {_WIN_TOKENS} - 1)], ' ')}}
+                           FOR i IN range(1, greatest(2, len(toks)
+                                                         - {_WIN_TOKENS - 2}))])
+                     AS u
+            FROM d)),
+        dup AS (
+          SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        probed AS (
+          SELECT w.doc_id, w.source, w.pos,
+                 CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END AS m
+          FROM w LEFT JOIN dup ON w.h = dup.h),
+        stats AS (
+          SELECT doc_id, source, COUNT(*) AS n_windows,
+                 CAST(SUM(m) AS BIGINT) AS dup_windows
+          FROM probed GROUP BY 1, 2),
+        isl AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS g
+          FROM probed WHERE m = 1),
+        runs AS (
+          SELECT doc_id, MAX(run) AS max_dup_run FROM (
+            SELECT doc_id, g, COUNT(*) AS run FROM isl GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT s.doc_id, s.source, s.n_windows, s.dup_windows,
+               ROUND(s.dup_windows * 1.0 / s.n_windows, 4) AS dup_share,
+               CAST(COALESCE(r.max_dup_run, 0) AS BIGINT) AS max_dup_run
+        FROM stats s LEFT JOIN runs r USING (doc_id)
+        ORDER BY s.doc_id
+    """,
+    # top-25 most-duplicated spans; ties break on the hash so the cut
+    # line is engine-reproducible
+    "boilerplate_spans": f"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        w AS (
+          SELECT doc_id, {_h60_duck('u')} AS h
+          FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(
+                             toks[i:(i + {_WIN_TOKENS} - 1)], ' ')
+                           FOR i IN range(1, greatest(2, len(toks)
+                                                         - {_WIN_TOKENS - 2}))])
+                     AS u
+            FROM d))
+        SELECT h, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences,
+               MIN(doc_id) AS example_doc
+        FROM w GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, h
+        LIMIT 25
+    """,
     # portable bloom filter (2^_BLOOM_BITS_LOG2 = 2^18 bits as 8192
     # 32-bit words, _BLOOM_K = 3 probes from disjoint 18-bit md5-hash
     # slices) vs exact membership

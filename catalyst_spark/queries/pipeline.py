@@ -2129,8 +2129,32 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# overlapping-window substring decontamination: stride-1 8-token windows
+# overlapping-window substring machinery: stride-1 8-token windows
 _WIN_TOKENS = 8
+
+
+def _windowed(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, pos, h): every stride-1 8-token window of every
+    document, 1-based position, hashed to the portable 60-bit int at
+    the scan (window text never shuffles). Documents shorter than 8
+    tokens contribute one whole-text window. All three substring-level
+    operators build THE SAME logical plan here, so one persisted copy
+    serves every caller in a session (cache-manager plan identity)."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, {N_TOKENS} - {_WIN_TOKENS - 1})),"
+                f" i -> concat_ws(' ', slice({TOKENS}, i, {_WIN_TOKENS})))"
+            )
+        ).alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(_h60("w")).alias("h"),
+    )
 
 
 def window_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2157,21 +2181,13 @@ def window_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens contribute one whole-text window.
     """
     docs = load(spark, sf_dir, "documents")
-    win = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(1, {N_TOKENS} - {_WIN_TOKENS - 1})),"
-                f" i -> concat_ws(' ', slice({TOKENS}, i, {_WIN_TOKENS})))"
-            )
-        ).alias("pos0", "w"),
-    ).select(
-        "doc_id",
-        "source",
-        (F.col("pos0") + 1).alias("pos"),
-        F.expr(_h60("w")).alias("h"),
-    )
+    win = _windowed(docs).persist()
+    # materialize NOW (minhash-signature rule): the window table feeds
+    # three plan branches (distinct train hashes, the train-doc join,
+    # and the eval probe side), and a lazily-persisted table would
+    # race-compute once per branch; the cache manager shares the entry
+    # across repeated calls by logical plan
+    win.count()
     eval_w = win.where(F.col("source") == _CONTAM_EVAL_SOURCE).select(
         F.col("doc_id").alias("eval_id"), "pos", "h"
     )
@@ -2209,6 +2225,90 @@ def window_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("eval_id", "n_windows", "matched_windows", "n_train_docs",
                 "max_run")
         .orderBy("eval_id")
+    )
+
+
+def window_selfdup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-side substring SELF-dedup audit (the other half of Lee et
+    al. 2022: dedup the training set itself, not just against eval):
+    per document, how many of its stride-1 8-token windows occur
+    verbatim in at least one OTHER document, and the longest
+    consecutive run of such positions — a certified (R+7)-token span
+    that duplicates material elsewhere in the corpus. The dup_share /
+    max run pair is what a substring-dedup pass uses to decide cut
+    spans vs drop docs.
+
+    Plan shape: one shared window-hash table (same logical plan as
+    window_decontaminate — one persisted copy serves both); the
+    duplicated-hash set is an 8-byte-key aggregate (hashes occurring in
+    >= 2 distinct docs); probe is an equi-join on the hash; islands
+    window over matched positions per doc. Integer-exact everywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    win = _windowed(docs)
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    probed = win.join(dup_h, "h", "left")
+    stats = probed.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_windows"),
+    )
+    wr = W.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        probed.where(F.col("_dup").isNotNull())
+        .select("doc_id", "pos")
+        .withColumn("g", F.col("pos") - F.row_number().over(wr))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_dup_run"))
+    )
+    return (
+        stats.join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_windows",
+            "dup_windows",
+            F.round(F.col("dup_windows") / F.col("n_windows"), 4)
+            .alias("dup_share"),
+            F.coalesce("max_dup_run", F.lit(0)).cast("bigint")
+            .alias("max_dup_run"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the top-25 most-duplicated 8-token windows
+    across the corpus (license headers, navigation chrome, template
+    openings) — what a cleaning pass inspects before writing removal
+    rules. Reports each span hash with how many distinct docs and total
+    occurrences carry it, plus the lowest doc_id as a lookup exemplar.
+
+    Deterministic top-k: ties break on the hash itself, so the cut line
+    is engine-reproducible. One aggregate over the shared window-hash
+    table; the top-25 is a TakeOrdered over counts, never a global sort
+    of the window stream.
+    """
+    docs = load(spark, sf_dir, "documents")
+    win = _windowed(docs)
+    return (
+        win.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "h")
+        .limit(25)
     )
 
 
@@ -2356,6 +2456,8 @@ PIPELINE_QUERIES = {
     "embedding_norm_outliers": embedding_norm_outliers,
     "chunk_dedup": chunk_dedup,
     "window_decontaminate": window_decontaminate,
+    "window_selfdup_spans": window_selfdup_spans,
+    "boilerplate_spans": boilerplate_spans,
     "bloom_decontaminate": bloom_decontaminate,
     "semdedup_ivf": semdedup_ivf,
     "train_val_test_split": train_val_test_split,

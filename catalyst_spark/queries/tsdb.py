@@ -324,6 +324,11 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     order to diverge between engines, short leading frames normalize
     themselves, and the only float op is the final division. One
     window pass, one shuffle on user_id.
+
+    Scale note: unlike the whole-series folds (see holt_chunked /
+    cusum_chunked), this op is already row-bounded — the collect_list
+    runs over a rowsBetween(-7, 0) frame, so no row ever carries more
+    than 8 samples regardless of series length.
     """
     events = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)

@@ -210,6 +210,21 @@ def test_window_decontaminate_shuffles_hashes_only(spark):
     assert "EvalPython" not in plan
 
 
+def test_window_selfdup_shuffles_hashes_only(spark):
+    plan = plan_of(spark, "window_selfdup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_spans_takeordered(spark):
+    # top-25 must be a TakeOrdered over the aggregate, never a global
+    # sort of the window stream
+    plan = plan_of(spark, "boilerplate_spans")
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
 def test_bloom_probe_join_broadcasts_filter(spark):
     # the 8192-word filter table must broadcast into the probe join —
     # the whole point of the sketch is that the probe side never
