@@ -718,6 +718,41 @@ def _ivf_trained_sql() -> str:
     """
 
 
+def _pagerank_sql() -> str:
+    """Unrolled integer fixed-point PageRank over the complete
+    prefix-filter edge set — oracle twin of pipeline.near_dup_pagerank
+    (scale/damping/iterations imported so the constants can't drift)."""
+    from catalyst_spark.queries.pipeline import _PR_ITERS, _PR_SCALE
+
+    teleport = 15 * _PR_SCALE // 100
+    parts = [
+        f"WITH {_SHINGLE_PAIRS_CTE},",
+        "edges AS ("
+        " SELECT a_id AS src, b_id AS dst FROM pairs"
+        " UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),",
+        f"r0 AS (SELECT src AS doc_id, CAST({_PR_SCALE} AS BIGINT) AS r"
+        " FROM deg),",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"r{i} AS ("
+            f" SELECT e.dst AS doc_id,"
+            f" CAST({teleport} + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT)"
+            f"   AS r"
+            f" FROM edges e"
+            f" JOIN r{i - 1} r ON e.src = r.doc_id"
+            f" JOIN deg d ON e.src = d.src"
+            f" GROUP BY e.dst),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        body
+        + f"\nSELECT doc_id, r AS rank_fp FROM r{_PR_ITERS}"
+        " ORDER BY rank_fp DESC, doc_id"
+    )
+
+
 def _multiprobe_sql() -> str:
     """Unrolled k-means + top-2 cell probes per query vs top-1 member
     assignment + exact-cosine rerank of each candidate set, graded
@@ -1521,6 +1556,10 @@ _TSDB = {
         SELECT u AS doc_id, MIN(r) AS cluster_id
         FROM reach GROUP BY u ORDER BY doc_id
     """,
+    # fixed-point PageRank over the same complete edge set: scale 10^6,
+    # damping (85*x)//100, 3 unrolled iterations — positive integer
+    # divisions everywhere, so floor (//) matches Spark's div exactly
+    "near_dup_pagerank": _pagerank_sql(),
     "dedup_keep_one": f"""
         WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
         edges AS (
@@ -1815,6 +1854,27 @@ _TSDB = {
                CAST(CASE WHEN s >= {_CUSUM_ALARM_CENTS} THEN 1 ELSE 0 END
                     AS BIGINT) AS alarm
         FROM h WHERE s > 0 ORDER BY event_id
+    """,
+    # hour-of-day seasonal cells with an integer per-mille index —
+    # (cell_sum * type_n * 1000) // (cell_n * type_sum); all operands
+    # positive, so DuckDB's floor-div matches Spark's div exactly
+    "seasonal_hourly_profile": """
+        WITH cells AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT event_type,
+                 CAST(SUM(n) AS BIGINT) AS n_type,
+                 CAST(SUM(sum_cents) AS BIGINT) AS sum_type
+          FROM cells GROUP BY 1)
+        SELECT c.event_type, c.hod, c.n, c.sum_cents,
+               CAST((c.sum_cents * t.n_type * 1000)
+                    // (c.n * t.sum_type) AS BIGINT) AS idx_permille
+        FROM cells c JOIN t USING (event_type)
+        ORDER BY c.event_type, c.hod
     """,
     "path_transitions": """
         WITH l AS (

@@ -706,6 +706,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
 
 
+# fixed-point PageRank constants: scale 10^6, damping 85/100, 3
+# iterations — all integer, so every engine reproduces identical ranks
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000
+
+
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate graph (complete prefix-filter
+    edge set, symmetrized) — ranks the most-connected duplicate hubs,
+    the doc a curator inspects first when a cluster is large. The
+    iterative-graph-algorithm pattern beyond connected components:
+    driver-coordinated loop, per-iteration join + aggregate, lineage
+    cut with localCheckpoint.
+
+    ENGINE-EXACT by integer fixed-point: ranks are bigints scaled by
+    10^6; each step is r' = 0.15*S + (85 * sum(r_u div deg_u)) div 100
+    with every division an integer div of positive operands — no float
+    ever enters, so the unrolled-CTE DuckDB oracle reproduces ranks
+    bit-for-bit (the usual impossibility of oracle-checking float
+    PageRank is exactly why the fixed-point form is the portable one).
+
+    Scale: per iteration one shuffle keyed on doc_id for the join and
+    one for the aggregate; state is one (doc_id, rank) row per node.
+    """
+    pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    deg = edges.groupBy("a_id").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.join(deg, "a_id")
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "deg")
+        .persist()  # reused every iteration; released after the loop
+    )
+    e.count()
+    ranks = deg.select(
+        F.col("a_id").alias("doc_id"),
+        F.lit(_PR_SCALE).cast("bigint").alias("r"),
+    ).localCheckpoint()
+    teleport = 15 * _PR_SCALE // 100
+    for _ in range(_PR_ITERS):
+        contrib = e.join(ranks, e["src"] == ranks["doc_id"]).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.lit(teleport) + F.expr("(85 * inc) div 100"))
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks.select(
+        "doc_id", F.col("r").alias("rank_fp")
+    ).orderBy(F.col("rank_fp").desc(), "doc_id")
+
+
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (bit-vote over _h60 token hashes).
 
@@ -2437,6 +2498,7 @@ PIPELINE_QUERIES = {
     "lsh_recall_vs_exact": lsh_recall_vs_exact,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
+    "near_dup_pagerank": near_dup_pagerank,
     "contamination_overlap": contamination_overlap,
     "quality_filter": quality_filter,
     "pack_sequences": pack_sequences,

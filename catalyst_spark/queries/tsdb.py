@@ -1378,6 +1378,47 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type — the decomposition
+    step behind seasonal baselining and anomaly thresholds: for each
+    (event_type, hour) cell, its observation count, exact cent sum, and
+    a per-mille seasonal index ((cell mean / type mean) * 1000).
+
+    Exactness: the index is one integer expression,
+    (sum_cents * n_type * 1000) div (n_cell * sum_type) — no mean is
+    ever materialized as a float, so there's no ROUND(AVG) half-tie to
+    diverge between engines. One aggregate over (type, hour), the type
+    totals window over the 24-row-per-type aggregate, not the stream.
+    """
+    events = load(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("hod"),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    wt = W.partitionBy("event_type")
+    return (
+        cells.withColumn("n_type", F.sum("n").over(wt))
+        .withColumn("sum_type", F.sum("sum_cents").over(wt))
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            "sum_cents",
+            F.expr("(sum_cents * n_type * 1000) div (n * sum_type)")
+            .alias("idx_permille"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
 TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
     "value_percentiles": value_percentiles,
@@ -1416,4 +1457,5 @@ TSDB_QUERIES = {
     "cusum_changepoints": cusum_changepoints,
     "cusum_chunked": cusum_chunked,
     "holt_chunked": holt_chunked,
+    "seasonal_hourly_profile": seasonal_hourly_profile,
 }
