@@ -79,7 +79,7 @@ _R4_FRONT = [
     # new in r4 — no driver row yet
     "ann_multiprobe_recall", "cusum_chunked", "holt_chunked",
     "window_decontaminate", "window_selfdup_spans", "boilerplate_spans",
-    "seasonal_hourly_profile", "near_dup_pagerank",
+    "seasonal_hourly_profile", "near_dup_pagerank", "ann_pq_adc_topk",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R4_FRONT)

@@ -830,6 +830,87 @@ def _multiprobe_sql() -> str:
     """
 
 
+def _pq_sql() -> str:
+    """Unrolled per-subspace k-means + code assignment + per-query LUT
+    + ADC scan — oracle twin of pipeline.ann_pq_adc_topk. Same
+    deterministic k-means as _kmeans_sql on each 16-dim slice; LUT
+    entries use the q.q - 2q.c + c.c expansion; the four parts add in
+    fixed left-to-right order, mirroring the Spark side exactly."""
+    from catalyst_spark.queries.pipeline import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _LSH_DIM,
+        _PQ_M,
+    )
+
+    sub = _LSH_DIM // _PQ_M
+    last = _KMEANS_ITERS
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),",
+        f"dims AS (SELECT unnest(range(1, {sub + 1})) AS d),",
+    ]
+    for m in range(_PQ_M):
+        lo = m * sub
+        parts.append(
+            f"v{m} AS (SELECT vec_id, e[{lo + 1}:{lo + sub}] AS e FROM v),"
+        )
+        parts.append(
+            f"c0_{m} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS c_id, e AS ce FROM (SELECT vec_id, e FROM v{m}"
+            f" ORDER BY vec_id LIMIT {_KMEANS_K})),"
+        )
+        for i in range(1, last + 1):
+            parts.append(
+                f"a{i}_{m} AS (SELECT vec_id, e, c_id FROM ("
+                f" SELECT v.vec_id, v.e, c.c_id,"
+                f" row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+                f" list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
+                f" + list_dot_product(c.ce, c.ce), c.c_id) AS rn"
+                f" FROM v{m} v, c{i - 1}_{m} c) t WHERE rn = 1),"
+            )
+            parts.append(
+                f"m{i}_{m} AS (SELECT c_id, d, AVG(e[d]) AS mm"
+                f" FROM a{i}_{m}, dims GROUP BY 1, 2),"
+            )
+            parts.append(
+                f"c{i}_{m} AS (SELECT c_id, list(mm ORDER BY d) AS ce"
+                f" FROM m{i}_{m} GROUP BY 1),"
+            )
+        parts.append(
+            f"code{m} AS (SELECT vec_id, c_id AS code FROM ("
+            f" SELECT v.vec_id, c.c_id,"
+            f" row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+            f" list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
+            f" + list_dot_product(c.ce, c.ce), c.c_id) AS rn"
+            f" FROM v{m} v, c{last}_{m} c) t WHERE rn = 1),"
+        )
+        parts.append(
+            f"lut{m} AS (SELECT q.vec_id AS q_id, c.c_id AS code,"
+            f" list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.ce)"
+            f" + list_dot_product(c.ce, c.ce) AS p"
+            f" FROM v{m} q, c{last}_{m} c WHERE q.vec_id % 50 = 0),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return body + """
+        SELECT q_id, rnk AS "rank", n_id AS neighbor_id,
+               ROUND(d2, 2) AS adc_d2 FROM (
+          SELECT l0.q_id, c0.vec_id AS n_id,
+                 l0.p + l1.p + l2.p + l3.p AS d2,
+                 ROW_NUMBER() OVER (PARTITION BY l0.q_id ORDER BY
+                   l0.p + l1.p + l2.p + l3.p, c0.vec_id) AS rnk
+          FROM code0 c0
+          JOIN code1 c1 USING (vec_id)
+          JOIN code2 c2 USING (vec_id)
+          JOIN code3 c3 USING (vec_id)
+          JOIN lut0 l0 ON l0.code = c0.code
+          JOIN lut1 l1 ON l1.code = c1.code AND l1.q_id = l0.q_id
+          JOIN lut2 l2 ON l2.code = c2.code AND l2.q_id = l0.q_id
+          JOIN lut3 l3 ON l3.code = c3.code AND l3.q_id = l0.q_id
+          WHERE c0.vec_id != l0.q_id) t
+        WHERE rnk <= 5 ORDER BY q_id, "rank"
+    """
+
+
 def _semdedup_sql() -> str:
     """Unrolled k-means + assignment + in-cell pair scan — the oracle
     twin of pipeline.semdedup_ivf."""
@@ -861,6 +942,7 @@ _HASH_ORACLES = {
     "ivf_train": _kmeans_final_select(),
     "ann_ivf_trained_topk": _ivf_trained_sql(),
     "ann_multiprobe_recall": _multiprobe_sql(),
+    "ann_pq_adc_topk": _pq_sql(),
     "semdedup_ivf": _semdedup_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",
     "dedup_simhash_pairs": f"""

@@ -1266,6 +1266,117 @@ def _srp_planes() -> list:
     return rows
 
 
+# product quantization geometry: 4 subspaces of 16 dims over the 64-dim
+# embeddings; subquantizers reuse the IVF k-means (k=8, 3 Lloyd iters)
+_PQ_M = 4
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN with Asymmetric Distance Computation
+    (Jegou et al. 2011) — the compression rung of the ANN ladder
+    (brute -> IVF -> multi-probe -> PQ): vectors compress to M=4 codes
+    (one byte each here; 16x smaller than the raw floats), and each
+    query scans the CODES, not the vectors, via a per-query lookup
+    table of subspace distances. At 100 TB the codes table is what fits
+    in memory; this operator is that scan, end to end.
+
+    Engine parity: subquantizers are the same deterministic k-means as
+    ivf_train (lowest-vec_id init, (distance, c_id) ties) run on each
+    16-dim slice; LUT entries use the q.q - 2q.c + c.c expansion with
+    sequential-fold dots (identical to DuckDB's list_dot_product
+    order); the 4 LUT parts add in fixed left-to-right order via four
+    joins — never a groupBy sum whose float order could drift. ADC
+    distances round to 2dp in the output.
+
+    Plan: codes come from one Arrow-batched encode pass; the 4 LUT
+    joins broadcast (queries x k rows each); ranking is a per-query
+    window over the candidate scan. No shuffle ever carries a raw
+    vector — only (vec_id, 4 codes).
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sub = _LSH_DIM // _PQ_M
+    books = []
+    for m in range(_PQ_M):
+        vm = v.select(
+            "vec_id", F.expr(f"slice(e, {m * sub + 1}, {sub})").alias("e")
+        )
+        C, cids, _ = _kmeans_fit(spark, vm)
+        books.append((C, cids))
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for m, (C, cids) in enumerate(books):
+                Xm = X[:, m * sub: (m + 1) * sub]
+                Cn = (C * C).sum(axis=1)
+                D = (Xm * Xm).sum(1)[:, None] - 2.0 * (Xm @ C.T) + Cn[None, :]
+                out[f"code{m}"] = cids[np.argmin(D, axis=1)]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"code{m} long" for m in range(_PQ_M)
+    )
+    codes = v.mapInPandas(_encode, schema)
+    # centroid table as a tiny literal DataFrame: (m, code, ce)
+    cent_rows = [
+        (m, int(cids[j]), [float(x) for x in C[j]])
+        for m, (C, cids) in enumerate(books)
+        for j in range(len(cids))
+    ]
+    cent = spark.createDataFrame(
+        cent_rows, "m INT, code LONG, ce ARRAY<DOUBLE>"
+    )
+    qs = v.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "e"
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0 as double), (s, x) -> s + x)"
+    )
+    pairs = codes
+    for m in range(_PQ_M):
+        qm = f"slice(e, {m * sub + 1}, {sub})"
+        lut_m = (
+            qs.crossJoin(F.broadcast(cent.where(F.col("m") == m)))
+            .select(
+                "q_id",
+                F.col("code").alias(f"code{m}"),
+                F.expr(
+                    dot.format(a=qm, b=qm)
+                    + " - 2 * " + dot.format(a=qm, b="ce")
+                    + " + " + dot.format(a="ce", b="ce")
+                ).alias(f"p{m}"),
+            )
+        )
+        on = [f"code{m}"] if m == 0 else ["q_id", f"code{m}"]
+        pairs = pairs.join(F.broadcast(lut_m), on)
+    d2 = (
+        F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
+    )  # fixed left-to-right add: deterministic float order
+    w = W.partitionBy("q_id").orderBy(F.col("d2_raw").asc(), F.col("vec_id"))
+    return (
+        pairs.where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("d2_raw", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "q_id", "rank", F.col("vec_id").alias("neighbor_id"),
+            F.round("d2_raw", 2).alias("adc_d2"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup: signed-random-projection LSH.
 
@@ -2533,6 +2644,7 @@ PIPELINE_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_at_5": ann_recall_at_5,
     "ann_multiprobe_recall": ann_multiprobe_recall,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
     "token_counts": token_counts,

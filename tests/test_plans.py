@@ -225,6 +225,16 @@ def test_boilerplate_spans_takeordered(spark):
     assert "EvalPython" not in plan
 
 
+def test_pq_adc_scans_codes_with_broadcast_luts(spark):
+    # the candidate scan must be BroadcastHashJoins of tiny LUTs into
+    # the codes table — no shuffle ever carries a raw vector, and the
+    # only nested-loop is the broadcast LUT build (queries x k
+    # centroids, model-sized by construction)
+    plan = plan_of(spark, "ann_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bloom_probe_join_broadcasts_filter(spark):
     # the 8192-word filter table must broadcast into the probe join —
     # the whole point of the sketch is that the probe side never
