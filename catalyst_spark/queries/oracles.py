@@ -830,12 +830,11 @@ def _multiprobe_sql() -> str:
     """
 
 
-def _pq_sql() -> str:
-    """Unrolled per-subspace k-means + code assignment + per-query LUT
-    + ADC scan — oracle twin of pipeline.ann_pq_adc_topk. Same
+def _pq_ctes() -> str:
+    """Shared CTE prefix (trailing comma) for the PQ oracles: unrolled
+    per-subspace k-means + code assignment + per-query LUTs. Same
     deterministic k-means as _kmeans_sql on each 16-dim slice; LUT
-    entries use the q.q - 2q.c + c.c expansion; the four parts add in
-    fixed left-to-right order, mirroring the Spark side exactly."""
+    entries use the q.q - 2q.c + c.c expansion."""
     from catalyst_spark.queries.pipeline import (
         _KMEANS_ITERS,
         _KMEANS_K,
@@ -890,10 +889,11 @@ def _pq_sql() -> str:
             f" + list_dot_product(c.ce, c.ce) AS p"
             f" FROM v{m} q, c{last}_{m} c WHERE q.vec_id % 50 = 0),"
         )
-    body = "\n".join(parts).rstrip(",")
-    return body + """
-        SELECT q_id, rnk AS "rank", n_id AS neighbor_id,
-               ROUND(d2, 2) AS adc_d2 FROM (
+    return "\n".join(parts)
+
+
+_PQ_TOP5_CTE = """
+        pqrank AS (
           SELECT l0.q_id, c0.vec_id AS n_id,
                  l0.p + l1.p + l2.p + l3.p AS d2,
                  ROW_NUMBER() OVER (PARTITION BY l0.q_id ORDER BY
@@ -906,8 +906,45 @@ def _pq_sql() -> str:
           JOIN lut1 l1 ON l1.code = c1.code AND l1.q_id = l0.q_id
           JOIN lut2 l2 ON l2.code = c2.code AND l2.q_id = l0.q_id
           JOIN lut3 l3 ON l3.code = c3.code AND l3.q_id = l0.q_id
-          WHERE c0.vec_id != l0.q_id) t
-        WHERE rnk <= 5 ORDER BY q_id, "rank"
+          WHERE c0.vec_id != l0.q_id)"""
+
+
+def _pq_sql() -> str:
+    """Oracle twin of pipeline.ann_pq_adc_topk: the shared PQ CTEs plus
+    the top-5 ADC rank; the four LUT parts add in fixed left-to-right
+    order, mirroring the Spark side exactly."""
+    return _pq_ctes() + _PQ_TOP5_CTE + """
+        SELECT q_id, rnk AS "rank", n_id AS neighbor_id,
+               ROUND(d2, 2) AS adc_d2
+        FROM pqrank WHERE rnk <= 5 ORDER BY q_id, "rank"
+    """
+
+
+def _pq_recall_sql() -> str:
+    """Oracle twin of pipeline.ann_pq_recall: PQ top-5 graded against
+    the exact brute-force top-5 (cos DESC, neighbor_id ties)."""
+    return _pq_ctes() + _PQ_TOP5_CTE + """,
+        pq AS (SELECT q_id, n_id FROM pqrank WHERE rnk <= 5),
+        nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        sb AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        brute AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id)
+                     AS rnk
+            FROM sb) t
+          WHERE rnk <= 5)
+        SELECT b.q_id,
+               COUNT(pq.n_id) AS hits,
+               ROUND(COUNT(pq.n_id) / 5.0, 2) AS recall_at_5
+        FROM brute b
+        LEFT JOIN pq ON pq.q_id = b.q_id AND pq.n_id = b.neighbor_id
+        GROUP BY b.q_id ORDER BY b.q_id
     """
 
 
@@ -943,6 +980,7 @@ _HASH_ORACLES = {
     "ann_ivf_trained_topk": _ivf_trained_sql(),
     "ann_multiprobe_recall": _multiprobe_sql(),
     "ann_pq_adc_topk": _pq_sql(),
+    "ann_pq_recall": _pq_recall_sql(),
     "semdedup_ivf": _semdedup_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",
     "dedup_simhash_pairs": f"""

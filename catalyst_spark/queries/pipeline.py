@@ -1377,6 +1377,31 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the PQ-ADC scan against the exact
+    brute-force baseline, per query — the calibration row every
+    approximate method here ships with (lsh_recall_vs_exact for
+    banding, ann_recall_at_5 for IVF, ann_multiprobe_recall for
+    nprobe). PQ trades recall for 16x compression; this emits the
+    evidence instead of quoting it. Exact-side tie-break (cos DESC,
+    neighbor_id) and ADC-side (d2 ASC, neighbor_id) are both
+    deterministic, so the intersection is engine-reproducible.
+    """
+    pq = ann_pq_adc_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        brute.join(pq, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup: signed-random-projection LSH.
 
@@ -2645,6 +2670,7 @@ PIPELINE_QUERIES = {
     "ann_recall_at_5": ann_recall_at_5,
     "ann_multiprobe_recall": ann_multiprobe_recall,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_pq_recall": ann_pq_recall,
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
     "token_counts": token_counts,
