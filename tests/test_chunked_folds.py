@@ -140,3 +140,19 @@ def test_chunked_plans_have_no_python_and_no_cartesian(spark):
         )
         assert "Cartesian" not in plan
         assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_chunk_size_invariance_multi_series(spark, tmp_path):
+    """Chunk size must be invisible: many series, awkward chunk sizes
+    (1, prime, larger-than-series) all reproduce the whole-series fold
+    on the standard sf0.001 corpus."""
+    from tests.conftest import SF_DIR
+
+    want_c = _rows(cusum_changepoints(spark, SF_DIR))
+    want_h = _rows(holt_linear_smooth(spark, SF_DIR))
+    for chunk in (1, 7, 1000):
+        assert _rows(cusum_chunked(spark, SF_DIR, chunk=chunk)) == want_c, chunk
+    # holt's carry is a per-chunk-index job loop; chunk=1 would mean
+    # one job per point — skip it, sweep a prime and an over-size
+    for chunk in (7, 1000):
+        assert _rows(holt_chunked(spark, SF_DIR, chunk=chunk)) == want_h, chunk
