@@ -231,7 +231,13 @@ def main() -> None:
     # sub-second ambient noise can't masquerade as a regression while
     # build-owner attribution stays identical in every pass
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # soft deadline: a slower machine should degrade to fewer passes,
+    # not to a timed-out run with no artifact at all (never triggers at
+    # this machine's ~100 s/pass)
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "900"))
+    bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n, _ in ordered}
+    passes_done = 0
     for _ in range(runs):
         _reset_session_caches()
         for name, fn in ordered:
@@ -239,6 +245,11 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+        passes_done += 1
+        elapsed = time.perf_counter() - bench_t0
+        if passes_done < runs and elapsed + elapsed / passes_done > deadline:
+            break
+    runs = passes_done
     timings = {
         n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()
     }

@@ -133,3 +133,49 @@ def test_ts_magnitude_boundaries(spark):
     assert rows[1]["ts"] == 4294967294 * 1_000_000    # < 2^32-1 => seconds
     assert rows[2]["ts"] == 4294967295 * 1000         # boundary => ms
     assert rows[3]["ts"] == 4294967296 * 1000         # above => ms
+
+
+# --- multimodal codecs: encode->decode round-trips must be EXACT ---
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=255), min_size=1, max_size=24),
+    st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_jpeg_dc_roundtrip_any_means(means, with_ac):
+    """Any block-mean sequence survives the encode->entropy-decode->
+    dequantize trip exactly (DC diffs exercise every category the
+    canonical table carries, positive and negative)."""
+    from catalyst_spark.multimodal import _jpeg_decode_gray_dc
+    from tests.test_multimodal import jpeg_gray_bytes
+
+    gw = len(means)
+    payload = jpeg_gray_bytes(means, gw, 1, with_ac=with_ac)
+    w, h, dw, dh, got = _jpeg_decode_gray_dc(payload)
+    assert (w, h, dw, dh) == (gw * 8, 8, gw, 1)
+    assert got == [float(m) for m in means]
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767),
+             min_size=0, max_size=64),
+    st.sampled_from([8, 16, 24, 32]),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=150, deadline=None)
+def test_wav_pcm_roundtrip_any_samples(samples, bits, channels):
+    """Interleaved integer PCM at every supported bit depth decodes to
+    the exact per-frame channel sums."""
+    from catalyst_spark.multimodal import _wav_decode_pcm
+    from tests.test_multimodal import wav_pcm_bytes
+
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    vals = [max(lo, min(hi, s)) for s in samples]
+    n_frames = len(vals) // channels
+    vals = vals[: n_frames * channels]
+    rate, ch, b, mono = _wav_decode_pcm(
+        wav_pcm_bytes(vals, channels=channels, bits=bits))
+    assert (rate, ch, b) == (16000, channels, bits)
+    assert mono == [
+        sum(vals[k * channels: (k + 1) * channels]) for k in range(n_frames)
+    ]
