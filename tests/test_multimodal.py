@@ -448,3 +448,89 @@ def test_image_features_operator_uses_real_jpeg_path(spark):
     [r] = image_features(df).collect()
     want = 40 / 127.5 - 1.0
     assert all(abs(f - want) < 1e-6 for f in r["features"])
+
+
+# ---------------------------------------------------------------------------
+# MP4/ISO-BMFF: real container parsing and sample extraction
+# ---------------------------------------------------------------------------
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def mp4_bytes(sample_payloads, w=640, h=360, timescale=1000, duration=2500,
+              chunks=None) -> bytes:
+    """Minimal spec-valid MP4: ftyp + moov(mvhd, trak(tkhd, mdia/minf/
+    stbl(stsz, stsc, stco))) + mdat holding the given samples. `chunks`
+    groups sample counts per chunk (default: all in one chunk)."""
+    chunks = chunks or [len(sample_payloads)]
+    assert sum(chunks) == len(sample_payloads)
+    mvhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 8
+            + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    tkhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 72
+            + struct.pack(">II", w << 16, h << 16))
+    stsz = (b"\x00" * 4 + struct.pack(">II", 0, len(sample_payloads))
+            + b"".join(struct.pack(">I", len(s)) for s in sample_payloads))
+    # stsc runs: chunk i (1-based) -> chunks[i-1] samples
+    stsc_entries = b""
+    n_runs = 0
+    prev = None
+    for i, c in enumerate(chunks):
+        if c != prev:
+            stsc_entries += struct.pack(">III", i + 1, c, 1)
+            n_runs += 1
+            prev = c
+    stsc = b"\x00" * 4 + struct.pack(">I", n_runs) + stsc_entries
+    # layout: [ftyp][moov][mdat] — compute mdat payload offsets
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    sizes = [len(s) for s in sample_payloads]
+    # assemble moov with placeholder stco, then fix offsets (stco count
+    # depends only on chunk count, so sizes are stable)
+    def build(stco_offsets):
+        stco = (b"\x00" * 4 + struct.pack(">I", len(stco_offsets))
+                + b"".join(struct.pack(">I", o) for o in stco_offsets))
+        stbl = _box(b"stsz", stsz) + _box(b"stsc", stsc) + _box(b"stco", stco)
+        mdia = _box(b"minf", _box(b"stbl", stbl))
+        trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+        moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", trak))
+        return moov
+
+    moov_len = len(build([0] * len(chunks)))
+    mdat_body = b"".join(sample_payloads)
+    base = len(ftyp) + moov_len + 8  # mdat body starts after its header
+    offsets, pos, s = [], base, 0
+    for c in chunks:
+        offsets.append(pos)
+        pos += sum(sizes[s: s + c])
+        s += c
+    return ftyp + build(offsets) + _box(b"mdat", mdat_body)
+
+
+def test_mp4_meta_and_sample_table():
+    from catalyst_spark.multimodal import _mp4_meta, sniff_meta
+
+    frames = [b"AAAA", b"BBBBBB", b"CC", b"DDDDD", b"E"]
+    payload = mp4_bytes(frames, w=320, h=240, timescale=600, duration=1200,
+                        chunks=[2, 3])
+    m = _mp4_meta(payload)
+    assert (m["width"], m["height"]) == (320, 240)
+    assert m["duration_ms"] == 2000      # 1200 / 600 s
+    assert m["n_samples"] == 5
+    got = [payload[o: o + s] for o, s in m["_samples"]]
+    assert got == frames                 # exact byte ranges via stsc/stco
+    sm = sniff_meta(payload)
+    assert (sm["format"], sm["width"], sm["height"]) == ("mp4", 320, 240)
+
+
+def test_sample_frames_real_mp4_samples(spark):
+    from catalyst_spark.multimodal import sample_frames
+
+    frames = [bytes([65 + i]) * (i + 2) for i in range(10)]  # 10 samples
+    df = spark.createDataFrame(
+        [Row(media_id=5, kind="video",
+             payload=bytearray(mp4_bytes(frames)))],
+        "media_id long, kind string, payload binary")
+    rows = sample_frames(df, every_n=3, max_frames=3).collect()
+    assert [(r["frame_idx"], bytes(r["frame"])) for r in rows] == [
+        (0, frames[0]), (3, frames[3]), (6, frames[6])
+    ]
