@@ -80,7 +80,7 @@ _R4_FRONT = [
     "ann_multiprobe_recall", "cusum_chunked", "holt_chunked",
     "window_decontaminate", "window_selfdup_spans", "boilerplate_spans",
     "seasonal_hourly_profile", "near_dup_pagerank", "ann_pq_adc_topk",
-    "ann_pq_recall",
+    "ann_pq_recall", "window_overlap_source_matrix",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R4_FRONT)

@@ -479,6 +479,26 @@ _PIPELINE = {
         FROM stats s LEFT JOIN runs r USING (doc_id)
         ORDER BY s.doc_id
     """,
+    # unordered source pairs by count of distinct shared 8-token windows
+    "window_overlap_source_matrix": f"""
+        WITH d AS (
+          SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents),
+        w AS (
+          SELECT DISTINCT source, {_h60_duck('u')} AS h
+          FROM (
+            SELECT source,
+                   unnest([array_to_string(
+                             toks[i:(i + {_WIN_TOKENS} - 1)], ' ')
+                           FOR i IN range(1, greatest(2, len(toks)
+                                                         - {_WIN_TOKENS - 2}))])
+                     AS u
+            FROM d))
+        SELECT l.source AS source_a, r.source AS source_b,
+               COUNT(*) AS shared_windows
+        FROM w l JOIN w r ON l.h = r.h AND l.source < r.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     # top-25 most-duplicated spans; ties break on the hash so the cut
     # line is engine-reproducible
     "boilerplate_spans": f"""

@@ -2482,6 +2482,36 @@ def window_selfdup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_overlap_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level source overlap matrix: for every unordered
+    source pair, how many distinct 8-token windows they share — the
+    mirror-site / syndication detector at span granularity (the
+    shingle-level near_dup_source_matrix sees whole-doc similarity;
+    this sees verbatim span reuse even between dissimilar docs).
+
+    Plan shape: the shared window-hash table reduces to distinct
+    (source, h) pairs (8-byte keys), self-joins on h with source <
+    source ordering, and aggregates per pair — never touches doc ids
+    or text after the scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _windowed(docs).select("source", "h").distinct()
+    return (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.source") < F.col("r.source")),
+        )
+        .groupBy(
+            F.col("l.source").alias("source_a"),
+            F.col("r.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate mining: the top-25 most-duplicated 8-token windows
     across the corpus (license headers, navigation chrome, template
@@ -2655,6 +2685,7 @@ PIPELINE_QUERIES = {
     "chunk_dedup": chunk_dedup,
     "window_decontaminate": window_decontaminate,
     "window_selfdup_spans": window_selfdup_spans,
+    "window_overlap_source_matrix": window_overlap_source_matrix,
     "boilerplate_spans": boilerplate_spans,
     "bloom_decontaminate": bloom_decontaminate,
     "semdedup_ivf": semdedup_ivf,
