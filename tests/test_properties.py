@@ -179,3 +179,55 @@ def test_wav_pcm_roundtrip_any_samples(samples, bits, channels):
     assert mono == [
         sum(vals[k * channels: (k + 1) * channels]) for k in range(n_frames)
     ]
+
+
+@given(
+    st.lists(st.binary(min_size=1, max_size=40), min_size=1, max_size=12),
+    st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp4_sample_table_roundtrip(samples, data):
+    """Any sample payload list under any chunk grouping resolves back
+    to the exact byte ranges through stsz+stsc+stco."""
+    from catalyst_spark.multimodal import _mp4_meta
+    from tests.test_multimodal import mp4_bytes
+
+    n = len(samples)
+    chunks, left = [], n
+    while left:
+        c = data.draw(st.integers(min_value=1, max_value=left))
+        chunks.append(c)
+        left -= c
+    payload = mp4_bytes(samples, chunks=chunks)
+    m = _mp4_meta(payload)
+    assert m["n_samples"] == n
+    assert [payload[o: o + s] for o, s in m["_samples"]] == samples
+
+
+@given(st.lists(st.integers(min_value=-500, max_value=500),
+                min_size=1, max_size=200),
+       st.integers(min_value=1, max_value=50))
+@settings(max_examples=200, deadline=None)
+def test_cusum_maxplus_summary_composition(deltas, chunk):
+    """The algebra behind cusum_chunked, pinned in pure Python: folding
+    per-chunk (A, B) summaries with s' = max(s + A, B) equals the
+    direct element-wise recursion for ANY series and chunk size."""
+    direct, s = [], 0
+    for d in deltas:
+        s = max(0, s + d)
+        direct.append(s)
+
+    s, composed = 0, []
+    for i in range(0, len(deltas), chunk):
+        part = deltas[i: i + chunk]
+        p, minp, pref = 0, 0, []
+        for d in part:
+            pref.append((p + d, minp))
+            minp = min(minp, p + d)
+            p += d
+        a, b = p, max(0, p - pref[-1][1])
+        # in-chunk outputs from the incoming state
+        composed.extend(max(0, s + pi, pi - mpi) for pi, mpi in pref)
+        s = max(s + a, b)
+        assert s == composed[-1]  # chunk-exit state == last output
+    assert composed == direct
