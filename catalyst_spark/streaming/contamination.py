@@ -115,3 +115,78 @@ def stream_bloom_probe(eval_stream: DataFrame, bloom_words: list[int]) -> DataFr
             ).cast("bigint").alias("bloom_hits"),
         )
     )
+
+
+def train_window_index(spark: SparkSession, sf_dir: str, eval_source: str) -> DataFrame:
+    """Distinct stride-1 8-token window hashes of every non-eval doc —
+    the static side of the substring-level decontamination probe."""
+    from catalyst_spark.queries.pipeline import _windowed
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        _windowed(docs.where(F.col("source") != eval_source))
+        .select("h")
+        .distinct()
+    )
+
+
+def stream_window_decontaminate(
+    eval_stream: DataFrame, window_index: DataFrame
+) -> DataFrame:
+    """(doc_id, text) eval stream -> per-doc substring decontamination
+    stats against the static train window index: total windows, matched
+    windows, and the longest consecutive matched-position run — the
+    streaming twin of queries.pipeline.window_decontaminate (minus the
+    train-doc attribution, which needs the full (h, train_id) table
+    rather than the distinct-hash index).
+
+    Each document arrives as one row, so every window of a doc lands in
+    the same micro-batch and the update-mode aggregate emits exactly
+    one final row per doc; the max-run is a codegen'd fold over the
+    sorted matched positions AFTER the aggregate (state per doc is the
+    matched-position list — bounded by the doc's own length).
+    """
+    from catalyst_spark.queries.pipeline import _WIN_TOKENS, _h60
+
+    win = eval_stream.select(
+        F.col("doc_id").alias("eval_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, size(split(text, ' '))"
+                f" - {_WIN_TOKENS - 1})),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i, {_WIN_TOKENS})))"
+            )
+        ).alias("pos0", "w"),
+    ).select(
+        "eval_id", (F.col("pos0") + 1).alias("pos"), F.expr(_h60("w")).alias("h")
+    )
+    probed = win.join(
+        window_index.withColumn("_m", F.lit(1)), "h", "left"
+    )
+    max_run = F.expr(
+        """aggregate(
+             sort_array(mp),
+             named_struct('prev', -2, 'run', cast(0 as bigint),
+                          'best', cast(0 as bigint)),
+             (acc, p) -> named_struct(
+               'prev', p,
+               'run', if(p = acc.prev + 1, acc.run + 1, cast(1 as bigint)),
+               'best', greatest(acc.best,
+                 if(p = acc.prev + 1, acc.run + 1, cast(1 as bigint)))),
+             acc -> acc.best)"""
+    )
+    return (
+        probed.groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("matched_windows"),
+            F.collect_list(
+                F.when(F.col("_m").isNotNull(), F.col("pos"))
+            ).alias("mp"),
+        )
+        .where(F.col("matched_windows") >= 1)
+        .select("eval_id", "n_windows", "matched_windows",
+                max_run.alias("max_run"))
+    )

@@ -569,3 +569,49 @@ def test_stream_holt_matches_batch(spark, tmp_path):
     got = {r["event_id"]: (r["user_id"], r["level"], r["trend"])
            for r in spark.sql("select * from holt_stream").collect()}
     assert got == want
+
+
+def test_stream_window_decontaminate_matches_batch(spark, tmp_path):
+    """Substring-level streaming decontamination: replaying the eval
+    docs against the static train window index must reproduce the batch
+    window_decontaminate stats (windows, matches, longest run) exactly."""
+    import json
+
+    from catalyst_spark.queries.pipeline import (
+        _CONTAM_EVAL_SOURCE,
+        window_decontaminate,
+    )
+    from catalyst_spark.streaming.contamination import (
+        stream_window_decontaminate,
+        train_window_index,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {r["eval_id"]: (r["n_windows"], r["matched_windows"], r["max_run"])
+            for r in window_decontaminate(spark, SF_DIR).collect()}
+    assert want
+
+    index = train_window_index(spark, SF_DIR, _CONTAM_EVAL_SOURCE)
+    ev = (load(spark, SF_DIR, "documents")
+          .where(f"source = '{_CONTAM_EVAL_SOURCE}'")
+          .select("doc_id", "text").collect())
+    d = tmp_path / "eval_w"
+    d.mkdir()
+    half = len(ev) // 2
+    for fname, chunk in (("b1.json", ev[:half]), ("b2.json", ev[half:])):
+        (d / fname).write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_window_decontaminate(stream, index)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("windec_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["eval_id"]: (r["n_windows"], r["matched_windows"], r["max_run"])
+           for r in spark.sql("select * from windec_stream").collect()}
+    assert got == want
