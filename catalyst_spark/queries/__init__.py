@@ -63,27 +63,39 @@ ALL_QUERIES = _interleave(
     _prioritize(TSDB_QUERIES, _TSDB_PRIORITY),
 )
 
-# Round-4 driver window (VERDICT r3 item 1): the 11 queries that have
-# never had a driver CORRECTNESS row in any round, plus the 5 whose code
-# or oracle changed since their last green row, go at positions 0-15 so
-# the driver's first-50 window confirms them this round.
-_R4_FRONT = [
-    # never driver-checked (registry positions 50-82 in r1-r3)
-    "percentile_sketch", "hll_distinct_sketch", "ewma_smooth",
-    "robust_outliers", "incremental_rollup_merge", "session_cooccurrence",
-    "equi_depth_bins", "lag_features", "user_growth_curve",
-    "range_join_events", "distinct_sketch",
-    # changed since last driver-green row
-    "q19_above_brand_avg", "dedup_clusters", "dedup_keep_one",
-    "near_dup_source_matrix", "dedup_prefix_filter",
-    # new in r4 — no driver row yet
-    "ann_multiprobe_recall", "cusum_chunked", "holt_chunked",
-    "window_decontaminate", "window_selfdup_spans", "boilerplate_spans",
-    "seasonal_hourly_profile", "near_dup_pagerank", "ann_pq_adc_topk",
-    "ann_pq_recall", "window_overlap_source_matrix",
+# Round-5 driver window (VERDICT r4 item 2): rotate the 50-entry window
+# onto the 61 operators without an r4 driver row, oldest rows first —
+# the whole r1-era (8) and r2-era (26, incl. text_simhash whose code
+# changed since its last green row) plus 14 of the r3-era 27; the
+# remaining 13 r3-era entries front in r6. The two new-in-r5 IVF-PQ
+# operators lead (no driver row ever).
+_R5_FRONT = [
+    # new in r5 — no driver row yet
+    "ann_ivfpq_topk", "ann_ivfpq_recall",
+    # changed since its last driver-green row (r4 persist/count change)
+    "text_simhash",
+    # last driver row in r1
+    "asof_prior_click", "cube_event_counts", "json_props_stats",
+    "pivot_event_counts", "rollup_doc_counts", "top3_per_group",
+    "value_histogram", "value_percentiles",
+    # last driver row in r2
+    "ann_brute_topk", "ann_ivf_trained_topk", "contamination_overlap",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_minhash_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs", "distinctive_terms",
+    "heavy_hitters", "ivf_train", "lsh_recall_vs_exact",
+    "minhash_jaccard_estimate", "mixture_weights", "pack_sequences",
+    "q18_running_total", "q20_customer_deciles", "q21_salted_skew_join",
+    "quality_filter", "repetition_ratio", "source_minhash_similarity",
+    "stratified_sample", "top_ngrams", "train_val_test_split",
+    "vocab_stats",
+    # last driver row in r3 (first 14 of 27; the rest rotate in r6)
+    "anomaly_zscore", "bloom_decontaminate", "chunk_dedup", "dedup_exact",
+    "dedup_rate_by_source", "dedup_token_set", "embedding_norm_outliers",
+    "funnel_conversion", "gap_fill", "ngram_novelty", "ohlc_downsample",
+    "q10_anti_join", "q11_top_k", "q12_set_op",
 ]
 
-ALL_QUERIES = _prioritize(ALL_QUERIES, _R4_FRONT)
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R5_FRONT)
 
 __all__ = [
     "RELATIONAL_QUERIES",

@@ -850,11 +850,17 @@ def _multiprobe_sql() -> str:
     """
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(with_header: bool = True, dims_name: str = "dims") -> str:
     """Shared CTE prefix (trailing comma) for the PQ oracles: unrolled
     per-subspace k-means + code assignment + per-query LUTs. Same
     deterministic k-means as _kmeans_sql on each 16-dim slice; LUT
-    entries use the q.q - 2q.c + c.c expansion."""
+    entries use the q.q - 2q.c + c.c expansion.
+
+    with_header=False omits the WITH/v/dims opening so the block can be
+    appended after _kmeans_sql (the combined IVF-PQ oracle needs BOTH
+    the 64-dim coarse CTEs and the 16-dim subspace CTEs in one query);
+    dims_name renames the 1..16 dimension CTE to avoid colliding with
+    the coarse query's 1..64 `dims`."""
     from catalyst_spark.queries.pipeline import (
         _KMEANS_ITERS,
         _KMEANS_K,
@@ -865,9 +871,14 @@ def _pq_ctes() -> str:
     sub = _LSH_DIM // _PQ_M
     last = _KMEANS_ITERS
     parts = [
-        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),",
-        f"dims AS (SELECT unnest(range(1, {sub + 1})) AS d),",
+        f"{dims_name} AS (SELECT unnest(range(1, {sub + 1})) AS d),",
     ]
+    if with_header:
+        parts.insert(
+            0,
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e"
+            " FROM embeddings),",
+        )
     for m in range(_PQ_M):
         lo = m * sub
         parts.append(
@@ -889,7 +900,7 @@ def _pq_ctes() -> str:
             )
             parts.append(
                 f"m{i}_{m} AS (SELECT c_id, d, AVG(e[d]) AS mm"
-                f" FROM a{i}_{m}, dims GROUP BY 1, 2),"
+                f" FROM a{i}_{m}, {dims_name} GROUP BY 1, 2),"
             )
             parts.append(
                 f"c{i}_{m} AS (SELECT c_id, list(mm ORDER BY d) AS ce"
@@ -968,6 +979,88 @@ def _pq_recall_sql() -> str:
     """
 
 
+def _ivfpq_ctes() -> str:
+    """Shared CTE prefix for the combined IVF-PQ oracles: the 64-dim
+    coarse k-means CTEs (_kmeans_sql) + the 16-dim subspace PQ CTEs
+    (header suppressed, dims renamed sdims) + coarse cell assignment
+    (top-1 members, top-2 probes), candidate pairs, and the in-cell
+    ADC rank — the oracle twin of pipeline.ann_ivfpq_topk."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS
+
+    last_c = f"c{_KMEANS_ITERS}"
+    return (
+        _kmeans_sql()
+        + "\n"
+        + _pq_ctes(with_header=False, dims_name="sdims")
+        + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        members AS (SELECT vec_id AS n_id, c_id FROM dist WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id
+          FROM dist WHERE rn <= 2 AND vec_id % 50 = 0),
+        cand AS (
+          SELECT DISTINCT p.q_id, m.n_id
+          FROM probes p JOIN members m USING (c_id)
+          WHERE m.n_id != p.q_id),
+        ipqrank AS (
+          SELECT ca.q_id, ca.n_id,
+                 l0.p + l1.p + l2.p + l3.p AS d2,
+                 ROW_NUMBER() OVER (PARTITION BY ca.q_id ORDER BY
+                   l0.p + l1.p + l2.p + l3.p, ca.n_id) AS rnk
+          FROM cand ca
+          JOIN code0 c0 ON c0.vec_id = ca.n_id
+          JOIN code1 c1 ON c1.vec_id = ca.n_id
+          JOIN code2 c2 ON c2.vec_id = ca.n_id
+          JOIN code3 c3 ON c3.vec_id = ca.n_id
+          JOIN lut0 l0 ON l0.code = c0.code AND l0.q_id = ca.q_id
+          JOIN lut1 l1 ON l1.code = c1.code AND l1.q_id = ca.q_id
+          JOIN lut2 l2 ON l2.code = c2.code AND l2.q_id = ca.q_id
+          JOIN lut3 l3 ON l3.code = c3.code AND l3.q_id = ca.q_id)"""
+    )
+
+
+def _ivfpq_sql() -> str:
+    return _ivfpq_ctes() + """
+        SELECT q_id, rnk AS "rank", n_id AS neighbor_id,
+               ROUND(d2, 2) AS adc_d2
+        FROM ipqrank WHERE rnk <= 5 ORDER BY q_id, "rank"
+    """
+
+
+def _ivfpq_recall_sql() -> str:
+    """Oracle twin of pipeline.ann_ivfpq_recall: IVF-PQ top-5 graded
+    against the exact brute-force top-5 (cos DESC, neighbor_id)."""
+    return _ivfpq_ctes() + """,
+        ipq AS (SELECT q_id, n_id FROM ipqrank WHERE rnk <= 5),
+        nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        sb AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        brute AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id)
+                     AS rnk
+            FROM sb) t
+          WHERE rnk <= 5)
+        SELECT b.q_id,
+               COUNT(ipq.n_id) AS hits,
+               ROUND(COUNT(ipq.n_id) / 5.0, 2) AS recall_at_5
+        FROM brute b
+        LEFT JOIN ipq ON ipq.q_id = b.q_id AND ipq.n_id = b.neighbor_id
+        GROUP BY b.q_id ORDER BY b.q_id
+    """
+
+
 def _semdedup_sql() -> str:
     """Unrolled k-means + assignment + in-cell pair scan — the oracle
     twin of pipeline.semdedup_ivf."""
@@ -1001,6 +1094,8 @@ _HASH_ORACLES = {
     "ann_multiprobe_recall": _multiprobe_sql(),
     "ann_pq_adc_topk": _pq_sql(),
     "ann_pq_recall": _pq_recall_sql(),
+    "ann_ivfpq_topk": _ivfpq_sql(),
+    "ann_ivfpq_recall": _ivfpq_recall_sql(),
     "semdedup_ivf": _semdedup_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",
     "dedup_simhash_pairs": f"""
@@ -1996,8 +2091,10 @@ _TSDB = {
         FROM h WHERE s > 0 ORDER BY event_id
     """,
     # hour-of-day seasonal cells with an integer per-mille index —
-    # (cell_sum * type_n * 1000) // (cell_n * type_sum); all operands
-    # positive, so DuckDB's floor-div matches Spark's div exactly
+    # (cell_sum * type_n * 1000) // (cell_n * type_sum); DuckDB's `//`
+    # on integers truncates toward zero ((-7)//2 = -3, pinned by
+    # tests/test_sql_parity.py), the same semantics as Spark's `div`,
+    # so the identity holds even if value sums go negative
     "seasonal_hourly_profile": """
         WITH cells AS (
           SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,

@@ -340,11 +340,34 @@ _PREFIX_JACCARD = 0.5
 # pressure — falls back to the doc_id-keyed shuffle join.
 _PREFIX_BROADCAST_BUDGET = 24 << 20
 
+# hashed-relation budget for the shingle document-frequency table's
+# broadcast into the rank join (32 B per distinct shingle estimated:
+# 16 B (h, dfreq) payload + hash-map overhead); past it the rank join
+# degrades to an h-keyed shuffle instead of thrashing executors.
+_DF_T_BROADCAST_BUDGET = 32 << 20
+
 # (applicationId, sf_dir) -> persisted verified pair table. Four
 # consumers (the query itself, lsh_recall_vs_exact, the cluster chain,
 # near_dup_source_matrix) share one build; the table is tiny (verified
 # pairs only) but its build walks the corpus.
 _PREFIX_PAIRS_CACHE: dict = {}
+
+# (applicationId, sf_dir, tag) -> (centroid matrix, surviving centroid
+# ids) for the deterministic k-means fits the ANN family shares
+# (VERDICT r4 item 1). The fits are fully deterministic (lowest-vec_id
+# init, fixed Lloyd iteration count, (distance, c_id) tie-break), so a
+# session-keyed cache changes timings, never values: ann_pq_recall no
+# longer refits the 4 subspace codebooks ann_pq_adc_topk already
+# fitted, and trained-IVF / multiprobe / semdedup share one full-dim
+# model instead of three identical refits.
+_KMEANS_MODEL_CACHE: dict = {}
+
+# (applicationId, sf_dir, name) -> persisted, materialized top-k result
+# table. ann_brute_topk feeds three recall operators (ann_recall_at_5,
+# ann_multiprobe_recall, ann_pq_recall) and ann_pq_adc_topk feeds
+# ann_pq_recall; each result is probe-set-sized (n_queries x 5 rows),
+# so residency is trivial while the build walks every vector.
+_TOPK_RESULT_CACHE: dict = {}
 
 
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,11 +413,21 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("shingles").alias("sh")
     ).select("doc_id", F.expr(_h60("sh")).alias("h")).persist()
     df_t = toks.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
-    # broadcast the shingle-df table (16 B/row: ~1.6 GB even at 100M
-    # distinct shingles) so the rank join never shuffles the corpus —
-    # measured 3x on the signature build. Past the broadcast budget,
-    # drop the hint and pay the h-keyed shuffle instead.
-    ranked = toks.join(F.broadcast(df_t), "h")
+    # broadcast the shingle-df table so the rank join never shuffles
+    # the corpus — measured 3x on the signature build. The budget is
+    # ENFORCED like the verify side below (VERDICT r4 item 3), not
+    # aspirational: one count over the persisted toks cache estimates
+    # the hashed-relation size (16 B payload + ~16 B hash-map overhead
+    # per distinct shingle), and past the budget the hint drops to the
+    # h-keyed shuffle join automatically (at 100M distinct shingles the
+    # build would be ~3 GB — a broadcast that thrashes every executor).
+    n_h = df_t.count()
+    dft_side = (
+        F.broadcast(df_t)
+        if n_h * 32 <= _DF_T_BROADCAST_BUDGET
+        else df_t
+    )
+    ranked = toks.join(dft_side, "h")
     lists = ranked.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("dfreq", "h"))).alias("arr"),
         F.count(F.lit(1)).alias("n"),
@@ -971,12 +1004,35 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    _, _, means = _kmeans_fit(spark, v)
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    # rebuild the means rows from the (driver-resident, model-sized)
+    # centroid matrix — bit-identical to the final-iteration means df,
+    # since C was assigned verbatim from those collected rows; rounding
+    # stays in Spark so HALF_UP semantics are unchanged
+    means = spark.createDataFrame(
+        [(int(cids[i]), d + 1, float(C[i, d]))
+         for i in range(len(cids)) for d in range(C.shape[1])],
+        "c_id LONG, d LONG, m DOUBLE",
+    )
     return (
         means.select(
             "c_id", "d", (F.round("m", 4) + F.lit(0.0)).alias("centroid")
         ).orderBy("c_id", "d")
     )
+
+
+def _cached_kmeans(spark: SparkSession, sf_dir: str, v: DataFrame, tag: str):
+    """Session-keyed cache over _kmeans_fit (VERDICT r4 item 1). `tag`
+    names the slice being fitted ("full" for the 64-dim model, "pq{m}"
+    for the 16-dim PQ subspaces) — the caller guarantees `v` is the
+    same deterministic projection for a given (sf_dir, tag), so a hit
+    returns the identical model the fit would."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    hit = _KMEANS_MODEL_CACHE.get(key)
+    if hit is None:
+        C, cids, _ = _kmeans_fit(spark, v)
+        hit = _KMEANS_MODEL_CACHE[key] = (C, cids)
+    return hit
 
 
 def _kmeans_fit(spark: SparkSession, v: DataFrame):
@@ -1056,7 +1112,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    C, cids, _ = _kmeans_fit(spark, v)
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
     Cn = (C * C).sum(axis=1)
 
     def _assign(batches):
@@ -1114,7 +1170,7 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    C, cids, _ = _kmeans_fit(spark, v)
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
     Cn = (C * C).sum(axis=1)
 
     def _assign_top2(batches):
@@ -1214,7 +1270,7 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    C, cids, _ = _kmeans_fit(spark, v)
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
     Cn = (C * C).sum(axis=1)
 
     def _assign(batches):
@@ -1271,41 +1327,21 @@ def _srp_planes() -> list:
 _PQ_M = 4
 
 
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-Quantization ANN with Asymmetric Distance Computation
-    (Jegou et al. 2011) — the compression rung of the ANN ladder
-    (brute -> IVF -> multi-probe -> PQ): vectors compress to M=4 codes
-    (one byte each here; 16x smaller than the raw floats), and each
-    query scans the CODES, not the vectors, via a per-query lookup
-    table of subspace distances. At 100 TB the codes table is what fits
-    in memory; this operator is that scan, end to end.
-
-    Engine parity: subquantizers are the same deterministic k-means as
-    ivf_train (lowest-vec_id init, (distance, c_id) ties) run on each
-    16-dim slice; LUT entries use the q.q - 2q.c + c.c expansion with
-    sequential-fold dots (identical to DuckDB's list_dot_product
-    order); the 4 LUT parts add in fixed left-to-right order via four
-    joins — never a groupBy sum whose float order could drift. ADC
-    distances round to 2dp in the output.
-
-    Plan: codes come from one Arrow-batched encode pass; the 4 LUT
-    joins broadcast (queries x k rows each); ranking is a per-query
-    window over the candidate scan. No shuffle ever carries a raw
-    vector — only (vec_id, 4 codes).
-    """
+def _pq_model(spark: SparkSession, sf_dir: str, v: DataFrame):
+    """Fit (or fetch from the session cache) the 4 subspace codebooks
+    and return (codes df, centroid literal df): the compressed index
+    shared by ann_pq_adc_topk and the combined IVF-PQ rung. codes is
+    one Arrow-batched encode pass over the vectors; cent is the
+    model-sized (m, code, ce) literal used to build per-query LUTs."""
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
     sub = _LSH_DIM // _PQ_M
     books = []
     for m in range(_PQ_M):
         vm = v.select(
             "vec_id", F.expr(f"slice(e, {m * sub + 1}, {sub})").alias("e")
         )
-        C, cids, _ = _kmeans_fit(spark, vm)
+        C, cids = _cached_kmeans(spark, sf_dir, vm, f"pq{m}")
         books.append((C, cids))
 
     def _encode(batches):
@@ -1336,35 +1372,80 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = spark.createDataFrame(
         cent_rows, "m INT, code LONG, ce ARRAY<DOUBLE>"
     )
+    return codes, cent
+
+
+# sequential-fold dot product in SQL form (same evaluation order as the
+# DuckDB oracle's list_dot_product) — used by the PQ LUT builders
+_PQ_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0 as double), (s, x) -> s + x)"
+)
+
+
+def _pq_lut(qs: DataFrame, cent: DataFrame, m: int) -> DataFrame:
+    """Per-query LUT for subspace m: (q_id, code{m}, p{m}) where p is
+    the q.q - 2q.c + c.c squared-distance expansion on the 16-dim
+    slice. Model-sized (queries x k rows) — always broadcast."""
+    sub = _LSH_DIM // _PQ_M
+    qm = f"slice(e, {m * sub + 1}, {sub})"
+    return (
+        qs.crossJoin(F.broadcast(cent.where(F.col("m") == m)))
+        .select(
+            "q_id",
+            F.col("code").alias(f"code{m}"),
+            F.expr(
+                _PQ_DOT.format(a=qm, b=qm)
+                + " - 2 * " + _PQ_DOT.format(a=qm, b="ce")
+                + " + " + _PQ_DOT.format(a="ce", b="ce")
+            ).alias(f"p{m}"),
+        )
+    )
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN with Asymmetric Distance Computation
+    (Jegou et al. 2011) — the compression rung of the ANN ladder
+    (brute -> IVF -> multi-probe -> PQ): vectors compress to M=4 codes
+    (one byte each here; 16x smaller than the raw floats), and each
+    query scans the CODES, not the vectors, via a per-query lookup
+    table of subspace distances. At 100 TB the codes table is what fits
+    in memory; this operator is that scan, end to end.
+
+    Engine parity: subquantizers are the same deterministic k-means as
+    ivf_train (lowest-vec_id init, (distance, c_id) ties) run on each
+    16-dim slice; LUT entries use the q.q - 2q.c + c.c expansion with
+    sequential-fold dots (identical to DuckDB's list_dot_product
+    order); the 4 LUT parts add in fixed left-to-right order via four
+    joins — never a groupBy sum whose float order could drift. ADC
+    distances round to 2dp in the output.
+
+    Plan: codes come from one Arrow-batched encode pass; the 4 LUT
+    joins broadcast (queries x k rows each); ranking is a per-query
+    window over the candidate scan. No shuffle ever carries a raw
+    vector — only (vec_id, 4 codes).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, "pq_adc")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit.orderBy("q_id", "rank")
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codes, cent = _pq_model(spark, sf_dir, v)
     qs = v.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "e"
     )
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        " cast(0 as double), (s, x) -> s + x)"
-    )
     pairs = codes
     for m in range(_PQ_M):
-        qm = f"slice(e, {m * sub + 1}, {sub})"
-        lut_m = (
-            qs.crossJoin(F.broadcast(cent.where(F.col("m") == m)))
-            .select(
-                "q_id",
-                F.col("code").alias(f"code{m}"),
-                F.expr(
-                    dot.format(a=qm, b=qm)
-                    + " - 2 * " + dot.format(a=qm, b="ce")
-                    + " + " + dot.format(a="ce", b="ce")
-                ).alias(f"p{m}"),
-            )
-        )
         on = [f"code{m}"] if m == 0 else ["q_id", f"code{m}"]
-        pairs = pairs.join(F.broadcast(lut_m), on)
+        pairs = pairs.join(F.broadcast(_pq_lut(qs, cent, m)), on)
     d2 = (
         F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
     )  # fixed left-to-right add: deterministic float order
     w = W.partitionBy("q_id").orderBy(F.col("d2_raw").asc(), F.col("vec_id"))
-    return (
+    res = (
         pairs.where(F.col("vec_id") != F.col("q_id"))
         .withColumn("d2_raw", d2)
         .withColumn("rank", F.row_number().over(w))
@@ -1373,8 +1454,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "rank", F.col("vec_id").alias("neighbor_id"),
             F.round("d2_raw", 2).alias("adc_d2"),
         )
-        .orderBy("q_id", "rank")
+        .persist()
     )
+    res.count()  # probe-set-sized; ann_pq_recall reuses it verbatim
+    _TOPK_RESULT_CACHE[key] = res
+    return res.orderBy("q_id", "rank")
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,6 +1477,137 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
     return (
         brute.join(pq, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined IVF-PQ (IVFADC, Jegou et al. 2011 §IV): the production
+    ANN shape at 100 TB — probe nprobe=2 learned coarse cells, then
+    ADC-scan ONLY the in-cell codes with per-query LUTs. The coarse
+    quantizer bounds how much of the codes table each query touches
+    (the cell-pruned scan); PQ bounds the bytes per touched row (4
+    codes, no raw vector). Together the scan cost per query is
+    |cell| rows x 4 bytes instead of N rows x 256 bytes.
+
+    Codes are built on the RAW vectors (not residuals) so the ADC
+    distances are directly comparable to ann_pq_adc_topk's — the
+    nprobe cell restriction is the only difference, which makes the
+    two rungs' outputs a measured ablation of coarse pruning.
+
+    Engine parity inherits from both parents: the coarse k-means and
+    cell ranking are ann_multiprobe_recall's ((distance, c_id) ties);
+    the subspace codebooks, LUT expansion, and fixed left-to-right
+    LUT-part addition are ann_pq_adc_topk's. Candidate sets dedup on
+    (q_id, n_id) before the codes join, so a neighbor shared by both
+    probed cells scans once.
+
+    Plan: cell assignment is one Arrow-batched argmin pass; candidates
+    are a hash equi-join on c_id; the 4 LUT joins broadcast; no raw
+    vector ever shuffles after assignment.
+    """
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfpq")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit.orderBy("q_id", "rank")
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    Cn = (C * C).sum(axis=1)
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            yield pd.DataFrame({
+                "n_id": pdf["vec_id"].to_numpy(),
+                "c_id": cids[np.argmin(D, axis=1)],
+            })
+
+    def _assign_top2(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            out_id, out_c = [], []
+            for row_id, drow in zip(pdf["vec_id"].to_numpy(), D):
+                order = np.lexsort((cids, drow))  # (distance, c_id) ties
+                for r in (0, 1):
+                    out_id.append(int(row_id))
+                    out_c.append(int(cids[order[r]]))
+            yield pd.DataFrame({
+                "q_id": pd.Series(out_id, dtype="int64"),
+                "c_id": pd.Series(out_c, dtype="int64"),
+            })
+
+    members = v.mapInPandas(_assign, "n_id long, c_id long")
+    probes = v.where(F.col("vec_id") % 50 == 0).mapInPandas(
+        _assign_top2, "q_id long, c_id long"
+    )
+    cand = (
+        probes.join(members, "c_id")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    codes, cent = _pq_model(spark, sf_dir, v)
+    qs = v.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "e"
+    )
+    pairs = cand.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
+    for m in range(_PQ_M):
+        pairs = pairs.join(F.broadcast(_pq_lut(qs, cent, m)),
+                           ["q_id", f"code{m}"])
+    d2 = (
+        F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
+    )  # fixed left-to-right add: deterministic float order
+    w = W.partitionBy("q_id").orderBy(F.col("d2_raw").asc(), F.col("n_id"))
+    res = (
+        pairs.withColumn("d2_raw", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "q_id", "rank", F.col("n_id").alias("neighbor_id"),
+            F.round("d2_raw", 2).alias("adc_d2"),
+        )
+        .persist()
+    )
+    res.count()  # probe-set-sized; ann_ivfpq_recall reuses it verbatim
+    _TOPK_RESULT_CACHE[key] = res
+    return res.orderBy("q_id", "rank")
+
+
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the combined IVF-PQ scan against the exact
+    brute-force baseline — completing the calibration ladder: with
+    ann_pq_recall (full-scan ADC) and ann_multiprobe_recall (exact
+    in-cell rerank) alongside, the three rows decompose the recall
+    loss into its two sources (cell pruning vs code quantization),
+    which is exactly the tuning evidence an operator needs when
+    choosing nprobe and M at 100 TB.
+    """
+    ipq = ann_ivfpq_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        brute.join(ipq, ["q_id", "neighbor_id"], "left")
         .groupBy("q_id")
         .agg(
             F.count("_hit").alias("hits"),
@@ -1495,21 +1710,30 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tiny probe side is broadcast, so scoring is a map-only pass over
     the candidate vectors (BroadcastNestedLoopJoin); ranking shuffles
     only (probe, candidate, score) triples. This is the exact baseline
-    an approximate index is graded against.
+    an approximate index is graded against — three recall operators
+    consume it, so the probe-set-sized result is session-cached
+    (VERDICT r4 item 1) instead of re-scanning every vector per caller.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, "brute")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit.orderBy("q_id", "rank")
     emb = load(spark, sf_dir, "embeddings")
     q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
     c = _with_norm(emb, "n_id", "vc")
     w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
-    return (
+    res = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .withColumn("cos_raw", _cosine("vq", "vc"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
                 F.round("cos_raw", 2).alias("cos"))
-        .orderBy("q_id", "rank")
+        .persist()
     )
+    res.count()  # materialize before sharing (same rule as pair cache)
+    _TOPK_RESULT_CACHE[key] = res
+    return res.orderBy("q_id", "rank")
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2702,6 +2926,8 @@ PIPELINE_QUERIES = {
     "ann_multiprobe_recall": ann_multiprobe_recall,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_recall": ann_pq_recall,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_recall": ann_ivfpq_recall,
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
     "token_counts": token_counts,
