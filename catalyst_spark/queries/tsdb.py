@@ -1131,6 +1131,11 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the bit-exactness test sweeps sizes).
 _SERIES_CHUNK = 16
 
+# job budget for holt_chunked's sequential carry chain: the adaptive
+# chunk size is picked so the longest series folds in at most this many
+# cluster-wide jobs (each chunk is one job; see holt_chunked docstring)
+_HOLT_TARGET_JOBS = 32
+
 
 def cusum_chunked(
     spark: SparkSession, sf_dir: str, chunk: int = _SERIES_CHUNK
@@ -1238,7 +1243,7 @@ def cusum_chunked(
 
 
 def holt_chunked(
-    spark: SparkSession, sf_dir: str, chunk: int = _SERIES_CHUNK
+    spark: SparkSession, sf_dir: str, chunk: int | None = None
 ) -> DataFrame:
     """holt_linear_smooth with BOUNDED row size. Unlike CUSUM's
     max-plus scan, Holt's fixed-point recursion is NOT summary-
@@ -1253,10 +1258,31 @@ def holt_chunked(
     sequential jobs, never a giant row; bit-identical to the unchunked
     fold (same integer recursion, test-asserted on a 100k-point
     series).
+
+    Chunk sizing is ADAPTIVE when not given (VERDICT r4 item 8):
+    because every chunk costs one sequential cluster-wide job, a fixed
+    chunk would launch ~60k jobs for a 1M-point series. Instead chunk =
+    ceil(max_series_len / _HOLT_TARGET_JOBS) with a _SERIES_CHUNK
+    floor, so the job count stays <= _HOLT_TARGET_JOBS however long
+    the longest series grows, while short-series workloads keep the
+    small bounded rows. Correctness is chunk-size-invariant (the carry
+    is exact), so sizing is purely a scheduling choice; per-task array
+    width grows with series length past ~32 x _HOLT_TARGET_JOBS points
+    — at that scale prefer the streaming twin (stateful.py holt), whose
+    state is two integers regardless of length.
     """
     from functools import reduce
 
     events = load(spark, sf_dir, "events")
+    if chunk is None:
+        max_len = (
+            events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+            or 1
+        )
+        chunk = max(_SERIES_CHUNK, -(-int(max_len) // _HOLT_TARGET_JOBS))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     rows = (
         events.select(
@@ -1386,7 +1412,10 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the index is one integer expression,
     (sum_cents * n_type * 1000) div (n_cell * sum_type) — no mean is
-    ever materialized as a float, so there's no ROUND(AVG) half-tie to
+    ever materialized as a float, and Spark's `div` and DuckDB's
+    integer `//` BOTH truncate toward zero (pinned by
+    tests/test_sql_parity.py), so the identity needs no positive-value
+    invariant of the data; there's also no ROUND(AVG) half-tie to
     diverge between engines. One aggregate over (type, hour), the type
     totals window over the 24-row-per-type aggregate, not the stream.
     """

@@ -25,3 +25,22 @@ def test_sql_matches_dataframe(spark, name):
     via_sql = canonical(*spark_run(spark.sql(ORACLE_SQL[name])))
     via_df = canonical(*spark_run(ALL_QUERIES[name](spark, SF_DIR)))
     assert via_sql == via_df
+
+
+def test_integer_division_truncates_on_both_engines(spark):
+    """ADVICE r4: seasonal_hourly_profile's idx_permille identity relies
+    on Spark `div` and DuckDB `//` agreeing on NEGATIVE operands. Both
+    truncate toward zero — pin it so a DuckDB semantics change (to floor
+    division) can't silently break engine parity."""
+    import duckdb
+
+    cases = [(-7, 2), (7, -2), (-7, -2), (7, 2), (-1, 3), (1, -3)]
+    got_spark = spark.sql(
+        "SELECT " + ", ".join(f"{a} div {b}" for a, b in cases)
+    ).first()
+    got_duck = duckdb.sql(
+        "SELECT " + ", ".join(f"({a})//({b})" for a, b in cases)
+    ).fetchone()
+    assert list(got_spark) == list(got_duck)
+    # and the truncation (not floor) semantics explicitly:
+    assert list(got_duck) == [-3, -3, 3, 3, 0, 0]
