@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -87,6 +88,13 @@ _SCALE_QUERIES = (
     "dedup_embedding_lsh",
     "semdedup_ivf",
     "dedup_clusters",
+    # VERDICT r4 item 7: the substring/window family is the highest
+    # row-volume surface in the repo (stride-1 8-token windows ≈ one
+    # row per token) — measure it at 10x too, with the window-table
+    # cardinality alongside the time ratios
+    "window_decontaminate",
+    "window_selfdup_spans",
+    "window_overlap_source_matrix",
 )
 
 
@@ -128,6 +136,14 @@ def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
             os.path.join(d, "embeddings.parquet")).count()
         _sig, cand = _minhash_sig_cand(spark, d)
         mh_cand = cand.count()
+        # window-table cardinality: total and distinct stride-1 window
+        # hashes — the row volume every window operator shuffles
+        from catalyst_spark.queries.pipeline import _windowed
+
+        win = _windowed(spark.read.parquet(
+            os.path.join(d, "documents.parquet")))
+        sec["window_rows"] = win.count()
+        sec["window_distinct_hashes"] = win.select("h").distinct().count()
         # SRP-LSH candidates: distinct bucket-joined pairs — reuse the
         # operator's own bucketing by counting its candidate join input
         lsh_cand = dedup_embedding_lsh(spark, d).count()
@@ -209,13 +225,15 @@ def main() -> None:
         logical plan)."""
         from catalyst_spark.queries import pipeline as _p
 
-        for cache in (_p._PREFIX_PAIRS_CACHE, _p._CC_LABEL_CACHE):
+        for cache in (_p._PREFIX_PAIRS_CACHE, _p._CC_LABEL_CACHE,
+                      _p._TOPK_RESULT_CACHE):
             for df in cache.values():
                 try:
                     df.unpersist()
                 except Exception:
                     pass
             cache.clear()
+        _p._KMEANS_MODEL_CACHE.clear()  # driver-resident numpy models
         spark.catalog.clearCache()
 
     # --- scale-proof section (VERDICT r3 item 2): the dedup/similarity
@@ -250,8 +268,11 @@ def main() -> None:
         if passes_done < runs and elapsed + elapsed / passes_done > deadline:
             break
     runs = passes_done
+    # true median (interpolated for even sample counts): the deadline
+    # can stop after 2 passes, and the upper-middle element would then
+    # report the SLOWER of the two, biasing vs_prev ratios upward
     timings = {
-        n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()
+        n: round(statistics.median(ts), 3) for n, ts in samples.items()
     }
     spread = {n: round(max(ts) - min(ts), 3) for n, ts in samples.items()}
 
@@ -279,13 +300,22 @@ def main() -> None:
     lines = lines.repartition(cpus).persist()
     n_lines = lines.count()
 
+    # median-of-n (VERDICT r4 item 5): the single-pass ingest figures
+    # swung 2.6x between driver rounds with byte-identical parser code —
+    # pure ambient-load noise; the queries already got this treatment
+    ingest_runs = int(os.environ.get("SPARK_GRAFT_INGEST_RUNS", "5"))
+
     def _timed(df):
         df.write.format("noop").mode("overwrite").save()  # codegen warm-up
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        ts = []
+        for _ in range(ingest_runs):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts), min(ts), max(ts)
 
-    parse_s = _timed(encode_sensision(permissive(parse_graphite(lines))))
+    parse_s, parse_min, parse_max = _timed(
+        encode_sensision(permissive(parse_graphite(lines))))
 
     # influx ingest: same events as line protocol (2 fields per line ->
     # 2 GTS rows after fan-out); the JVM fast path handles all of these
@@ -303,7 +333,7 @@ def main() -> None:
         influx_lines = influx_lines.unionAll(influx_lines)
     influx_lines = influx_lines.repartition(cpus).persist()
     n_influx = influx_lines.count()
-    influx_s = _timed(
+    influx_s, influx_min, influx_max = _timed(
         encode_sensision(permissive(parse_influx(influx_lines, now_ns=0)))
     )
     lines.unpersist()
@@ -349,8 +379,13 @@ def main() -> None:
         "sf": sf,
         "ingest_rows_per_sec": round(n_lines / parse_s),
         "ingest_rows": n_lines,
+        "ingest_runs": ingest_runs,
+        "ingest_rows_per_sec_range": [
+            round(n_lines / parse_max), round(n_lines / parse_min)],
         "influx_lines_per_sec": round(n_influx / influx_s),
         "influx_lines": n_influx,
+        "influx_lines_per_sec_range": [
+            round(n_influx / influx_max), round(n_influx / influx_min)],
         "lsh_candidate_pairs": lsh_cand,
         "lsh_all_pairs": n_vec * (n_vec - 1) // 2,
     }

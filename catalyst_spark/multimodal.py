@@ -7,24 +7,27 @@ batch loop; Spark handles partitioning/shuffle/recovery).
 
 What is REAL here (tested, no external libs):
 - container metadata sniffing straight off the payload bytes: PNG IHDR
-  width/height, JPEG SOFn dimensions, WAV fmt chunk (channels, sample
-  rate, bit depth), magic-number kind detection;
-- PNG pixel decode (stdlib zlib inflate + scanline unfilter + luma +
-  box-average thumbnail) — image_features on PNGs is real pixel math;
+  width/height, JPEG SOFn dimensions, MP4 mvhd/tkhd, WAV fmt chunk
+  (channels, sample rate, bit depth), magic-number kind detection;
+- pixel decode for PNG (stdlib zlib inflate + scanline unfilter),
+  baseline JPEG (full Huffman entropy decode, dequantized DC plane),
+  and GIF (LZW decompression + color-table luma) — image_features on
+  all three is real pixel math;
+- WAV PCM sample-derived audio features; MP4 sample-table frame
+  slicing (stsz/stsc/stco byte ranges);
 - the Spark plumbing: schemas, mapInPandas signatures, Arrow batch
   shapes, balanced repartitioning by payload size.
 
-What is STUBBED (this container ships no PIL/ffmpeg — the decode body
-is behind an import-try):
-- JPEG pixel decode / video frame sampling fall back to a
-  clearly-marked deterministic fake (digest-derived) so the pipeline
-  shape is exercisable end-to-end; with PIL installed the same entry
-  points do the real decode for those formats too.
+What is honestly ABSENT (this container ships no PIL/ffmpeg — the
+optional real decoders sit behind an import-try):
+- payloads no stdlib path can decode (e.g. progressive JPEG, video
+  codecs) yield NULL features / stub frame slices, never fabricated
+  values; with PIL installed the same entry points decode those
+  formats for real.
 """
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from collections.abc import Iterator
 
@@ -157,23 +160,126 @@ def extract_meta(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# stubbed decode paths (deterministic fakes; real with PIL)
+# stdlib GIF decode (LZW) — the third real pixel path after PNG/JPEG
 # ---------------------------------------------------------------------------
 
-def _fake_floats(payload: bytes, n: int, salt: str) -> list[float]:
-    """Deterministic pseudo-features from the payload digest — the
-    CLEARLY-MARKED FAKE standing in for a real decoder's output."""
-    out = []
-    counter = 0
-    while len(out) < n:
-        h = hashlib.sha256(salt.encode() + payload + counter.to_bytes(4, "big")).digest()
-        for j in range(0, 32, 4):
-            if len(out) >= n:
-                break
-            v = int.from_bytes(h[j: j + 4], "big")
-            out.append((v % 2_000_001 - 1_000_000) / 1_000_000.0)
-        counter += 1
-    return out
+def _gif_lzw(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompression (GIF89a spec appendix F): LSB-first
+    variable-width codes, CLEAR resets the table, code width grows when
+    the table fills, capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([k]) for k in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos, nbits = 0, len(data) * 8
+    while True:
+        if bitpos + code_size > nbits:
+            raise ValueError("truncated LZW stream")
+        v = 0
+        for k in range(code_size):
+            v |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += code_size
+        if v == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if v == end:
+            return bytes(out)
+        if prev is None:
+            if v >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[v]
+        elif v < len(table):
+            entry = table[v]
+            table.append(prev + entry[:1])
+        elif v == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+def _gif_decode_gray(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib GIF decode of the FIRST image to 8-bit grayscale
+    (row-major), color-table lookup + integer luma, interlace-aware.
+    Raises on non-GIF or malformed payloads."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    i, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[13: 13 + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        i = 13 + 3 * n
+    while i < len(payload) and payload[i] == 0x21:  # extensions
+        i += 2
+        while payload[i] != 0:
+            i += 1 + payload[i]
+        i += 1
+    if i >= len(payload) or payload[i] != 0x2C:
+        raise ValueError("no image descriptor")
+    iw = int.from_bytes(payload[i + 5: i + 7], "little")
+    ih = int.from_bytes(payload[i + 7: i + 9], "little")
+    ipacked = payload[i + 9]
+    i += 10
+    ct = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 7)
+        ct = payload[i: i + 3 * n]
+        if len(ct) < 3 * n:
+            raise ValueError("truncated local color table")
+        i += 3 * n
+    if not iw or not ih or ct is None:
+        raise ValueError("empty image or missing color table")
+    min_code_size = payload[i]
+    i += 1
+    if not 2 <= min_code_size <= 11:
+        raise ValueError("bad LZW minimum code size")
+    data = bytearray()
+    while i < len(payload) and payload[i] != 0:
+        ln = payload[i]
+        data += payload[i + 1: i + 1 + ln]
+        i += 1 + ln
+    idx = _gif_lzw(bytes(data), min_code_size)
+    if len(idx) < iw * ih:
+        raise ValueError("short pixel data")
+    lut = [
+        (ct[3 * k] * 299 + ct[3 * k + 1] * 587 + ct[3 * k + 2] * 114) // 1000
+        for k in range(len(ct) // 3)
+    ]
+    if ipacked & 0x40:  # interlaced: 4-pass row order
+        order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                 + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+    else:
+        order = list(range(ih))
+    gray = [0] * (iw * ih)
+    for k, y in enumerate(order):
+        row = idx[k * iw: (k + 1) * iw]
+        for x, p in enumerate(row):
+            if p >= len(lut):
+                raise ValueError("pixel index beyond color table")
+            gray[y * iw + x] = lut[p]
+    return iw, ih, gray
+
+
+def _gif_features(payload: bytes) -> list[float] | None:
+    """GIF -> 4x4 box-averaged grayscale thumbnail in [-1, 1], same
+    convention as the PNG path."""
+    try:
+        w, h, gray = _gif_decode_gray(payload)
+    except Exception:
+        return None
+    return _box4_gray(w, h, gray)
 
 
 def _png_decode_gray(payload: bytes) -> tuple[int, int, list[int]]:
@@ -258,6 +364,13 @@ def _png_features(payload: bytes) -> list[float] | None:
         w, h, gray = _png_decode_gray(payload)
     except Exception:
         return None
+    return _box4_gray(w, h, gray)
+
+
+def _box4_gray(w: int, h: int, gray: list[int]) -> list[float]:
+    """4x4 box average of a row-major 8-bit grayscale image, each cell
+    scaled to [-1, 1] — the shared thumbnail convention of the PNG and
+    GIF pixel paths."""
     feats = []
     for by in range(4):
         y0, y1 = by * h // 4, max((by + 1) * h // 4, by * h // 4 + 1)
@@ -350,8 +463,16 @@ def _mp4_meta(payload: bytes) -> dict:
             if b"stsz" not in boxes:
                 continue
             bs, be = boxes[b"stsz"]
+            if bs + 12 > be:
+                raise ValueError("truncated stsz header")
             fixed = int.from_bytes(payload[bs + 4: bs + 8], "big")
             count = int.from_bytes(payload[bs + 8: bs + 12], "big")
+            # a lying/truncated count would make int.from_bytes consume
+            # short slices and fabricate 0-byte samples — validate the
+            # entry array fits the box and let the honest-fallback path
+            # handle the payload instead (ADVICE r4)
+            if not fixed and bs + 12 + 4 * count > be:
+                raise ValueError("stsz entry array exceeds box end")
             if fixed:
                 sizes = [fixed] * count
             else:
@@ -365,6 +486,8 @@ def _mp4_meta(payload: bytes) -> dict:
                 key, width = (b"stco", 4) if b"stco" in boxes else (b"co64", 8)
                 cs, ce = boxes[key]
                 cn = int.from_bytes(payload[cs + 4: cs + 8], "big")
+                if cs + 8 + width * cn > ce:
+                    raise ValueError(f"{key.decode()} entries exceed box end")
                 offs = [
                     int.from_bytes(
                         payload[cs + 8 + width * k: cs + 8 + width * (k + 1)],
@@ -376,6 +499,8 @@ def _mp4_meta(payload: bytes) -> dict:
             if b"stsc" in boxes:
                 cs, ce = boxes[b"stsc"]
                 en = int.from_bytes(payload[cs + 4: cs + 8], "big")
+                if cs + 8 + 12 * en > ce:
+                    raise ValueError("stsc entries exceed box end")
                 for k in range(en):
                     o = cs + 8 + 12 * k
                     runs.append((
@@ -715,10 +840,11 @@ def image_features(df: DataFrame) -> DataFrame:
     decode (REAL pixel math: zlib inflate + scanline unfilter + luma +
     4x4 box average) -> pure-stdlib baseline-JPEG DC decode (REAL pixel
     math: full Huffman entropy decode, exact 8x8 block means from the
-    dequantized DC plane) -> deterministic clearly-marked fake (only
-    for formats with no stdlib decode path left, e.g. video
-    containers). Installing PIL upgrades those without changing the
-    operator's shape.
+    dequantized DC plane) -> pure-stdlib GIF decode (REAL pixel math:
+    LZW decompression + color-table luma) -> HONEST NULL features for
+    anything still undecodable (the audio path's policy; no fake values
+    ever enter the feature column). Installing PIL upgrades the null
+    rows without changing the operator's shape.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -737,7 +863,7 @@ def image_features(df: DataFrame) -> DataFrame:
                 if feats is None:
                     feats = _jpeg_features(payload)
                 if feats is None:
-                    feats = _fake_floats(payload, FEATURE_DIM, "imgfeat")
+                    feats = _gif_features(payload)
                 out.append({"media_id": mid, "features": feats})
             yield pd.DataFrame(out, columns=["media_id", "features"])
 

@@ -144,7 +144,16 @@ def stream_window_decontaminate(
     the same micro-batch and the update-mode aggregate emits exactly
     one final row per doc; the max-run is a codegen'd fold over the
     sorted matched positions AFTER the aggregate (state per doc is the
-    matched-position list — bounded by the doc's own length).
+    matched-position SET — bounded by the doc's own length).
+
+    Re-delivery safe (ADVICE r4): state is collect_set over positions,
+    so a doc_id resent in a later micro-batch (revision re-send of the
+    same text) neither double-counts n_windows nor resets max_run on
+    duplicate positions — the aggregate is idempotent per (doc, pos).
+    For long-lived streams where doc_ids never recur after a horizon,
+    bound state by adding `.withWatermark(...)` on an event-time column
+    upstream of this operator; without one, state grows with the number
+    of distinct doc_ids (the same contract as stream_dedup).
     """
     from catalyst_spark.queries.pipeline import _WIN_TOKENS, _h60
 
@@ -178,15 +187,18 @@ def stream_window_decontaminate(
     return (
         probed.groupBy("eval_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("matched_windows"),
-            F.collect_list(
+            # collect_set (skips nulls) rather than count/collect_list:
+            # idempotent under doc re-delivery across micro-batches
+            F.collect_set("pos").alias("ap"),
+            F.collect_set(
                 F.when(F.col("_m").isNotNull(), F.col("pos"))
             ).alias("mp"),
         )
-        .where(F.col("matched_windows") >= 1)
-        .select("eval_id", "n_windows", "matched_windows",
-                max_run.alias("max_run"))
+        .where(F.size("mp") >= 1)
+        .select(
+            "eval_id",
+            F.size("ap").cast("bigint").alias("n_windows"),
+            F.size("mp").cast("bigint").alias("matched_windows"),
+            max_run.alias("max_run"),
+        )
     )

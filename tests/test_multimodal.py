@@ -1,5 +1,6 @@
-"""Multimodal plumbing: real header sniffing, fake-decode determinism,
-fan-out shapes, size-balanced repartitioning."""
+"""Multimodal plumbing: real header sniffing, real PNG/JPEG/GIF pixel
+decode, honest-null policy for undecodable payloads, fan-out shapes,
+size-balanced repartitioning."""
 
 from __future__ import annotations
 
@@ -68,13 +69,13 @@ def test_extract_meta_dataframe(spark):
 
 
 def test_image_features_shape_and_determinism(spark):
+    # header-only stubs carry no pixel data: honest nulls, twice over
+    # (determinism of the null policy); real payloads keep their shape
     df = _media_df(spark).where("kind = 'image'")
     a = {r["media_id"]: r["features"] for r in image_features(df).collect()}
     b = {r["media_id"]: r["features"] for r in image_features(df).collect()}
-    assert a == b  # deterministic fake
-    assert all(len(v) == FEATURE_DIM for v in a.values())
-    assert all(-1.0 <= x <= 1.0 for v in a.values() for x in v)
-    assert a[1] != a[2]
+    assert a == b
+    assert a[1] is None and a[2] is None  # no IDAT / no entropy data
 
 
 def test_sample_frames_fanout(spark):
@@ -219,15 +220,14 @@ def test_png_gray_and_rgba_colortypes():
 
 def test_image_features_operator_uses_real_png_path(spark):
     """End-to-end through mapInPandas: a decodable PNG yields the
-    pixel-derived features, NOT the digest fake."""
-    from catalyst_spark.multimodal import _fake_floats, image_features
+    pixel-derived features."""
+    from catalyst_spark.multimodal import image_features
 
     payload = encode_png([(255, 255, 255)] * 64, 8, 8)
     df = spark.createDataFrame(
         [Row(media_id=1, kind="image", payload=bytearray(payload))])
     (row,) = image_features(df).collect()
     assert row["features"] == [1.0] * 16
-    assert row["features"] != _fake_floats(payload, 16, "imgfeat")
 
 
 # ---------------------------------------------------------------------------
@@ -534,3 +534,129 @@ def test_sample_frames_real_mp4_samples(spark):
     assert [(r["frame_idx"], bytes(r["frame"])) for r in rows] == [
         (0, frames[0]), (3, frames[3]), (6, frames[6])
     ]
+
+
+def test_mp4_lying_stsz_count_rejected(spark):
+    """ADVICE r4: a truncated/lying stsz sample count must raise (and
+    the frame sampler must fall back to the honest stub path), not
+    fabricate 0-byte samples from short int.from_bytes slices."""
+    import pytest as _pytest
+
+    from catalyst_spark.multimodal import _mp4_meta, sample_frames
+
+    frames = [b"AAAA", b"BBBBBB", b"CC"]
+    payload = bytearray(mp4_bytes(frames))
+    i = bytes(payload).index(b"stsz")
+    # stsz body: 4B version/flags + 4B fixed + 4B count — inflate count
+    struct.pack_into(">I", payload, i + 4 + 8, 1_000_000)
+    with _pytest.raises(ValueError):
+        _mp4_meta(bytes(payload))
+
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="video", payload=payload)],
+        "media_id long, kind string, payload binary")
+    rows = sample_frames(df, every_n=1000, max_frames=2).collect()
+    # stub path: deterministic byte slices, never empty frames
+    assert rows and all(len(bytes(r["frame"])) > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# GIF: stdlib LZW pixel decode (replaces the last digest fake)
+# ---------------------------------------------------------------------------
+
+def gif_bytes(indices, w, h, palette, interlaced=False) -> bytes:
+    """Minimal spec-valid GIF89a: header + LSD + global color table +
+    image descriptor + LZW data encoded with a CLEAR before every pixel
+    code (valid per spec; table never grows, so code width is fixed)."""
+    assert len(indices) == w * h and len(palette) >= 2
+    depth = max(2, (len(palette) - 1).bit_length())
+    n_ct = 1 << depth
+    pal = bytes(
+        c for i in range(n_ct)
+        for c in (palette[i] if i < len(palette) else (0, 0, 0)))
+    lsd_packed = 0x80 | (depth - 1)  # GCT present, 2^depth entries
+    hdr = (b"GIF89a" + struct.pack("<HH", w, h)
+           + bytes([lsd_packed, 0, 0]) + pal)
+    ipacked = 0x40 if interlaced else 0
+    desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+    clear, end = 1 << depth, (1 << depth) + 1
+    code_size = depth + 1
+    bits = []
+    for p in indices:
+        for code in (clear, p):
+            for k in range(code_size):
+                bits.append((code >> k) & 1)
+    for k in range(code_size):
+        bits.append((end >> k) & 1)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        data.append(sum(b << j for j, b in enumerate(bits[i: i + 8])))
+    blocks = bytearray([depth])
+    for i in range(0, len(data), 255):
+        chunk = data[i: i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return hdr + desc + bytes(blocks) + b"\x3B"
+
+
+def test_gif_decode_solid_and_quadrants():
+    from catalyst_spark.multimodal import _gif_decode_gray, _gif_features
+
+    # solid white 8x8
+    g = gif_bytes([0] * 64, 8, 8, [(255, 255, 255), (0, 0, 0)])
+    w, h, gray = _gif_decode_gray(g)
+    assert (w, h) == (8, 8) and set(gray) == {255}
+    assert _gif_features(g) == [1.0] * 16
+    # left half red, right half green: luma via the integer formula
+    idx = [0 if x < 4 else 1 for y in range(8) for x in range(8)]
+    g2 = gif_bytes(idx, 8, 8, [(255, 0, 0), (0, 255, 0)])
+    red, green = 255 * 299 // 1000, 255 * 587 // 1000
+    f = _gif_features(g2)
+    want = [red / 127.5 - 1.0] * 2 + [green / 127.5 - 1.0] * 2
+    assert f == want * 4
+
+
+def test_gif_interlaced_rows_reordered():
+    from catalyst_spark.multimodal import _gif_decode_gray
+
+    # 8 rows, each a solid index = its row number; interlaced storage
+    # must come back in natural row order
+    idx = [y for y in range(8) for _ in range(8)]
+    pal = [(v * 30, v * 30, v * 30) for v in range(8)]
+    # interlaced pass order for h=8: 0,4,2,6,1,3,5,7 — rows stored in
+    # that order must decode back to natural order
+    order = [0, 4, 2, 6, 1, 3, 5, 7]
+    stored = [v for y in order for v in [idx[y * 8]] * 8]
+    g = gif_bytes(stored, 8, 8, pal, interlaced=True)
+    w, h, gray = _gif_decode_gray(g)
+    lum = [(p * 30 * 299 + p * 30 * 587 + p * 30 * 114) // 1000
+           for p in range(8)]
+    assert [gray[y * 8] for y in range(8)] == lum
+
+
+def test_image_features_honest_null_for_undecodable(spark):
+    """VERDICT r4 item 6: no fake ever enters the feature column — a
+    payload none of PNG/JPEG/GIF can decode yields NULL features (the
+    audio path's policy)."""
+    from catalyst_spark.multimodal import image_features
+
+    df = spark.createDataFrame(
+        [Row(media_id=9, kind="image", payload=bytearray(b"\x01\x02" * 100)),
+         Row(media_id=10, kind="image",
+             payload=bytearray(gif_bytes([0] * 16, 4, 4,
+                                         [(0, 0, 0), (255, 255, 255)])))],
+        "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r["features"] for r in image_features(df).collect()}
+    assert out[9] is None
+    assert out[10] == [-1.0] * 16
+
+
+def test_no_fake_floats_left():
+    """The clearly-marked fake is deleted — nothing in the module can
+    fabricate feature values."""
+    import inspect
+
+    import catalyst_spark.multimodal as mm
+
+    src = inspect.getsource(mm)
+    assert "_fake_floats" not in src

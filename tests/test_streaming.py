@@ -615,3 +615,51 @@ def test_stream_window_decontaminate_matches_batch(spark, tmp_path):
     got = {r["eval_id"]: (r["n_windows"], r["matched_windows"], r["max_run"])
            for r in spark.sql("select * from windec_stream").collect()}
     assert got == want
+
+
+def test_stream_window_decontaminate_redelivery_idempotent(spark, tmp_path):
+    """ADVICE r4: a doc_id resent in a later micro-batch (revision
+    re-send of identical text) must not double-count n_windows or reset
+    max_run — the collect_set state makes the aggregate idempotent, so
+    every emitted update for a doc carries the same final stats."""
+    import json
+
+    from catalyst_spark.queries.pipeline import (
+        _CONTAM_EVAL_SOURCE,
+        window_decontaminate,
+    )
+    from catalyst_spark.streaming.contamination import (
+        stream_window_decontaminate,
+        train_window_index,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {r["eval_id"]: (r["n_windows"], r["matched_windows"], r["max_run"])
+            for r in window_decontaminate(spark, SF_DIR).collect()}
+
+    index = train_window_index(spark, SF_DIR, _CONTAM_EVAL_SOURCE)
+    ev = (load(spark, SF_DIR, "documents")
+          .where(f"source = '{_CONTAM_EVAL_SOURCE}'")
+          .select("doc_id", "text").collect())
+    d = tmp_path / "eval_redeliver"
+    d.mkdir()
+    body = "\n".join(json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                     for r in ev)
+    (d / "b1.json").write_text(body)
+    (d / "b2.json").write_text(body)  # full re-delivery, later batch
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_window_decontaminate(stream, index)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("windec_redeliver").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from windec_redeliver").collect()
+    got = {}
+    for r in rows:
+        v = (r["n_windows"], r["matched_windows"], r["max_run"])
+        assert got.setdefault(r["eval_id"], v) == v  # every update agrees
+    assert got == want
