@@ -1,0 +1,149 @@
+"""Streaming ANN: PQ-ADC probe of arriving query vectors against the
+trained compressed index — the online twin of
+queries.pipeline.ann_pq_adc_topk, completing "every batch ANN rung has
+an online twin" (brute/IVF answer fixed probe sets; the streaming shape
+is the reverse: the corpus index is FIXED and the queries arrive).
+
+Two stages, mirroring stream_bloom_probe's model-vs-data split:
+
+1. Stateless scoring: the 4 subspace codebooks ride into the plan as
+   ONE broadcast literal row (model-sized: _PQ_M x k centroids), each
+   arriving vector builds its per-subspace LUT as a map<code, partial>
+   via higher-order functions, and a stream-static equi-join against
+   the CODES table (the 16x-compressed corpus — the only data-sized
+   side) scores every candidate as 4 map lookups added left-to-right,
+   bit-identical to the batch operator's LUT-join adds.
+2. Bounded keyed state: a per-query top-k merge via
+   applyInPandasWithState — state is exactly k (d2, n_id) pairs per
+   query regardless of corpus size, idempotent under query re-delivery
+   (candidates dedup on n_id before the merge).
+
+Reference: the batch rung's parity contract (pipeline.ann_pq_adc_topk);
+tested by replaying the probe set as a file stream and asserting the
+final per-query top-5 equals the batch output exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from catalyst_spark.queries.pipeline import _LSH_DIM, _PQ_DOT, _PQ_M
+from catalyst_spark.tables import load
+
+_TOPK = 5
+
+PQ_TOPK_SCHEMA = T.StructType([
+    T.StructField("q_id", T.LongType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("neighbor_id", T.LongType()),
+    T.StructField("adc_d2", T.DoubleType()),
+    T.StructField("n_seen", T.LongType()),   # monotone: latest = final
+])
+
+PQ_STATE_SCHEMA = T.StructType([
+    T.StructField("ds", T.ArrayType(T.DoubleType())),
+    T.StructField("ns", T.ArrayType(T.LongType())),
+    T.StructField("n_seen", T.LongType()),
+])
+
+
+def pq_static_index(spark: SparkSession, sf_dir: str):
+    """Train (or fetch from the session cache) the PQ index and return
+    (codes static DataFrame, centroid entries list). The entries list is
+    model-sized (_PQ_M x k rows) — it moves to the driver exactly like
+    bloom_filter_words' 32 KB filter; the codes table never does."""
+    from catalyst_spark.queries.pipeline import _pq_model
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codes, cent = _pq_model(spark, sf_dir, v)
+    entries = [(int(r["m"]), int(r["code"]), list(r["ce"]))
+               for r in cent.collect()]
+    return codes, entries
+
+
+def _topk_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (q_id,) = key
+    ds, ns, n_seen = (state.get if state.exists else ([], [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    merged = pd.DataFrame({
+        "d2": list(ds) + cand["d2"].tolist(),
+        "n_id": list(ns) + cand["n_id"].tolist(),
+    })
+    # dedup on n_id (idempotent re-delivery), then the batch operator's
+    # exact tie-break: (d2 asc, n_id asc)
+    merged = (
+        merged.sort_values(["d2", "n_id"], ignore_index=True)
+        .drop_duplicates("n_id", ignore_index=True)
+        .head(_TOPK)
+    )
+    n_seen = int(n_seen) + len(cand)
+    state.update((merged["d2"].tolist(), merged["n_id"].tolist(), n_seen))
+    yield pd.DataFrame({
+        "q_id": int(q_id),
+        "rank": range(1, len(merged) + 1),
+        "neighbor_id": merged["n_id"].astype("int64"),
+        "adc_d2": merged["d2"].round(2),
+        "n_seen": n_seen,
+    })
+
+
+def stream_pq_adc_topk(
+    vec_stream: DataFrame, codes: DataFrame, cent_entries: list
+) -> DataFrame:
+    """(vec_id, embedding) query stream -> running per-query top-5
+    (rank, neighbor_id, adc_d2) against the static codes table. Latest
+    emission per (q_id, rank) (highest n_seen) is the final answer and
+    equals ann_pq_adc_topk's row exactly."""
+    spark = vec_stream.sparkSession
+    one = spark.createDataFrame(
+        [(cent_entries,)],
+        "cent array<struct<m: int, code: bigint, ce: array<double>>>",
+    )
+    sub = _LSH_DIM // _PQ_M
+    s = vec_stream.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).crossJoin(F.broadcast(one))
+    for m in range(_PQ_M):
+        qm = f"slice(e, {m * sub + 1}, {sub})"
+        p = (
+            _PQ_DOT.format(a=qm, b=qm)
+            + " - 2 * " + _PQ_DOT.format(a=qm, b="c.ce")
+            + " + " + _PQ_DOT.format(a="c.ce", b="c.ce")
+        )
+        s = s.withColumn(f"lut{m}", F.expr(
+            f"map_from_entries(transform(filter(cent, c -> c.m = {m}),"
+            f" c -> struct(c.code, {p})))"
+        ))
+    s = s.drop("cent", "e").withColumn("jk", F.lit(1))
+    cstat = codes.withColumn("jk", F.lit(1))
+    d2 = (  # fixed left-to-right add — same float order as the batch rung
+        F.expr("element_at(lut0, code0)")
+        + F.expr("element_at(lut1, code1)")
+        + F.expr("element_at(lut2, code2)")
+        + F.expr("element_at(lut3, code3)")
+    )
+    scored = (
+        s.join(cstat, "jk")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), d2.alias("d2"))
+    )
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _topk_update,
+        outputStructType=PQ_TOPK_SCHEMA,
+        stateStructType=PQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

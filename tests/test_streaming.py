@@ -663,3 +663,53 @@ def test_stream_window_decontaminate_redelivery_idempotent(spark, tmp_path):
         v = (r["n_windows"], r["matched_windows"], r["max_run"])
         assert got.setdefault(r["eval_id"], v) == v  # every update agrees
     assert got == want
+
+
+def test_stream_pq_adc_topk_matches_batch(spark, tmp_path):
+    """Streaming PQ twin (VERDICT r4 item 9): replaying the probe set as
+    a file stream (with one batch fully RE-DELIVERED) against the static
+    codes table must converge to ann_pq_adc_topk's top-5 exactly —
+    same codebooks (shared session cache), same LUT float math, same
+    (d2, n_id) tie-break; state is 5 pairs per query, corpus-size-free."""
+    import json
+
+    from catalyst_spark.queries.pipeline import ann_pq_adc_topk
+    from catalyst_spark.streaming.ann import pq_static_index, stream_pq_adc_topk
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["adc_d2"])
+            for r in ann_pq_adc_topk(spark, SF_DIR).collect()}
+    assert want
+
+    codes, entries = pq_static_index(spark, SF_DIR)
+    probes = (load(spark, SF_DIR, "embeddings")
+              .where("vec_id % 50 = 0")
+              .selectExpr("vec_id", "cast(embedding as array<double>)"
+                          " as embedding").collect())
+    d = tmp_path / "pq_stream"
+    d.mkdir()
+    half = max(1, len(probes) // 2)
+    batches = [probes[:half], probes[half:], probes[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": list(r["embedding"])})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_pq_adc_topk(stream, codes, entries)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("pq_stream_topk").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from pq_stream_topk").collect()
+    latest = {}
+    for r in rows:
+        k = (r["q_id"], r["rank"])
+        if k not in latest or r["n_seen"] > latest[k][0]:
+            latest[k] = (r["n_seen"], r["neighbor_id"], r["adc_d2"])
+    got = {k: (v[1], round(v[2], 2)) for k, v in latest.items()}
+    assert got == want
