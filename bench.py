@@ -167,7 +167,12 @@ def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
         "0.4 verify threshold — embedding-side output_rows grow faster "
         "than 10x for that reason (real geometry of the derived corpus, "
         "not join fan-out); the blocking evidence is minhash_candidates "
-        "(~10x at 10x rows) and the per-query time ratios."
+        "(~10x at 10x rows) and the per-query time ratios. The window "
+        "family's row volume is window_rows/window_distinct_hashes "
+        "(stride-1 windows ~ one row per token): both grow exactly "
+        "linearly (10.0x at 10x docs, disjoint token spaces keep "
+        "distinct hashes linear too), so the probe joins shuffle O(docs) "
+        "8-byte keys — the substring sweep stays linear at 100 TB."
     )
     base, ten = out["sf0.1"], out["sf1"]
     out["time_ratio_10x"] = {
@@ -211,7 +216,12 @@ def main() -> None:
     # against the operator that owns it, not whichever downstream
     # consumer happens to run first in registry order; consumers then
     # show their true marginal cost.
-    _build_owners = ("dedup_prefix_filter", "dedup_minhash_pairs")
+    # dedup_clusters owns the converged CC-label cache (consumed by
+    # keep_one/keep_best/rate_by_source/cluster_size_hist): running it
+    # third keeps that build's cost attributed to its owner no matter
+    # how the correctness-window rotation reorders the registry
+    _build_owners = ("dedup_prefix_filter", "dedup_minhash_pairs",
+                     "dedup_clusters")
     ordered = [
         *((n, ALL_QUERIES[n]) for n in _build_owners if n in ALL_QUERIES),
         *((n, f) for n, f in ALL_QUERIES.items() if n not in _build_owners),

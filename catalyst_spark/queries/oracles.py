@@ -1061,6 +1061,40 @@ def _ivfpq_recall_sql() -> str:
     """
 
 
+def _pq_distortion_sql() -> str:
+    """Oracle twin of pipeline.pq_distortion: per-vector squared
+    distance to the assigned subspace centroid (same expansion, same
+    doubles), fixed-point floored to micro-units per row, integer
+    aggregate — order-free on both engines."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS, _PQ_M
+
+    last = _KMEANS_ITERS
+    dists = []
+    for m in range(_PQ_M):
+        dists.append(
+            f"d_{m} AS (SELECT {m} AS m,"
+            f" CAST(floor((list_dot_product(v.e, v.e)"
+            f"  - 2 * list_dot_product(v.e, c.ce)"
+            f"  + list_dot_product(c.ce, c.ce)) * 1000000) AS BIGINT)"
+            f"   AS micro"
+            f" FROM v{m} v JOIN code{m} k USING (vec_id)"
+            f" JOIN c{last}_{m} c ON c.c_id = k.code),"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM d_{m}" for m in range(_PQ_M))
+    return (
+        _pq_ctes()
+        + "\n" + "\n".join(dists).rstrip(",")
+        + f"""
+        SELECT CAST(m AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(micro) AS BIGINT) AS sum_d2_micro,
+               CAST(CAST(SUM(micro) AS BIGINT) // COUNT(*) AS BIGINT)
+                 AS mean_d2_micro
+        FROM ({union}) u GROUP BY m ORDER BY m
+    """
+    )
+
+
 def _semdedup_sql() -> str:
     """Unrolled k-means + assignment + in-cell pair scan — the oracle
     twin of pipeline.semdedup_ivf."""
@@ -1096,6 +1130,7 @@ _HASH_ORACLES = {
     "ann_pq_recall": _pq_recall_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),
     "ann_ivfpq_recall": _ivfpq_recall_sql(),
+    "pq_distortion": _pq_distortion_sql(),
     "semdedup_ivf": _semdedup_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",
     "dedup_simhash_pairs": f"""
@@ -1235,6 +1270,94 @@ _HASH_ORACLES = {
 # ---------------------------------------------------------------------------
 
 _TSDB = {
+    "interval_coverage": """
+        WITH iv AS (
+          SELECT user_id, event_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + 30000000 AS e
+          FROM events),
+        marked AS (
+          SELECT user_id, s, e,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END
+                   AS new_island
+          FROM (
+            SELECT user_id, event_id, s, e,
+                   MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM iv) t),
+        numbered AS (
+          SELECT user_id, s, e,
+                 SUM(new_island) OVER (PARTITION BY user_id
+                                       ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS island
+          FROM marked),
+        islands AS (
+          SELECT user_id, island, COUNT(*) AS n_ev,
+                 MAX(e) - MIN(s) AS len_us
+          FROM numbered GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(len_us) AS BIGINT) AS covered_us
+        FROM islands GROUP BY user_id ORDER BY user_id
+    """,
+    # two-window SLO burn: integer permille, // == Spark div (pinned)
+    "burn_rate_windows": """
+        WITH hourly AS (
+          SELECT epoch_us(ts) // 3600000000 AS hb,
+                 CAST(COUNT(*) AS BIGINT) AS tot,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS err
+          FROM events GROUP BY 1),
+        winl AS (
+          SELECT hb, tot, err,
+                 CAST(SUM(tot) OVER (ORDER BY hb ROWS BETWEEN 5 PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS tot_l,
+                 CAST(SUM(err) OVER (ORDER BY hb ROWS BETWEEN 5 PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS err_l
+          FROM hourly)
+        SELECT hb, tot AS tot_short, err AS err_short, tot_l, err_l,
+               CAST((err * tot_l * 1000) // (tot * err_l) AS BIGINT)
+                 AS burn_permille
+        FROM winl WHERE err_l > 0 AND tot > 0 ORDER BY hb
+    """,
+    "asof_nearest_join": """
+        WITH base AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tu, value
+          FROM events),
+        marked AS (
+          SELECT *,
+            last_value(CASE WHEN event_type = 'click' THEN tu END
+                       IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY tu, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+            last_value(CASE WHEN event_type = 'click' THEN value END
+                       IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY tu, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+            first_value(CASE WHEN event_type = 'click' THEN tu END
+                        IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY tu, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+            first_value(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY tu, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+          FROM base)
+        SELECT event_id, user_id,
+               ROUND(value, 2) AS purchase_value,
+               ROUND(CASE WHEN nt IS NULL OR (pt IS NOT NULL
+                               AND (tu - pt) <= (nt - tu))
+                          THEN pv ELSE nv END, 2) AS nearest_click_value,
+               CAST(CASE WHEN nt IS NULL OR (pt IS NOT NULL
+                              AND (tu - pt) <= (nt - tu))
+                         THEN pt - tu ELSE nt - tu END AS BIGINT)
+                 AS delta_us
+        FROM marked
+        WHERE event_type = 'purchase'
+          AND (pt IS NOT NULL OR nt IS NOT NULL)
+        ORDER BY event_id
+    """,
     "asof_prior_click": """
         SELECT event_id, user_id, ROUND(value, 2) AS purchase_value,
                ROUND(prior_click, 2) AS prior_click_value
@@ -1795,6 +1918,35 @@ _TSDB = {
     # damping (85*x)//100, 3 unrolled iterations — positive integer
     # divisions everywhere, so floor (//) matches Spark's div exactly
     "near_dup_pagerank": _pagerank_sql(),
+    "domain_cap_sample": f"""
+        SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY {_h60_duck('text')}, doc_id)
+                   AS rk
+          FROM documents) t
+        WHERE rk <= 10 ORDER BY source, rk
+    """,
+    "dedup_cluster_size_hist": f"""
+        WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION
+          SELECT b_id AS u, a_id AS v FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u),
+        labels AS (
+          SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+        sizes AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM labels GROUP BY 1)
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
     "dedup_keep_one": f"""
         WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
         edges AS (

@@ -2877,6 +2877,118 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_DOMAIN_CAP = 10
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the anti-domination sampler every
+    web-scale training mix applies (no single source/domain may
+    contribute more than K documents): rank each source's docs by a
+    deterministic content hash (uniform, reproducible order — never
+    crawl order, which correlates with quality) and keep the first
+    _DOMAIN_CAP.
+
+    Scale shape: one hash-keyed window shuffle on `source`; ranking is
+    a per-partition sort of (8-byte hash, id) pairs — the text never
+    shuffles. A pathologically hot domain makes one heavy partition;
+    the two-phase top-k rewrite (per-partition pre-prune to K before
+    the global rank, cf. q21's salting) drops in without changing the
+    result because row_number <= K only needs each partition's K
+    smallest.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("source", "doc_id", F.expr(_h60("text")).alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _DOMAIN_CAP)
+        .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-duplicate connected
+    components: (cluster_size, n_clusters, n_docs) — the shape report a
+    dedup run is judged by (how much mass sits in big clusters decides
+    whether keep-one is removing 1% or 30% of the corpus).
+
+    Reuses the memoized converged labels (dedup_clusters), so the cost
+    is two label-table-sized aggregates; at 100 TB the label table is
+    two longs per clustered doc.
+    """
+    cl = dedup_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction error — the compression-quality
+    evidence next to the recall rows: for every vector, the squared
+    distance to its assigned subspace centroid, fixed-point floored to
+    integer micro-units BEFORE the corpus-wide sum so the aggregate is
+    order-free and engine-exact (a float SUM over millions of rows has
+    no reproducible add order; an integer sum does).
+
+    Per-vector d2 uses the same q.q - 2q.c + c.c sequential-fold
+    expansion the encoder minimized, so this measures exactly the
+    quantity ADC substitutes for true distances. Output: (m, n_vecs,
+    sum_d2_micro, mean_d2_micro) — 4 rows, mean via integer div
+    (truncation parity pinned by tests/test_sql_parity.py).
+
+    Plan: codes re-join their vectors on vec_id; the 4 centroid tables
+    broadcast (model-sized); one stack + tiny aggregate.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codes, cent = _pq_model(spark, sf_dir, v)
+    sub = _LSH_DIM // _PQ_M
+    joined = v.join(codes, "vec_id")
+    for m in range(_PQ_M):
+        cm = cent.where(F.col("m") == m).select(
+            F.col("code").alias(f"code{m}"), F.col("ce").alias(f"ce{m}")
+        )
+        joined = joined.join(F.broadcast(cm), f"code{m}")
+        qm = f"slice(e, {m * sub + 1}, {sub})"
+        joined = joined.withColumn(f"d2m{m}", F.expr(
+            _PQ_DOT.format(a=qm, b=qm)
+            + " - 2 * " + _PQ_DOT.format(a=qm, b=f"ce{m}")
+            + " + " + _PQ_DOT.format(a=f"ce{m}", b=f"ce{m}")
+        ))
+    stacked = joined.select(F.expr(
+        "stack(4, 0, d2m0, 1, d2m1, 2, d2m2, 3, d2m3) as (m, d2)"
+    )).select(
+        F.col("m").cast("bigint").alias("m"),
+        F.expr("cast(floor(d2 * 1000000) as bigint)").alias("micro"),
+    )
+    return (
+        stacked.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("micro").alias("sum_d2_micro"),
+        )
+        .select(
+            "m", "n_vecs", "sum_d2_micro",
+            F.expr("sum_d2_micro div n_vecs").alias("mean_d2_micro"),
+        )
+        .orderBy("m")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -2903,6 +3015,8 @@ PIPELINE_QUERIES = {
     "approx_topk_tokens": approx_topk_tokens,
     "dedup_keep_best": dedup_keep_best,
     "dedup_rate_by_source": dedup_rate_by_source,
+    "domain_cap_sample": domain_cap_sample,
+    "dedup_cluster_size_hist": dedup_cluster_size_hist,
     "rare_token_ratio": rare_token_ratio,
     "ngram_novelty": ngram_novelty,
     "embedding_norm_outliers": embedding_norm_outliers,
@@ -2928,6 +3042,7 @@ PIPELINE_QUERIES = {
     "ann_pq_recall": ann_pq_recall,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_recall": ann_ivfpq_recall,
+    "pq_distortion": pq_distortion,
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
     "token_counts": token_counts,

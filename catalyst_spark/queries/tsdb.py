@@ -1448,6 +1448,147 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_COVER_US = 30_000_000  # each event covers [ts, ts + 30 s)
+
+
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-union coverage (gaps-and-islands): every event
+    covers [ts, ts+30s); merge overlapping/touching intervals into
+    islands and report per user the event count, island count, and
+    total covered microseconds — the utilization/uptime computation
+    behind "how much wall-clock was this user active".
+
+    All integer microsecond math (no float epochs), one shuffle on the
+    series key: a running max of interval ends over earlier rows marks
+    island starts (start > max end so far), a running sum of the marks
+    numbers islands, and within an island coverage = max(end) -
+    min(start) — exact because islands are transitively overlapping by
+    construction. Two tiny aggregates above the window, nothing wider
+    than a row.
+    """
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("s", "e", "event_id")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_COVER_US)).alias("e"),
+    )
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("e") - F.min("s")).alias("len_us"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("n_ev").alias("n_events"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("len_us").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate (the SRE two-window alert): bucket
+    events by hour, count errors and totals per bucket, then compare
+    the SHORT window (this hour) against the LONG window (trailing 6
+    hours): burn_permille = (err_s * tot_l * 1000) div (tot_s * err_l)
+    — >1000 means the recent error rate exceeds the long-run rate (the
+    budget is burning faster than trend). Integer permille via a single
+    div (truncation parity pinned by tests/test_sql_parity.py); no
+    float rate is ever materialized.
+
+    One shuffle to the hourly aggregate; both windows slide over the
+    TINY per-hour table (rowsBetween -5..0), never the event stream.
+    """
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        )
+        .groupBy("hb")
+        .agg(
+            F.count(F.lit(1)).alias("tot"),
+            F.sum("is_err").alias("err"),
+        )
+    )
+    wl = W.orderBy("hb").rowsBetween(-5, 0)
+    return (
+        hourly.withColumn("tot_l", F.sum("tot").over(wl))
+        .withColumn("err_l", F.sum("err").over(wl))
+        .where((F.col("err_l") > 0) & (F.col("tot") > 0))
+        .select(
+            "hb",
+            F.col("tot").alias("tot_short"),
+            F.col("err").alias("err_short"),
+            "tot_l",
+            "err_l",
+            F.expr("(err * tot_l * 1000) div (tot * err_l)")
+            .alias("burn_permille"),
+        )
+        .orderBy("hb")
+    )
+
+
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of join: for every purchase, the same user's
+    nearest click in EITHER direction (backward asof_prior_click's
+    sibling; many feature pipelines want nearest-context, not
+    last-before). Two ignore-nulls window walks (last earlier click /
+    first later click) on one series-key shuffle; the winner is the
+    smaller integer-microsecond distance, ties to the earlier click.
+    delta_us is signed (negative = click before purchase).
+    """
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("tu"), "value",
+    )
+    wp = (W.partitionBy("user_id").orderBy("tu", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    wn = (W.partitionBy("user_id").orderBy("tu", "event_id")
+          .rowsBetween(1, W.unboundedFollowing))
+    ck_t = F.when(F.col("event_type") == "click", F.col("tu"))
+    ck_v = F.when(F.col("event_type") == "click", F.col("value"))
+    marked = (
+        base.withColumn("pt", F.last(ck_t, ignorenulls=True).over(wp))
+        .withColumn("pv", F.last(ck_v, ignorenulls=True).over(wp))
+        .withColumn("nt", F.first(ck_t, ignorenulls=True).over(wn))
+        .withColumn("nv", F.first(ck_v, ignorenulls=True).over(wn))
+        .where(F.col("event_type") == "purchase")
+    )
+    prev_wins = F.col("nt").isNull() | (
+        F.col("pt").isNotNull()
+        & ((F.col("tu") - F.col("pt")) <= (F.col("nt") - F.col("tu")))
+    )
+    return (
+        marked.where(F.col("pt").isNotNull() | F.col("nt").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("purchase_value"),
+            F.round(
+                F.when(prev_wins, F.col("pv")).otherwise(F.col("nv")), 2
+            ).alias("nearest_click_value"),
+            F.when(prev_wins, F.col("pt") - F.col("tu"))
+            .otherwise(F.col("nt") - F.col("tu"))
+            .alias("delta_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
     "value_percentiles": value_percentiles,
@@ -1464,6 +1605,9 @@ TSDB_QUERIES = {
     "cube_event_counts": cube_event_counts,
     "asof_prior_click": asof_prior_click,
     "sessionize": sessionize,
+    "interval_coverage": interval_coverage,
+    "burn_rate_windows": burn_rate_windows,
+    "asof_nearest_join": asof_nearest_join,
     "ts_rate": ts_rate,
     "time_weighted_avg": time_weighted_avg,
     "ts_downsample": ts_downsample,

@@ -316,3 +316,25 @@ def test_ivfpq_cell_pruned_codes_scan(spark):
     a = [tuple(r) for r in ALL_QUERIES["ann_ivfpq_topk"](spark, SF_DIR).collect()]
     b = [tuple(r) for r in ALL_QUERIES["ann_ivfpq_topk"](spark, SF_DIR).collect()]
     assert a == b and a
+
+
+def test_r5_new_ops_plan_shapes(spark):
+    # domain caps: one hash-partitioned window on source, no cartesian;
+    # cluster histogram: label-table aggregates only; PQ distortion:
+    # model-sized centroid broadcasts into the codes join
+    for q in ("domain_cap_sample", "dedup_cluster_size_hist"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+    plan = plan_of(spark, "pq_distortion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_r5_tsdb_ops_single_series_shuffle_no_python(spark):
+    # interval islands / two-window burn / bidirectional asof: all pure
+    # window+aggregate plans — no cartesian, no Python, no broadcast of
+    # anything data-sized
+    for q in ("interval_coverage", "burn_rate_windows", "asof_nearest_join"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "EvalPython" not in plan and "PythonUDF" not in plan, q
