@@ -1918,6 +1918,30 @@ _TSDB = {
     # damping (85*x)//100, 3 unrolled iterations — positive integer
     # divisions everywhere, so floor (//) matches Spark's div exactly
     "near_dup_pagerank": _pagerank_sql(),
+    "doc_length_quartiles_by_source": """
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+               ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+               ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
+               ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "truncation_stats": """
+        WITH toks AS (
+          SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+          FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN nt > 64 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_truncated,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END)
+                    AS BIGINT) AS tokens_lost,
+               CAST((CAST(SUM(CASE WHEN nt > 64 THEN nt - 64 ELSE 0 END)
+                          AS BIGINT) * 1000)
+                    // CAST(SUM(nt) AS BIGINT) AS BIGINT) AS loss_permille
+        FROM toks GROUP BY source ORDER BY source
+    """,
     "domain_cap_sample": f"""
         SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
           SELECT source, doc_id,

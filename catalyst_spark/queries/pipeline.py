@@ -2989,6 +2989,66 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def doc_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (chars): exact
+    interpolated p25/p50/p75/p95 plus count — the corpus-shape report
+    that drives batch sizing and length-bucket mixing. Spark's
+    percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition, so the oracle match is exact (same
+    convention as value_percentiles); at 100 TB swap in
+    percentile_approx and accept the t-digest epsilon. One partial-agg
+    shuffle on source."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("source")
+    )
+
+
+_TRUNC_TOKENS = 64
+
+
+def truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation accounting: with a _TRUNC_TOKENS-token
+    limit, how much of each source survives? Per source: docs over the
+    limit, total tokens, tokens lost, and integer-permille loss —
+    the number that decides whether a corpus needs splitting instead
+    of truncation before training. Whitespace token counts, all-integer
+    aggregates, one partial-agg shuffle on source; loss permille via a
+    single div (truncation parity pinned by tests/test_sql_parity.py).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.expr("size(split(text, ' '))").cast("bigint").alias("nt")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("nt") > _TRUNC_TOKENS, 1).otherwise(0))
+            .cast("bigint").alias("docs_truncated"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum(F.greatest(F.col("nt") - _TRUNC_TOKENS, F.lit(0)))
+            .cast("bigint").alias("tokens_lost"),
+        )
+        .select(
+            "source", "n_docs", "docs_truncated", "total_tokens",
+            "tokens_lost",
+            F.expr("(tokens_lost * 1000) div total_tokens")
+            .alias("loss_permille"),
+        )
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -3016,6 +3076,8 @@ PIPELINE_QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_rate_by_source": dedup_rate_by_source,
     "domain_cap_sample": domain_cap_sample,
+    "doc_length_quartiles_by_source": doc_length_quartiles_by_source,
+    "truncation_stats": truncation_stats,
     "dedup_cluster_size_hist": dedup_cluster_size_hist,
     "rare_token_ratio": rare_token_ratio,
     "ngram_novelty": ngram_novelty,

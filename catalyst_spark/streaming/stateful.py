@@ -270,3 +270,76 @@ def stream_holt_smooth(event_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- interval-union coverage (streaming twin of tsdb.interval_coverage):
+# per-user state is ONE open island plus three counters — five BIGINTs
+# regardless of how many events the user ever produces. Same 30 s
+# half-open cover and same merge rule (touching intervals merge) as the
+# batch gaps-and-islands operator; requires per-user time-ordered
+# arrival, the contract every fold twin here shares (cusum/holt).
+
+COVER_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_islands", T.LongType()),
+    T.StructField("covered_us", T.LongType()),
+])
+
+COVER_STATE_SCHEMA = T.StructType([
+    T.StructField("cur_s", T.LongType()),
+    T.StructField("cur_e", T.LongType()),
+    T.StructField("closed_us", T.LongType()),
+    T.StructField("n_islands", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_COVER_US = 30_000_000
+
+
+def _coverage_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    cur_s, cur_e, closed, n_isl, n_ev = (
+        state.get if state.exists else (None, None, 0, 0, 0)
+    )
+    parts = [p[["ts_us", "event_id"]] for p in pdfs]
+    pdf = pd.concat(parts, ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+    for s in pdf["ts_us"].astype("int64"):
+        s, e = int(s), int(s) + _COVER_US
+        n_ev += 1
+        if cur_s is None:
+            cur_s, cur_e, n_isl = s, e, n_isl + 1
+        elif s > cur_e:                   # gap: close the open island
+            closed += cur_e - cur_s
+            cur_s, cur_e, n_isl = s, e, n_isl + 1
+        elif e > cur_e:                   # extend the open island
+            cur_e = e
+    state.update((cur_s, cur_e, int(closed), int(n_isl), int(n_ev)))
+    covered = int(closed) + ((cur_e - cur_s) if cur_s is not None else 0)
+    yield pd.DataFrame({
+        "user_id": pd.Series([int(user_id)], dtype="int64"),
+        "n_events": pd.Series([int(n_ev)], dtype="int64"),
+        "n_islands": pd.Series([int(n_isl)], dtype="int64"),
+        "covered_us": pd.Series([covered], dtype="int64"),
+    })
+
+
+def stream_interval_coverage(event_stream: DataFrame) -> DataFrame:
+    """(event_id, ts_us, user_id) stream -> running per-user interval
+    coverage (events, islands, covered µs) with five BIGINTs of state
+    per series; the latest emission (highest n_events) equals the batch
+    gaps-and-islands result exactly."""
+    return (
+        event_stream.select("event_id", "ts_us", "user_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _coverage_update,
+            outputStructType=COVER_OUTPUT_SCHEMA,
+            stateStructType=COVER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -713,3 +713,55 @@ def test_stream_pq_adc_topk_matches_batch(spark, tmp_path):
             latest[k] = (r["n_seen"], r["neighbor_id"], r["adc_d2"])
     got = {k: (v[1], round(v[2], 2)) for k, v in latest.items()}
     assert got == want
+
+
+def test_stream_interval_coverage_matches_batch(spark, tmp_path):
+    """Online interval-union coverage with five BIGINTs of keyed state
+    must converge to the batch gaps-and-islands result exactly over a
+    time-ordered 2-batch replay (a user's open island can span the
+    batch boundary — precisely what the carried state handles)."""
+    import json
+
+    from catalyst_spark.queries.tsdb import interval_coverage
+    from catalyst_spark.streaming.stateful import stream_interval_coverage
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    want = {r["user_id"]: (r["n_events"], r["n_islands"], r["covered_us"])
+            for r in interval_coverage(spark, SF_DIR).collect()}
+    assert want
+
+    ev = (load(spark, SF_DIR, "events")
+          .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id")
+          .orderBy("ts_us", "event_id").collect())
+    d = tmp_path / "coverage_events"
+    d.mkdir()
+    half = len(ev) // 2
+    for i, (fname, chunk) in enumerate(
+        (("b1.json", ev[:half]), ("b2.json", ev[half:]))
+    ):
+        (d / fname).write_text("\n".join(
+            json.dumps({"event_id": r["event_id"], "ts_us": r["ts_us"],
+                        "user_id": r["user_id"]})
+            for r in chunk))
+        # deterministic replay order (same fix as the CUSUM twin)
+        t = os.path.getmtime(d / fname) - 60 + 30 * i
+        os.utime(d / fname, (t, t))
+
+    stream = (spark.readStream
+              .schema("event_id long, ts_us long, user_id long")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_interval_coverage(stream)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("coverage_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    latest = {}
+    for r in spark.sql("select * from coverage_stream").collect():
+        if (r["user_id"] not in latest
+                or r["n_events"] > latest[r["user_id"]][0]):
+            latest[r["user_id"]] = (
+                r["n_events"], r["n_islands"], r["covered_us"])
+    assert latest == want
