@@ -1327,6 +1327,89 @@ def _srp_planes() -> list:
 _PQ_M = 4
 
 
+def _pq_books(spark: SparkSession, sf_dir: str, v: DataFrame):
+    """All _PQ_M subspace codebooks in ONE Lloyd loop: each iteration is
+    a single cluster-wide mapInPandas pass emitting (m, c_id, d, s, n)
+    partials for every subspace at once, plus one tiny groupBy — 3
+    passes total instead of the 12 the per-subspace fits cost (the
+    combined pass reads the same rows, slices the same 16-dim views,
+    and reduces the same per-batch partial sums, so each subspace's
+    model is the one its independent fit produces, within the same
+    summation-order eps the single-fit path already tolerates).
+    Results land in _KMEANS_MODEL_CACHE under the per-subspace tags, so
+    any caller mixing single and combined fitting sees one model."""
+    import numpy as np
+
+    app = spark.sparkContext.applicationId
+    tags = [f"pq{m}" for m in range(_PQ_M)]
+    if all((app, sf_dir, t) in _KMEANS_MODEL_CACHE for t in tags):
+        return [_KMEANS_MODEL_CACHE[(app, sf_dir, t)] for t in tags]
+
+    sub = _LSH_DIM // _PQ_M
+    init = v.orderBy("vec_id").limit(_KMEANS_K).collect()
+    X0 = np.stack([np.asarray(r["e"]) for r in init])
+    # per-subspace state: (centroid matrix, surviving original ids)
+    state = [
+        (X0[:, m * sub: (m + 1) * sub].copy(),
+         np.arange(_KMEANS_K, dtype="i8"))
+        for m in range(_PQ_M)
+    ]
+
+    def _partials_for(state):
+        consts = [
+            (C, cids, (C * C).sum(axis=1)) for C, cids in state
+        ]  # shipped per task
+
+        def _assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["e"].to_numpy())
+                rows = []
+                for m, (C, cids, Cn) in enumerate(consts):
+                    Xm = X[:, m * sub: (m + 1) * sub]
+                    D = (Xm * Xm).sum(1)[:, None] - 2.0 * (Xm @ C.T) + Cn[None, :]
+                    a = np.argmin(D, axis=1)
+                    for c in np.unique(a):
+                        mask = a == c
+                        rows.append(pd.DataFrame({
+                            "m": np.full(sub, m, dtype="i8"),
+                            "c_id": np.full(sub, cids[c], dtype="i8"),
+                            "d": np.arange(1, sub + 1, dtype="i8"),
+                            "s": Xm[mask].sum(axis=0),
+                            "n": np.full(sub, int(mask.sum()), dtype="i8"),
+                        }))
+                yield pd.concat(rows, ignore_index=True)
+
+        return _assign
+
+    for _ in range(_KMEANS_ITERS):
+        got = (
+            v.mapInPandas(
+                _partials_for(state),
+                "m long, c_id long, d long, s double, n long",
+            )
+            .groupBy("m", "c_id", "d")
+            .agg((F.sum("s") / F.sum("n")).alias("mm"))
+            .collect()
+        )
+        new_state = []
+        for m in range(_PQ_M):
+            rows = [r for r in got if r["m"] == m]
+            ids = sorted({r["c_id"] for r in rows})  # empty clusters drop
+            remap = {c: i for i, c in enumerate(ids)}
+            C = np.zeros((len(ids), sub))
+            for r in rows:
+                C[remap[r["c_id"]], r["d"] - 1] = r["mm"]
+            new_state.append((C, np.asarray(ids, dtype="i8")))
+        state = new_state
+    for t, model in zip(tags, state):
+        _KMEANS_MODEL_CACHE[(app, sf_dir, t)] = model
+    return state
+
+
 def _pq_model(spark: SparkSession, sf_dir: str, v: DataFrame):
     """Fit (or fetch from the session cache) the 4 subspace codebooks
     and return (codes df, centroid literal df): the compressed index
@@ -1336,13 +1419,7 @@ def _pq_model(spark: SparkSession, sf_dir: str, v: DataFrame):
     import numpy as np
 
     sub = _LSH_DIM // _PQ_M
-    books = []
-    for m in range(_PQ_M):
-        vm = v.select(
-            "vec_id", F.expr(f"slice(e, {m * sub + 1}, {sub})").alias("e")
-        )
-        C, cids = _cached_kmeans(spark, sf_dir, vm, f"pq{m}")
-        books.append((C, cids))
+    books = _pq_books(spark, sf_dir, v)
 
     def _encode(batches):
         import pandas as pd
