@@ -362,11 +362,12 @@ _PREFIX_PAIRS_CACHE: dict = {}
 # model instead of three identical refits.
 _KMEANS_MODEL_CACHE: dict = {}
 
-# (applicationId, sf_dir, name) -> persisted, materialized top-k result
-# table. ann_brute_topk feeds three recall operators (ann_recall_at_5,
-# ann_multiprobe_recall, ann_pq_recall) and ann_pq_adc_topk feeds
-# ann_pq_recall; each result is probe-set-sized (n_queries x 5 rows),
-# so residency is trivial while the build walks every vector.
+# (applicationId, sf_dir, name) -> persisted, materialized DataFrame
+# shared across the ANN family: probe-set-sized top-k results
+# (ann_brute_topk feeds three recall operators; ann_pq_adc_topk and
+# ann_ivfpq_topk feed their recall rows) and the PQ codes table
+# ("pq_codes", ~40 B/vector, three consumers). Every entry is
+# unpersisted + dropped by the bench's session reset.
 _TOPK_RESULT_CACHE: dict = {}
 
 
@@ -1439,7 +1440,16 @@ def _pq_model(spark: SparkSession, sf_dir: str, v: DataFrame):
     schema = "vec_id long, " + ", ".join(
         f"code{m} long" for m in range(_PQ_M)
     )
-    codes = v.mapInPandas(_encode, schema)
+    # the codes table feeds three consumers (ann_pq_adc_topk,
+    # ann_ivfpq_topk, pq_distortion) — persist one encode pass per
+    # session instead of re-scanning every vector per caller; 5 longs
+    # per vector, so residency is ~40 B/vector
+    codes_key = (spark.sparkContext.applicationId, sf_dir, "pq_codes")
+    codes = _TOPK_RESULT_CACHE.get(codes_key)
+    if codes is None:
+        codes = v.mapInPandas(_encode, schema).persist()
+        codes.count()
+        _TOPK_RESULT_CACHE[codes_key] = codes
     # centroid table as a tiny literal DataFrame: (m, code, ce)
     cent_rows = [
         (m, int(cids[j]), [float(x) for x in C[j]])
