@@ -1036,6 +1036,42 @@ def _cached_kmeans(spark: SparkSession, sf_dir: str, v: DataFrame, tag: str):
     return hit
 
 
+def _coarse_assign(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
+    """Persisted (vec_id, c_id) nearest-trained-centroid assignment —
+    the coarse index four operators share (trained-IVF top-k,
+    multiprobe members, semdedup cells, IVF-PQ members). One
+    Arrow-batched argmin pass per session instead of four identical
+    full scans; 16 B/vector resident. Deterministic given the cached
+    model ((distance, c_id) ties), so a hit returns exactly what the
+    inline pass would."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir, "coarse_assign")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    Cn = (C * C).sum(axis=1)
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "c_id": cids[np.argmin(D, axis=1)],
+            })
+
+    assign = v.mapInPandas(_assign, "vec_id long, c_id long").persist()
+    assign.count()  # materialize before sharing (pair-cache rule)
+    _TOPK_RESULT_CACHE[key] = assign
+    return assign
+
+
 def _kmeans_fit(spark: SparkSession, v: DataFrame):
     """Driver-coordinated Lloyd loop over (vec_id, e); returns the final
     centroid matrix, its surviving original ids, and the last-iteration
@@ -1107,30 +1143,11 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN operators, so the DuckDB oracle replays the unrolled k-means
     plus the same assignment and rerank.
     """
-    import numpy as np
-
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
-    Cn = (C * C).sum(axis=1)
-
-    def _assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["e"].to_numpy())
-            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "c_id": cids[np.argmin(D, axis=1)],
-            })
-
-    assign = v.mapInPandas(_assign, "vec_id long, c_id long").persist()
-    assign.count()  # materialize: feeds both sides of the cell join
+    assign = _coarse_assign(spark, sf_dir, v)
     probes = assign.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "c_id"
     )
@@ -1195,20 +1212,9 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "probe_rank": pd.Series(out_r, dtype="int64"),
             })
 
-    def _assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["e"].to_numpy())
-            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
-            yield pd.DataFrame({
-                "n_id": pdf["vec_id"].to_numpy(),
-                "c_id": cids[np.argmin(D, axis=1)],
-            })
-
-    members = v.mapInPandas(_assign, "n_id long, c_id long")
+    members = _coarse_assign(spark, sf_dir, v).select(
+        F.col("vec_id").alias("n_id"), "c_id"
+    )
     probes = v.where(F.col("vec_id") % 50 == 0).mapInPandas(
         _assign_top2, "q_id long, c_id long, probe_rank long"
     ).persist()
@@ -1265,29 +1271,11 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     when no labels exist. Oracle replays the unrolled k-means, the
     assignment, and the in-cell pair scan.
     """
-    import numpy as np
-
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
-    Cn = (C * C).sum(axis=1)
-
-    def _assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["e"].to_numpy())
-            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "c_id": cids[np.argmin(D, axis=1)],
-            })
-
-    assign = v.mapInPandas(_assign, "vec_id long, c_id long")
+    assign = _coarse_assign(spark, sf_dir, v)
     return (
         v.join(assign, "vec_id")
         .groupBy("c_id")
@@ -1611,19 +1599,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     C, cids = _cached_kmeans(spark, sf_dir, v, "full")
     Cn = (C * C).sum(axis=1)
 
-    def _assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["e"].to_numpy())
-            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
-            yield pd.DataFrame({
-                "n_id": pdf["vec_id"].to_numpy(),
-                "c_id": cids[np.argmin(D, axis=1)],
-            })
-
     def _assign_top2(batches):
         import pandas as pd
 
@@ -1643,7 +1618,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_id": pd.Series(out_c, dtype="int64"),
             })
 
-    members = v.mapInPandas(_assign, "n_id long, c_id long")
+    members = _coarse_assign(spark, sf_dir, v).select(
+        F.col("vec_id").alias("n_id"), "c_id"
+    )
     probes = v.where(F.col("vec_id") % 50 == 0).mapInPandas(
         _assign_top2, "q_id long, c_id long"
     )
