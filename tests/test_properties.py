@@ -231,3 +231,56 @@ def test_cusum_maxplus_summary_composition(deltas, chunk):
         s = max(s + a, b)
         assert s == composed[-1]  # chunk-exit state == last output
     assert composed == direct
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    n_colors=st.integers(2, 16),
+    interlaced=st.booleans(),
+    data=st.data(),
+)
+def test_gif_lzw_roundtrip_any_image(w, h, n_colors, interlaced, data):
+    """Any indexed image pushed through the test GIF writer must decode
+    to the exact per-pixel color-table luma, interlaced or not."""
+    from catalyst_spark.multimodal import _gif_decode_gray
+    from tests.test_multimodal import gif_bytes
+
+    palette = [
+        (data.draw(st.integers(0, 255)), data.draw(st.integers(0, 255)),
+         data.draw(st.integers(0, 255)))
+        for _ in range(n_colors)
+    ]
+    idx = [data.draw(st.integers(0, n_colors - 1)) for _ in range(w * h)]
+    if interlaced:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        stored = [v for y in order for v in idx[y * w: (y + 1) * w]]
+    else:
+        stored = idx
+    payload = gif_bytes(stored, w, h, palette, interlaced=interlaced)
+    gw, gh, gray = _gif_decode_gray(payload)
+    assert (gw, gh) == (w, h)
+    lut = [(r * 299 + g * 587 + b * 114) // 1000 for r, g, b in palette]
+    assert gray == [lut[p] for p in idx]
+
+
+@settings(max_examples=60, deadline=None)
+@given(cut=st.integers(0, 200), junk=st.binary(max_size=64))
+def test_gif_truncation_never_fabricates(cut, junk):
+    """Truncated or tail-corrupted GIFs must raise (-> honest nulls in
+    image_features), never return fabricated pixels silently."""
+    from catalyst_spark.multimodal import _gif_decode_gray
+    from tests.test_multimodal import gif_bytes
+
+    good = gif_bytes([i % 4 for i in range(64)], 8, 8,
+                     [(0, 0, 0), (80, 80, 80), (160, 160, 160),
+                      (255, 255, 255)])
+    payload = good[: min(cut, len(good) - 1)] + junk
+    try:
+        w, h, gray = _gif_decode_gray(payload)
+    except Exception:
+        return  # rejected: the honest path
+    # if it decodes, the header must be intact and pixels complete
+    assert (w, h) == (8, 8) and len(gray) == 64
