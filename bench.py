@@ -95,6 +95,9 @@ _SCALE_QUERIES = (
     "window_decontaminate",
     "window_selfdup_spans",
     "window_overlap_source_matrix",
+    # the production ANN rung at 10x vectors: cell pruning must keep the
+    # ADC scan per query proportional to cell size, not corpus size
+    "ann_ivfpq_topk",
 )
 
 
