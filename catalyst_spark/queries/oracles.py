@@ -2305,10 +2305,63 @@ _TSDB = {
     """,
 }
 
+
+def _band_curve_sql() -> str:
+    """Oracle twin of pipeline.lsh_band_recall_curve: the same 32-perm
+    signature CTE banded three ways (4x8 / 8x4 / 16x2), each config's
+    candidate count and recall against the complete >=0.5-Jaccard pair
+    set. Band-bucket hashing is the salted concat_ws form both engines
+    share (_MINHASH_BUCKETS pattern)."""
+    from catalyst_spark.queries.pipeline import _BAND_CONFIGS
+
+    parts = [
+        f"WITH {_MINHASH_SIG},",
+        """exact AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.hset, b.hset)) * 1.0
+                / len(list_distinct(list_concat(a.hset, b.hset))) >= 0.5),""",
+    ]
+    rows = []
+    for i, (nb, nr) in enumerate(_BAND_CONFIGS):
+        buckets = ", ".join(
+            _h60_duck(
+                "concat_ws(',', "
+                + ", ".join([str(b)] + [f"m{nr * b + r}" for r in range(nr)])
+                + ")"
+            )
+            for b in range(nb)
+        )
+        parts.append(
+            f"bands{i} AS (SELECT doc_id, unnest([{buckets}]) AS bucket"
+            f" FROM sig),"
+        )
+        parts.append(
+            f"cand{i} AS (SELECT DISTINCT l.doc_id AS a_id,"
+            f" r.doc_id AS b_id FROM bands{i} l JOIN bands{i} r"
+            f" ON l.bucket = r.bucket AND l.doc_id < r.doc_id),"
+        )
+        rows.append(
+            f"SELECT CAST({nb} AS BIGINT) AS n_bands,"
+            f" CAST({nr} AS BIGINT) AS n_rows,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{i})"
+            f"   AS n_candidates,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_exact,"
+            f" CAST(COUNT(c.a_id) AS BIGINT) AS n_found,"
+            f" ROUND(COUNT(c.a_id) * 1.0 / COUNT(*), 4) AS recall"
+            f" FROM exact e LEFT JOIN cand{i} c"
+            f" ON e.a_id = c.a_id AND e.b_id = c.b_id"
+        )
+    body = "\n".join(parts).rstrip(",")
+    union = " UNION ALL ".join(f"({r})" for r in rows)
+    return body + f"\nSELECT * FROM ({union}) u ORDER BY n_bands"
+
+
 ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_HASH_ORACLES, **_TSDB}
 
 # the chunked fold variants are output-identical to their whole-series
 # twins by construction, so they share the recursive-CTE oracles — the
 # value being verified is precisely that chunking changes nothing
 ORACLE_SQL["cusum_chunked"] = ORACLE_SQL["cusum_changepoints"]
+ORACLE_SQL["lsh_band_recall_curve"] = _band_curve_sql()
 ORACLE_SQL["holt_chunked"] = ORACLE_SQL["holt_linear_smooth"]

@@ -542,6 +542,65 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_BAND_CONFIGS = ((4, 8), (8, 4), (16, 2))  # (bands, rows): b*r == 32
+
+
+def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding knob measured end to end (the LSH analogue of
+    ann_multiprobe_recall's nprobe evidence): from ONE 32-perm
+    signature table, band as 4x8 / 8x4 / 16x2 and report candidate
+    count, recall against the COMPLETE prefix-filter ground truth, and
+    the candidate-pair budget each config spends. More bands of fewer
+    rows buy recall with a superlinearly larger candidate join — this
+    emits the actual curve an operator tunes against at 100 TB instead
+    of quoting 1-(1-s^r)^b.
+
+    Cost shape: the signature table is the shared persisted index; each
+    config adds one band equi-join over (doc, band-bucket) rows and two
+    tiny count aggregates. Nothing rescans text.
+    """
+    from functools import reduce
+
+    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    exact = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
+    outs = []
+    for nb, nr in _BAND_CONFIGS:
+        buckets = F.array(*[
+            F.expr(_h60(
+                "concat_ws(',', "
+                + ", ".join([str(b)] + [f"m{nr * b + r}" for r in range(nr)])
+                + ")"
+            ))
+            for b in range(nb)
+        ])
+        bands = sig.select("doc_id", F.explode(buckets).alias("bucket"))
+        cand = (
+            bands.alias("l")
+            .join(bands.alias("r"), (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a_id"),
+                    F.col("r.doc_id").alias("b_id"))
+            .distinct()
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        rec = exact.join(
+            cand.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
+        ).agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_found"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+        outs.append(
+            n_cand.crossJoin(rec).select(
+                F.lit(nb).cast("bigint").alias("n_bands"),
+                F.lit(nr).cast("bigint").alias("n_rows"),
+                "n_candidates", "n_exact", "n_found", "recall",
+            )
+        )
+    return reduce(DataFrame.unionAll, outs).orderBy("n_bands")
+
+
 def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-level similarity from MERGED MinHash sketches — the
     mergeability demo that is the whole point of sketches at 100 TB:
@@ -3122,6 +3181,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_prefix_filter": dedup_prefix_filter,
     "lsh_recall_vs_exact": lsh_recall_vs_exact,
+    "lsh_band_recall_curve": lsh_band_recall_curve,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
     "near_dup_pagerank": near_dup_pagerank,

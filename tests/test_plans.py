@@ -338,3 +338,10 @@ def test_r5_tsdb_ops_single_series_shuffle_no_python(spark):
         plan = plan_of(spark, q)
         assert "CartesianProduct" not in plan, q
         assert "EvalPython" not in plan and "PythonUDF" not in plan, q
+
+
+def test_band_curve_equi_joins_only(spark):
+    # three band configs = three equi-joins on (bucket); the only
+    # nested-loop is the 1-row aggregate crossJoin (model-sized)
+    plan = plan_of(spark, "lsh_band_recall_curve")
+    assert "CartesianProduct" not in plan
