@@ -99,6 +99,14 @@ _R5_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R5_FRONT)
 
+# r6 rotation plan (next round): front the r3-era leftovers that missed
+# this window — dedup_token_set, embedding_norm_outliers,
+# funnel_conversion, gap_fill, ngram_novelty, ohlc_downsample,
+# q9-q17 relational, rare_token_ratio, retention_cohorts,
+# rolling_window_7d, semdedup_ivf, series_correlation,
+# time_weighted_avg, ts_downsample — plus anything that changes in r5's
+# tail and whatever r6 adds.
+
 __all__ = [
     "RELATIONAL_QUERIES",
     "PIPELINE_QUERIES",

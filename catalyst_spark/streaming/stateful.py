@@ -343,3 +343,76 @@ def stream_interval_coverage(event_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- per-domain document caps (streaming twin of
+# pipeline.domain_cap_sample): keyed state per source is the K best
+# (content-hash, doc_id) pairs seen so far — bounded at K entries no
+# matter how many documents the source ever produces. The same
+# deterministic md5-rank as the batch operator, so the final kept set
+# converges to the batch sample exactly; re-delivered docs dedup on
+# doc_id inside the merge (idempotent).
+
+DOMCAP_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("rk", T.LongType()),
+    T.StructField("n_seen", T.LongType()),  # monotone: latest = final
+])
+
+DOMCAP_STATE_SCHEMA = T.StructType([
+    T.StructField("hs", T.ArrayType(T.LongType())),
+    T.StructField("ids", T.ArrayType(T.LongType())),
+    T.StructField("n_seen", T.LongType()),
+])
+
+_DOMCAP_K = 10
+
+
+def _domcap_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (source,) = key
+    hs, ids, n_seen = (state.get if state.exists else ([], [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    merged = pd.DataFrame({
+        "h": list(hs) + cand["h"].tolist(),
+        "doc_id": list(ids) + cand["doc_id"].tolist(),
+    })
+    merged = (
+        merged.sort_values(["h", "doc_id"], ignore_index=True)
+        .drop_duplicates("doc_id", ignore_index=True)
+        .head(_DOMCAP_K)
+    )
+    n_seen = int(n_seen) + len(cand)
+    state.update((merged["h"].tolist(), merged["doc_id"].tolist(), n_seen))
+    yield pd.DataFrame({
+        "source": source,
+        "doc_id": merged["doc_id"].astype("int64"),
+        "rk": pd.Series(range(1, len(merged) + 1), dtype="int64"),
+        "n_seen": n_seen,
+    })
+
+
+def stream_domain_cap(doc_stream: DataFrame) -> DataFrame:
+    """(doc_id, source, text) stream -> running per-source capped sample
+    (doc_id, rk) by deterministic content-hash rank; K pairs of keyed
+    state per source. Latest emission (highest n_seen) per source equals
+    batch domain_cap_sample exactly."""
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.pipeline import _h60
+
+    hashed = doc_stream.select(
+        "source", "doc_id", F.expr(_h60("text")).alias("h")
+    )
+    return (
+        hashed.groupBy("source")
+        .applyInPandasWithState(
+            _domcap_update,
+            outputStructType=DOMCAP_OUTPUT_SCHEMA,
+            stateStructType=DOMCAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

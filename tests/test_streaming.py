@@ -765,3 +765,55 @@ def test_stream_interval_coverage_matches_batch(spark, tmp_path):
             latest[r["user_id"]] = (
                 r["n_events"], r["n_islands"], r["covered_us"])
     assert latest == want
+
+
+def test_stream_domain_cap_matches_batch(spark, tmp_path):
+    """Online per-domain caps with K pairs of keyed state per source
+    must converge to batch domain_cap_sample exactly — including under
+    a fully re-delivered batch (doc_id dedup in the merge)."""
+    import json
+
+    from catalyst_spark.queries.pipeline import domain_cap_sample
+    from catalyst_spark.streaming.stateful import stream_domain_cap
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["source"], r["rk"]): r["doc_id"]
+            for r in domain_cap_sample(spark, SF_DIR).collect()}
+    assert want
+
+    docs = (load(spark, SF_DIR, "documents")
+            .select("doc_id", "source", "text").collect())
+    d = tmp_path / "domcap_docs"
+    d.mkdir()
+    half = len(docs) // 2
+    batches = [docs[:half], docs[half:], docs[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "source": r["source"],
+                        "text": r["text"]})
+            for r in chunk))
+        t = os.path.getmtime(d / f"b{i}.json") - 60 + 20 * i
+        os.utime(d / f"b{i}.json", (t, t))
+
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_domain_cap(stream)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("domcap_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    latest = {}
+    for r in spark.sql("select * from domcap_stream").collect():
+        cur = latest.get(r["source"])
+        if cur is None or r["n_seen"] > cur[0]:
+            latest[r["source"]] = (r["n_seen"], {})
+    for r in spark.sql("select * from domcap_stream").collect():
+        if r["n_seen"] == latest[r["source"]][0]:
+            latest[r["source"]][1][(r["source"], r["rk"])] = r["doc_id"]
+    got = {}
+    for _, (_, m) in latest.items():
+        got.update(m)
+    assert got == want
