@@ -2357,6 +2357,48 @@ def _band_curve_sql() -> str:
     return body + f"\nSELECT * FROM ({union}) u ORDER BY n_bands"
 
 
+
+def _threshold_sensitivity_sql() -> str:
+    """Oracle twin of pipeline.dedup_threshold_sensitivity: the same
+    >=0.5 pair CTE filtered at each permille threshold on the SAME
+    4dp-rounded jaccard, recursive-CTE components per threshold, and
+    the integer-permille survival arithmetic."""
+    from catalyst_spark.queries.pipeline import _DEDUP_THETAS
+
+    rows = []
+    ctes = [f"WITH RECURSIVE {_SHINGLE_PAIRS_CTE},",
+            "nd AS (SELECT COUNT(*) AS n_docs FROM documents),"]
+    for i, tp in enumerate(_DEDUP_THETAS):
+        ctes.append(
+            f"e{i} AS (SELECT a_id AS u, b_id AS v FROM pairs"
+            f" WHERE ROUND(jaccard, 4) >= {tp} / 1000.0"
+            f" UNION SELECT b_id, a_id FROM pairs"
+            f" WHERE ROUND(jaccard, 4) >= {tp} / 1000.0),"
+        )
+        ctes.append(
+            f"r{i}(u, r) AS ("
+            f" SELECT u, u FROM (SELECT DISTINCT u FROM e{i})"
+            f" UNION SELECT e.u, re.r FROM e{i} e JOIN r{i} re ON e.v = re.u),"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT u AS doc_id, MIN(r) AS label FROM r{i}"
+            f" GROUP BY u),"
+        )
+        rows.append(
+            f"SELECT CAST({tp} AS BIGINT) AS theta_permille,"
+            f" CAST(nd.n_docs AS BIGINT) AS n_docs,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_in_clusters,"
+            f" CAST(COUNT(DISTINCT label) AS BIGINT) AS n_clusters,"
+            f" CAST(COUNT(*) - COUNT(DISTINCT label) AS BIGINT) AS n_removed,"
+            f" CAST(((nd.n_docs - (COUNT(*) - COUNT(DISTINCT label))) * 1000)"
+            f"      // nd.n_docs AS BIGINT) AS survival_permille"
+            f" FROM l{i}, nd GROUP BY nd.n_docs"
+        )
+    body = "\n".join(ctes).rstrip(",")
+    union = " UNION ALL ".join(f"({r})" for r in rows)
+    return body + f"\nSELECT * FROM ({union}) u ORDER BY theta_permille"
+
+
 ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_HASH_ORACLES, **_TSDB}
 
 # the chunked fold variants are output-identical to their whole-series
@@ -2364,4 +2406,5 @@ ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_HASH_ORACLES, **_TS
 # value being verified is precisely that chunking changes nothing
 ORACLE_SQL["cusum_chunked"] = ORACLE_SQL["cusum_changepoints"]
 ORACLE_SQL["lsh_band_recall_curve"] = _band_curve_sql()
+ORACLE_SQL["dedup_threshold_sensitivity"] = _threshold_sensitivity_sql()
 ORACLE_SQL["holt_chunked"] = ORACLE_SQL["holt_linear_smooth"]

@@ -766,6 +766,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("label").alias("cluster_id")
         ).orderBy("doc_id")
     pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
+    labels = _cc_labels(spark, pairs)
+    _CC_LABEL_CACHE[cache_key] = labels
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+
+def _cc_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Min-label-propagation connected components over an (a_id, b_id)
+    pair set; returns the converged (doc_id, label) table. The loop
+    dedup_clusters always ran, factored so threshold sweeps can cluster
+    filtered edge sets (label-sum fixpoint detection, localCheckpoint
+    lineage cuts per round)."""
     edges = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).persist()
@@ -795,8 +807,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
-    _CC_LABEL_CACHE[cache_key] = labels
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    return labels
+
+
+_DEDUP_THETAS = (500, 700, 900)  # permille Jaccard thresholds
+
+
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup aggressiveness knob measured (the keep-one analogue of
+    lsh_band_recall_curve): re-cluster the verified pair set at Jaccard
+    thresholds 0.5 / 0.7 / 0.9 and report, per threshold, the docs in
+    clusters, the docs keep-one would remove, and the integer-permille
+    survival rate — the curve that decides how aggressive a dedup pass
+    should be before training.
+
+    Cost shape: the verified pairs (with exact-rational-derived 4dp
+    jaccard) come from the session pair cache; each threshold runs the
+    shared min-label CC loop over its FILTERED edge subset (higher
+    thetas: strictly smaller graphs). Filtering compares the same
+    rounded value on both engines — the parity contract
+    dedup_prefix_filter already ships.
+    """
+    from functools import reduce
+
+    pairs = dedup_prefix_filter(spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").count()
+    outs = []
+    for tp in _DEDUP_THETAS:
+        sub = pairs.where(F.col("jaccard") >= tp / 1000.0).select("a_id", "b_id")
+        labels = _cc_labels(spark, sub)
+        agg = labels.agg(
+            F.count(F.lit(1)).alias("n_in_clusters"),
+            F.countDistinct("label").alias("n_clusters"),
+        )
+        outs.append(agg.select(
+            F.lit(tp).cast("bigint").alias("theta_permille"),
+            F.lit(n_docs).cast("bigint").alias("n_docs"),
+            "n_in_clusters",
+            "n_clusters",
+            (F.col("n_in_clusters") - F.col("n_clusters")).alias("n_removed"),
+            F.expr(f"(({n_docs} - (n_in_clusters - n_clusters)) * 1000)"
+                   f" div {n_docs}").alias("survival_permille"),
+        ))
+    return reduce(DataFrame.unionAll, outs).orderBy("theta_permille")
 
 
 # fixed-point PageRank constants: scale 10^6, damping 85/100, 3
@@ -3203,6 +3256,7 @@ PIPELINE_QUERIES = {
     "doc_length_quartiles_by_source": doc_length_quartiles_by_source,
     "truncation_stats": truncation_stats,
     "dedup_cluster_size_hist": dedup_cluster_size_hist,
+    "dedup_threshold_sensitivity": dedup_threshold_sensitivity,
     "rare_token_ratio": rare_token_ratio,
     "ngram_novelty": ngram_novelty,
     "embedding_norm_outliers": embedding_norm_outliers,
