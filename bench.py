@@ -232,22 +232,13 @@ def main() -> None:
 
     def _reset_session_caches() -> None:
         """Return the session to a cold state so every timing pass pays
-        the same costs: drop the module-level shared-build caches (the
-        verified prefix pairs and connected-component labels) and every
-        cache-manager entry (minhash/simhash signature tables persist by
-        logical plan)."""
-        from catalyst_spark.queries import pipeline as _p
+        the same costs. Delegates to the library's convention-driven
+        reset (every `_*_CACHE` dict + the Spark cache manager), so a
+        cache added later can't silently survive resets here and fake
+        the timings — tests/test_plans.py pins the enumeration."""
+        from catalyst_spark.queries.pipeline import reset_session_caches
 
-        for cache in (_p._PREFIX_PAIRS_CACHE, _p._CC_LABEL_CACHE,
-                      _p._TOPK_RESULT_CACHE):
-            for df in cache.values():
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass
-            cache.clear()
-        _p._KMEANS_MODEL_CACHE.clear()  # driver-resident numpy models
-        spark.catalog.clearCache()
+        reset_session_caches(spark)
 
     # --- scale-proof section (VERDICT r3 item 2): the dedup/similarity
     # family at a 10x corpus, with measured candidate-pair ratios. Runs

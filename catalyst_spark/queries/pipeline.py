@@ -346,6 +346,32 @@ _PREFIX_BROADCAST_BUDGET = 24 << 20
 # degrades to an h-keyed shuffle instead of thrashing executors.
 _DF_T_BROADCAST_BUDGET = 32 << 20
 
+
+def reset_session_caches(spark: SparkSession) -> None:
+    """Return the session to a cold state: unpersist and drop EVERY
+    module-level session cache (found by the `_*_CACHE` naming
+    convention, so a future cache can't silently survive resets and
+    fake bench timings), then clear the Spark cache manager (the
+    logical-plan-keyed persists: minhash/simhash signatures, window
+    tables). Values may be DataFrames (unpersisted) or driver-resident
+    models (just dropped)."""
+    import sys
+
+    mod = sys.modules[__name__]
+    for name in dir(mod):
+        if not name.endswith("_CACHE"):
+            continue
+        cache = getattr(mod, name)
+        if not isinstance(cache, dict):
+            continue
+        for val in cache.values():
+            try:
+                val.unpersist()
+            except Exception:
+                pass
+        cache.clear()
+    spark.catalog.clearCache()
+
 # (applicationId, sf_dir) -> persisted verified pair table. Four
 # consumers (the query itself, lsh_recall_vs_exact, the cluster chain,
 # near_dup_source_matrix) share one build; the table is tiny (verified

@@ -345,3 +345,23 @@ def test_band_curve_equi_joins_only(spark):
     # nested-loop is the 1-row aggregate crossJoin (model-sized)
     plan = plan_of(spark, "lsh_band_recall_curve")
     assert "CartesianProduct" not in plan
+
+
+def test_reset_session_caches_covers_every_module_cache(spark):
+    """Bench timing attribution depends on resets actually clearing
+    every session cache: populate the shared builds, reset, and assert
+    every `_*_CACHE` dict in the pipeline module is empty."""
+    from catalyst_spark.queries import pipeline as p
+
+    ALL_QUERIES["ann_pq_recall"](spark, SF_DIR).collect()     # models+topk
+    ALL_QUERIES["dedup_clusters"](spark, SF_DIR).collect()    # pairs+labels
+    populated = [
+        name for name in dir(p)
+        if name.endswith("_CACHE") and isinstance(getattr(p, name), dict)
+        and getattr(p, name)
+    ]
+    assert populated  # the builds above must land in the caches
+    p.reset_session_caches(spark)
+    for name in dir(p):
+        if name.endswith("_CACHE") and isinstance(getattr(p, name), dict):
+            assert not getattr(p, name), name
