@@ -66,8 +66,8 @@ ALL_QUERIES = _interleave(
 # Round-5 driver window (VERDICT r4 item 2): rotate the 50-entry window
 # onto the 61 operators without an r4 driver row, oldest rows first —
 # the whole r1-era (8) and r2-era (26, incl. text_simhash whose code
-# changed since its last green row) plus 4 of the r3-era 27; the
-# remaining 23 r3-era entries front in r6. The twelve new-in-r5
+# changed since its last green row) plus 3 of the r3-era 27; the
+# remaining 24 r3-era entries front in r6. The thirteen new-in-r5
 # operators lead (no driver row ever).
 _R5_FRONT = [
     # new in r5 — no driver row yet
@@ -76,6 +76,7 @@ _R5_FRONT = [
     "interval_coverage", "burn_rate_windows", "asof_nearest_join",
     "doc_length_quartiles_by_source", "truncation_stats",
     "lsh_band_recall_curve", "dedup_threshold_sensitivity",
+    "quality_survival_curve",
     # changed since its last driver-green row (r4 persist/count change)
     "text_simhash",
     # last driver row in r1
@@ -92,8 +93,8 @@ _R5_FRONT = [
     "quality_filter", "repetition_ratio", "source_minhash_similarity",
     "stratified_sample", "top_ngrams", "train_val_test_split",
     "vocab_stats",
-    # last driver row in r3 (first 4 of 27; the rest rotate in r6)
-    "anomaly_zscore", "bloom_decontaminate", "chunk_dedup", "dedup_exact",
+    # last driver row in r3 (first 3 of 27; the rest rotate in r6)
+    "anomaly_zscore", "bloom_decontaminate", "chunk_dedup",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R5_FRONT)
@@ -101,7 +102,7 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R5_FRONT)
 # r6 rotation plan (next round): front the r3-era leftovers that missed
 # this window — dedup_token_set, embedding_norm_outliers,
 # funnel_conversion, gap_fill, ngram_novelty, ohlc_downsample,
-# dedup_rate_by_source, q9-q17 relational, rare_token_ratio, retention_cohorts,
+# dedup_exact, dedup_rate_by_source, q9-q17 relational, rare_token_ratio, retention_cohorts,
 # rolling_window_7d, semdedup_ivf, series_correlation,
 # time_weighted_avg, ts_downsample — plus anything that changes in r5's
 # tail and whatever r6 adds.

@@ -2399,6 +2399,39 @@ def _threshold_sensitivity_sql() -> str:
     return body + f"\nSELECT * FROM ({union}) u ORDER BY theta_permille"
 
 
+
+def _quality_curve_sql() -> str:
+    """Oracle twin of pipeline.quality_survival_curve: the same
+    conditional integer sums per threshold, survival permille via //
+    (truncation, matching Spark div)."""
+    from catalyst_spark.queries.pipeline import _QUALITY_MIN_TOKENS
+
+    rows = []
+    for t in _QUALITY_MIN_TOKENS:
+        rows.append(
+            f"SELECT CAST({t} AS BIGINT) AS min_tokens,"
+            f" CAST(SUM(CASE WHEN nt >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+            f"   AS docs_kept,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            f" CAST((CAST(SUM(CASE WHEN nt >= {t} THEN 1 ELSE 0 END)"
+            f"       AS BIGINT) * 1000) // COUNT(*) AS BIGINT)"
+            f"   AS doc_survival_permille,"
+            f" CAST(SUM(CASE WHEN nt >= {t} THEN nt ELSE 0 END) AS BIGINT)"
+            f"   AS tokens_kept,"
+            f" CAST(SUM(nt) AS BIGINT) AS total_tokens,"
+            f" CAST((CAST(SUM(CASE WHEN nt >= {t} THEN nt ELSE 0 END)"
+            f"       AS BIGINT) * 1000) // CAST(SUM(nt) AS BIGINT)"
+            f"      AS BIGINT) AS token_survival_permille"
+            f" FROM toks"
+        )
+    union = " UNION ALL ".join(f"({r})" for r in rows)
+    return (
+        "WITH toks AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)"
+        " AS nt FROM documents)\n"
+        f"SELECT * FROM ({union}) u ORDER BY min_tokens"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_HASH_ORACLES, **_TSDB}
 
 # the chunked fold variants are output-identical to their whole-series
@@ -2407,4 +2440,5 @@ ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_HASH_ORACLES, **_TS
 ORACLE_SQL["cusum_chunked"] = ORACLE_SQL["cusum_changepoints"]
 ORACLE_SQL["lsh_band_recall_curve"] = _band_curve_sql()
 ORACLE_SQL["dedup_threshold_sensitivity"] = _threshold_sensitivity_sql()
+ORACLE_SQL["quality_survival_curve"] = _quality_curve_sql()
 ORACLE_SQL["holt_chunked"] = ORACLE_SQL["holt_linear_smooth"]

@@ -3080,6 +3080,54 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+_QUALITY_MIN_TOKENS = (16, 32, 64, 128)
+
+
+def quality_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-gate threshold knob measured (completing the knob
+    trilogy: lsh_band_recall_curve for banding,
+    dedup_threshold_sensitivity for Jaccard): for each minimum-token
+    threshold, how many documents and what share of total tokens
+    survive, per corpus — the curve that sizes a length filter before
+    training (too strict silently deletes whole domains; this emits
+    the evidence instead of a guess).
+
+    One scan, one tiny aggregate: conditional integer sums per
+    threshold (no per-threshold passes), survival in integer permille
+    via div (truncation parity pinned by tests/test_sql_parity.py).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("size(split(text, ' '))").cast("bigint").alias("nt")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+    ]
+    for t in _QUALITY_MIN_TOKENS:
+        aggs.append(F.sum(F.when(F.col("nt") >= t, 1).otherwise(0))
+                    .cast("bigint").alias(f"d{t}"))
+        aggs.append(F.sum(F.when(F.col("nt") >= t, F.col("nt")).otherwise(0))
+                    .cast("bigint").alias(f"t{t}"))
+    base = toks.agg(*aggs)
+    rows = []
+    for t in _QUALITY_MIN_TOKENS:
+        rows.append(base.select(
+            F.lit(t).cast("bigint").alias("min_tokens"),
+            F.col(f"d{t}").alias("docs_kept"),
+            "n_docs",
+            F.expr(f"(d{t} * 1000) div n_docs").alias("doc_survival_permille"),
+            F.col(f"t{t}").alias("tokens_kept"),
+            "total_tokens",
+            F.expr(f"(t{t} * 1000) div total_tokens")
+            .alias("token_survival_permille"),
+        ))
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, rows).orderBy("min_tokens")
+
+
 _DOMAIN_CAP = 10
 
 
@@ -3283,6 +3331,7 @@ PIPELINE_QUERIES = {
     "truncation_stats": truncation_stats,
     "dedup_cluster_size_hist": dedup_cluster_size_hist,
     "dedup_threshold_sensitivity": dedup_threshold_sensitivity,
+    "quality_survival_curve": quality_survival_curve,
     "rare_token_ratio": rare_token_ratio,
     "ngram_novelty": ngram_novelty,
     "embedding_norm_outliers": embedding_norm_outliers,
