@@ -343,6 +343,85 @@ def main() -> None:
     lines.unpersist()
     influx_lines.unpersist()
 
+    # remaining 3 protocols (VERDICT r5 item 6): OpenTSDB JSON bodies,
+    # Prometheus exposition text, remote_write snappy+protobuf — same
+    # synthesized-events corpus, same warmed median-of-n timing, so all
+    # five wire formats now carry lines-per-second evidence.
+    from catalyst_spark.parsers import (
+        parse_opentsdb,
+        parse_prom_text,
+        parse_remote_write,
+    )
+
+    # OpenTSDB: one single-point JSON body per row (the harshest
+    # per-body overhead shape — every body pays brace-scan + from_json)
+    tsdb_bodies = events.select(
+        F.concat(
+            F.lit('{"metric":"evt.'), F.col("event_type"),
+            F.lit('","timestamp":'), F.unix_millis("ts").cast("string"),
+            F.lit(',"value":'), F.col("value").cast("string"),
+            F.lit(',"tags":{"user":"'), F.col("user_id").cast("string"),
+            F.lit('"}}'),
+        ).alias("body")
+    )
+    for _ in range(4):
+        tsdb_bodies = tsdb_bodies.unionAll(tsdb_bodies)
+    tsdb_bodies = tsdb_bodies.repartition(cpus).persist()
+    n_tsdb = tsdb_bodies.count()
+    tsdb_s, tsdb_min, tsdb_max = _timed(
+        encode_sensision(permissive(parse_opentsdb(tsdb_bodies, now_us=0)))
+    )
+    tsdb_bodies.unpersist()
+
+    # Prometheus text: one exposition line per event
+    prom_lines = events.select(
+        F.concat(
+            F.lit("evt_"), F.col("event_type"),
+            F.lit('{user="'), F.col("user_id").cast("string"), F.lit('"} '),
+            F.col("value").cast("string"),
+            F.lit(" "), F.unix_millis("ts").cast("string"),
+        ).alias("line")
+    )
+    for _ in range(4):
+        prom_lines = prom_lines.unionAll(prom_lines)
+    prom_lines = prom_lines.repartition(cpus).persist()
+    n_prom = prom_lines.count()
+    prom_s, prom_min, prom_max = _timed(
+        encode_sensision(permissive(parse_prom_text(prom_lines, now_us=0)))
+    )
+    prom_lines.unpersist()
+
+    # remote_write: snappy+protobuf bodies built once on the driver from
+    # a 1k-event slice (64 series x 16 samples), replicated to rows —
+    # every row pays the full Arrow->Python decompress+decode, which is
+    # the real per-body cost; samples/s counts decoded samples
+    from catalyst_spark.parsers.wire import encode_write_request, snappy_compress
+
+    ev_rows = events.select(
+        "event_type", "user_id", "value", F.unix_millis("ts").alias("ms")
+    ).limit(1024).collect()
+    series_map: dict = {}
+    for r in ev_rows:
+        k = (r["event_type"], int(r["user_id"]) % 64)
+        series_map.setdefault(k, []).append(
+            (float(r["value"]), int(r["ms"])))
+    rw_body = snappy_compress(encode_write_request([
+        {"labels": {"__name__": f"evt_{t}", "user": str(u)},
+         "samples": samples}
+        for (t, u), samples in series_map.items()
+    ]))
+    n_rw_samples_per_body = sum(len(s) for s in series_map.values())
+    rw_rows = 256
+    rw_bodies = spark.createDataFrame(
+        [(bytearray(rw_body),)] * rw_rows, "body binary"
+    ).repartition(cpus).persist()
+    rw_bodies.count()
+    rw_s, rw_min, rw_max = _timed(
+        encode_sensision(permissive(parse_remote_write(rw_bodies)))
+    )
+    n_rw = n_rw_samples_per_body * rw_rows
+    rw_bodies.unpersist()
+
     # SRP-LSH pruning evidence: candidate pairs vs all-pairs (the
     # sub-quadratic claim, measured not asserted)
     from catalyst_spark.queries.pipeline import _srp_planes
@@ -390,6 +469,18 @@ def main() -> None:
         "influx_lines": n_influx,
         "influx_lines_per_sec_range": [
             round(n_influx / influx_max), round(n_influx / influx_min)],
+        "opentsdb_bodies_per_sec": round(n_tsdb / tsdb_s),
+        "opentsdb_bodies": n_tsdb,
+        "opentsdb_bodies_per_sec_range": [
+            round(n_tsdb / tsdb_max), round(n_tsdb / tsdb_min)],
+        "prom_lines_per_sec": round(n_prom / prom_s),
+        "prom_lines": n_prom,
+        "prom_lines_per_sec_range": [
+            round(n_prom / prom_max), round(n_prom / prom_min)],
+        "remote_write_samples_per_sec": round(n_rw / rw_s),
+        "remote_write_samples": n_rw,
+        "remote_write_samples_per_sec_range": [
+            round(n_rw / rw_max), round(n_rw / rw_min)],
         "lsh_candidate_pairs": lsh_cand,
         "lsh_all_pairs": n_vec * (n_vec - 1) // 2,
     }

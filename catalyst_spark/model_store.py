@@ -1,0 +1,158 @@
+"""Cross-session persistence for trained ANN artifacts (VERDICT r5
+item 2): coarse k-means centroids, PQ subspace codebooks, and the
+encoded PQ codes table land in Parquet keyed by (data dir, model tag),
+so a fresh SparkSession load-or-trains instead of always refitting —
+the production shape, where an index is trained once and served for
+months while sessions come and go.
+
+Safety against stale models: every artifact carries a fingerprint of
+the embeddings table it was trained on (row count, sum(vec_id),
+sum(xxhash64(embedding))) plus a format version. A load whose stored
+fingerprint mismatches the live table is ignored and the model is
+retrained and overwritten — regenerated testdata can never serve a
+model trained on the old rows (which would break the DuckDB oracle
+parity, since the oracle always re-derives from the live data). The
+fingerprint costs one column-pruned scan per session per data dir,
+amortized across every ANN consumer; at 100 TB a production deployment
+would replace it with an explicit dataset version in the key.
+
+Layout (under `CATALYST_ANN_MODEL_DIR`, default
+`<repo>/spark-warehouse/ann_models` — both gitignored and stable
+across sessions):
+
+    <dir>/<sf_tag>/kmeans_<tag>.parquet + .json   # (c_id, d, m) f64
+    <dir>/<sf_tag>/pq_codes.parquet/ + .json      # Spark parquet dir
+
+Centroid matrices are model-sized (k x dim doubles) and round-trip via
+pyarrow — parquet stores float64 bit-exactly, so a loaded model is THE
+trained model, not an approximation. The codes table is data-sized and
+round-trips via Spark parquet (all-long columns, trivially exact).
+All writes are write-to-temp + os.replace, so readers never see a
+partial artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+_FORMAT_VERSION = 1
+
+
+def model_root() -> Path:
+    base = os.environ.get("CATALYST_ANN_MODEL_DIR")
+    if base:
+        return Path(base)
+    return Path(__file__).resolve().parents[1] / "spark-warehouse" / "ann_models"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return str(sf_dir).strip("/").replace("/", "_")
+
+
+def _meta_ok(meta_path: Path, fingerprint: list[int]) -> bool:
+    try:
+        meta = json.loads(meta_path.read_text())
+    except (OSError, ValueError):
+        return False
+    return (
+        meta.get("version") == _FORMAT_VERSION
+        and meta.get("fingerprint") == list(fingerprint)
+    )
+
+
+def _write_meta(meta_path: Path, fingerprint: list[int]) -> None:
+    tmp = meta_path.with_suffix(f".tmp-{uuid.uuid4().hex}")
+    tmp.write_text(json.dumps(
+        {"version": _FORMAT_VERSION, "fingerprint": list(fingerprint)}
+    ))
+    os.replace(tmp, meta_path)
+
+
+def embeddings_fingerprint(v) -> list[int]:
+    """Fingerprint of a (vec_id, e) DataFrame: count, sum of ids, and
+    bit_xor of xxhash64 over (id, vector). XOR is order-independent and
+    can never overflow (sum of hashes trips ANSI overflow); any row
+    add/drop or any value change flips it."""
+    from pyspark.sql import functions as F
+
+    row = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        # ids XORed separately from values: catches id-remap-only edits;
+        # plain sum(vec_id) would overflow ANSI longs near ~4e9 rows
+        F.expr("bit_xor(xxhash64(vec_id))").alias("s"),
+        F.expr("bit_xor(xxhash64(vec_id, e))").alias("h"),
+    ).first()
+    return [int(row["n"]), int(row["s"] or 0), int(row["h"] or 0)]
+
+
+def load_kmeans(sf_dir: str, tag: str, fingerprint: list[int]):
+    """Return (C, cids) if a current model is stored, else None."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    base = model_root() / _sf_tag(sf_dir)
+    data = base / f"kmeans_{tag}.parquet"
+    if not data.exists() or not _meta_ok(
+        base / f"kmeans_{tag}.json", fingerprint
+    ):
+        return None
+    t = pq.read_table(data)
+    c_id = t.column("c_id").to_numpy()
+    d = t.column("d").to_numpy()
+    m = t.column("m").to_numpy()
+    cids = np.unique(c_id)  # sorted, matching the fit's remap order
+    dim = int(d.max())
+    C = np.zeros((len(cids), dim))
+    remap = {c: i for i, c in enumerate(cids.tolist())}
+    for cc, dd, mm in zip(c_id, d, m):
+        C[remap[int(cc)], int(dd) - 1] = mm
+    return C, cids.astype("i8")
+
+
+def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = model_root() / _sf_tag(sf_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    k, dim = C.shape
+    t = pa.table({
+        "c_id": pa.array(np.repeat(np.asarray(cids, dtype="i8"), dim)),
+        "d": pa.array(np.tile(np.arange(1, dim + 1, dtype="i8"), k)),
+        "m": pa.array(np.asarray(C, dtype="f8").ravel()),
+    })
+    data = base / f"kmeans_{tag}.parquet"
+    tmp = data.with_suffix(f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(t, tmp)
+    os.replace(tmp, data)
+    _write_meta(base / f"kmeans_{tag}.json", fingerprint)
+
+
+def codes_path(sf_dir: str) -> Path:
+    return model_root() / _sf_tag(sf_dir) / "pq_codes.parquet"
+
+
+def load_codes(spark, sf_dir: str, fingerprint: list[int]):
+    """Return the stored codes DataFrame if current, else None."""
+    path = codes_path(sf_dir)
+    if not path.exists() or not _meta_ok(
+        path.parent / "pq_codes.json", fingerprint
+    ):
+        return None
+    return spark.read.parquet(str(path))
+
+
+def save_codes(codes_df, sf_dir: str, fingerprint: list[int]) -> None:
+    path = codes_path(sf_dir)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex}")
+    codes_df.write.mode("overwrite").parquet(str(tmp))
+    if path.exists():
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    _write_meta(path.parent / "pq_codes.json", fingerprint)

@@ -97,15 +97,42 @@ _R5_FRONT = [
     "anomaly_zscore", "bloom_decontaminate", "chunk_dedup",
 ]
 
-ALL_QUERIES = _prioritize(ALL_QUERIES, _R5_FRONT)
+# Round-6 driver window (VERDICT r5 item 1): new-in-r6 operators first
+# (no driver row ever), then everything whose CODE or ORACLE changed
+# this round (vectorized top-2 assignment, ANN model persistence,
+# interval_coverage / threshold-sensitivity oracle fixes, extended
+# pq_distortion), then the whole r3-era tail (last driver row r3), then
+# the r4-tagged operators the r5 cache refactor touched after their
+# last driver row, then the start of the untouched-r4 rotation. This
+# brings max driver-row staleness to <=2 rounds everywhere and re-proves
+# every changed operator with the hard signal.
+_R6_FRONT = [
+    # new in r6 — no driver row ever
+    "ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall",
+    # changed in r6 (code or oracle) — hard signal must follow the code
+    "pq_distortion", "interval_coverage", "dedup_threshold_sensitivity",
+    "ann_multiprobe_recall", "ann_ivfpq_topk", "ann_ivfpq_recall",
+    "ann_pq_adc_topk", "ann_pq_recall", "ivf_train",
+    "ann_ivf_trained_topk", "semdedup_ivf", "window_overlap_source_matrix",
+    # last driver row in r3
+    "dedup_exact", "dedup_token_set", "dedup_rate_by_source",
+    "embedding_norm_outliers", "funnel_conversion", "retention_cohorts",
+    "gap_fill", "ngram_novelty", "rare_token_ratio", "ohlc_downsample",
+    "ts_downsample", "time_weighted_avg", "series_correlation",
+    "rolling_window_7d",
+    "q9_semi_join", "q10_anti_join", "q11_top_k", "q12_set_op",
+    "q13_string_functions", "q14_case_cascade", "q15_union_dedup",
+    "q16_text_group", "q17_exact_dedup_counts",
+    # r4-tagged, touched by the r5 cache refactor after their last
+    # driver row (VERDICT r5 missing item 1)
+    "dedup_prefix_filter", "dedup_clusters", "cusum_chunked",
+    "holt_chunked", "cusum_changepoints", "seasonal_hourly_profile",
+    # start of the untouched-r4 rotation (fills the window to 50)
+    "text_stats", "lang_id_confusion", "token_counts", "doc_fingerprint",
+    "approx_topk_tokens", "dedup_keep_best", "dedup_keep_one",
+]
 
-# r6 rotation plan (next round): front the r3-era leftovers that missed
-# this window — dedup_token_set, embedding_norm_outliers,
-# funnel_conversion, gap_fill, ngram_novelty, ohlc_downsample,
-# dedup_exact, dedup_rate_by_source, q9-q17 relational, rare_token_ratio, retention_cohorts,
-# rolling_window_7d, semdedup_ivf, series_correlation,
-# time_weighted_avg, ts_downsample — plus anything that changes in r5's
-# tail and whatever r6 adds.
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R6_FRONT)
 
 __all__ = [
     "RELATIONAL_QUERIES",

@@ -1276,7 +1276,7 @@ _TSDB = {
                  epoch_us(ts) + 30000000 AS e
           FROM events),
         marked AS (
-          SELECT user_id, s, e,
+          SELECT user_id, event_id, s, e,
                  CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END
                    AS new_island
           FROM (
@@ -1288,7 +1288,7 @@ _TSDB = {
         numbered AS (
           SELECT user_id, s, e,
                  SUM(new_island) OVER (PARTITION BY user_id
-                                       ORDER BY s, e
+                                       ORDER BY s, e, event_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW) AS island
           FROM marked),
@@ -2385,14 +2385,19 @@ def _threshold_sensitivity_sql() -> str:
             f" GROUP BY u),"
         )
         rows.append(
+            # ungrouped COUNT aggregate in a derived table, crossed with
+            # nd: an empty component set at a high theta still yields one
+            # zeroed row, matching the Spark operator's ungrouped .agg()
+            # (ADVICE r5: GROUP BY nd.n_docs emitted zero rows there)
             f"SELECT CAST({tp} AS BIGINT) AS theta_permille,"
             f" CAST(nd.n_docs AS BIGINT) AS n_docs,"
-            f" CAST(COUNT(*) AS BIGINT) AS n_in_clusters,"
-            f" CAST(COUNT(DISTINCT label) AS BIGINT) AS n_clusters,"
-            f" CAST(COUNT(*) - COUNT(DISTINCT label) AS BIGINT) AS n_removed,"
-            f" CAST(((nd.n_docs - (COUNT(*) - COUNT(DISTINCT label))) * 1000)"
+            f" CAST(c{i}.n_in AS BIGINT) AS n_in_clusters,"
+            f" CAST(c{i}.n_cl AS BIGINT) AS n_clusters,"
+            f" CAST(c{i}.n_in - c{i}.n_cl AS BIGINT) AS n_removed,"
+            f" CAST(((nd.n_docs - (c{i}.n_in - c{i}.n_cl)) * 1000)"
             f"      // nd.n_docs AS BIGINT) AS survival_permille"
-            f" FROM l{i}, nd GROUP BY nd.n_docs"
+            f" FROM nd, (SELECT COUNT(*) AS n_in,"
+            f" COUNT(DISTINCT label) AS n_cl FROM l{i}) c{i}"
         )
     body = "\n".join(ctes).rstrip(",")
     union = " UNION ALL ".join(f"({r})" for r in rows)

@@ -396,6 +396,9 @@ _KMEANS_MODEL_CACHE: dict = {}
 # unpersisted + dropped by the bench's session reset.
 _TOPK_RESULT_CACHE: dict = {}
 
+# (applicationId, sf_dir) -> embeddings-table fingerprint (see _emb_fp)
+_EMB_FP_CACHE: dict = {}
+
 
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join with the prefix-filtering guarantee
@@ -1160,18 +1163,54 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_fp(spark: SparkSession, sf_dir: str, v: DataFrame):
+    """Session-cached fingerprint of the embeddings table (count,
+    sum(vec_id), sum(xxhash64)) — the staleness key for every persisted
+    ANN artifact (see model_store). One column-pruned scan per session
+    per data dir, shared by all load-or-train consumers."""
+    from catalyst_spark import model_store
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EMB_FP_CACHE.get(key)
+    if hit is None:
+        hit = _EMB_FP_CACHE[key] = model_store.embeddings_fingerprint(v)
+    return hit
+
+
 def _cached_kmeans(spark: SparkSession, sf_dir: str, v: DataFrame, tag: str):
-    """Session-keyed cache over _kmeans_fit (VERDICT r4 item 1). `tag`
-    names the slice being fitted ("full" for the 64-dim model, "pq{m}"
-    for the 16-dim PQ subspaces) — the caller guarantees `v` is the
-    same deterministic projection for a given (sf_dir, tag), so a hit
-    returns the identical model the fit would."""
+    """Session-keyed cache over _kmeans_fit (VERDICT r4 item 1), backed
+    by the on-disk model store (VERDICT r5 item 2): memory -> parquet ->
+    fit-and-save. `tag` names the slice being fitted ("full" for the
+    64-dim model, "pq{m}" for the 16-dim PQ subspaces) — the caller
+    guarantees `v` is the same deterministic projection for a given
+    (sf_dir, tag), and the store key carries a data fingerprint, so
+    every path returns the identical model the fit would (parquet
+    float64 round-trips bit-exactly)."""
+    from catalyst_spark import model_store
+
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     hit = _KMEANS_MODEL_CACHE.get(key)
     if hit is None:
-        C, cids, _ = _kmeans_fit(spark, v)
-        hit = _KMEANS_MODEL_CACHE[key] = (C, cids)
+        fp = _emb_fp(spark, sf_dir, v)
+        hit = model_store.load_kmeans(sf_dir, tag, fp)
+        if hit is None:
+            C, cids, _ = _kmeans_fit(spark, v)
+            hit = (C, cids)
+            model_store.save_kmeans(sf_dir, tag, fp, C, cids)
+        _KMEANS_MODEL_CACHE[key] = hit
     return hit
+
+
+def _top2_cells(D, cids):
+    """Per-row top-2 cell ids of a (rows x cells) distance matrix under
+    the (distance, c_id) tie order, fully vectorized: one axis-1 lexsort
+    over the whole batch replaces the per-row Python np.lexsort loop
+    the multiprobe/IVF-PQ assigners used (VERDICT r5 watch item 1) —
+    identical output, no Python-level row iteration."""
+    import numpy as np
+
+    idx = np.lexsort((np.broadcast_to(cids, D.shape), D), axis=1)[:, :2]
+    return cids[idx].astype("int64")
 
 
 def _coarse_assign(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
@@ -1337,17 +1376,12 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             X = np.stack(pdf["e"].to_numpy())
             D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
-            out_id, out_c, out_r = [], [], []
-            for row_id, drow in zip(pdf["vec_id"].to_numpy(), D):
-                order = np.lexsort((cids, drow))  # (distance, c_id) ties
-                for r in (0, 1):
-                    out_id.append(int(row_id))
-                    out_c.append(int(cids[order[r]]))
-                    out_r.append(r + 1)
+            top2 = _top2_cells(D, cids)
             yield pd.DataFrame({
-                "q_id": pd.Series(out_id, dtype="int64"),
-                "c_id": pd.Series(out_c, dtype="int64"),
-                "probe_rank": pd.Series(out_r, dtype="int64"),
+                "q_id": np.repeat(pdf["vec_id"].to_numpy(), 2).astype("int64"),
+                "c_id": top2.ravel(),
+                "probe_rank": np.tile(np.array([1, 2], dtype="int64"),
+                                      len(pdf)),
             })
 
     members = _coarse_assign(spark, sf_dir, v).select(
@@ -1467,10 +1501,21 @@ def _pq_books(spark: SparkSession, sf_dir: str, v: DataFrame):
     any caller mixing single and combined fitting sees one model."""
     import numpy as np
 
+    from catalyst_spark import model_store
+
     app = spark.sparkContext.applicationId
     tags = [f"pq{m}" for m in range(_PQ_M)]
     if all((app, sf_dir, t) in _KMEANS_MODEL_CACHE for t in tags):
         return [_KMEANS_MODEL_CACHE[(app, sf_dir, t)] for t in tags]
+
+    # disk before fit (VERDICT r5 item 2): all 4 subspace models must be
+    # current for the stored set to be usable as one codebook
+    fp = _emb_fp(spark, sf_dir, v)
+    stored = [model_store.load_kmeans(sf_dir, t, fp) for t in tags]
+    if all(s is not None for s in stored):
+        for t, model in zip(tags, stored):
+            _KMEANS_MODEL_CACHE[(app, sf_dir, t)] = model
+        return stored
 
     sub = _LSH_DIM // _PQ_M
     init = v.orderBy("vec_id").limit(_KMEANS_K).collect()
@@ -1534,6 +1579,7 @@ def _pq_books(spark: SparkSession, sf_dir: str, v: DataFrame):
         state = new_state
     for t, model in zip(tags, state):
         _KMEANS_MODEL_CACHE[(app, sf_dir, t)] = model
+        model_store.save_kmeans(sf_dir, t, fp, *model)
     return state
 
 
@@ -1569,11 +1615,22 @@ def _pq_model(spark: SparkSession, sf_dir: str, v: DataFrame):
     # the codes table feeds three consumers (ann_pq_adc_topk,
     # ann_ivfpq_topk, pq_distortion) — persist one encode pass per
     # session instead of re-scanning every vector per caller; 5 longs
-    # per vector, so residency is ~40 B/vector
+    # per vector, so residency is ~40 B/vector. Across sessions the
+    # encoded table round-trips through the model store (all-long
+    # columns, trivially exact), so a fresh session serves the stored
+    # index instead of re-encoding the corpus (VERDICT r5 item 2).
+    from catalyst_spark import model_store
+
     codes_key = (spark.sparkContext.applicationId, sf_dir, "pq_codes")
     codes = _TOPK_RESULT_CACHE.get(codes_key)
     if codes is None:
-        codes = v.mapInPandas(_encode, schema).persist()
+        fp = _emb_fp(spark, sf_dir, v)
+        codes = model_store.load_codes(spark, sf_dir, fp)
+        if codes is None:
+            built = v.mapInPandas(_encode, schema)
+            model_store.save_codes(built, sf_dir, fp)
+            codes = model_store.load_codes(spark, sf_dir, fp)
+        codes = codes.persist()
         codes.count()
         _TOPK_RESULT_CACHE[codes_key] = codes
     # centroid table as a tiny literal DataFrame: (m, code, ce)
@@ -1745,15 +1802,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             X = np.stack(pdf["e"].to_numpy())
             D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
-            out_id, out_c = [], []
-            for row_id, drow in zip(pdf["vec_id"].to_numpy(), D):
-                order = np.lexsort((cids, drow))  # (distance, c_id) ties
-                for r in (0, 1):
-                    out_id.append(int(row_id))
-                    out_c.append(int(cids[order[r]]))
+            top2 = _top2_cells(D, cids)
             yield pd.DataFrame({
-                "q_id": pd.Series(out_id, dtype="int64"),
-                "c_id": pd.Series(out_c, dtype="int64"),
+                "q_id": np.repeat(pdf["vec_id"].to_numpy(), 2).astype("int64"),
+                "c_id": top2.ravel(),
             })
 
     members = _coarse_assign(spark, sf_dir, v).select(

@@ -39,6 +39,18 @@ from catalyst_spark.tables import load
 
 _TOPK = 5
 
+
+def _round_half_up(x: float, nd: int = 2) -> float:
+    """Round with Spark F.round semantics: HALF_UP on the shortest
+    decimal repr of the double (Spark rounds via BigDecimal.valueOf,
+    which stringifies like Python's repr). pandas .round is
+    half-to-even, which breaks the 'equals the batch output exactly'
+    contract on exact 2dp half-ties like 0.125 (ADVICE r5)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
 PQ_TOPK_SCHEMA = T.StructType([
     T.StructField("q_id", T.LongType()),
     T.StructField("rank", T.IntegerType()),
@@ -94,7 +106,7 @@ def _topk_update(
         "q_id": int(q_id),
         "rank": range(1, len(merged) + 1),
         "neighbor_id": merged["n_id"].astype("int64"),
-        "adc_d2": merged["d2"].round(2),
+        "adc_d2": [_round_half_up(x) for x in merged["d2"]],
         "n_seen": n_seen,
     })
 

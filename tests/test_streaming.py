@@ -665,6 +665,20 @@ def test_stream_window_decontaminate_redelivery_idempotent(spark, tmp_path):
     assert got == want
 
 
+def test_stream_round_half_up_matches_spark_round(spark):
+    """The PQ twin's 2dp rounding must be Spark F.round's HALF_UP, not
+    pandas' half-to-even (ADVICE r5): a d2 landing exactly on a 2dp
+    half-tie (0.125) must round up on both engines."""
+    from catalyst_spark.streaming.ann import _round_half_up
+
+    vals = [0.125, 0.135, -0.125, 2.675, 0.1, 1.005, 36.605, 0.0]
+    got = [_round_half_up(v) for v in vals]
+    rows = spark.createDataFrame([(v,) for v in vals], "v double").selectExpr(
+        "round(v, 2) as r").collect()
+    assert got == [r["r"] for r in rows]
+    assert _round_half_up(0.125) == 0.13  # pandas .round(2) gives 0.12
+
+
 def test_stream_pq_adc_topk_matches_batch(spark, tmp_path):
     """Streaming PQ twin (VERDICT r4 item 9): replaying the probe set as
     a file stream (with one batch fully RE-DELIVERED) against the static
