@@ -133,26 +133,30 @@ def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids) -> None:
     _write_meta(base / f"kmeans_{tag}.json", fingerprint)
 
 
-def codes_path(sf_dir: str) -> Path:
-    return model_root() / _sf_tag(sf_dir) / "pq_codes.parquet"
+def codes_path(sf_dir: str, name: str = "pq_codes") -> Path:
+    return model_root() / _sf_tag(sf_dir) / f"{name}.parquet"
 
 
-def load_codes(spark, sf_dir: str, fingerprint: list[int]):
-    """Return the stored codes DataFrame if current, else None."""
-    path = codes_path(sf_dir)
+def load_codes(spark, sf_dir: str, fingerprint: list[int],
+               name: str = "pq_codes"):
+    """Return the stored codes DataFrame if current, else None. `name`
+    distinguishes code tables built from different vector spaces (raw
+    "pq_codes" vs residual "rpq_codes")."""
+    path = codes_path(sf_dir, name)
     if not path.exists() or not _meta_ok(
-        path.parent / "pq_codes.json", fingerprint
+        path.parent / f"{name}.json", fingerprint
     ):
         return None
     return spark.read.parquet(str(path))
 
 
-def save_codes(codes_df, sf_dir: str, fingerprint: list[int]) -> None:
-    path = codes_path(sf_dir)
+def save_codes(codes_df, sf_dir: str, fingerprint: list[int],
+               name: str = "pq_codes") -> None:
+    path = codes_path(sf_dir, name)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex}")
     codes_df.write.mode("overwrite").parquet(str(tmp))
     if path.exists():
         shutil.rmtree(path)
     os.replace(tmp, path)
-    _write_meta(path.parent / "pq_codes.json", fingerprint)
+    _write_meta(path.parent / f"{name}.json", fingerprint)

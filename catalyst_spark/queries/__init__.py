@@ -114,6 +114,7 @@ _R6_FRONT = [
     "ann_multiprobe_recall", "ann_ivfpq_topk", "ann_ivfpq_recall",
     "ann_pq_adc_topk", "ann_pq_recall", "ivf_train",
     "ann_ivf_trained_topk", "semdedup_ivf", "window_overlap_source_matrix",
+    "source_minhash_similarity",
     # last driver row in r3
     "dedup_exact", "dedup_token_set", "dedup_rate_by_source",
     "embedding_norm_outliers", "funnel_conversion", "retention_cohorts",
@@ -129,7 +130,7 @@ _R6_FRONT = [
     "holt_chunked", "cusum_changepoints", "seasonal_hourly_profile",
     # start of the untouched-r4 rotation (fills the window to 50)
     "text_stats", "lang_id_confusion", "token_counts", "doc_fingerprint",
-    "approx_topk_tokens", "dedup_keep_best", "dedup_keep_one",
+    "approx_topk_tokens", "dedup_keep_best",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R6_FRONT)

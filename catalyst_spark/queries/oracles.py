@@ -850,7 +850,9 @@ def _multiprobe_sql() -> str:
     """
 
 
-def _pq_ctes(with_header: bool = True, dims_name: str = "dims") -> str:
+def _pq_ctes(with_header: bool = True, dims_name: str = "dims",
+             src: str = "v", np: str = "",
+             make_luts: bool = True) -> str:
     """Shared CTE prefix (trailing comma) for the PQ oracles: unrolled
     per-subspace k-means + code assignment + per-query LUTs. Same
     deterministic k-means as _kmeans_sql on each 16-dim slice; LUT
@@ -860,7 +862,12 @@ def _pq_ctes(with_header: bool = True, dims_name: str = "dims") -> str:
     appended after _kmeans_sql (the combined IVF-PQ oracle needs BOTH
     the 64-dim coarse CTEs and the 16-dim subspace CTEs in one query);
     dims_name renames the 1..16 dimension CTE to avoid colliding with
-    the coarse query's 1..64 `dims`."""
+    the coarse query's 1..64 `dims`. `src` selects the vector table to
+    quantize ("v" raw, "rv" residual) and `np` prefixes every generated
+    CTE name so raw and residual blocks coexist in one query (the
+    residual IVF-PQ oracles use src="rv", np="r"); make_luts=False
+    skips the flat per-query LUTs for rungs whose LUT frame is
+    per-probed-cell (built separately)."""
     from catalyst_spark.queries.pipeline import (
         _KMEANS_ITERS,
         _KMEANS_K,
@@ -882,44 +889,46 @@ def _pq_ctes(with_header: bool = True, dims_name: str = "dims") -> str:
     for m in range(_PQ_M):
         lo = m * sub
         parts.append(
-            f"v{m} AS (SELECT vec_id, e[{lo + 1}:{lo + sub}] AS e FROM v),"
+            f"{np}v{m} AS (SELECT vec_id, e[{lo + 1}:{lo + sub}] AS e"
+            f" FROM {src}),"
         )
         parts.append(
-            f"c0_{m} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
-            f" AS c_id, e AS ce FROM (SELECT vec_id, e FROM v{m}"
+            f"{np}c0_{m} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS c_id, e AS ce FROM (SELECT vec_id, e FROM {np}v{m}"
             f" ORDER BY vec_id LIMIT {_KMEANS_K})),"
         )
         for i in range(1, last + 1):
             parts.append(
-                f"a{i}_{m} AS (SELECT vec_id, e, c_id FROM ("
+                f"{np}a{i}_{m} AS (SELECT vec_id, e, c_id FROM ("
                 f" SELECT v.vec_id, v.e, c.c_id,"
                 f" row_number() OVER (PARTITION BY v.vec_id ORDER BY"
                 f" list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
                 f" + list_dot_product(c.ce, c.ce), c.c_id) AS rn"
-                f" FROM v{m} v, c{i - 1}_{m} c) t WHERE rn = 1),"
+                f" FROM {np}v{m} v, {np}c{i - 1}_{m} c) t WHERE rn = 1),"
             )
             parts.append(
-                f"m{i}_{m} AS (SELECT c_id, d, AVG(e[d]) AS mm"
-                f" FROM a{i}_{m}, {dims_name} GROUP BY 1, 2),"
+                f"{np}m{i}_{m} AS (SELECT c_id, d, AVG(e[d]) AS mm"
+                f" FROM {np}a{i}_{m}, {dims_name} GROUP BY 1, 2),"
             )
             parts.append(
-                f"c{i}_{m} AS (SELECT c_id, list(mm ORDER BY d) AS ce"
-                f" FROM m{i}_{m} GROUP BY 1),"
+                f"{np}c{i}_{m} AS (SELECT c_id, list(mm ORDER BY d) AS ce"
+                f" FROM {np}m{i}_{m} GROUP BY 1),"
             )
         parts.append(
-            f"code{m} AS (SELECT vec_id, c_id AS code FROM ("
+            f"{np}code{m} AS (SELECT vec_id, c_id AS code FROM ("
             f" SELECT v.vec_id, c.c_id,"
             f" row_number() OVER (PARTITION BY v.vec_id ORDER BY"
             f" list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
             f" + list_dot_product(c.ce, c.ce), c.c_id) AS rn"
-            f" FROM v{m} v, c{last}_{m} c) t WHERE rn = 1),"
+            f" FROM {np}v{m} v, {np}c{last}_{m} c) t WHERE rn = 1),"
         )
-        parts.append(
-            f"lut{m} AS (SELECT q.vec_id AS q_id, c.c_id AS code,"
-            f" list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.ce)"
-            f" + list_dot_product(c.ce, c.ce) AS p"
-            f" FROM v{m} q, c{last}_{m} c WHERE q.vec_id % 50 = 0),"
-        )
+        if make_luts:
+            parts.append(
+                f"{np}lut{m} AS (SELECT q.vec_id AS q_id, c.c_id AS code,"
+                f" list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.ce)"
+                f" + list_dot_product(c.ce, c.ce) AS p"
+                f" FROM {np}v{m} q, {np}c{last}_{m} c WHERE q.vec_id % 50 = 0),"
+            )
     return "\n".join(parts)
 
 
@@ -1061,36 +1070,184 @@ def _ivfpq_recall_sql() -> str:
     """
 
 
+def _residual_src_ctes(include_probes: bool) -> str:
+    """Coarse assignment + residual-vector CTEs (trailing comma),
+    appended after _kmeans_sql: rv is x - c(x) with the FULL-precision
+    final centroids (list_transform subtraction — same per-element
+    double arithmetic as the Spark side's zip_with). include_probes
+    adds the nprobe=2 probe set and the per-(query, probed cell)
+    residual qr used by the residual IVFADC rung."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS, _LSH_DIM
+
+    last_c = f"c{_KMEANS_ITERS}"
+    parts = f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        assign AS (SELECT vec_id, c_id FROM dist WHERE rn = 1),
+        rv AS (
+          SELECT v.vec_id,
+                 list_transform(range(1, {_LSH_DIM + 1}),
+                                d -> v.e[d] - c.ce[d]) AS e
+          FROM v JOIN assign a ON a.vec_id = v.vec_id
+          JOIN {last_c} c ON c.c_id = a.c_id),"""
+    if include_probes:
+        parts += f"""
+        members AS (SELECT vec_id AS n_id, c_id FROM dist WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id
+          FROM dist WHERE rn <= 2 AND vec_id % 50 = 0),
+        qr AS (
+          SELECT p.q_id, p.c_id,
+                 list_transform(range(1, {_LSH_DIM + 1}),
+                                d -> v.e[d] - c.ce[d]) AS e
+          FROM probes p JOIN v ON v.vec_id = p.q_id
+          JOIN {last_c} c ON c.c_id = p.c_id),"""
+    return parts
+
+
+def _rivfpq_ctes() -> str:
+    """Shared CTE prefix for the residual IVFADC oracles (oracle twin
+    of pipeline.ann_ivfpq_residual_topk): coarse k-means + residual
+    vectors + subspace k-means fitted ON the residuals (np="r") +
+    per-(query, probed cell) LUTs keyed (q_id, c_id, code) — the
+    residual frame differs per probed cell — + the in-cell ADC rank."""
+    from catalyst_spark.queries.pipeline import (
+        _KMEANS_ITERS,
+        _LSH_DIM,
+        _PQ_M,
+    )
+
+    sub = _LSH_DIM // _PQ_M
+    rlast = _KMEANS_ITERS
+    rluts = []
+    for m in range(_PQ_M):
+        lo = m * sub
+        rluts.append(
+            f"rlut{m} AS (SELECT q.q_id, q.c_id, c.c_id AS code,"
+            f" list_dot_product(q.qe, q.qe)"
+            f" - 2 * list_dot_product(q.qe, c.ce)"
+            f" + list_dot_product(c.ce, c.ce) AS p"
+            f" FROM (SELECT q_id, c_id, e[{lo + 1}:{lo + sub}] AS qe"
+            f" FROM qr) q, rc{rlast}_{m} c),"
+        )
+    return (
+        _kmeans_sql()
+        + _residual_src_ctes(include_probes=True)
+        + "\n"
+        + _pq_ctes(with_header=False, dims_name="sdims_r", src="rv",
+                   np="r", make_luts=False)
+        + "\n" + "\n".join(rluts)
+        + """
+        rcand AS (
+          SELECT DISTINCT p.q_id, m.n_id, p.c_id
+          FROM probes p JOIN members m USING (c_id)
+          WHERE m.n_id != p.q_id),
+        ripqrank AS (
+          SELECT ca.q_id, ca.n_id,
+                 l0.p + l1.p + l2.p + l3.p AS d2,
+                 ROW_NUMBER() OVER (PARTITION BY ca.q_id ORDER BY
+                   l0.p + l1.p + l2.p + l3.p, ca.n_id) AS rnk
+          FROM rcand ca
+          JOIN rcode0 c0 ON c0.vec_id = ca.n_id
+          JOIN rcode1 c1 ON c1.vec_id = ca.n_id
+          JOIN rcode2 c2 ON c2.vec_id = ca.n_id
+          JOIN rcode3 c3 ON c3.vec_id = ca.n_id
+          JOIN rlut0 l0 ON l0.code = c0.code AND l0.q_id = ca.q_id
+                        AND l0.c_id = ca.c_id
+          JOIN rlut1 l1 ON l1.code = c1.code AND l1.q_id = ca.q_id
+                        AND l1.c_id = ca.c_id
+          JOIN rlut2 l2 ON l2.code = c2.code AND l2.q_id = ca.q_id
+                        AND l2.c_id = ca.c_id
+          JOIN rlut3 l3 ON l3.code = c3.code AND l3.q_id = ca.q_id
+                        AND l3.c_id = ca.c_id)"""
+    )
+
+
+def _rivfpq_sql() -> str:
+    return _rivfpq_ctes() + """
+        SELECT q_id, rnk AS "rank", n_id AS neighbor_id,
+               ROUND(d2, 2) AS adc_d2
+        FROM ripqrank WHERE rnk <= 5 ORDER BY q_id, "rank"
+    """
+
+
+def _rivfpq_recall_sql() -> str:
+    """Oracle twin of pipeline.ann_ivfpq_residual_recall: residual
+    IVFADC top-5 graded against the exact brute-force top-5."""
+    return _rivfpq_ctes() + """,
+        ripq AS (SELECT q_id, n_id FROM ripqrank WHERE rnk <= 5),
+        nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        sb AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        brute AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id)
+                     AS rnk
+            FROM sb) t
+          WHERE rnk <= 5)
+        SELECT b.q_id,
+               COUNT(ripq.n_id) AS hits,
+               ROUND(COUNT(ripq.n_id) / 5.0, 2) AS recall_at_5
+        FROM brute b
+        LEFT JOIN ripq ON ripq.q_id = b.q_id AND ripq.n_id = b.neighbor_id
+        GROUP BY b.q_id ORDER BY b.q_id
+    """
+
+
 def _pq_distortion_sql() -> str:
     """Oracle twin of pipeline.pq_distortion: per-vector squared
     distance to the assigned subspace centroid (same expansion, same
     doubles), fixed-point floored to micro-units per row, integer
-    aggregate — order-free on both engines."""
+    aggregate — order-free on both engines. Two code spaces since r6:
+    raw-vector codes and coarse-cell-residual codes (VERDICT r5 item
+    3), so the residual rows measure the distortion drop directly."""
     from catalyst_spark.queries.pipeline import _KMEANS_ITERS, _PQ_M
 
     last = _KMEANS_ITERS
     dists = []
-    for m in range(_PQ_M):
-        dists.append(
-            f"d_{m} AS (SELECT {m} AS m,"
-            f" CAST(floor((list_dot_product(v.e, v.e)"
-            f"  - 2 * list_dot_product(v.e, c.ce)"
-            f"  + list_dot_product(c.ce, c.ce)) * 1000000) AS BIGINT)"
-            f"   AS micro"
-            f" FROM v{m} v JOIN code{m} k USING (vec_id)"
-            f" JOIN c{last}_{m} c ON c.c_id = k.code),"
-        )
-    union = " UNION ALL ".join(f"SELECT * FROM d_{m}" for m in range(_PQ_M))
+    for label, np in (("raw", ""), ("residual", "r")):
+        for m in range(_PQ_M):
+            dists.append(
+                f"{np}d_{m} AS (SELECT '{label}' AS space, {m} AS m,"
+                f" CAST(floor((list_dot_product(v.e, v.e)"
+                f"  - 2 * list_dot_product(v.e, c.ce)"
+                f"  + list_dot_product(c.ce, c.ce)) * 1000000) AS BIGINT)"
+                f"   AS micro"
+                f" FROM {np}v{m} v JOIN {np}code{m} k USING (vec_id)"
+                f" JOIN {np}c{last}_{m} c ON c.c_id = k.code),"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM {np}d_{m}"
+        for np in ("", "r") for m in range(_PQ_M)
+    )
     return (
-        _pq_ctes()
+        _kmeans_sql()
+        + _residual_src_ctes(include_probes=False)
+        + "\n"
+        + _pq_ctes(with_header=False, dims_name="sdims",
+                   make_luts=False)
+        + "\n"
+        + _pq_ctes(with_header=False, dims_name="sdims_r", src="rv",
+                   np="r", make_luts=False)
         + "\n" + "\n".join(dists).rstrip(",")
         + f"""
-        SELECT CAST(m AS BIGINT) AS m,
+        SELECT space,
+               CAST(m AS BIGINT) AS m,
                CAST(COUNT(*) AS BIGINT) AS n_vecs,
                CAST(SUM(micro) AS BIGINT) AS sum_d2_micro,
                CAST(CAST(SUM(micro) AS BIGINT) // COUNT(*) AS BIGINT)
                  AS mean_d2_micro
-        FROM ({union}) u GROUP BY m ORDER BY m
+        FROM ({union}) u GROUP BY space, m ORDER BY space, m
     """
     )
 
@@ -1130,6 +1287,8 @@ _HASH_ORACLES = {
     "ann_pq_recall": _pq_recall_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),
     "ann_ivfpq_recall": _ivfpq_recall_sql(),
+    "ann_ivfpq_residual_topk": _rivfpq_sql(),
+    "ann_ivfpq_residual_recall": _rivfpq_recall_sql(),
     "pq_distortion": _pq_distortion_sql(),
     "semdedup_ivf": _semdedup_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",

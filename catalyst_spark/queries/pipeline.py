@@ -663,7 +663,11 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
         for s in range(_MINHASH_PERMS)
     )
-    pairs = a.join(b, F.col("source_a") < F.col("source_b")).select(
+    # the merged-signature table is one row per source (model-sized) —
+    # broadcast the probe side so the inequality pair join plans as a
+    # BroadcastNestedLoopJoin, never a CartesianProduct (flagged by the
+    # r6 all-plan sweep; values identical)
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b")).select(
         "source_a", "source_b",
         F.round(matches / float(_MINHASH_PERMS), 4).alias("est_jaccard"),
     )
@@ -1163,17 +1167,23 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_fp(spark: SparkSession, sf_dir: str, v: DataFrame):
-    """Session-cached fingerprint of the embeddings table (count,
-    sum(vec_id), sum(xxhash64)) — the staleness key for every persisted
-    ANN artifact (see model_store). One column-pruned scan per session
-    per data dir, shared by all load-or-train consumers."""
+def _emb_fp(spark: SparkSession, sf_dir: str):
+    """Session-cached fingerprint of the BASE embeddings table (count,
+    xxhash of ids, xxhash of rows) — the staleness key for every
+    persisted ANN artifact (see model_store). Always computed over the
+    raw table, never a derived one (residual vectors etc.), so raw and
+    residual artifacts of the same data share one consistent key. One
+    scan per session per data dir, shared by all load-or-train
+    consumers."""
     from catalyst_spark import model_store
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EMB_FP_CACHE.get(key)
     if hit is None:
-        hit = _EMB_FP_CACHE[key] = model_store.embeddings_fingerprint(v)
+        base = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        hit = _EMB_FP_CACHE[key] = model_store.embeddings_fingerprint(base)
     return hit
 
 
@@ -1191,7 +1201,7 @@ def _cached_kmeans(spark: SparkSession, sf_dir: str, v: DataFrame, tag: str):
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     hit = _KMEANS_MODEL_CACHE.get(key)
     if hit is None:
-        fp = _emb_fp(spark, sf_dir, v)
+        fp = _emb_fp(spark, sf_dir)
         hit = model_store.load_kmeans(sf_dir, tag, fp)
         if hit is None:
             C, cids, _ = _kmeans_fit(spark, v)
@@ -1488,7 +1498,8 @@ def _srp_planes() -> list:
 _PQ_M = 4
 
 
-def _pq_books(spark: SparkSession, sf_dir: str, v: DataFrame):
+def _pq_books(spark: SparkSession, sf_dir: str, v: DataFrame,
+              prefix: str = "pq"):
     """All _PQ_M subspace codebooks in ONE Lloyd loop: each iteration is
     a single cluster-wide mapInPandas pass emitting (m, c_id, d, s, n)
     partials for every subspace at once, plus one tiny groupBy — 3
@@ -1498,19 +1509,23 @@ def _pq_books(spark: SparkSession, sf_dir: str, v: DataFrame):
     model is the one its independent fit produces, within the same
     summation-order eps the single-fit path already tolerates).
     Results land in _KMEANS_MODEL_CACHE under the per-subspace tags, so
-    any caller mixing single and combined fitting sees one model."""
+    any caller mixing single and combined fitting sees one model.
+
+    `prefix` names the vector space being quantized: "pq" fits the raw
+    vectors, "rpq" fits coarse-cell residuals (the caller passes the
+    matching `v`); cache and store tags follow the prefix."""
     import numpy as np
 
     from catalyst_spark import model_store
 
     app = spark.sparkContext.applicationId
-    tags = [f"pq{m}" for m in range(_PQ_M)]
+    tags = [f"{prefix}{m}" for m in range(_PQ_M)]
     if all((app, sf_dir, t) in _KMEANS_MODEL_CACHE for t in tags):
         return [_KMEANS_MODEL_CACHE[(app, sf_dir, t)] for t in tags]
 
     # disk before fit (VERDICT r5 item 2): all 4 subspace models must be
     # current for the stored set to be usable as one codebook
-    fp = _emb_fp(spark, sf_dir, v)
+    fp = _emb_fp(spark, sf_dir)
     stored = [model_store.load_kmeans(sf_dir, t, fp) for t in tags]
     if all(s is not None for s in stored):
         for t, model in zip(tags, stored):
@@ -1583,16 +1598,19 @@ def _pq_books(spark: SparkSession, sf_dir: str, v: DataFrame):
     return state
 
 
-def _pq_model(spark: SparkSession, sf_dir: str, v: DataFrame):
+def _pq_model(spark: SparkSession, sf_dir: str, v: DataFrame,
+              prefix: str = "pq"):
     """Fit (or fetch from the session cache) the 4 subspace codebooks
     and return (codes df, centroid literal df): the compressed index
-    shared by ann_pq_adc_topk and the combined IVF-PQ rung. codes is
+    shared by ann_pq_adc_topk and the combined IVF-PQ rungs. codes is
     one Arrow-batched encode pass over the vectors; cent is the
-    model-sized (m, code, ce) literal used to build per-query LUTs."""
+    model-sized (m, code, ce) literal used to build per-query LUTs.
+    `prefix` selects the vector space (raw "pq" / residual "rpq") —
+    see _pq_books."""
     import numpy as np
 
     sub = _LSH_DIM // _PQ_M
-    books = _pq_books(spark, sf_dir, v)
+    books = _pq_books(spark, sf_dir, v, prefix)
 
     def _encode(batches):
         import pandas as pd
@@ -1621,15 +1639,19 @@ def _pq_model(spark: SparkSession, sf_dir: str, v: DataFrame):
     # index instead of re-encoding the corpus (VERDICT r5 item 2).
     from catalyst_spark import model_store
 
-    codes_key = (spark.sparkContext.applicationId, sf_dir, "pq_codes")
+    codes_key = (spark.sparkContext.applicationId, sf_dir,
+                 f"{prefix}_codes")
     codes = _TOPK_RESULT_CACHE.get(codes_key)
     if codes is None:
-        fp = _emb_fp(spark, sf_dir, v)
-        codes = model_store.load_codes(spark, sf_dir, fp)
+        fp = _emb_fp(spark, sf_dir)
+        codes = model_store.load_codes(spark, sf_dir, fp,
+                                       name=f"{prefix}_codes")
         if codes is None:
             built = v.mapInPandas(_encode, schema)
-            model_store.save_codes(built, sf_dir, fp)
-            codes = model_store.load_codes(spark, sf_dir, fp)
+            model_store.save_codes(built, sf_dir, fp,
+                                   name=f"{prefix}_codes")
+            codes = model_store.load_codes(spark, sf_dir, fp,
+                                           name=f"{prefix}_codes")
         codes = codes.persist()
         codes.count()
         _TOPK_RESULT_CACHE[codes_key] = codes
@@ -1653,16 +1675,19 @@ _PQ_DOT = (
 )
 
 
-def _pq_lut(qs: DataFrame, cent: DataFrame, m: int) -> DataFrame:
-    """Per-query LUT for subspace m: (q_id, code{m}, p{m}) where p is
+def _pq_lut(qs: DataFrame, cent: DataFrame, m: int,
+            keys: tuple = ("q_id",)) -> DataFrame:
+    """Per-query LUT for subspace m: (*keys, code{m}, p{m}) where p is
     the q.q - 2q.c + c.c squared-distance expansion on the 16-dim
-    slice. Model-sized (queries x k rows) — always broadcast."""
+    slice of qs.e. Model-sized (queries x k rows; queries x cells x k
+    for the residual rung, whose keys are (q_id, c_id) because the
+    query residual differs per probed cell) — always broadcast."""
     sub = _LSH_DIM // _PQ_M
     qm = f"slice(e, {m * sub + 1}, {sub})"
     return (
         qs.crossJoin(F.broadcast(cent.where(F.col("m") == m)))
         .select(
-            "q_id",
+            *keys,
             F.col("code").alias(f"code{m}"),
             F.expr(
                 _PQ_DOT.format(a=qm, b=qm)
@@ -1756,6 +1781,67 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_top2(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
+    """(q_id, c_id) probe assignment for the standard probe set
+    (vec_id % 50 == 0): the nprobe=2 nearest learned coarse cells per
+    query under the (distance, c_id) tie order — one Arrow-batched
+    distance pass, shared by the raw and residual IVF-PQ rungs."""
+    import numpy as np
+
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    Cn = (C * C).sum(axis=1)
+
+    def _assign_top2(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            top2 = _top2_cells(D, cids)
+            yield pd.DataFrame({
+                "q_id": np.repeat(pdf["vec_id"].to_numpy(), 2).astype("int64"),
+                "c_id": top2.ravel(),
+            })
+
+    return v.where(F.col("vec_id") % 50 == 0).mapInPandas(
+        _assign_top2, "q_id long, c_id long"
+    )
+
+
+def _coarse_cent_df(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
+    """The trained full-dim coarse centroids as a model-sized literal
+    DataFrame (c_id, ce) — the broadcast side of every residual
+    computation (residuals subtract the FULL double-precision model,
+    never a rounded export, so both engines' residuals agree to the
+    model's own eps)."""
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    rows = [(int(cids[i]), [float(x) for x in C[i]]) for i in range(len(cids))]
+    return spark.createDataFrame(rows, "c_id LONG, ce ARRAY<DOUBLE>")
+
+
+def _residual_vecs(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
+    """(vec_id, e) where e = x - c(x): each vector minus its assigned
+    coarse centroid — the vector space the residual PQ codebooks are
+    fitted on (Jegou et al. 2011 §IV-A). One hash join against the
+    persisted coarse assignment plus a broadcast centroid lookup;
+    recomputed per pass rather than persisted (at 100 TB the residual
+    table is corpus-sized — a broadcast-join recompute is one cheap
+    zip_with per scan, while persisting it would double vector
+    residency)."""
+    assign = _coarse_assign(spark, sf_dir, v)
+    cent = _coarse_cent_df(spark, sf_dir, v)
+    return (
+        v.join(assign, "vec_id")
+        .join(F.broadcast(cent), "c_id")
+        .select(
+            "vec_id",
+            F.zip_with("e", "ce", lambda x, y: x - y).alias("e"),
+        )
+    )
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined IVF-PQ (IVFADC, Jegou et al. 2011 §IV): the production
     ANN shape at 100 TB — probe nprobe=2 learned coarse cells, then
@@ -1781,8 +1867,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a hash equi-join on c_id; the 4 LUT joins broadcast; no raw
     vector ever shuffles after assignment.
     """
-    import numpy as np
-
     key = (spark.sparkContext.applicationId, sf_dir, "ivfpq")
     hit = _TOPK_RESULT_CACHE.get(key)
     if hit is not None:
@@ -1791,29 +1875,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
-    Cn = (C * C).sum(axis=1)
-
-    def _assign_top2(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["e"].to_numpy())
-            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
-            top2 = _top2_cells(D, cids)
-            yield pd.DataFrame({
-                "q_id": np.repeat(pdf["vec_id"].to_numpy(), 2).astype("int64"),
-                "c_id": top2.ravel(),
-            })
-
     members = _coarse_assign(spark, sf_dir, v).select(
         F.col("vec_id").alias("n_id"), "c_id"
     )
-    probes = v.where(F.col("vec_id") % 50 == 0).mapInPandas(
-        _assign_top2, "q_id long, c_id long"
-    )
+    probes = _probe_top2(spark, sf_dir, v)
     cand = (
         probes.join(members, "c_id")
         .where(F.col("n_id") != F.col("q_id"))
@@ -1862,6 +1927,115 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
     return (
         brute.join(ipq, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (Jegou et al. 2011 §IV-A) — the production
+    IVF-PQ encoding: codes quantize the RESIDUAL x - c(x) instead of
+    the raw vector. Residuals concentrate near the origin of each
+    cell, so the same 4x8-code budget spends its resolution on the
+    within-cell geometry — where most of the raw rung's distortion
+    lives; pq_distortion's residual rows measure the drop, and the
+    existing raw-codes rung (ann_ivfpq_topk) stays as the measured
+    ablation partner.
+
+    The asymmetric distance for a candidate n in probed cell c is
+    ||(q - c) - code(n)||^2, so the per-query LUT is built per probed
+    CELL: key (q_id, c_id, code) instead of (q_id, code) — queries x
+    nprobe x k rows per subspace, still model-sized, still broadcast.
+    A member's code is defined w.r.t. its OWN cell, and the candidate
+    join carries that cell, so every scored pair uses matching
+    residual frames.
+
+    Engine parity inherits the whole ladder's conventions: coarse
+    model and (distance, c_id) cell ties from ann_multiprobe_recall;
+    residuals subtract the full-precision model on both engines
+    (zip_with here, list_transform in the oracle); subspace codebooks
+    are the same deterministic k-means fitted on residual slices; LUT
+    parts add left-to-right. Plan: candidates are a hash equi-join on
+    c_id; codes join on n_id; 4 broadcast LUT joins; no raw or
+    residual vector ever shuffles after assignment.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, "rivfpq")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit.orderBy("q_id", "rank")
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    members = _coarse_assign(spark, sf_dir, v).select(
+        F.col("vec_id").alias("n_id"), "c_id"
+    )
+    probes = _probe_top2(spark, sf_dir, v)
+    # candidates KEEP the probed cell id: the LUT frame is per-cell
+    cand = (
+        probes.join(members, "c_id")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "c_id")
+        .distinct()
+    )
+    rcodes, rcent = _pq_model(
+        spark, sf_dir, _residual_vecs(spark, sf_dir, v), prefix="rpq"
+    )
+    # per-(query, probed cell) residual: q - c, full 64 dims
+    cent = _coarse_cent_df(spark, sf_dir, v)
+    qres = (
+        probes.join(
+            v.select(F.col("vec_id").alias("q_id"), "e"), "q_id"
+        )
+        .join(F.broadcast(cent), "c_id")
+        .select(
+            "q_id", "c_id",
+            F.zip_with("e", "ce", lambda x, y: x - y).alias("e"),
+        )
+    )
+    pairs = cand.join(rcodes.withColumnRenamed("vec_id", "n_id"), "n_id")
+    for m in range(_PQ_M):
+        pairs = pairs.join(
+            F.broadcast(_pq_lut(qres, rcent, m, keys=("q_id", "c_id"))),
+            ["q_id", "c_id", f"code{m}"],
+        )
+    d2 = (
+        F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
+    )  # fixed left-to-right add: deterministic float order
+    w = W.partitionBy("q_id").orderBy(F.col("d2_raw").asc(), F.col("n_id"))
+    res = (
+        pairs.withColumn("d2_raw", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "q_id", "rank", F.col("n_id").alias("neighbor_id"),
+            F.round("d2_raw", 2).alias("adc_d2"),
+        )
+        .persist()
+    )
+    res.count()  # probe-set-sized; the recall row reuses it verbatim
+    _TOPK_RESULT_CACHE[key] = res
+    return res.orderBy("q_id", "rank")
+
+
+def ann_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of residual IVFADC against the exact
+    brute-force baseline — the fourth rung of the calibration ladder.
+    Read with ann_pq_recall (quantization loss alone), ann_multiprobe_
+    recall (cell pruning alone) and ann_ivfpq_recall (both, raw
+    codes): the residual row shows how much of the combined rung's
+    loss the residual encoding buys back at identical index size.
+    """
+    ripq = ann_ivfpq_residual_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        brute.join(ripq, ["q_id", "neighbor_id"], "left")
         .groupBy("q_id")
         .agg(
             F.count("_hit").alias("hits"),
@@ -2967,23 +3141,35 @@ def window_overlap_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-level near_dup_source_matrix sees whole-doc similarity;
     this sees verbatim span reuse even between dissimilar docs).
 
-    Plan shape: the shared window-hash table reduces to distinct
-    (source, h) pairs (8-byte keys), self-joins on h with source <
-    source ordering, and aggregates per pair — never touches doc ids
-    or text after the scan.
+    Plan shape (rewritten r6, VERDICT r5 item 4): ONE aggregation of
+    the window stream — groupBy(h) with a map-side-combining
+    collect_set(source) — then ordered pairs are emitted per hash from
+    the sorted source list by a JVM array expression, and a tiny
+    |sources|^2-bounded aggregate counts them. The old shape
+    (distinct (source, h) then self-join on h) paid the window
+    build TWICE (a self-join on an unpersisted aggregate recomputes
+    both branches) plus a join shuffle — that recompute, not fan-out,
+    was the superlinear term in the 10x measurement (3.47x). Per-hash
+    state is bounded by the source count (collect_set dedups in the
+    aggregation buffer), and no shuffle ever carries more than an
+    8-byte hash + small source strings.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = _windowed(docs).select("source", "h").distinct()
+    per_hash = (
+        _windowed(docs)
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("slist"))
+        .where(F.size("slist") >= 2)
+    )
+    pairs = per_hash.select(F.explode(F.expr(
+        "flatten(transform(slist, (a, i) ->"
+        " transform(slice(slist, i + 2, size(slist) - i - 1),"
+        "           b -> named_struct('a', a, 'b', b))))"
+    )).alias("p"))
     return (
-        sh.alias("l")
-        .join(
-            sh.alias("r"),
-            (F.col("l.h") == F.col("r.h"))
-            & (F.col("l.source") < F.col("r.source")),
-        )
-        .groupBy(
-            F.col("l.source").alias("source_a"),
-            F.col("r.source").alias("source_b"),
+        pairs.groupBy(
+            F.col("p.a").alias("source_a"),
+            F.col("p.b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_windows"))
         .orderBy("source_a", "source_b")
@@ -3246,48 +3432,60 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-vector d2 uses the same q.q - 2q.c + c.c sequential-fold
     expansion the encoder minimized, so this measures exactly the
-    quantity ADC substitutes for true distances. Output: (m, n_vecs,
-    sum_d2_micro, mean_d2_micro) — 4 rows, mean via integer div
-    (truncation parity pinned by tests/test_sql_parity.py).
+    quantity ADC substitutes for true distances. Output: (space, m,
+    n_vecs, sum_d2_micro, mean_d2_micro) — 8 rows, raw codes vs
+    residual codes (VERDICT r5 item 3: the residual rows quantify how
+    much distortion the x - c(x) encoding removes at identical index
+    size); mean via integer div (truncation parity pinned by
+    tests/test_sql_parity.py).
 
-    Plan: codes re-join their vectors on vec_id; the 4 centroid tables
-    broadcast (model-sized); one stack + tiny aggregate.
+    Plan: codes re-join their vectors on vec_id; the 8 centroid tables
+    broadcast (model-sized); one stack + tiny aggregate per space.
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    codes, cent = _pq_model(spark, sf_dir, v)
-    sub = _LSH_DIM // _PQ_M
-    joined = v.join(codes, "vec_id")
-    for m in range(_PQ_M):
-        cm = cent.where(F.col("m") == m).select(
-            F.col("code").alias(f"code{m}"), F.col("ce").alias(f"ce{m}")
+
+    def _stacked(vecs, codes, cent, label):
+        sub = _LSH_DIM // _PQ_M
+        joined = vecs.join(codes, "vec_id")
+        for m in range(_PQ_M):
+            cm = cent.where(F.col("m") == m).select(
+                F.col("code").alias(f"code{m}"), F.col("ce").alias(f"ce{m}")
+            )
+            joined = joined.join(F.broadcast(cm), f"code{m}")
+            qm = f"slice(e, {m * sub + 1}, {sub})"
+            joined = joined.withColumn(f"d2m{m}", F.expr(
+                _PQ_DOT.format(a=qm, b=qm)
+                + " - 2 * " + _PQ_DOT.format(a=qm, b=f"ce{m}")
+                + " + " + _PQ_DOT.format(a=f"ce{m}", b=f"ce{m}")
+            ))
+        return joined.select(F.expr(
+            "stack(4, 0, d2m0, 1, d2m1, 2, d2m2, 3, d2m3) as (m, d2)"
+        )).select(
+            F.lit(label).alias("space"),
+            F.col("m").cast("bigint").alias("m"),
+            F.expr("cast(floor(d2 * 1000000) as bigint)").alias("micro"),
         )
-        joined = joined.join(F.broadcast(cm), f"code{m}")
-        qm = f"slice(e, {m * sub + 1}, {sub})"
-        joined = joined.withColumn(f"d2m{m}", F.expr(
-            _PQ_DOT.format(a=qm, b=qm)
-            + " - 2 * " + _PQ_DOT.format(a=qm, b=f"ce{m}")
-            + " + " + _PQ_DOT.format(a=f"ce{m}", b=f"ce{m}")
-        ))
-    stacked = joined.select(F.expr(
-        "stack(4, 0, d2m0, 1, d2m1, 2, d2m2, 3, d2m3) as (m, d2)"
-    )).select(
-        F.col("m").cast("bigint").alias("m"),
-        F.expr("cast(floor(d2 * 1000000) as bigint)").alias("micro"),
+
+    codes, cent = _pq_model(spark, sf_dir, v)
+    rv = _residual_vecs(spark, sf_dir, v)
+    rcodes, rcent = _pq_model(spark, sf_dir, rv, prefix="rpq")
+    stacked = _stacked(v, codes, cent, "raw").unionAll(
+        _stacked(rv, rcodes, rcent, "residual")
     )
     return (
-        stacked.groupBy("m")
+        stacked.groupBy("space", "m")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum("micro").alias("sum_d2_micro"),
         )
         .select(
-            "m", "n_vecs", "sum_d2_micro",
+            "space", "m", "n_vecs", "sum_d2_micro",
             F.expr("sum_d2_micro div n_vecs").alias("mean_d2_micro"),
         )
-        .orderBy("m")
+        .orderBy("space", "m")
     )
 
 
@@ -3409,6 +3607,8 @@ PIPELINE_QUERIES = {
     "ann_pq_recall": ann_pq_recall,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_recall": ann_ivfpq_recall,
+    "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
+    "ann_ivfpq_residual_recall": ann_ivfpq_residual_recall,
     "pq_distortion": pq_distortion,
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,

@@ -347,6 +347,43 @@ def test_band_curve_equi_joins_only(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_residual_ivfpq_cell_pruned_scan(spark):
+    # residual IVFADC (VERDICT r5 item 3): same scale shape as the raw
+    # rung — candidates from a hash equi-join on c_id, codes join after
+    # cell pruning, per-(query, cell) LUTs broadcast, and no raw or
+    # residual vector shuffle after assignment (the residual table is
+    # a zip_with over a broadcast centroid lookup, recomputed per scan)
+    for q in ("ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
+    a = [tuple(r) for r in
+         ALL_QUERIES["ann_ivfpq_residual_topk"](spark, SF_DIR).collect()]
+    b = [tuple(r) for r in
+         ALL_QUERIES["ann_ivfpq_residual_topk"](spark, SF_DIR).collect()]
+    assert a == b and a
+
+
+def test_all_query_plans_no_cartesian_no_rowwise_python(spark):
+    """Anti-pattern sweep over the ENTIRE query registry (VERDICT r5
+    item 7): every plan must be free of CartesianProduct (unbounded
+    pair blowup at scale) and BatchEvalPython (row-at-a-time Python in
+    the data path — Arrow-batched MapInPandas/GroupsInPandas nodes are
+    the sanctioned Python escape hatch and remain allowed). The 38
+    targeted tests above pin specific claims; this catches regressions
+    on operators that never got a dedicated test. Known
+    broadcast-one-row crossJoins plan as BroadcastNestedLoopJoin over a
+    model-sized side, which this sweep deliberately does not flag."""
+    bad = {}
+    for name in ALL_QUERIES:
+        plan = plan_of(spark, name)
+        hits = [pat for pat in ("CartesianProduct", "BatchEvalPython")
+                if pat in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
+
+
 def test_reset_session_caches_covers_every_module_cache(spark):
     """Bench timing attribution depends on resets actually clearing
     every session cache: populate the shared builds, reset, and assert
