@@ -98,6 +98,9 @@ _SCALE_QUERIES = (
     # the production ANN rung at 10x vectors: cell pruning must keep the
     # ADC scan per query proportional to cell size, not corpus size
     "ann_ivfpq_topk",
+    # residual encoding adds a broadcast-centroid zip_with per scan and
+    # per-(query, cell) LUTs — same cell-pruned shape, measured at 10x
+    "ann_ivfpq_residual_topk",
 )
 
 

@@ -83,6 +83,33 @@ def pq_static_index(spark: SparkSession, sf_dir: str):
     return codes, entries
 
 
+def ivfpq_static_index(spark: SparkSession, sf_dir: str):
+    """Train (or fetch — session cache then on-disk model store) the
+    combined IVF-PQ index and return (codes-with-cell static DataFrame,
+    PQ centroid entries, coarse centroid entries). The codes table
+    gains its coarse cell id via one hash join against the persisted
+    assignment, so the stream side can equi-join on c_id and touch
+    ONLY the probed cells' codes; both entries lists are model-sized."""
+    from catalyst_spark.queries.pipeline import (
+        _cached_kmeans,
+        _coarse_assign,
+        _pq_model,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codes, cent = _pq_model(spark, sf_dir, v)
+    codes_cells = codes.join(_coarse_assign(spark, sf_dir, v), "vec_id")
+    entries = [(int(r["m"]), int(r["code"]), list(r["ce"]))
+               for r in cent.collect()]
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    coarse = [(int(cids[i]), [float(x) for x in C[i]])
+              for i in range(len(cids))]
+    return codes_cells, entries, coarse
+
+
 def _topk_update(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -149,6 +176,78 @@ def stream_pq_adc_topk(
     )
     scored = (
         s.join(cstat, "jk")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), d2.alias("d2"))
+    )
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _topk_update,
+        outputStructType=PQ_TOPK_SCHEMA,
+        stateStructType=PQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_ivfpq_topk(
+    vec_stream: DataFrame,
+    codes_cells: DataFrame,
+    cent_entries: list,
+    coarse_entries: list,
+) -> DataFrame:
+    """Online twin of the combined IVF-PQ rung (ann_ivfpq_topk,
+    VERDICT r5 item 8): each arriving query is assigned to its nprobe=2
+    nearest coarse cells with the BROADCAST coarse centroids (one
+    literal row, sequential-fold dots, struct sort = the batch rung's
+    (distance, c_id) tie order), and the stream-static join is an
+    EQUI-JOIN on c_id against the codes-with-cell table — only the
+    probed cells' codes are scored, completing "every batch ANN rung
+    has an online twin" at the production rung. LUT scoring and the
+    bounded per-query top-k state are shared with the full-scan twin
+    verbatim; the final per-(q_id, rank) emission equals
+    ann_ivfpq_topk's row exactly (replay test incl. re-delivery)."""
+    spark = vec_stream.sparkSession
+    one = spark.createDataFrame(
+        [(cent_entries, coarse_entries)],
+        "cent array<struct<m: int, code: bigint, ce: array<double>>>, "
+        "coarse array<struct<c_id: bigint, ce: array<double>>>",
+    )
+    sub = _LSH_DIM // _PQ_M
+    s = vec_stream.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).crossJoin(F.broadcast(one))
+    for m in range(_PQ_M):
+        qm = f"slice(e, {m * sub + 1}, {sub})"
+        p = (
+            _PQ_DOT.format(a=qm, b=qm)
+            + " - 2 * " + _PQ_DOT.format(a=qm, b="c.ce")
+            + " + " + _PQ_DOT.format(a="c.ce", b="c.ce")
+        )
+        s = s.withColumn(f"lut{m}", F.expr(
+            f"map_from_entries(transform(filter(cent, c -> c.m = {m}),"
+            f" c -> struct(c.code, {p})))"
+        ))
+    cd = (
+        _PQ_DOT.format(a="e", b="e")
+        + " - 2 * " + _PQ_DOT.format(a="e", b="c.ce")
+        + " + " + _PQ_DOT.format(a="c.ce", b="c.ce")
+    )
+    s = (
+        s.withColumn("c_id", F.explode(F.expr(
+            "transform(slice(array_sort(transform(coarse,"
+            f" c -> struct({cd} AS d, c.c_id AS c_id))), 1, 2),"
+            " x -> x.c_id)"
+        )))
+        .drop("cent", "coarse", "e")
+    )
+    d2 = (  # fixed left-to-right add — same float order as the batch rung
+        F.expr("element_at(lut0, code0)")
+        + F.expr("element_at(lut1, code1)")
+        + F.expr("element_at(lut2, code2)")
+        + F.expr("element_at(lut3, code3)")
+    )
+    scored = (
+        s.join(codes_cells, "c_id")  # stream-static equi-join: probed cells only
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("n_id"), d2.alias("d2"))
     )
