@@ -1252,6 +1252,99 @@ def _pq_distortion_sql() -> str:
     )
 
 
+def _sq8_ctes() -> str:
+    """SQ8 quantizer CTEs (oracle twin of pipeline._sq8_codes): exact
+    per-dimension MIN/MAX (order-free aggregates — no eps argument
+    needed anywhere in this rung) and the same (sub, *255, /range,
+    floor, clamp) float sequence as the Spark encode expression, so
+    codes agree bit-exactly; everything downstream is integers."""
+    from catalyst_spark.queries.pipeline import _LSH_DIM
+
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        dims AS (SELECT unnest(range(1, {_LSH_DIM + 1})) AS d),
+        mm AS (SELECT d, MIN(e[d]) AS mn, MAX(e[d]) AS mx
+               FROM v, dims GROUP BY d),
+        codes AS (
+          SELECT v.vec_id,
+                 list(CASE WHEN mx = mn THEN 0
+                      ELSE GREATEST(0, LEAST(255,
+                           CAST(floor((e[d] - mn) * 255 / (mx - mn))
+                                AS BIGINT)))
+                      END ORDER BY d) AS c
+          FROM v, mm GROUP BY v.vec_id),
+        s AS (
+          SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, {_LSH_DIM + 1}),
+                      d -> (q.c[d] - n.c[d]) * (q.c[d] - n.c[d])))
+                      AS BIGINT) AS d2
+          FROM codes q JOIN codes n ON q.vec_id != n.vec_id
+          WHERE q.vec_id % 50 = 0),
+        sqrank AS (
+          SELECT q_id, neighbor_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY d2, neighbor_id) AS rnk
+          FROM s)"""
+
+
+def _sq8_sql() -> str:
+    return _sq8_ctes() + """
+        SELECT q_id, rnk AS "rank", neighbor_id, d2 AS sq_d2
+        FROM sqrank WHERE rnk <= 5 ORDER BY q_id, "rank"
+    """
+
+
+def _sq8_recall_sql() -> str:
+    """Oracle twin of pipeline.ann_sq8_recall: SQ8 integer top-5 graded
+    against the exact brute-force top-5."""
+    return _sq8_ctes() + """,
+        sq AS (SELECT q_id, neighbor_id AS n_id FROM sqrank WHERE rnk <= 5),
+        nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        sb AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        brute AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id)
+                     AS rnk
+            FROM sb) t
+          WHERE rnk <= 5)
+        SELECT b.q_id,
+               COUNT(sq.n_id) AS hits,
+               ROUND(COUNT(sq.n_id) / 5.0, 2) AS recall_at_5
+        FROM brute b
+        LEFT JOIN sq ON sq.q_id = b.q_id AND sq.n_id = b.neighbor_id
+        GROUP BY b.q_id ORDER BY b.q_id
+    """
+
+
+def _ivf_cell_stats_sql() -> str:
+    """Oracle twin of pipeline.ivf_cell_stats: unrolled coarse k-means
+    + assignment, then exact per-cell counts and permille shares."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS
+
+    last_c = f"c{_KMEANS_ITERS}"
+    return _kmeans_sql() + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        assign AS (SELECT vec_id, c_id FROM dist WHERE rn = 1)
+        SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST((COUNT(*) * 1000) // (SELECT COUNT(*) FROM assign)
+                    AS BIGINT) AS share_permille
+        FROM assign GROUP BY c_id ORDER BY c_id
+    """
+
+
 def _semdedup_sql() -> str:
     """Unrolled k-means + assignment + in-cell pair scan — the oracle
     twin of pipeline.semdedup_ivf."""
@@ -1289,6 +1382,9 @@ _HASH_ORACLES = {
     "ann_ivfpq_recall": _ivfpq_recall_sql(),
     "ann_ivfpq_residual_topk": _rivfpq_sql(),
     "ann_ivfpq_residual_recall": _rivfpq_recall_sql(),
+    "ann_sq8_topk": _sq8_sql(),
+    "ann_sq8_recall": _sq8_recall_sql(),
+    "ivf_cell_stats": _ivf_cell_stats_sql(),
     "pq_distortion": _pq_distortion_sql(),
     "semdedup_ivf": _semdedup_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",

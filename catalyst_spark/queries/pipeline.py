@@ -2045,6 +2045,126 @@ def ann_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_codes(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
+    """SQ8 scalar quantization: per-dimension linear map to 0..255 with
+    corpus (min, max) ranges. Unlike the k-means rungs the training is
+    ONE exact aggregate — min/max are order-free, so the quantizer is
+    bit-identical on any engine with no eps argument at all; the
+    distance arithmetic downstream is pure integers. Ranges ride into
+    the encode expression as one broadcast literal row (model-sized:
+    two 64-float arrays)."""
+    dims = v.select(F.posexplode("e").alias("d0", "x")).groupBy("d0").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).orderBy("d0").collect()
+    mins = [float(r["mn"]) for r in dims]
+    rngs = [float(r["mx"]) - float(r["mn"]) for r in dims]
+    one = spark.createDataFrame(
+        [(mins, rngs)], "mins array<double>, rngs array<double>"
+    )
+    # nested zip_with: (x - mn) first, then the scaled floor against rg;
+    # the float sequence (sub, *255, /rg, floor) is written identically
+    # in the DuckDB oracle, so codes agree exactly (same IEEE ops on the
+    # same doubles — no reduction anywhere)
+    return (
+        v.crossJoin(F.broadcast(one))
+        .select("vec_id", F.expr(
+            "zip_with(zip_with(e, mins, (x, mn) -> x - mn), rngs,"
+            " (dx, rg) -> CASE WHEN rg = 0.0D THEN 0L ELSE"
+            " greatest(0L, least(255L,"
+            " cast(floor(dx * 255 / rg) as long))) END)"
+        ).alias("c"))
+    )
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN rung: vectors compress 8x to one
+    byte per dimension and the probe set scans the CODES with exact
+    integer squared distance — the simplest compression rung of the
+    ladder (brute -> SQ8 -> IVF -> PQ -> IVF-PQ -> residual IVF-PQ),
+    and the one production indexes reach for when recall must stay
+    near-exact: quantization is per-dimension, so neighbor order is
+    almost preserved (ann_sq8_recall measures it).
+
+    Engine-exactness is stronger than the k-means rungs': the trainer
+    is an order-free min/max aggregate and the scan is integer
+    arithmetic end to end — no floating-point reduction exists
+    anywhere, so the oracle match needs no separation argument.
+
+    Plan: one posexplode aggregate trains the ranges; encode is a
+    broadcast-literal zip_with at the scan; the probe side broadcasts
+    (50 rows); distance is a JVM fold over 64 ints; ranking is the
+    standard per-query window. The codes shuffle is 64 B/vector.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    codes = _sq8_codes(spark, sf_dir, v)
+    qs = codes.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("c").alias("qc")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qc, c, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as long), (s, x) -> s + x)"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sq_d2").asc(), F.col("vec_id"))
+    return (
+        codes.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("sq_d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                "sq_d2")
+        .orderBy("q_id", "rank")
+    )
+
+
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the SQ8 integer scan against the exact
+    brute-force baseline — the calibration row for the 8x-compression
+    rung (expected near 1.0: per-dimension quantization distorts
+    distances far less than subspace codebooks; the ladder's recall
+    rows now span SQ8 / IVF / multiprobe / PQ / IVF-PQ / residual)."""
+    sq = ann_sq8_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        brute.join(sq, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health report for the trained coarse quantizer: per-cell
+    member count and integer-permille share of the corpus. Cell
+    imbalance is THE operational number for an IVF index at 100 TB —
+    probe latency is proportional to the probed cells' sizes, so a hot
+    cell is a tail-latency (and a re-train) signal. One tiny aggregate
+    over the persisted assignment; exact integers end to end."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assign = _coarse_assign(spark, sf_dir, v)
+    n = assign.count()
+    return (
+        assign.groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "c_id", "n_vecs",
+            F.expr(f"(n_vecs * 1000) div {n}").alias("share_permille"),
+        )
+        .orderBy("c_id")
+    )
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup: signed-random-projection LSH.
 
@@ -3609,6 +3729,9 @@ PIPELINE_QUERIES = {
     "ann_ivfpq_recall": ann_ivfpq_recall,
     "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
     "ann_ivfpq_residual_recall": ann_ivfpq_residual_recall,
+    "ann_sq8_topk": ann_sq8_topk,
+    "ann_sq8_recall": ann_sq8_recall,
+    "ivf_cell_stats": ivf_cell_stats,
     "pq_distortion": pq_distortion,
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,

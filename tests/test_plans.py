@@ -364,6 +364,16 @@ def test_residual_ivfpq_cell_pruned_scan(spark):
     assert a == b and a
 
 
+def test_sq8_broadcast_probe_integer_scan(spark):
+    # SQ8 rung: the 50-row probe side broadcasts into the codes scan
+    # (never a shuffle of the corpus against itself), and the whole
+    # distance path is JVM integer arithmetic — no Python anywhere
+    plan = plan_of(spark, "ann_sq8_topk")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "Broadcast" in plan
+
+
 def test_all_query_plans_no_cartesian_no_rowwise_python(spark):
     """Anti-pattern sweep over the ENTIRE query registry (VERDICT r5
     item 7): every plan must be free of CartesianProduct (unbounded
