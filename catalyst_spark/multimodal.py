@@ -870,6 +870,142 @@ def image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def _decode_gray_grid(payload: bytes):
+    """Best-available grayscale grid from the stdlib decode ladder:
+    full pixels for PNG/GIF, exact 8x8 block means for baseline JPEG
+    (the DC plane is already the box-filtered image pHash wants).
+    Returns (w, h, row-major values) or None."""
+    try:
+        return _png_decode_gray(payload)
+    except Exception:
+        pass
+    try:
+        return _gif_decode_gray(payload)
+    except Exception:
+        pass
+    try:
+        w, h, gw, gh, means = _jpeg_decode_gray_dc(payload)
+        use_w = min(max(1, (w + 7) // 8), gw)
+        use_h = min(max(1, (h + 7) // 8), gh)
+        grid = [means[y * gw + x] for y in range(use_h) for x in range(use_w)]
+        return use_w, use_h, grid
+    except Exception:
+        return None
+
+
+def _phash64(w: int, h: int, gray) -> int:
+    """64-bit perceptual hash (pHash, DCT method): box-resample the
+    grayscale to 32x32, 2D DCT-II, keep the 8x8 lowest-frequency block
+    minus the DC term, threshold each of the 63 coefficients at their
+    median (median-thresholding makes the bits invariant to global
+    brightness/contrast scaling). Returns a 63-bit int — always fits a
+    signed Spark long."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64).reshape(h, w)
+    n = 32
+    ys = (np.arange(n + 1) * h) // n
+    xs = (np.arange(n + 1) * w) // n
+    ys2 = np.maximum(ys[1:], ys[:-1] + 1)
+    xs2 = np.maximum(xs[1:], xs[:-1] + 1)
+    # area-average resample via prefix sums (vectorized, no pixel loop)
+    P = np.zeros((h + 1, w + 1))
+    P[1:, 1:] = g.cumsum(0).cumsum(1)
+    area = (ys2 - ys[:-1])[:, None] * (xs2 - xs[:-1])[None, :]
+    R = (
+        P[ys2][:, xs2] - P[ys2][:, xs[:-1]]
+        - P[ys[:-1]][:, xs2] + P[ys[:-1]][:, xs[:-1]]
+    ) / area
+    k = np.arange(n)
+    M = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    D = M @ R @ M.T
+    low = D[:8, :8].ravel()[1:]  # 63 coefficients, DC dropped
+    med = float(np.median(low))
+    bits = 0
+    for i, c in enumerate(low):
+        if c > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """image payloads -> 64-bit perceptual hash (media_id, phash).
+
+    The image-side near-dup primitive for a training-data pipeline:
+    re-encodes, format conversions, and mild brightness shifts keep a
+    small Hamming distance while distinct images land ~32 bits apart.
+    Decode rides the same stdlib ladder as image_features (PNG pixels,
+    GIF pixels, JPEG DC block means — the DC plane is exactly the
+    box-filtered input pHash starts from); undecodable payloads get an
+    honest null, never a fabricated hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                got = _decode_gray_grid(bytes(raw))
+                out.append({
+                    "media_id": mid,
+                    "phash": _phash64(got[0], got[1], got[2])
+                    if got is not None else None,
+                })
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return df.mapInPandas(run, PHASH_SCHEMA)
+
+
+def image_dup_pairs(phash_df: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Banded near-dup join over pHashes: split the 64-bit hash into 8
+    disjoint 8-bit bands, bucket-join on (band index, band value), and
+    verify candidates with an exact popcount — COMPLETE for Hamming
+    distance <= 7 by pigeonhole (8 bands, at most 7 differing bits
+    leave one band untouched), the same guarantee structure as
+    dedup_simhash_pairs on text. Never an all-pairs scan: candidates
+    are equi-join buckets, the verify is bit arithmetic on two longs.
+    """
+    from pyspark.sql import functions as F
+
+    h = phash_df.where(F.col("phash").isNotNull())
+    bands = h.select(
+        "media_id", "phash",
+        F.explode(F.expr(
+            "transform(sequence(0, 7), b ->"
+            " named_struct('b', b,"
+            "  'v', (phash div shiftleft(1L, b * 8)) % 256))"
+        )).alias("band"),
+    ).select("media_id", "phash", "band.b", "band.v")
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.b") == F.col("r.b")) & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("a_id"),
+            F.col("r.media_id").alias("b_id"),
+            F.col("l.phash").alias("ph_a"),
+            F.col("r.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(ph_a ^ ph_b)").cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    )
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
     """video payloads -> sampled frame rows (1 input row -> k rows).
 

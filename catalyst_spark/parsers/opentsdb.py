@@ -93,8 +93,20 @@ def parse_opentsdb(
     # (JVM lambda, no Python) — and truncating there; no match leaves
     # the body as-is, which fails the parse exactly like Go's
     # incomplete-JSON decode error.
+    #
+    # FAST PATH (r6: the char-fold dominated ingest at ~4.5k bodies/s;
+    # clean bodies are the overwhelming case): if the wrapped body
+    # already parses as a ONE-element JSON array, the object is
+    # followed by nothing but whitespace — exactly the case where
+    # truncation is a no-op — so the scan is skipped. The one-element
+    # check (not just "parses") keeps the quirk exact: trailing
+    # ',{...}' would wrap into a VALID 2-element array the Go decoder
+    # would never see; size != 1 routes it to the scan. CASE branches
+    # evaluate lazily, so dirty bodies alone pay the fold.
+    fast = F.size(F.from_json(
+        F.concat(F.lit("["), clean, F.lit("]")), _BASE)) == 1
     solo_end = F.expr(_MATCH_END)
-    clean = F.when(
+    clean = F.when(solo & fast, clean).when(
         solo & (solo_end > 0), F.substring(clean, 1, solo_end)
     ).otherwise(clean)
     as_array = F.when(solo, F.concat(F.lit("["), clean, F.lit("]"))).otherwise(clean)

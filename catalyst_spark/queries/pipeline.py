@@ -3275,8 +3275,14 @@ def window_overlap_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte hash + small source strings.
     """
     docs = load(spark, sf_dir, "documents")
+    # persist the shared window table (cache-manager plan identity, the
+    # window_decontaminate convention): this operator fronts the r6
+    # bench order, so ITS build is the one the rest of the window
+    # family reuses — lazy persist, single consumer branch, populated
+    # by the aggregation pass itself
+    win = _windowed(docs).persist()
     per_hash = (
-        _windowed(docs)
+        win
         .groupBy("h")
         .agg(F.array_sort(F.collect_set("source")).alias("slist"))
         .where(F.size("slist") >= 2)

@@ -188,6 +188,116 @@ def stream_pq_adc_topk(
     )
 
 
+SQ8_TOPK_SCHEMA = T.StructType([
+    T.StructField("q_id", T.LongType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("neighbor_id", T.LongType()),
+    T.StructField("sq_d2", T.LongType()),
+    T.StructField("n_seen", T.LongType()),   # monotone: latest = final
+])
+
+
+def sq8_static_index(spark: SparkSession, sf_dir: str):
+    """Train (one exact min/max aggregate) the SQ8 quantizer and return
+    (codes static DataFrame, mins list, rngs list). The range arrays
+    are model-sized (two 64-float lists) and ride into the stream plan
+    as one broadcast literal row."""
+    from catalyst_spark.queries.pipeline import _sq8_codes
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = v.select(F.posexplode("e").alias("d0", "x")).groupBy("d0").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).orderBy("d0").collect()
+    mins = [float(r["mn"]) for r in dims]
+    rngs = [float(r["mx"]) - float(r["mn"]) for r in dims]
+    return _sq8_codes(spark, sf_dir, v), mins, rngs
+
+
+def _sq8_topk_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Integer-distance variant of _topk_update: state and output carry
+    exact BIGINT distances, so the twin needs no rounding contract at
+    all — the emitted row IS the batch row."""
+    (q_id,) = key
+    ds, ns, n_seen = (state.get if state.exists else ([], [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    merged = pd.DataFrame({
+        "d2": pd.Series(list(ds) + cand["d2"].tolist(), dtype="int64"),
+        "n_id": pd.Series(list(ns) + cand["n_id"].tolist(), dtype="int64"),
+    })
+    merged = (
+        merged.sort_values(["d2", "n_id"], ignore_index=True)
+        .drop_duplicates("n_id", ignore_index=True)
+        .head(_TOPK)
+    )
+    n_seen = int(n_seen) + len(cand)
+    state.update((merged["d2"].tolist(), merged["n_id"].tolist(), n_seen))
+    yield pd.DataFrame({
+        "q_id": int(q_id),
+        "rank": range(1, len(merged) + 1),
+        "neighbor_id": merged["n_id"],
+        "sq_d2": merged["d2"],
+        "n_seen": n_seen,
+    })
+
+
+SQ8_STATE_SCHEMA = T.StructType([
+    T.StructField("ds", T.ArrayType(T.LongType())),
+    T.StructField("ns", T.ArrayType(T.LongType())),
+    T.StructField("n_seen", T.LongType()),
+])
+
+
+def stream_sq8_topk(
+    vec_stream: DataFrame, codes: DataFrame, mins: list, rngs: list
+) -> DataFrame:
+    """Online twin of the SQ8 rung (ann_sq8_topk): arriving queries
+    quantize with the SAME broadcast ranges and the same float sequence
+    as the batch encoder (bit-identical codes), the stream-static join
+    scores candidates with exact integer distance, and the bounded
+    top-k state converges to the batch top-5 exactly — integers end to
+    end, so this twin's equality contract is unconditional."""
+    spark = vec_stream.sparkSession
+    one = spark.createDataFrame(
+        [(mins, rngs)], "mins array<double>, rngs array<double>"
+    )
+    s = (
+        vec_stream.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .crossJoin(F.broadcast(one))
+        .select("q_id", F.expr(
+            "zip_with(zip_with(e, mins, (x, mn) -> x - mn), rngs,"
+            " (dx, rg) -> CASE WHEN rg = 0.0D THEN 0L ELSE"
+            " greatest(0L, least(255L,"
+            " cast(floor(dx * 255 / rg) as long))) END)"
+        ).alias("qc"))
+        .withColumn("jk", F.lit(1))
+    )
+    cstat = codes.withColumn("jk", F.lit(1))
+    d2 = F.expr(
+        "aggregate(zip_with(qc, c, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as long), (s, x) -> s + x)"
+    )
+    scored = (
+        s.join(cstat, "jk")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), d2.alias("d2"))
+    )
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _sq8_topk_update,
+        outputStructType=SQ8_TOPK_SCHEMA,
+        stateStructType=SQ8_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_ivfpq_topk(
     vec_stream: DataFrame,
     codes_cells: DataFrame,

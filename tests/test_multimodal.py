@@ -660,3 +660,82 @@ def test_no_fake_floats_left():
 
     src = inspect.getsource(mm)
     assert "_fake_floats" not in src
+
+
+# --- perceptual hash (pHash) image near-dup family ---
+
+def _phash_pixels(w=32, h=32, seed=1):
+    """Deterministic structured grayscale image: diagonal gradient plus
+    a seed-placed bright rectangle (structure, not noise — pHash is a
+    low-frequency hash, so the fixtures need low-frequency content)."""
+    px = []
+    rx, ry = 4 + (seed * 7) % 16, 4 + (seed * 11) % 16
+    for y in range(h):
+        for x in range(w):
+            v = (x * 160 // w + y * 80 // h) % 256
+            if rx <= x < rx + 8 and ry <= y < ry + 8:
+                v = min(255, v + 90)
+            px.append(v)
+    return px
+
+
+def test_phash_format_invariance_png_vs_gif():
+    """The same pixel grid encoded as grayscale PNG and as GIF with an
+    identity gray palette must hash IDENTICALLY — the hash is a pixel
+    function, not a container function."""
+    from catalyst_spark.multimodal import _decode_gray_grid, _phash64
+
+    px = _phash_pixels()
+    png = encode_png(px, 32, 32, color=0, filter_type=1)
+    gif = gif_bytes(px, 32, 32, [(v, v, v) for v in range(256)])
+    wp, hp, gp = _decode_gray_grid(png)
+    wg, hg, gg = _decode_gray_grid(gif)
+    assert (wp, hp) == (wg, hg) == (32, 32)
+    assert list(gp) == list(gg)
+    assert _phash64(wp, hp, gp) == _phash64(wg, hg, gg)
+
+
+def test_phash_near_dup_close_distinct_far():
+    from catalyst_spark.multimodal import _phash64
+
+    base = _phash_pixels(seed=1)
+    near = [min(255, v + 3) for v in base]      # mild brightness shift
+    other = _phash_pixels(seed=5)               # different structure
+    h_base = _phash64(32, 32, base)
+    h_near = _phash64(32, 32, near)
+    h_other = _phash64(32, 32, other)
+    d_near = bin(h_base ^ h_near).count("1")
+    d_other = bin(h_base ^ h_other).count("1")
+    assert d_near <= 7, d_near       # survives the banded join budget
+    assert d_other > 12, d_other     # distinct images stay far
+
+
+def test_image_phash_and_dup_pairs_operator(spark):
+    """End-to-end: planted near-dup pair found by the banded join,
+    distinct image excluded, undecodable payload -> honest null hash
+    (and silently absent from the pair join)."""
+    from pyspark.sql import Row
+
+    from catalyst_spark.multimodal import image_dup_pairs, image_phash
+
+    base = _phash_pixels(seed=1)
+    near = [min(255, v + 3) for v in base]
+    other = _phash_pixels(seed=5)
+    rows = [
+        Row(media_id=1, payload=bytearray(encode_png(base, 32, 32, color=0))),
+        Row(media_id=2, payload=bytearray(
+            gif_bytes(near, 32, 32, [(v, v, v) for v in range(256)]))),
+        Row(media_id=3, payload=bytearray(encode_png(other, 32, 32, color=0))),
+        Row(media_id=4, payload=bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert hashes[4] is None                       # honest null
+    assert None not in (hashes[1], hashes[2], hashes[3])
+    pairs = image_dup_pairs(image_phash(df)).collect()
+    assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] <= 7
+    # plan shape: bucket equi-join, never an all-pairs cartesian
+    plan = image_dup_pairs(image_phash(df))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
