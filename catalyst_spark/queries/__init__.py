@@ -110,6 +110,7 @@ _R6_FRONT = [
     # new in r6 — no driver row ever
     "ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall",
     "ann_sq8_topk", "ann_sq8_recall", "ivf_cell_stats",
+    "unigram_surprisal", "bigram_surprisal",
     # changed in r6 (code or oracle) — hard signal must follow the code
     "pq_distortion", "interval_coverage", "dedup_threshold_sensitivity",
     "ann_multiprobe_recall", "ann_ivfpq_topk", "ann_ivfpq_recall",
@@ -130,7 +131,7 @@ _R6_FRONT = [
     "dedup_prefix_filter", "dedup_clusters", "cusum_chunked",
     "holt_chunked", "cusum_changepoints", "seasonal_hourly_profile",
     # start of the untouched-r4 rotation (fills the window to 50)
-    "text_stats", "lang_id_confusion", "token_counts",
+    "text_stats",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R6_FRONT)

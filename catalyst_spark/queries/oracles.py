@@ -1385,6 +1385,44 @@ _HASH_ORACLES = {
     "ann_sq8_topk": _sq8_sql(),
     "ann_sq8_recall": _sq8_recall_sql(),
     "ivf_cell_stats": _ivf_cell_stats_sql(),
+    # exact-integer LM surprisal: bitlen(x) = length of the binary
+    # repr — Spark's length(bin(x)), DuckDB's length(printf('%b', x))
+    "unigram_surprisal": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        cnt AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        tot AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(printf('%b', tot.n))
+                        - length(printf('%b', c.c))) AS BIGINT)
+                 AS total_bits,
+               CAST((CAST(SUM(length(printf('%b', tot.n))
+                        - length(printf('%b', c.c))) AS BIGINT) * 1000)
+                    // COUNT(*) AS BIGINT) AS mbits_per_token
+        FROM toks t JOIN cnt c USING (w), tot
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    "bigram_surprisal": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+                   FROM documents),
+        bgi AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM t),
+        bg AS (SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS b
+               FROM bgi),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(length(printf('%b', c1.c1))
+                        - length(printf('%b', cb.cb))) AS BIGINT)
+                 AS total_bits,
+               CAST((CAST(SUM(length(printf('%b', c1.c1))
+                        - length(printf('%b', cb.cb))) AS BIGINT) * 1000)
+                    // COUNT(*) AS BIGINT) AS mbits_per_bigram
+        FROM bg g JOIN cb USING (b) JOIN c1 USING (w1)
+        GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
     "pq_distortion": _pq_distortion_sql(),
     "semdedup_ivf": _semdedup_sql(),
     "text_simhash": _SIMHASH_SQL + " ORDER BY doc_id",

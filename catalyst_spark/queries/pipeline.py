@@ -3616,6 +3616,104 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score, exact-integer form: per-doc mean
+    unigram surprisal in milli-bits per token. The per-token surprisal
+    -log2 p(w) = log2(N / count(w)) is floored to the INTEGER
+    bit-length difference bitlen(N) - bitlen(count) — a deliberate
+    integer approximation (error < 1 bit/token, monotone in count up
+    to bit boundaries) chosen so the corpus-wide aggregate is
+    order-free and engine-exact: the score ranks rare-token-heavy docs
+    (the perplexity-filter signal in a pretraining pipeline) with no
+    float log anywhere.
+
+    Plan: one token-count aggregate (vocabulary-sized), tokens re-join
+    their counts (map-side-combinable groupBy per doc after), the
+    corpus total rides in as a broadcast one-row aggregate. Tokens
+    join on the raw (short) token string — the count table is
+    vocabulary-sized, so this is a hash join on small keys, not a
+    data-volume concern.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.length(F.expr("bin(n)")) - F.length(F.expr("bin(c)")))
+            .cast("long").alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("total_bits"),
+        )
+        .select(
+            "doc_id", "n_tokens", "total_bits",
+            F.expr("(total_bits * 1000) div n_tokens")
+            .alias("mbits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (bigram) surprisal in the same exact-integer form:
+    per-doc mean of bitlen(c(w1·)) - bitlen(c(w1 w2)) over consecutive
+    token pairs — the integer floor of -log2 p(w2|w1) with c(w1·) the
+    bigram-first count. Catches locally-incoherent text that unigram
+    frequencies miss (every word common, transitions rare): the
+    repetition/fluency filter signal. Docs under 2 tokens emit no
+    bigram and are absent, matching the oracle row-for-row.
+
+    Plan: one bigram-count aggregate + one first-token-count aggregate
+    (both vocabulary²-bounded), pairs re-join both, per-doc aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.explode(F.expr(
+            f"transform(sequence(1, greatest(1, {N_TOKENS} - 1)),"
+            f" i -> named_struct('w1', element_at({TOKENS}, i),"
+            f" 'b', concat(element_at({TOKENS}, i), ' ',"
+            f" element_at({TOKENS}, i + 1))))"
+        )).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"),
+                F.col("p.b").alias("b"))
+        # a 1-token doc yields one pair with a NULL bigram (element_at
+        # past the end) — dropped here, matching the oracle's empty
+        # range() for such docs
+        .where(F.col("b").isNotNull())
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(cb, "b").join(c1, "w1")
+        .select(
+            "doc_id",
+            (F.length(F.expr("bin(c1)")) - F.length(F.expr("bin(cb)")))
+            .cast("long").alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").alias("total_bits"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "total_bits",
+            F.expr("(total_bits * 1000) div n_bigrams")
+            .alias("mbits_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def doc_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length distribution (chars): exact
     interpolated p25/p50/p75/p95 plus count — the corpus-shape report
@@ -3705,6 +3803,8 @@ PIPELINE_QUERIES = {
     "domain_cap_sample": domain_cap_sample,
     "doc_length_quartiles_by_source": doc_length_quartiles_by_source,
     "truncation_stats": truncation_stats,
+    "unigram_surprisal": unigram_surprisal,
+    "bigram_surprisal": bigram_surprisal,
     "dedup_cluster_size_hist": dedup_cluster_size_hist,
     "dedup_threshold_sensitivity": dedup_threshold_sensitivity,
     "quality_survival_curve": quality_survival_curve,
