@@ -110,7 +110,7 @@ _R6_FRONT = [
     # new in r6 — no driver row ever
     "ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall",
     "ann_sq8_topk", "ann_sq8_recall", "ivf_cell_stats",
-    "unigram_surprisal", "bigram_surprisal",
+    "unigram_surprisal", "bigram_surprisal", "semdedup_keep_one",
     # changed in r6 (code or oracle) — hard signal must follow the code
     "pq_distortion", "interval_coverage", "dedup_threshold_sensitivity",
     "ann_multiprobe_recall", "ann_ivfpq_topk", "ann_ivfpq_recall",
@@ -130,11 +130,24 @@ _R6_FRONT = [
     # driver row (VERDICT r5 missing item 1)
     "dedup_prefix_filter", "dedup_clusters", "cusum_chunked",
     "holt_chunked", "cusum_changepoints", "seasonal_hourly_profile",
-    # start of the untouched-r4 rotation (fills the window to 50)
-    "text_stats",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R6_FRONT)
+
+# r7 rotation plan (next round): the r6 window was consumed by 8 new
+# operators + every r6 code/oracle change + the whole r3-era tail, so
+# the untouched-r4 set is still waiting — front (with driver rows last
+# green in r4): text_stats, lang_id_confusion, token_counts,
+# doc_fingerprint, approx_topk_tokens, dedup_keep_best, dedup_keep_one,
+# window_decontaminate, window_selfdup_spans, boilerplate_spans,
+# near_dup_source_matrix, near_dup_pagerank, ann_ivf_topk,
+# ann_recall_at_5, sessionize, ts_rate, counter_rate, ewma_smooth,
+# robust_outliers, incremental_rollup_merge, equi_depth_bins,
+# lag_features, user_growth_curve, histogram_quantile,
+# holt_linear_smooth, distinct_sketch, hll_distinct_sketch,
+# percentile_sketch, range_join_events, session_cooccurrence,
+# path_transitions, q1-q8 + q19 relational — plus whatever r7 changes
+# or adds.
 
 __all__ = [
     "RELATIONAL_QUERIES",

@@ -1345,6 +1345,49 @@ def _ivf_cell_stats_sql() -> str:
     """
 
 
+def _semdedup_keep_one_sql() -> str:
+    """Oracle twin of pipeline.semdedup_keep_one: the semdedup pair set
+    (unrolled k-means + in-cell cosine pairs) fed through a recursive
+    min-reachable-id CC, survivors = corpus minus cluster losers."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS
+
+    last_c = f"c{_KMEANS_ITERS}"
+    body = _kmeans_sql()
+    assert body.startswith("WITH ")
+    body = "WITH RECURSIVE " + body[len("WITH "):]
+    return body + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        assign AS (SELECT vec_id, c_id FROM dist WHERE rn = 1),
+        nv AS (
+          SELECT v.vec_id, v.e, sqrt(list_dot_product(v.e, v.e)) AS nrm,
+                 a.c_id
+          FROM v JOIN assign a USING (vec_id)),
+        sp AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM nv a JOIN nv b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM sp
+          UNION
+          SELECT b_id AS u, a_id AS v FROM sp),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u),
+        lab AS (SELECT u AS vec_id, MIN(r) AS label FROM reach GROUP BY u)
+        SELECT v.vec_id FROM v
+        WHERE v.vec_id NOT IN
+          (SELECT vec_id FROM lab WHERE vec_id != label)
+        ORDER BY v.vec_id
+    """
+
+
 def _semdedup_sql() -> str:
     """Unrolled k-means + assignment + in-cell pair scan — the oracle
     twin of pipeline.semdedup_ivf."""
@@ -1385,6 +1428,7 @@ _HASH_ORACLES = {
     "ann_sq8_topk": _sq8_sql(),
     "ann_sq8_recall": _sq8_recall_sql(),
     "ivf_cell_stats": _ivf_cell_stats_sql(),
+    "semdedup_keep_one": _semdedup_keep_one_sql(),
     # exact-integer LM surprisal: bitlen(x) = length of the binary
     # repr — Spark's length(bin(x)), DuckDB's length(printf('%b', x))
     "unigram_surprisal": """

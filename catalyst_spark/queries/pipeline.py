@@ -2165,6 +2165,30 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: connected components over the within-cell
+    cosine pairs (semdedup_ivf, cos >= 0.4), keep the LOWEST vec_id per
+    semantic cluster, emit the surviving corpus — the materialization
+    step that turns semantic near-dup PAIRS into the deduplicated
+    embedding table a training run actually consumes (the text family
+    has dedup_keep_one; this is its embedding-space counterpart, so a
+    reference user can run semantic dedup end to end).
+
+    Reuses the shared CC label machinery (_cc_labels: iterative
+    min-label propagation with localCheckpoint lineage cuts) on the
+    semantic edge set; survivors are an anti-join of the corpus
+    against cluster losers. Oracle: recursive-CTE min-reachable-id
+    over the same unrolled-k-means pair set.
+    """
+    pairs = semdedup_ivf(spark, sf_dir).select("a_id", "b_id")
+    labels = _cc_labels(spark, pairs)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    losers = labels.where(F.col("doc_id") != F.col("label")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(losers, "vec_id", "left_anti").orderBy("vec_id")
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup: signed-random-projection LSH.
 
@@ -3273,6 +3297,13 @@ def window_overlap_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is bounded by the source count (collect_set dedups in the
     aggregation buffer), and no shuffle ever carries more than an
     8-byte hash + small source strings.
+
+    Measured after the rewrite (bench scale section, r6): 0.79 s ->
+    1.67 s at 10x rows = 2.11x, output constant at 142 pairs — the
+    residue over linear is the fixed per-job overhead on a sub-2 s
+    query, not the join (cold standalone runs measured the 10x corpus
+    FASTER than 1x, 1.77 s vs 2.24 s, because the larger input
+    parallelizes the single-file 1x scan).
     """
     docs = load(spark, sf_dir, "documents")
     # persist the shared window table (cache-manager plan identity, the
@@ -3838,6 +3869,7 @@ PIPELINE_QUERIES = {
     "ann_sq8_topk": ann_sq8_topk,
     "ann_sq8_recall": ann_sq8_recall,
     "ivf_cell_stats": ivf_cell_stats,
+    "semdedup_keep_one": semdedup_keep_one,
     "pq_distortion": pq_distortion,
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
