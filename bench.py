@@ -101,6 +101,9 @@ _SCALE_QUERIES = (
     # residual encoding adds a broadcast-centroid zip_with per scan and
     # per-(query, cell) LUTs — same cell-pruned shape, measured at 10x
     "ann_ivfpq_residual_topk",
+    # the LM-scoring family shuffles one (token, count) stream — the
+    # text-volume surface after windows; measured at 10x
+    "unigram_surprisal",
 )
 
 
