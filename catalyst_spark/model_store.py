@@ -53,7 +53,8 @@ def _sf_tag(sf_dir: str) -> str:
     return str(sf_dir).strip("/").replace("/", "_")
 
 
-def _meta_ok(meta_path: Path, fingerprint: list[int]) -> bool:
+def _meta_ok(meta_path: Path, fingerprint: list[int],
+             params: dict | None = None) -> bool:
     try:
         meta = json.loads(meta_path.read_text())
     except (OSError, ValueError):
@@ -61,15 +62,36 @@ def _meta_ok(meta_path: Path, fingerprint: list[int]) -> bool:
     return (
         meta.get("version") == _FORMAT_VERSION
         and meta.get("fingerprint") == list(fingerprint)
+        and meta.get("params") == (params or {})
     )
 
 
-def _write_meta(meta_path: Path, fingerprint: list[int]) -> None:
+def _write_meta(meta_path: Path, fingerprint: list[int],
+                params: dict | None = None) -> None:
     tmp = meta_path.with_suffix(f".tmp-{uuid.uuid4().hex}")
-    tmp.write_text(json.dumps(
-        {"version": _FORMAT_VERSION, "fingerprint": list(fingerprint)}
-    ))
+    tmp.write_text(json.dumps({
+        "version": _FORMAT_VERSION,
+        "fingerprint": list(fingerprint),
+        "params": params or {},
+    }))
     os.replace(tmp, meta_path)
+
+
+def _train_params() -> dict:
+    """Model hyperparameters baked into every artifact's metadata: the
+    data fingerprint catches regenerated DATA, but a CODE change to the
+    training constants (k, Lloyd iterations, PQ geometry) would
+    otherwise serve a stale model that no longer matches the oracle's
+    unrolled replay. Any mismatch retrains and overwrites."""
+    from catalyst_spark.queries.pipeline import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _LSH_DIM,
+        _PQ_M,
+    )
+
+    return {"k": _KMEANS_K, "iters": _KMEANS_ITERS,
+            "dim": _LSH_DIM, "pq_m": _PQ_M}
 
 
 def embeddings_fingerprint(v) -> list[int]:
@@ -97,7 +119,7 @@ def load_kmeans(sf_dir: str, tag: str, fingerprint: list[int]):
     base = model_root() / _sf_tag(sf_dir)
     data = base / f"kmeans_{tag}.parquet"
     if not data.exists() or not _meta_ok(
-        base / f"kmeans_{tag}.json", fingerprint
+        base / f"kmeans_{tag}.json", fingerprint, _train_params()
     ):
         return None
     t = pq.read_table(data)
@@ -130,7 +152,7 @@ def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids) -> None:
     tmp = data.with_suffix(f".tmp-{uuid.uuid4().hex}")
     pq.write_table(t, tmp)
     os.replace(tmp, data)
-    _write_meta(base / f"kmeans_{tag}.json", fingerprint)
+    _write_meta(base / f"kmeans_{tag}.json", fingerprint, _train_params())
 
 
 def codes_path(sf_dir: str, name: str = "pq_codes") -> Path:
@@ -144,7 +166,7 @@ def load_codes(spark, sf_dir: str, fingerprint: list[int],
     "pq_codes" vs residual "rpq_codes")."""
     path = codes_path(sf_dir, name)
     if not path.exists() or not _meta_ok(
-        path.parent / f"{name}.json", fingerprint
+        path.parent / f"{name}.json", fingerprint, _train_params()
     ):
         return None
     return spark.read.parquet(str(path))
@@ -159,4 +181,4 @@ def save_codes(codes_df, sf_dir: str, fingerprint: list[int],
     if path.exists():
         shutil.rmtree(path)
     os.replace(tmp, path)
-    _write_meta(path.parent / f"{name}.json", fingerprint)
+    _write_meta(path.parent / f"{name}.json", fingerprint, _train_params())

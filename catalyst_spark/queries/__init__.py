@@ -146,8 +146,10 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R6_FRONT)
 # lag_features, user_growth_curve, histogram_quantile,
 # holt_linear_smooth, distinct_sketch, hll_distinct_sketch,
 # percentile_sketch, range_join_events, session_cooccurrence,
-# path_transitions, q1-q8 + q19 relational — plus whatever r7 changes
-# or adds.
+# path_transitions, q1-q8 + q19 relational — PLUS the r6 additions
+# that missed the full r6 window and have no driver row yet:
+# ann_sq8_ivf_topk, ann_sq8_ivf_recall (local-sweep green in
+# CORRECTNESS_local_r6.json) — plus whatever r7 changes or adds.
 
 __all__ = [
     "RELATIONAL_QUERIES",

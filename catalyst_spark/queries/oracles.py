@@ -1252,34 +1252,44 @@ def _pq_distortion_sql() -> str:
     )
 
 
-def _sq8_ctes() -> str:
+def _sq8_code_ctes(with_header: bool = True) -> str:
     """SQ8 quantizer CTEs (oracle twin of pipeline._sq8_codes): exact
     per-dimension MIN/MAX (order-free aggregates — no eps argument
     needed anywhere in this rung) and the same (sub, *255, /range,
     floor, clamp) float sequence as the Spark encode expression, so
-    codes agree bit-exactly; everything downstream is integers."""
+    codes agree bit-exactly; everything downstream is integers.
+    with_header=False omits WITH/v/dims so the block appends after
+    _kmeans_sql (whose v and 1..64 dims CTEs are reused verbatim)."""
     from catalyst_spark.queries.pipeline import _LSH_DIM
 
-    return f"""
+    header = f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
                    FROM embeddings),
-        dims AS (SELECT unnest(range(1, {_LSH_DIM + 1})) AS d),
+        dims AS (SELECT unnest(range(1, {_LSH_DIM + 1})) AS d),""" \
+        if with_header else ""
+    return header + """
         mm AS (SELECT d, MIN(e[d]) AS mn, MAX(e[d]) AS mx
                FROM v, dims GROUP BY d),
-        codes AS (
+        sq8codes AS (
           SELECT v.vec_id,
                  list(CASE WHEN mx = mn THEN 0
                       ELSE GREATEST(0, LEAST(255,
                            CAST(floor((e[d] - mn) * 255 / (mx - mn))
                                 AS BIGINT)))
                       END ORDER BY d) AS c
-          FROM v, mm GROUP BY v.vec_id),
+          FROM v, mm GROUP BY v.vec_id),"""
+
+
+def _sq8_ctes() -> str:
+    from catalyst_spark.queries.pipeline import _LSH_DIM
+
+    return _sq8_code_ctes() + f"""
         s AS (
           SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
                  CAST(list_sum(list_transform(range(1, {_LSH_DIM + 1}),
                       d -> (q.c[d] - n.c[d]) * (q.c[d] - n.c[d])))
                       AS BIGINT) AS d2
-          FROM codes q JOIN codes n ON q.vec_id != n.vec_id
+          FROM sq8codes q JOIN sq8codes n ON q.vec_id != n.vec_id
           WHERE q.vec_id % 50 = 0),
         sqrank AS (
           SELECT q_id, neighbor_id, d2,
@@ -1319,6 +1329,79 @@ def _sq8_recall_sql() -> str:
                ROUND(COUNT(sq.n_id) / 5.0, 2) AS recall_at_5
         FROM brute b
         LEFT JOIN sq ON sq.q_id = b.q_id AND sq.n_id = b.neighbor_id
+        GROUP BY b.q_id ORDER BY b.q_id
+    """
+
+
+def _sq8_ivf_ctes() -> str:
+    """Shared CTEs for the IVF+SQ8 oracles (oracle twin of
+    pipeline.ann_sq8_ivf_topk): unrolled coarse k-means (v + dims
+    reused by the SQ8 block) + bit-exact SQ8 codes + top-2 probes,
+    top-1 members, in-cell candidates, integer rank."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS, _LSH_DIM
+
+    last_c = f"c{_KMEANS_ITERS}"
+    return _kmeans_sql() + _sq8_code_ctes(with_header=False) + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        members AS (SELECT vec_id AS n_id, c_id FROM dist WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id
+          FROM dist WHERE rn <= 2 AND vec_id % 50 = 0),
+        cand AS (
+          SELECT DISTINCT p.q_id, m.n_id
+          FROM probes p JOIN members m USING (c_id)
+          WHERE m.n_id != p.q_id),
+        sqirank AS (
+          SELECT ca.q_id, ca.n_id,
+                 CAST(list_sum(list_transform(range(1, {_LSH_DIM + 1}),
+                      d -> (q.c[d] - n.c[d]) * (q.c[d] - n.c[d])))
+                      AS BIGINT) AS d2,
+                 ROW_NUMBER() OVER (PARTITION BY ca.q_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, {_LSH_DIM + 1}),
+                        d -> (q.c[d] - n.c[d]) * (q.c[d] - n.c[d])))
+                        AS BIGINT), ca.n_id) AS rnk
+          FROM cand ca
+          JOIN sq8codes q ON q.vec_id = ca.q_id
+          JOIN sq8codes n ON n.vec_id = ca.n_id)"""
+
+
+def _sq8_ivf_sql() -> str:
+    return _sq8_ivf_ctes() + """
+        SELECT q_id, rnk AS "rank", n_id AS neighbor_id, d2 AS sq_d2
+        FROM sqirank WHERE rnk <= 5 ORDER BY q_id, "rank"
+    """
+
+
+def _sq8_ivf_recall_sql() -> str:
+    """Oracle twin of pipeline.ann_sq8_ivf_recall: IVF+SQ8 top-5 graded
+    against the exact brute-force top-5."""
+    return _sq8_ivf_ctes() + """,
+        sqi AS (SELECT q_id, n_id FROM sqirank WHERE rnk <= 5),
+        nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        sb AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        brute AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id)
+                     AS rnk
+            FROM sb) t
+          WHERE rnk <= 5)
+        SELECT b.q_id,
+               COUNT(sqi.n_id) AS hits,
+               ROUND(COUNT(sqi.n_id) / 5.0, 2) AS recall_at_5
+        FROM brute b
+        LEFT JOIN sqi ON sqi.q_id = b.q_id AND sqi.n_id = b.neighbor_id
         GROUP BY b.q_id ORDER BY b.q_id
     """
 
@@ -1427,6 +1510,8 @@ _HASH_ORACLES = {
     "ann_ivfpq_residual_recall": _rivfpq_recall_sql(),
     "ann_sq8_topk": _sq8_sql(),
     "ann_sq8_recall": _sq8_recall_sql(),
+    "ann_sq8_ivf_topk": _sq8_ivf_sql(),
+    "ann_sq8_ivf_recall": _sq8_ivf_recall_sql(),
     "ivf_cell_stats": _ivf_cell_stats_sql(),
     "semdedup_keep_one": _semdedup_keep_one_sql(),
     # exact-integer LM surprisal: bitlen(x) = length of the binary

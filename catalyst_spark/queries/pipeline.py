@@ -2141,6 +2141,80 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined IVF + SQ8 — the near-exact production index shape
+    (coarse cells bound rows touched, byte codes bound bytes per row,
+    and the in-cell scan is EXACT integer arithmetic on the codes):
+    probe nprobe=2 learned cells, scan only in-cell SQ8 codes with
+    integer squared distance. Complements IVF-PQ: 8x compression with
+    SQ8's near-exact ordering instead of 64x with codebook distortion
+    — the knob a deployment turns when recall matters more than RAM.
+
+    Parity: cell assignment/probing inherits the k-means ladder's
+    (distance, c_id) conventions; everything after the probe is
+    integer-exact (SQ8 codes are bit-identical across engines — the
+    quantizer trainer is an order-free min/max aggregate).
+
+    Plan: candidates are a hash equi-join on c_id; the 50-row probe
+    code table broadcasts; distance is a JVM integer fold; no float
+    and no raw vector anywhere after assignment.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    members = _coarse_assign(spark, sf_dir, v).select(
+        F.col("vec_id").alias("n_id"), "c_id"
+    )
+    probes = _probe_top2(spark, sf_dir, v)
+    cand = (
+        probes.join(members, "c_id")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    codes = _sq8_codes(spark, sf_dir, v)
+    qs = codes.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("c").alias("qc")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qc, c, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as long), (s, x) -> s + x)"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sq_d2").asc(), F.col("n_id"))
+    return (
+        cand.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .join(F.broadcast(qs), "q_id")
+        .withColumn("sq_d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
+                "sq_d2")
+        .orderBy("q_id", "rank")
+    )
+
+
+def ann_sq8_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of IVF+SQ8 against the exact brute-force
+    baseline — read with ann_sq8_recall (quantization alone) and
+    ann_multiprobe_recall (pruning alone): at this rung nearly all
+    remaining loss is cell pruning, which is precisely the property
+    that makes IVF+SQ8 the high-recall deployment choice."""
+    sq = ann_sq8_ivf_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        brute.join(sq, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
 def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-health report for the trained coarse quantizer: per-cell
     member count and integer-permille share of the corpus. Cell
@@ -3882,6 +3956,8 @@ PIPELINE_QUERIES = {
     "ann_ivfpq_residual_recall": ann_ivfpq_residual_recall,
     "ann_sq8_topk": ann_sq8_topk,
     "ann_sq8_recall": ann_sq8_recall,
+    "ann_sq8_ivf_topk": ann_sq8_ivf_topk,
+    "ann_sq8_ivf_recall": ann_sq8_ivf_recall,
     "ivf_cell_stats": ivf_cell_stats,
     "semdedup_keep_one": semdedup_keep_one,
     "pq_distortion": pq_distortion,

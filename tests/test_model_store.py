@@ -90,6 +90,24 @@ def test_stale_fingerprint_is_ignored(spark, fresh_store):
     assert model_store.load_codes(spark, SF_DIR, stale) is None
 
 
+def test_changed_train_params_invalidate_stored_model(
+    spark, fresh_store, monkeypatch
+):
+    """The data fingerprint catches regenerated DATA; the params block
+    must catch changed TRAINING CODE — a future bump to the Lloyd
+    iteration count may never serve a model trained by the old code."""
+    import catalyst_spark.queries.pipeline as P
+    from catalyst_spark import model_store
+
+    v = _vec(spark)
+    fp = model_store.embeddings_fingerprint(v)
+    P._cached_kmeans(spark, SF_DIR, v, "full")
+    assert model_store.load_kmeans(SF_DIR, "full", fp) is not None
+    monkeypatch.setattr(P, "_KMEANS_ITERS", P._KMEANS_ITERS + 1)
+    assert model_store.load_kmeans(SF_DIR, "full", fp) is None
+    assert model_store.load_codes(spark, SF_DIR, fp) is None
+
+
 def test_kmeans_parquet_roundtrip_exact(tmp_path, monkeypatch):
     from catalyst_spark import model_store
 
