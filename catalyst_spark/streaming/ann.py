@@ -298,6 +298,98 @@ def stream_sq8_topk(
     )
 
 
+def sq8_ivf_static_index(spark: SparkSession, sf_dir: str):
+    """The IVF+SQ8 serving artifacts: SQ8 codes joined with their
+    coarse cell (one hash join against the persisted assignment), the
+    quantizer ranges, and the coarse centroid entries — the stream side
+    equi-joins on c_id and scores integers only."""
+    from catalyst_spark.queries.pipeline import (
+        _cached_kmeans,
+        _coarse_assign,
+        _sq8_codes,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = v.select(F.posexplode("e").alias("d0", "x")).groupBy("d0").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).orderBy("d0").collect()
+    mins = [float(r["mn"]) for r in dims]
+    rngs = [float(r["mx"]) - float(r["mn"]) for r in dims]
+    codes_cells = _sq8_codes(spark, sf_dir, v).join(
+        _coarse_assign(spark, sf_dir, v), "vec_id"
+    )
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    coarse = [(int(cids[i]), [float(x) for x in C[i]])
+              for i in range(len(cids))]
+    return codes_cells, mins, rngs, coarse
+
+
+def stream_sq8_ivf_topk(
+    vec_stream: DataFrame,
+    codes_cells: DataFrame,
+    mins: list,
+    rngs: list,
+    coarse_entries: list,
+) -> DataFrame:
+    """Online twin of the IVF+SQ8 rung (ann_sq8_ivf_topk): arriving
+    queries probe their nprobe=2 coarse cells with the broadcast
+    centroids (struct sort = the batch (distance, c_id) tie order),
+    quantize with the broadcast ranges bit-identically to the batch
+    encoder, and score ONLY the probed cells' byte codes with exact
+    integer distance — the equality contract is unconditional after
+    the probe, and the replay test (incl. re-delivery) pins the whole
+    pipeline. State: 5 (d2, n_id) pairs per query."""
+    spark = vec_stream.sparkSession
+    one = spark.createDataFrame(
+        [(mins, rngs, coarse_entries)],
+        "mins array<double>, rngs array<double>,"
+        " coarse array<struct<c_id: bigint, ce: array<double>>>",
+    )
+    cd = (
+        _PQ_DOT.format(a="e", b="e")
+        + " - 2 * " + _PQ_DOT.format(a="e", b="c.ce")
+        + " + " + _PQ_DOT.format(a="c.ce", b="c.ce")
+    )
+    s = (
+        vec_stream.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .crossJoin(F.broadcast(one))
+        .withColumn("qc", F.expr(
+            "zip_with(zip_with(e, mins, (x, mn) -> x - mn), rngs,"
+            " (dx, rg) -> CASE WHEN rg = 0.0D THEN 0L ELSE"
+            " greatest(0L, least(255L,"
+            " cast(floor(dx * 255 / rg) as long))) END)"
+        ))
+        .withColumn("c_id", F.explode(F.expr(
+            "transform(slice(array_sort(transform(coarse,"
+            f" c -> struct({cd} AS d, c.c_id AS c_id))), 1, 2),"
+            " x -> x.c_id)"
+        )))
+        .select("q_id", "qc", "c_id")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qc, c, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as long), (s, x) -> s + x)"
+    )
+    scored = (
+        s.join(codes_cells, "c_id")  # stream-static equi-join: probed cells only
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), d2.alias("d2"))
+    )
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _sq8_topk_update,
+        outputStructType=SQ8_TOPK_SCHEMA,
+        stateStructType=SQ8_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_ivfpq_topk(
     vec_stream: DataFrame,
     codes_cells: DataFrame,

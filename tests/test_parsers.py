@@ -637,3 +637,78 @@ class TestConnectionFraming:
         assert by_name["app.gpu"]["value_l"] == 4
         assert by_name["m"]["token"] == "T2"
         assert by_name["app.mem"]["ts"] == 1546420309 * 1_000_000
+
+
+class TestBenchIngestCorpora:
+    """The bench's five ingest-throughput figures are only meaningful if
+    every synthesized line/body parses cleanly — a silent parse_error
+    row would still count toward lines/sec. Pin zero errors for each
+    synthesizer shape (same expressions as bench.py, small slice)."""
+
+    def test_all_five_synthesized_corpora_parse_clean(self, spark):
+        from pyspark.sql import functions as F
+
+        from catalyst_spark.parsers import (
+            parse_graphite,
+            parse_influx,
+            parse_opentsdb,
+            parse_prom_text,
+            parse_remote_write,
+        )
+        from catalyst_spark.parsers.wire import (
+            encode_write_request,
+            snappy_compress,
+        )
+        from catalyst_spark.tables import load
+        from tests.conftest import SF_DIR
+
+        events = load(spark, SF_DIR, "events").limit(200)
+
+        def n_err(df):
+            return df.where(F.col("parse_error").isNotNull()).count()
+
+        g = events.select(F.concat_ws(
+            " ",
+            F.concat(F.lit("evt."), F.col("event_type"), F.lit(";user="),
+                     F.col("user_id").cast("string")),
+            F.col("value").cast("string"),
+            F.unix_millis(F.col("ts")).cast("string")).alias("line"))
+        assert n_err(parse_graphite(g)) == 0
+
+        i = events.select(F.concat(
+            F.lit("evt,type="), F.col("event_type"),
+            F.lit(",user="), F.col("user_id").cast("string"),
+            F.lit(" value="), F.col("value").cast("string"), F.lit(",n=1i"),
+            F.lit(" "), (F.unix_micros("ts") * 1000).cast("string"),
+        ).alias("line"))
+        assert n_err(parse_influx(i, now_ns=0)) == 0
+
+        o = events.select(F.concat(
+            F.lit('{"metric":"evt.'), F.col("event_type"),
+            F.lit('","timestamp":'), F.unix_millis("ts").cast("string"),
+            F.lit(',"value":'), F.col("value").cast("string"),
+            F.lit(',"tags":{"user":"'), F.col("user_id").cast("string"),
+            F.lit('"}}')).alias("body"))
+        assert n_err(parse_opentsdb(o, now_us=0)) == 0
+
+        p = events.select(F.concat(
+            F.lit("evt_"), F.col("event_type"),
+            F.lit('{user="'), F.col("user_id").cast("string"),
+            F.lit('"} '), F.col("value").cast("string"),
+            F.lit(" "), F.unix_millis("ts").cast("string")).alias("line"))
+        assert n_err(parse_prom_text(p, now_us=0)) == 0
+
+        rows = events.select(
+            "event_type", "user_id", "value",
+            F.unix_millis("ts").alias("ms")).collect()
+        series: dict = {}
+        for r in rows:
+            series.setdefault((r["event_type"], int(r["user_id"]) % 8),
+                              []).append((float(r["value"]), int(r["ms"])))
+        body = snappy_compress(encode_write_request([
+            {"labels": {"__name__": f"evt_{t}", "user": str(u)},
+             "samples": s} for (t, u), s in series.items()]))
+        rw = spark.createDataFrame([(bytearray(body),)] * 4, "body binary")
+        parsed = parse_remote_write(rw)
+        assert n_err(parsed) == 0
+        assert parsed.count() == 4 * len(rows)

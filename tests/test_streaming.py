@@ -832,6 +832,58 @@ def test_stream_sq8_topk_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_sq8_ivf_topk_matches_batch(spark, tmp_path):
+    """Streaming IVF+SQ8 twin: coarse probe with broadcast centroids +
+    integer in-cell scan over the codes-with-cell static table must
+    converge to ann_sq8_ivf_topk exactly over a replay with one batch
+    fully RE-DELIVERED."""
+    import json
+
+    from catalyst_spark.queries.pipeline import ann_sq8_ivf_topk
+    from catalyst_spark.streaming.ann import (
+        sq8_ivf_static_index,
+        stream_sq8_ivf_topk,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["sq_d2"])
+            for r in ann_sq8_ivf_topk(spark, SF_DIR).collect()}
+    assert want
+
+    codes_cells, mins, rngs, coarse = sq8_ivf_static_index(spark, SF_DIR)
+    probes = (load(spark, SF_DIR, "embeddings")
+              .where("vec_id % 50 = 0")
+              .selectExpr("vec_id", "cast(embedding as array<double>)"
+                          " as embedding").collect())
+    d = tmp_path / "sq8ivf_stream"
+    d.mkdir()
+    half = max(1, len(probes) // 2)
+    batches = [probes[:half], probes[half:], probes[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": list(r["embedding"])})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_sq8_ivf_topk(stream, codes_cells, mins, rngs, coarse)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("sq8ivf_stream_topk").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from sq8ivf_stream_topk").collect()
+    latest = {}
+    for r in rows:
+        k = (r["q_id"], r["rank"])
+        if k not in latest or r["n_seen"] > latest[k][0]:
+            latest[k] = (r["n_seen"], r["neighbor_id"], r["sq_d2"])
+    got = {k: (v[1], v[2]) for k, v in latest.items()}
+    assert got == want
+
+
 def test_stream_interval_coverage_matches_batch(spark, tmp_path):
     """Online interval-union coverage with five BIGINTs of keyed state
     must converge to the batch gaps-and-islands result exactly over a
