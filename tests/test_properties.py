@@ -408,3 +408,28 @@ def test_cross_format_roundtrip_prom(spark):
         _run_xformat(spark, series, dotted=False)
 
     prop()
+
+
+# --- pHash exact invariants: a global brightness SHIFT only moves the
+# DC coefficient (dropped), and a positive contrast SCALE multiplies
+# every retained coefficient AND their median by the same factor — so
+# both leave all 63 threshold comparisons, hence the hash, EXACTLY
+# unchanged (no tolerance needed; these are identities of the DCT). ---
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    shift=st.floats(-1000, 1000, allow_nan=False),
+    scale=st.floats(0.01, 100, allow_nan=False),
+)
+def test_phash_shift_and_scale_invariance(seed, shift, scale):
+    import numpy as np
+
+    from catalyst_spark.multimodal import _phash64
+
+    rng = np.random.default_rng(seed)
+    g = rng.uniform(0, 255, size=256)  # 16x16 float grayscale
+    base = _phash64(16, 16, list(g))
+    assert _phash64(16, 16, list(g + shift)) == base
+    assert _phash64(16, 16, list(g * scale)) == base
+    assert _phash64(16, 16, list(g * scale + shift)) == base
