@@ -6,8 +6,11 @@ the production shape, where an index is trained once and served for
 months while sessions come and go.
 
 Safety against stale models: every artifact carries a fingerprint of
-the embeddings table it was trained on (row count, sum(vec_id),
-sum(xxhash64(embedding))) plus a format version. A load whose stored
+the embeddings table it was trained on (row count, bit_xor of
+xxhash64(vec_id), bit_xor of xxhash64(vec_id, embedding), and a
+40-bit-masked SUM of the row hashes — the sum term breaks XOR's
+blindness to rows duplicated an even number of times, ADVICE r6) plus
+a format version. A load whose stored
 fingerprint mismatches the live table is ignored and the model is
 retrained and overwritten — regenerated testdata can never serve a
 model trained on the old rows (which would break the DuckDB oracle
@@ -95,10 +98,16 @@ def _train_params() -> dict:
 
 
 def embeddings_fingerprint(v) -> list[int]:
-    """Fingerprint of a (vec_id, e) DataFrame: count, sum of ids, and
-    bit_xor of xxhash64 over (id, vector). XOR is order-independent and
-    can never overflow (sum of hashes trips ANSI overflow); any row
-    add/drop or any value change flips it."""
+    """Fingerprint of a (vec_id, e) DataFrame: count, bit_xor of
+    xxhash64 over ids, bit_xor of xxhash64 over (id, vector), and the
+    SUM of the row hashes masked to 40 bits. The XOR terms are
+    order-independent and can never overflow, but XOR alone cancels
+    rows duplicated an even number of times (ADVICE r6): a regen that
+    duplicates one row and drops another distinct one keeps the count
+    and can keep the id-XOR. The masked sum is a second independent
+    accumulator that such an edit cannot also preserve (it would need
+    equal 40-bit hash residues); 2^40 per row overflows ANSI longs
+    only past ~8e6 T rows."""
     from pyspark.sql import functions as F
 
     row = v.agg(
@@ -107,8 +116,10 @@ def embeddings_fingerprint(v) -> list[int]:
         # plain sum(vec_id) would overflow ANSI longs near ~4e9 rows
         F.expr("bit_xor(xxhash64(vec_id))").alias("s"),
         F.expr("bit_xor(xxhash64(vec_id, e))").alias("h"),
+        F.expr("sum(xxhash64(vec_id, e) & 1099511627775)").alias("m"),
     ).first()
-    return [int(row["n"]), int(row["s"] or 0), int(row["h"] or 0)]
+    return [int(row["n"]), int(row["s"] or 0), int(row["h"] or 0),
+            int(row["m"] or 0)]
 
 
 def load_kmeans(sf_dir: str, tag: str, fingerprint: list[int]):

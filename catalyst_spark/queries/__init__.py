@@ -134,22 +134,40 @@ _R6_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R6_FRONT)
 
-# r7 rotation plan (next round): the r6 window was consumed by 8 new
-# operators + every r6 code/oracle change + the whole r3-era tail, so
-# the untouched-r4 set is still waiting — front (with driver rows last
-# green in r4): text_stats, lang_id_confusion, token_counts,
-# doc_fingerprint, approx_topk_tokens, dedup_keep_best, dedup_keep_one,
-# window_decontaminate, window_selfdup_spans, boilerplate_spans,
-# near_dup_source_matrix, near_dup_pagerank, ann_ivf_topk,
-# ann_recall_at_5, sessionize, ts_rate, counter_rate, ewma_smooth,
-# robust_outliers, incremental_rollup_merge, equi_depth_bins,
-# lag_features, user_growth_curve, histogram_quantile,
-# holt_linear_smooth, distinct_sketch, hll_distinct_sketch,
-# percentile_sketch, range_join_events, session_cooccurrence,
-# path_transitions, q1-q8 + q19 relational — PLUS the r6 additions
-# that missed the full r6 window and have no driver row yet:
-# ann_sq8_ivf_topk, ann_sq8_ivf_recall (local-sweep green in
-# CORRECTNESS_local_r6.json) — plus whatever r7 changes or adds.
+# Round-7 driver window (VERDICT r6 item 1, the last rotation step to
+# "every operator driver-proven on a <=2-round cadence"): new-in-r7
+# operators first (no driver row ever), then the two r6 additions that
+# landed after the r6 driver window ran (never driver-checked:
+# ann_sq8_ivf_topk / ann_sq8_ivf_recall), then everything whose code
+# changed this round (unigram_surprisal persist refactor, ADVICE r6),
+# then the full 40-operator r4-stale set (nothing's latest driver row
+# predates r4, so after this window max staleness is <=2 rounds
+# everywhere and zero operators are ever-unchecked).
+_R7_FRONT = [
+    # new in r7 — no driver row ever
+    "phash_dup_pairs", "near_dup_pagerank_converged",
+    # r6 additions that missed the r6 driver window — never checked
+    "ann_sq8_ivf_topk", "ann_sq8_ivf_recall",
+    # changed in r7 (code) — hard signal must follow the code
+    "unigram_surprisal",
+    # last driver row in r4 (the full stale set from VERDICT r6)
+    "ann_ivf_topk", "ann_recall_at_5", "approx_topk_tokens",
+    "boilerplate_spans", "counter_rate", "dedup_keep_best",
+    "dedup_keep_one", "distinct_sketch", "doc_fingerprint",
+    "equi_depth_bins", "ewma_smooth", "histogram_quantile",
+    "hll_distinct_sketch", "holt_linear_smooth",
+    "incremental_rollup_merge", "lag_features", "lang_id_confusion",
+    "near_dup_pagerank", "near_dup_source_matrix", "path_transitions",
+    "percentile_sketch",
+    "q1_filter_project_sort", "q2_time_bucket", "q3_hash_aggregate",
+    "q4_distinct_aggregate", "q5_latest_per_series", "q6_tpch_q1",
+    "q7_broadcast_join", "q8_multi_join", "q19_above_brand_avg",
+    "range_join_events", "robust_outliers", "session_cooccurrence",
+    "sessionize", "text_stats", "token_counts", "ts_rate",
+    "user_growth_curve", "window_decontaminate", "window_selfdup_spans",
+]
+
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R7_FRONT)
 
 __all__ = [
     "RELATIONAL_QUERIES",

@@ -773,6 +773,120 @@ def _pagerank_sql() -> str:
     )
 
 
+def _pagerank_converged_sql() -> str:
+    """Unrolled-budget twin of pipeline.near_dup_pagerank_converged:
+    every iteration r1..r_BUDGET and its exact bigint L1 delta is
+    computed, then the FIRST iteration with delta < _PR_EPS is
+    selected — the same iteration Spark's early-stopping loop ends
+    on, because the integer fixed-point map makes "first converged
+    iteration" a deterministic function of the data. Constants imported
+    so budget/eps/scale can't drift between engines."""
+    from catalyst_spark.queries.pipeline import (
+        _PR_BUDGET,
+        _PR_EPS,
+        _PR_SCALE,
+    )
+
+    teleport = 15 * _PR_SCALE // 100
+    # every r{i} is consumed TWICE (by r{i+1} and by the delta d{i+1});
+    # DuckDB 1.0 inlines plain CTEs per reference, which would re-run
+    # the whole chain 2^BUDGET times — AS MATERIALIZED pins each
+    # iteration (and the edge set) to one evaluation, the linear cost
+    # the Spark loop's localCheckpoint has by construction
+    parts = [
+        f"WITH {_SHINGLE_PAIRS_CTE},",
+        "edges AS MATERIALIZED ("
+        " SELECT a_id AS src, b_id AS dst FROM pairs"
+        " UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),",
+        "deg AS MATERIALIZED"
+        " (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),",
+        f"eps AS (SELECT {_PR_EPS} AS e),",
+        f"r0 AS MATERIALIZED"
+        f" (SELECT src AS doc_id, CAST({_PR_SCALE} AS BIGINT) AS r"
+        " FROM deg),",
+    ]
+    for i in range(1, _PR_BUDGET + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED ("
+            f" SELECT e.dst AS doc_id,"
+            f" CAST({teleport} + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT)"
+            f"   AS r"
+            f" FROM edges e"
+            f" JOIN r{i - 1} r ON e.src = r.doc_id"
+            f" JOIN deg d ON e.src = d.src"
+            f" GROUP BY e.dst),"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED"
+            f" (SELECT CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS d"
+            f" FROM r{i} a JOIN r{i - 1} b USING (doc_id)),"
+        )
+    parts.append(
+        "deltas AS ("
+        + " UNION ALL ".join(
+            f"SELECT {i} AS i, d FROM d{i}"
+            for i in range(1, _PR_BUDGET + 1)
+        )
+        + "),"
+    )
+    parts.append(
+        f"first AS (SELECT COALESCE(MIN(i), {_PR_BUDGET}) AS i"
+        " FROM deltas WHERE d < (SELECT e FROM eps)),"
+    )
+    parts.append(
+        "allr AS ("
+        + " UNION ALL ".join(
+            f"SELECT {i} AS i, doc_id, r FROM r{i}"
+            for i in range(1, _PR_BUDGET + 1)
+        )
+        + ")"
+    )
+    body = "\n".join(parts)
+    return (
+        body
+        + "\nSELECT a.doc_id, a.r AS rank_fp,"
+        " CAST(f.i AS INT) AS n_iters,"
+        " (SELECT d FROM deltas WHERE i = f.i) AS l1_delta,"
+        " (SELECT d FROM deltas WHERE i = f.i) < (SELECT e FROM eps)"
+        "   AS converged"
+        " FROM allr a, first f WHERE a.i = f.i"
+        " ORDER BY rank_fp DESC, doc_id"
+    )
+
+
+def _phash_pairs_sql() -> str:
+    """Brute-force ground truth for pipeline.phash_dup_pairs: build the
+    SAME deterministic 60-bit hash table (md5-derived group base XOR
+    doc_id % 8 planted bit flips — string-identical md5 inputs, so the
+    hashes agree bit-for-bit), then check ALL id-ordered pairs with
+    bit_count(xor()) <= 7. The Spark side runs the 8-band bucket join +
+    popcount verify (multimodal.image_dup_pairs); any banded-join miss
+    or phantom shows up as a value-hash mismatch — the completeness-for-
+    Hamming<=7 pigeonhole argument, value-proven."""
+    base = _h60_duck("concat('ph:', CAST(d.doc_id // 8 AS VARCHAR))")
+    pos = _h60_duck(
+        "concat('fl:', CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))"
+    )
+    return f"""
+        WITH fl AS (
+          SELECT doc_id,
+                 BIT_XOR(CAST(1 AS BIGINT) << CAST({pos} % 60 AS INT)) AS mask
+          FROM (SELECT doc_id,
+                       UNNEST(range(1, CAST(doc_id % 8 AS INT) + 1)) AS j
+                FROM documents)
+          GROUP BY doc_id),
+        ph AS (
+          SELECT d.doc_id AS media_id,
+                 xor({base}, COALESCE(f.mask, 0)) AS phash
+          FROM documents d LEFT JOIN fl f ON d.doc_id = f.doc_id)
+        SELECT a.media_id AS a_id, b.media_id AS b_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM ph a JOIN ph b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 7
+        ORDER BY a_id, b_id
+    """
+
+
 def _multiprobe_sql() -> str:
     """Unrolled k-means + top-2 cell probes per query vs top-1 member
     assignment + exact-cosine rerank of each candidate set, graded
@@ -2869,3 +2983,5 @@ ORACLE_SQL["lsh_band_recall_curve"] = _band_curve_sql()
 ORACLE_SQL["dedup_threshold_sensitivity"] = _threshold_sensitivity_sql()
 ORACLE_SQL["quality_survival_curve"] = _quality_curve_sql()
 ORACLE_SQL["holt_chunked"] = ORACLE_SQL["holt_linear_smooth"]
+ORACLE_SQL["near_dup_pagerank_converged"] = _pagerank_converged_sql()
+ORACLE_SQL["phash_dup_pairs"] = _phash_pairs_sql()

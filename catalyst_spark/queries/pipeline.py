@@ -889,6 +889,15 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iterations — all integer, so every engine reproduces identical ranks
 _PR_ITERS = 3
 _PR_SCALE = 1_000_000
+# until-convergence variant (VERDICT r6 item 7): iterate to L1 delta <
+# _PR_EPS fixed-point units with a hard budget. _PR_EPS = 1 means "run
+# to the EXACT integer fixed point" — decidable only because the map is
+# integer (float PageRank can merely approach its fixed point); the
+# budget guards the 2-cycle case integer floor-division can fall into.
+# The oracle unrolls the budget and selects the same first-converged
+# iteration, so early stopping stays engine-exact.
+_PR_BUDGET = 12
+_PR_EPS = 1
 
 
 def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +953,122 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "doc_id", F.col("r").alias("rank_fp")
     ).orderBy(F.col("rank_fp").desc(), "doc_id")
+
+
+def near_dup_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank iterated UNTIL CONVERGENCE (VERDICT r6 item 7): the
+    fixed-3-iteration rung above shows the loop shape; production runs
+    until the L1 rank movement falls under an epsilon, with a hard
+    iteration budget as the runaway guard. Epsilon is _PR_EPS = 1
+    fixed-point unit — i.e. the EXACT integer fixed point, which only
+    the integer formulation makes decidable — and the budget is
+    _PR_BUDGET; the report columns (n_iters, l1_delta, converged) are
+    the iterations-to-converge evidence a scheduler reads. Measured:
+    the sf0.1 near-dup graph (477 nodes, deg 1/2/3) moves 4 units in
+    iteration 1 and reaches its exact fixed point at iteration 2 —
+    near-dup components are close to degree-regular, so uniform rank
+    is almost the stationary distribution from the start.
+
+    ENGINE-EXACT early stopping: because every step is the integer
+    fixed-point map, the per-iteration L1 delta is an exact bigint, so
+    "first iteration with delta < eps" is a deterministic function of
+    the data — the DuckDB oracle unrolls the budget, computes every
+    delta, and selects the SAME first-converged iteration, making an
+    adaptively-stopped iterative algorithm fully value-checkable.
+
+    Scale: identical per-iteration plan to near_dup_pagerank (one join
+    + one aggregate shuffle, lineage cut per step); the convergence
+    check adds one node-sized join whose sum is the only scalar the
+    driver reads — model-sized coordination, not data collection.
+    """
+    pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    deg = edges.groupBy("a_id").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.join(deg, "a_id")
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "deg")
+        .persist()  # reused every iteration; released after the loop
+    )
+    e.count()
+    eps = _PR_EPS
+    ranks = deg.select(
+        F.col("a_id").alias("doc_id"),
+        F.lit(_PR_SCALE).cast("bigint").alias("r"),
+    ).localCheckpoint()
+    teleport = 15 * _PR_SCALE // 100
+    n_iters, delta = 0, 0
+    for i in range(1, _PR_BUDGET + 1):
+        contrib = e.join(ranks, e["src"] == ranks["doc_id"]).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
+        new_ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.lit(teleport) + F.expr("(85 * inc) div 100"))
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+        delta = int(
+            new_ranks.select("doc_id", F.col("r").alias("rn"))
+            .join(ranks, "doc_id")
+            .agg(F.sum(F.abs(F.col("rn") - F.col("r"))).alias("d"))
+            .first()["d"]
+        )
+        ranks, n_iters = new_ranks, i
+        if delta < eps:
+            break
+    e.unpersist()
+    return ranks.select(
+        "doc_id",
+        F.col("r").alias("rank_fp"),
+        F.lit(n_iters).cast("int").alias("n_iters"),
+        F.lit(delta).cast("bigint").alias("l1_delta"),
+        F.lit(delta < eps).alias("converged"),
+    ).orderBy(F.col("rank_fp").desc(), "doc_id")
+
+
+def phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image near-dup join's first hard CORRECTNESS row (VERDICT
+    r6 item 4): multimodal.image_dup_pairs — 8x8-bit banded bucket
+    join + exact popcount verify, COMPLETE for Hamming <= 7 by
+    pigeonhole — run on a deterministic 64-bit hash table both engines
+    can derive from `documents`, and value-checked against a DuckDB
+    BRUTE-FORCE bit_count(xor) over ALL pairs. Any pair the banded
+    join missed (or invented) is a hash mismatch, so the completeness
+    guarantee is value-proven, not just property-tested; the pixel
+    decode stays pytest-verified (no image codec exists in DuckDB, by
+    nature).
+
+    The synthetic table plants realistic near-dup structure: docs in
+    groups of 8 share a group base hash (md5-derived, 60-bit so every
+    engine agrees and the long stays positive) with doc_id % 8
+    deterministic bit flips XORed on — within-group Hamming spans
+    0..14 (straddling the <=7 cut from both sides), across groups
+    ~30 bits. The Spark side and the DuckDB side build the hash from
+    the same md5 strings, then ONLY Spark runs the banded join — the
+    oracle brute-forces, which is the point.
+    """
+    from catalyst_spark.multimodal import image_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    base = _h60("concat('ph:', cast(doc_id div 8 as string))")
+    pos = _h60("concat('fl:', cast(doc_id as string), ':', cast(j as string))")
+    ph = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"{base} ^ (CASE WHEN doc_id % 8 = 0 THEN cast(0 as bigint)"
+            f" ELSE aggregate(transform(sequence(1, cast(doc_id % 8 as int)),"
+            f" j -> shiftleft(cast(1 as bigint), cast({pos} % 60 as int))),"
+            f" cast(0 as bigint), (acc, x) -> acc ^ x) END)"
+        ).alias("phash"),
+    )
+    return image_dup_pairs(ph, max_hamming=7).select("a_id", "b_id", "hamming")
 
 
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3737,10 +3862,17 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus total rides in as a broadcast one-row aggregate. Tokens
     join on the raw (short) token string — the count table is
     vocabulary-sized, so this is a hash join on small keys, not a
-    data-volume concern.
+    data-volume concern. The exploded token table feeds THREE branches
+    (cnt, tot, the score join) — persisted for the query's duration so
+    the explode pass runs once, not three times, mirroring
+    bigram_surprisal's identical 3-branch shape (ADVICE r6); the
+    doc-sized result is checkpointed eagerly and the token table
+    released before returning.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("w"))
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS)).alias("w")
+    ).persist()
     cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = toks.agg(F.count(F.lit(1)).alias("n"))
     scored = (
@@ -3752,7 +3884,7 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("bits"),
         )
     )
-    return (
+    out = (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -3763,8 +3895,11 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(total_bits * 1000) div n_tokens")
             .alias("mbits_per_token"),
         )
-        .orderBy("doc_id")
+        # doc-count-sized; materialize eagerly so toks can be released
+        .localCheckpoint()
     )
+    toks.unpersist()
+    return out.orderBy("doc_id")
 
 
 def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3965,4 +4100,6 @@ PIPELINE_QUERIES = {
     "lang_id_confusion": lang_id_confusion,
     "token_counts": token_counts,
     "doc_fingerprint": doc_fingerprint,
+    "near_dup_pagerank_converged": near_dup_pagerank_converged,
+    "phash_dup_pairs": phash_dup_pairs,
 }

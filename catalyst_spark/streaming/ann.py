@@ -110,6 +110,50 @@ def ivfpq_static_index(spark: SparkSession, sf_dir: str):
     return codes_cells, entries, coarse
 
 
+def _stream_probe_top2(vec_stream: DataFrame, coarse_entries: list) -> DataFrame:
+    """nprobe=2 coarse probe of arriving queries through the SAME
+    numpy-BLAS distance pass as the batch assigner (`pipeline._top2_cells`
+    on X@C.T), so the stream probe set is bit-identical to
+    `_probe_top2`'s — the twins' 'equals the batch output exactly'
+    contract holds unconditionally instead of resting on cell-distance
+    separation (ADVICE r6: the previous SQL sequential-fold dots differ
+    from BLAS in the last ulps, so a near-equidistant query could probe
+    a different second cell than batch). The centroid matrix is
+    model-sized and rides into the Arrow-batched closure; entries order
+    is `_cached_kmeans`'s (C, cids) order, reproducing the batch
+    distance-matrix column order exactly. Emits one row per query:
+    (q_id, e, cells array<bigint>)."""
+    import numpy as np
+
+    from catalyst_spark.queries.pipeline import _top2_cells
+
+    cids = np.array([c[0] for c in coarse_entries], dtype="int64")
+    C = np.stack([np.asarray(c[1], dtype="float64")
+                  for c in coarse_entries])
+    Cn = (C * C).sum(axis=1)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(e, dtype="float64") for e in pdf["embedding"]]
+            )
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            top2 = _top2_cells(D, cids)
+            yield pd.DataFrame({
+                "q_id": pdf["vec_id"].astype("int64"),
+                "e": pdf["embedding"],
+                "cells": list(top2),
+            })
+
+    return vec_stream.selectExpr(
+        "vec_id", "cast(embedding as array<double>) as embedding"
+    ).mapInPandas(
+        _assign, "q_id long, e array<double>, cells array<long>"
+    )
+
+
 def _topk_update(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -335,29 +379,20 @@ def stream_sq8_ivf_topk(
     coarse_entries: list,
 ) -> DataFrame:
     """Online twin of the IVF+SQ8 rung (ann_sq8_ivf_topk): arriving
-    queries probe their nprobe=2 coarse cells with the broadcast
-    centroids (struct sort = the batch (distance, c_id) tie order),
-    quantize with the broadcast ranges bit-identically to the batch
-    encoder, and score ONLY the probed cells' byte codes with exact
-    integer distance — the equality contract is unconditional after
-    the probe, and the replay test (incl. re-delivery) pins the whole
-    pipeline. State: 5 (d2, n_id) pairs per query."""
+    queries probe their nprobe=2 coarse cells through the batch
+    assigner's own numpy distance pass (`_stream_probe_top2` — probe
+    set bit-identical to `_probe_top2`, ADVICE r6), quantize with the
+    broadcast ranges bit-identically to the batch encoder, and score
+    ONLY the probed cells' byte codes with exact integer distance —
+    the equality contract is unconditional, and the replay test (incl.
+    re-delivery) pins the whole pipeline. State: 5 (d2, n_id) pairs
+    per query."""
     spark = vec_stream.sparkSession
     one = spark.createDataFrame(
-        [(mins, rngs, coarse_entries)],
-        "mins array<double>, rngs array<double>,"
-        " coarse array<struct<c_id: bigint, ce: array<double>>>",
-    )
-    cd = (
-        _PQ_DOT.format(a="e", b="e")
-        + " - 2 * " + _PQ_DOT.format(a="e", b="c.ce")
-        + " + " + _PQ_DOT.format(a="c.ce", b="c.ce")
+        [(mins, rngs)], "mins array<double>, rngs array<double>"
     )
     s = (
-        vec_stream.select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").cast("array<double>").alias("e"),
-        )
+        _stream_probe_top2(vec_stream, coarse_entries)
         .crossJoin(F.broadcast(one))
         .withColumn("qc", F.expr(
             "zip_with(zip_with(e, mins, (x, mn) -> x - mn), rngs,"
@@ -365,11 +400,7 @@ def stream_sq8_ivf_topk(
             " greatest(0L, least(255L,"
             " cast(floor(dx * 255 / rg) as long))) END)"
         ))
-        .withColumn("c_id", F.explode(F.expr(
-            "transform(slice(array_sort(transform(coarse,"
-            f" c -> struct({cd} AS d, c.c_id AS c_id))), 1, 2),"
-            " x -> x.c_id)"
-        )))
+        .withColumn("c_id", F.explode("cells"))
         .select("q_id", "qc", "c_id")
     )
     d2 = F.expr(
@@ -398,9 +429,9 @@ def stream_ivfpq_topk(
 ) -> DataFrame:
     """Online twin of the combined IVF-PQ rung (ann_ivfpq_topk,
     VERDICT r5 item 8): each arriving query is assigned to its nprobe=2
-    nearest coarse cells with the BROADCAST coarse centroids (one
-    literal row, sequential-fold dots, struct sort = the batch rung's
-    (distance, c_id) tie order), and the stream-static join is an
+    nearest coarse cells through the batch assigner's own numpy
+    distance pass (`_stream_probe_top2` — probe set bit-identical to
+    `_probe_top2`, ADVICE r6), and the stream-static join is an
     EQUI-JOIN on c_id against the codes-with-cell table — only the
     probed cells' codes are scored, completing "every batch ANN rung
     has an online twin" at the production rung. LUT scoring and the
@@ -409,15 +440,13 @@ def stream_ivfpq_topk(
     ann_ivfpq_topk's row exactly (replay test incl. re-delivery)."""
     spark = vec_stream.sparkSession
     one = spark.createDataFrame(
-        [(cent_entries, coarse_entries)],
-        "cent array<struct<m: int, code: bigint, ce: array<double>>>, "
-        "coarse array<struct<c_id: bigint, ce: array<double>>>",
+        [(cent_entries,)],
+        "cent array<struct<m: int, code: bigint, ce: array<double>>>",
     )
     sub = _LSH_DIM // _PQ_M
-    s = vec_stream.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").cast("array<double>").alias("e"),
-    ).crossJoin(F.broadcast(one))
+    s = _stream_probe_top2(vec_stream, coarse_entries).crossJoin(
+        F.broadcast(one)
+    )
     for m in range(_PQ_M):
         qm = f"slice(e, {m * sub + 1}, {sub})"
         p = (
@@ -429,18 +458,9 @@ def stream_ivfpq_topk(
             f"map_from_entries(transform(filter(cent, c -> c.m = {m}),"
             f" c -> struct(c.code, {p})))"
         ))
-    cd = (
-        _PQ_DOT.format(a="e", b="e")
-        + " - 2 * " + _PQ_DOT.format(a="e", b="c.ce")
-        + " + " + _PQ_DOT.format(a="c.ce", b="c.ce")
-    )
     s = (
-        s.withColumn("c_id", F.explode(F.expr(
-            "transform(slice(array_sort(transform(coarse,"
-            f" c -> struct({cd} AS d, c.c_id AS c_id))), 1, 2),"
-            " x -> x.c_id)"
-        )))
-        .drop("cent", "coarse", "e")
+        s.withColumn("c_id", F.explode("cells"))
+        .drop("cent", "e", "cells")
     )
     d2 = (  # fixed left-to-right add — same float order as the batch rung
         F.expr("element_at(lut0, code0)")
@@ -450,6 +470,123 @@ def stream_ivfpq_topk(
     )
     scored = (
         s.join(codes_cells, "c_id")  # stream-static equi-join: probed cells only
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), d2.alias("d2"))
+    )
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _topk_update,
+        outputStructType=PQ_TOPK_SCHEMA,
+        stateStructType=PQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rivfpq_static_index(spark: SparkSession, sf_dir: str):
+    """The residual-IVFADC serving artifacts (VERDICT r6 item 2): the
+    residual-space PQ codes joined with their coarse cell (one hash
+    join against the persisted assignment), the residual codebook
+    entries, and the coarse centroid entries. Every trained piece
+    comes through `_pq_model(prefix="rpq")` / `_cached_kmeans`, i.e.
+    the on-disk model store — a fresh serving session loads the
+    persisted index instead of retraining, the train-once/serve-months
+    shape. Both entries lists are model-sized."""
+    from catalyst_spark.queries.pipeline import (
+        _cached_kmeans,
+        _coarse_assign,
+        _pq_model,
+        _residual_vecs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    rcodes, rcent = _pq_model(
+        spark, sf_dir, _residual_vecs(spark, sf_dir, v), prefix="rpq"
+    )
+    rcodes_cells = rcodes.join(_coarse_assign(spark, sf_dir, v), "vec_id")
+    entries = [(int(r["m"]), int(r["code"]), list(r["ce"]))
+               for r in rcent.collect()]
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    coarse = [(int(cids[i]), [float(x) for x in C[i]])
+              for i in range(len(cids))]
+    return rcodes_cells, entries, coarse
+
+
+def stream_ivfpq_residual_topk(
+    vec_stream: DataFrame,
+    rcodes_cells: DataFrame,
+    rcent_entries: list,
+    coarse_entries: list,
+) -> DataFrame:
+    """Online twin of the residual IVFADC rung — the batch ladder's
+    best-recall production index (ann_ivfpq_residual_topk,
+    pipeline.py) — completing "every batch ANN rung has an online
+    twin" at the top rung (VERDICT r6 item 2). Each arriving query:
+
+    1. probes its nprobe=2 coarse cells through the batch assigner's
+       own numpy distance pass (`_stream_probe_top2` — probe set
+       bit-identical to `_probe_top2`);
+    2. forms its PER-PROBED-CELL residual q - c with the broadcast
+       full-precision centroids (`zip_with(e, ce, x - y)` — the same
+       expression the batch rung's qres uses, so residual doubles are
+       bit-identical);
+    3. builds its per-(q_id, c_id) residual LUTs from the broadcast
+       codebook entries with the exact `_pq_lut` expansion text
+       (dot(rm,rm) - 2·dot(rm,ce) + dot(ce,ce), sequential-fold dots);
+    4. equi-joins on c_id against the residual codes-with-cell table —
+       only the probed cells' codes score, and a member's code is
+       defined w.r.t. its OWN cell which the join key carries, so
+       every scored pair uses matching residual frames, exactly as
+       the batch candidate join does.
+
+    LUT parts add left-to-right into the shared bounded top-k state;
+    the final per-(q_id, rank) emission equals the batch rung's row
+    exactly (replay test incl. re-delivery). State: 5 (d2, n_id)
+    pairs per query."""
+    spark = vec_stream.sparkSession
+    cent = spark.createDataFrame(
+        [(c_id, ce) for c_id, ce in coarse_entries],
+        "c_id LONG, ce ARRAY<DOUBLE>",
+    )
+    one = spark.createDataFrame(
+        [(rcent_entries,)],
+        "cent array<struct<m: int, code: bigint, ce: array<double>>>",
+    )
+    sub = _LSH_DIM // _PQ_M
+    # per-(query, probed cell) residual, full 64 dims — named e so the
+    # LUT expression text below is byte-identical to the batch _pq_lut
+    s = (
+        _stream_probe_top2(vec_stream, coarse_entries)
+        .withColumn("c_id", F.explode("cells"))
+        .join(F.broadcast(cent), "c_id")
+        .select(
+            "q_id", "c_id",
+            F.zip_with("e", "ce", lambda x, y: x - y).alias("e"),
+        )
+        .crossJoin(F.broadcast(one))
+    )
+    for m in range(_PQ_M):
+        qm = f"slice(e, {m * sub + 1}, {sub})"
+        p = (
+            _PQ_DOT.format(a=qm, b=qm)
+            + " - 2 * " + _PQ_DOT.format(a=qm, b="c.ce")
+            + " + " + _PQ_DOT.format(a="c.ce", b="c.ce")
+        )
+        s = s.withColumn(f"lut{m}", F.expr(
+            f"map_from_entries(transform(filter(cent, c -> c.m = {m}),"
+            f" c -> struct(c.code, {p})))"
+        ))
+    s = s.drop("cent", "e")
+    d2 = (  # fixed left-to-right add — same float order as the batch rung
+        F.expr("element_at(lut0, code0)")
+        + F.expr("element_at(lut1, code1)")
+        + F.expr("element_at(lut2, code2)")
+        + F.expr("element_at(lut3, code3)")
+    )
+    scored = (
+        s.join(rcodes_cells, "c_id")  # stream-static equi-join: probed cells only
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("n_id"), d2.alias("d2"))
     )

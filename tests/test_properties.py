@@ -410,11 +410,37 @@ def test_cross_format_roundtrip_prom(spark):
     prop()
 
 
-# --- pHash exact invariants: a global brightness SHIFT only moves the
-# DC coefficient (dropped), and a positive contrast SCALE multiplies
-# every retained coefficient AND their median by the same factor — so
-# both leave all 63 threshold comparisons, hence the hash, EXACTLY
-# unchanged (no tolerance needed; these are identities of the DCT). ---
+# --- pHash brightness/contrast invariance: a global SHIFT only moves
+# the DC coefficient (dropped) and a positive SCALE multiplies every
+# retained coefficient AND their median by the same factor, so in real
+# arithmetic all 63 threshold comparisons are unchanged. In IEEE
+# arithmetic the identity is exact only for transforms that are exact
+# on the bit pattern — power-of-two scales (mantissas untouched) and
+# integer shifts on an integer grid (exact f64 sums) — because a
+# general float scale perturbs cumsum/matmul results in the last ulps
+# and a coefficient within rounding error of the median can flip its
+# bit (ADVICE r6). So: bit-exact equality for the exactly-representable
+# family, a Hamming<=2 bound for arbitrary floats. ---
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    shift=st.integers(-1000, 1000),
+    scale_pow=st.integers(-6, 6),
+)
+def test_phash_shift_and_scale_exact_on_representable(seed, shift, scale_pow):
+    import numpy as np
+
+    from catalyst_spark.multimodal import _phash64
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, size=256).astype("float64")  # integer grid
+    scale = 2.0 ** scale_pow
+    base = _phash64(16, 16, list(g))
+    assert _phash64(16, 16, list(g + shift)) == base
+    assert _phash64(16, 16, list(g * scale)) == base
+    assert _phash64(16, 16, list(g * scale + shift)) == base
+
 
 @settings(max_examples=40, deadline=None)
 @given(
@@ -422,7 +448,7 @@ def test_cross_format_roundtrip_prom(spark):
     shift=st.floats(-1000, 1000, allow_nan=False),
     scale=st.floats(0.01, 100, allow_nan=False),
 )
-def test_phash_shift_and_scale_invariance(seed, shift, scale):
+def test_phash_shift_and_scale_near_invariance(seed, shift, scale):
     import numpy as np
 
     from catalyst_spark.multimodal import _phash64
@@ -430,6 +456,6 @@ def test_phash_shift_and_scale_invariance(seed, shift, scale):
     rng = np.random.default_rng(seed)
     g = rng.uniform(0, 255, size=256)  # 16x16 float grayscale
     base = _phash64(16, 16, list(g))
-    assert _phash64(16, 16, list(g + shift)) == base
-    assert _phash64(16, 16, list(g * scale)) == base
-    assert _phash64(16, 16, list(g * scale + shift)) == base
+    for variant in (g + shift, g * scale, g * scale + shift):
+        got = _phash64(16, 16, list(variant))
+        assert bin(got ^ base).count("1") <= 2

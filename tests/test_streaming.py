@@ -986,3 +986,58 @@ def test_stream_domain_cap_matches_batch(spark, tmp_path):
     for _, (_, m) in latest.items():
         got.update(m)
     assert got == want
+
+
+def test_stream_ivfpq_residual_topk_matches_batch(spark, tmp_path):
+    """Streaming residual-IVFADC twin (VERDICT r6 item 2): replaying
+    the probe set as a file stream (one batch fully RE-DELIVERED)
+    against the residual codes-with-cell static table must converge to
+    ann_ivfpq_residual_topk's top-5 exactly — numpy coarse probe
+    (bit-identical to the batch assigner), per-probed-cell residual
+    LUTs, equi-join on c_id so only probed cells score, and the shared
+    bounded top-k state."""
+    import json
+
+    from catalyst_spark.queries.pipeline import ann_ivfpq_residual_topk
+    from catalyst_spark.streaming.ann import (
+        rivfpq_static_index,
+        stream_ivfpq_residual_topk,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["adc_d2"])
+            for r in ann_ivfpq_residual_topk(spark, SF_DIR).collect()}
+    assert want
+
+    rcodes_cells, entries, coarse = rivfpq_static_index(spark, SF_DIR)
+    probes = (load(spark, SF_DIR, "embeddings")
+              .where("vec_id % 50 = 0")
+              .selectExpr("vec_id", "cast(embedding as array<double>)"
+                          " as embedding").collect())
+    d = tmp_path / "rivfpq_stream"
+    d.mkdir()
+    half = max(1, len(probes) // 2)
+    batches = [probes[:half], probes[half:], probes[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": list(r["embedding"])})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_ivfpq_residual_topk(stream, rcodes_cells, entries, coarse)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("rivfpq_stream_topk").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from rivfpq_stream_topk").collect()
+    latest = {}
+    for r in rows:
+        k = (r["q_id"], r["rank"])
+        if k not in latest or r["n_seen"] > latest[k][0]:
+            latest[k] = (r["n_seen"], r["neighbor_id"], r["adc_d2"])
+    got = {k: (v[1], v[2]) for k, v in latest.items()}
+    assert got == want
