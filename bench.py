@@ -104,6 +104,18 @@ _SCALE_QUERIES = (
     # the LM-scoring family shuffles one (token, count) stream — the
     # text-volume surface after windows; measured at 10x
     "unigram_surprisal",
+    # r6 rungs at 10x (VERDICT r6 item 4): the SQ8 pair is the measured
+    # full-scan-vs-cell-pruned ablation — ann_sq8_topk scans Q x N code
+    # pairs BY DESIGN (the exact-integer baseline, expected ~100x at
+    # 10x rows x 10x queries), while ann_sq8_ivf_topk bounds each query
+    # to its 2 probed cells (the scale path, expected ~10x)
+    "ann_sq8_topk",
+    "ann_sq8_ivf_topk",
+    # bigram explode is the largest token-stream fan-out (one row per
+    # consecutive pair); vocabulary²-bounded aggregates keep it linear
+    "bigram_surprisal",
+    # semantic-dedup materialization: cell-bounded pair set + CC labels
+    "semdedup_keep_one",
 )
 
 
@@ -197,6 +209,64 @@ def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
     return out
 
 
+_SHARED_BUILDS = (
+    "window_table",
+    "minhash_signatures",
+    "simhash_signatures",
+    "prefix_verified_pairs",
+    "cc_labels",
+    "coarse_kmeans_assign",
+    "pq_codes",
+    "rpq_codes",
+    "brute_topk_baseline",
+)
+
+
+def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
+    """Materialize every session-shared build under its own named timer
+    (VERDICT r6 item 5). Family-fronting order previously attributed
+    e.g. the window-table persist to whichever family member ran first,
+    so a rotation-driven registry reorder could masquerade as a
+    per-query regression in round-over-round diffs (the r6
+    window_overlap 2.2x slot artifact). With the builds pre-timed here,
+    the per-query numbers are build-free marginal costs whose
+    attribution can't shift between rounds."""
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries import ALL_QUERIES
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.tables import load as _ld
+
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    def noop(name):
+        return lambda: ALL_QUERIES[name](spark, sf_dir).write.format(
+            "noop").mode("overwrite").save()
+
+    docs = _ld(spark, sf_dir, "documents")
+    emb = _ld(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    timed("window_table", lambda: P._windowed(docs).persist().count())
+    timed("minhash_signatures", lambda: P._minhash_sig_cand(spark, sf_dir))
+    timed("simhash_signatures", noop("text_simhash"))
+    timed("prefix_verified_pairs", noop("dedup_prefix_filter"))
+    timed("cc_labels", noop("dedup_clusters"))
+    timed("coarse_kmeans_assign",
+          lambda: P._coarse_assign(spark, sf_dir, v).count())
+    timed("pq_codes", lambda: P._pq_model(spark, sf_dir, v)[0].count())
+    timed("rpq_codes", lambda: P._pq_model(
+        spark, sf_dir, P._residual_vecs(spark, sf_dir, v),
+        prefix="rpq")[0].count())
+    timed("brute_topk_baseline", noop("ann_brute_topk"))
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -265,9 +335,14 @@ def main() -> None:
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "900"))
     bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n, _ in ordered}
+    sb_samples: dict[str, list[float]] = {n: [] for n in _SHARED_BUILDS}
     passes_done = 0
     for _ in range(runs):
         _reset_session_caches()
+        # shared builds first, each under its own named timer — the
+        # query timings below are then build-free marginal costs
+        for n, t in _time_shared_builds(spark, sf_dir).items():
+            sb_samples[n].append(t)
         for name, fn in ordered:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -285,6 +360,10 @@ def main() -> None:
         n: round(statistics.median(ts), 3) for n, ts in samples.items()
     }
     spread = {n: round(max(ts) - min(ts), 3) for n, ts in samples.items()}
+    shared_builds = {
+        n: round(statistics.median(ts), 3)
+        for n, ts in sb_samples.items() if ts
+    }
 
     # ingest-path throughput: synthesize wire lines from the events table
     # and measure parse -> encode end-to-end (rows/sec, JVM-side paths)
@@ -428,6 +507,72 @@ def main() -> None:
     n_rw = n_rw_samples_per_body * rw_rows
     rw_bodies.unpersist()
 
+    # --- error-path throughput (VERDICT r6 item 9): a bad client
+    # hammers exactly this path at 100 TB ingest, and it was untimed.
+    # Two measurements: (a) the parser's per-line error taxonomy on a
+    # 75%-corrupt Graphite corpus (every corrupt shape the reference
+    # distinguishes: too few tokens / bad timestamp / tag without '='),
+    # forced end-to-end including the parse_error column; (b) the
+    # C4/C5 backend-body classifier (substring decision table + HTTP
+    # status map) over a body corpus cycling the whole taxonomy. ---
+    from catalyst_spark.control.errors import (
+        classify_error_col,
+        http_status_col,
+    )
+
+    bad_lines = events.select(
+        F.expr(
+            "CASE cast(user_id as int) % 4"
+            " WHEN 0 THEN concat('evt.', event_type, ';user=',"
+            "   cast(user_id as string), ' ', cast(value as string), ' ',"
+            "   cast(unix_millis(ts) as string))"      # valid
+            " WHEN 1 THEN concat('evt.', event_type)"  # too few tokens
+            " WHEN 2 THEN concat('evt.', event_type, ' ',"
+            "   cast(value as string), ' not_a_ts')"   # bad timestamp
+            " ELSE concat('evt.', event_type, ';baretag ',"
+            "   cast(value as string), ' ',"
+            "   cast(unix_millis(ts) as string)) END"  # tag without '='
+        ).alias("line")
+    )
+    for _ in range(4):
+        bad_lines = bad_lines.unionAll(bad_lines)
+    bad_lines = bad_lines.repartition(cpus).persist()
+    n_bad = bad_lines.count()
+    err_s, err_min, err_max = _timed(parse_graphite(bad_lines))
+    bad_lines.unpersist()
+
+    _taxonomy_bodies = [
+        "io.warp10.script.WarpScriptException: Invalid token",
+        "io.warp10.script.WarpScriptException: Token Expired",
+        "io.warp10.script.WarpScriptException: Token revoked",
+        "You exceed your Monthly Active Data Streams limit for"
+        " application 'app' (100). (Geo Time Series",
+        "Daily Data Points limit being already exceeded,"
+        " Current maximum rate is (1000) datapoints/s",
+        "Application suspended or closed",
+        "<html><pre> Parse error at 'xyz'</pre></html>",
+        "net/http: request canceled (Client.Timeout exceeded)",
+        "dial tcp: connection refused",
+        "some entirely novel failure nobody classified",
+    ]
+    bodies = events.select(
+        F.expr(
+            "element_at(array("
+            + ",".join(f"'{b}'" for b in _taxonomy_bodies)
+            + "), cast(user_id as int) % 10 + 1)"
+        ).alias("body")
+    )
+    for _ in range(4):
+        bodies = bodies.unionAll(bodies)
+    bodies = bodies.repartition(cpus).persist()
+    n_bodies = bodies.count()
+    cls = classify_error_col(F.col("body")).alias("error_type")
+    cls_s, cls_min, cls_max = _timed(
+        bodies.select(cls).select(
+            "error_type", http_status_col(F.col("error_type")).alias("status"))
+    )
+    bodies.unpersist()
+
     # SRP-LSH pruning evidence: candidate pairs vs all-pairs (the
     # sub-quadratic claim, measured not asserted)
     from catalyst_spark.queries.pipeline import _srp_planes
@@ -457,13 +602,19 @@ def main() -> None:
         .select("l.vec_id", "r.vec_id").distinct().count()
     )
 
-    total = round(sum(timings.values()), 3)
+    # value stays the full end-to-end cost (builds + queries): previous
+    # rounds timed the shared builds inside their owner queries' slots,
+    # so excluding them now would fake a round-over-round speedup
+    total = round(sum(timings.values()) + sum(shared_builds.values()), 3)
     payload = {
         "metric": "catalyst_spark_all_queries_runtime",
         "value": total,
+        "queries_total": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "shared_builds": shared_builds,
+        "shared_builds_total": round(sum(shared_builds.values()), 3),
         "bench_runs": runs,
         "sf": sf,
         "ingest_rows_per_sec": round(n_lines / parse_s),
@@ -487,6 +638,14 @@ def main() -> None:
         "remote_write_samples": n_rw,
         "remote_write_samples_per_sec_range": [
             round(n_rw / rw_max), round(n_rw / rw_min)],
+        "error_path_lines_per_sec": round(n_bad / err_s),
+        "error_path_lines": n_bad,
+        "error_path_lines_per_sec_range": [
+            round(n_bad / err_max), round(n_bad / err_min)],
+        "error_classify_bodies_per_sec": round(n_bodies / cls_s),
+        "error_classify_bodies": n_bodies,
+        "error_classify_bodies_per_sec_range": [
+            round(n_bodies / cls_max), round(n_bodies / cls_min)],
         "lsh_candidate_pairs": lsh_cand,
         "lsh_all_pairs": n_vec * (n_vec - 1) // 2,
     }
@@ -503,6 +662,15 @@ def main() -> None:
     if prev and prev.get("sf") == sf and prev.get("queries"):
         pq = prev["queries"]
         payload["prev_value"] = prev.get("value")
+        if "shared_builds" not in prev:
+            payload["methodology_note"] = (
+                "shared builds (window table, signatures, pair caches, "
+                "ANN artifacts) are now timed under their own names; "
+                "per-query values are build-free marginal costs, so "
+                "former build owners drop vs prev by their build cost "
+                "— an attribution change, not a speedup claim (value "
+                "still includes shared_builds_total)"
+            )
         payload["vs_prev"] = {
             n: round(t / pq[n], 2) for n, t in timings.items()
             if pq.get(n)

@@ -176,6 +176,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation s is the universal hash (a_s*h + b_s) mod p with fixed
     coefficients — both reproducible in DuckDB, so the whole pipeline
     has a full value-level oracle (oracles.py mirrors it).
+
+    Skew robustness (measured, tests/test_skew_robustness.py): a
+    boilerplate 8-token window injected into 30% of sf0.1 docs adds
+    +70 candidate pairs (linear in affected docs; a band collides only
+    when all 4 permutation minima agree, so a handful of shared
+    shingles can't hot-spot a bucket) vs the ~1.7M-pair quadratic
+    clique an unbanded hot key would emit. The true worst case — 5%
+    literally identical docs — grows candidates by exactly the
+    m*(m-1)/2 jaccard-1.0 clique: output-sized, not join noise; at
+    scale such cliques are represented by dedup_clusters' CC labels
+    (linear in members), which is why keep_one/keep_best consume
+    labels, not pairs.
     """
     sig, cand = _minhash_sig_cand(spark, sf_dir)
     hsets = sig.select("doc_id", "hset")
@@ -3503,6 +3515,14 @@ def window_overlap_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, not the join (cold standalone runs measured the 10x corpus
     FASTER than 1x, 1.77 s vs 2.24 s, because the larger input
     parallelizes the single-file 1x scan).
+
+    Skew robustness (measured, tests/test_skew_robustness.py): a
+    boilerplate window in 30% of sf0.1 docs collapses to ONE
+    aggregation row (collect_set dedups in the buffer, bounded by
+    |sources|) — each source pair gains the boilerplate window plus
+    append-boundary straddles (+88 DISTINCT windows for this corpus's
+    repeated suffixes), never a per-document term (a join-on-h shape
+    would have added ~1 800 rows per pair at this skew).
     """
     docs = load(spark, sf_dir, "documents")
     # persist the shared window table (cache-manager plan identity, the
