@@ -558,7 +558,8 @@ def main() -> None:
     bodies = events.select(
         F.expr(
             "element_at(array("
-            + ",".join(f"'{b}'" for b in _taxonomy_bodies)
+            + ",".join("'" + b.replace("'", "''") + "'"
+                       for b in _taxonomy_bodies)
             + "), cast(user_id as int) % 10 + 1)"
         ).alias("body")
     )

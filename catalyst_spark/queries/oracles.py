@@ -1184,6 +1184,93 @@ def _ivfpq_recall_sql() -> str:
     """
 
 
+def _ivfpq_rerank_sql() -> str:
+    """Oracle twin of pipeline.ann_ivfpq_rerank_topk: the IVF-PQ ADC
+    shortlist (top-_RERANK_R by (d2, n_id)) reranked with the exact
+    sequential-fold cosine under the brute rung's (cos DESC, n_id)
+    ties."""
+    from catalyst_spark.queries.pipeline import _RERANK_R
+
+    return _ivfpq_ctes() + f""",
+        sl AS (SELECT q_id, n_id FROM ipqrank WHERE rnk <= {_RERANK_R}),
+        nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+               FROM v),
+        rr AS (
+          SELECT s.q_id, s.n_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM sl s JOIN nv q ON q.vec_id = s.q_id
+                    JOIN nv c ON c.vec_id = s.n_id)
+        SELECT q_id, "rank", n_id AS neighbor_id,
+               ROUND(cos_raw, 2) AS cos FROM (
+          SELECT q_id, n_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_raw DESC, n_id) AS "rank"
+          FROM rr) t
+        WHERE "rank" <= 5 ORDER BY q_id, "rank"
+    """
+
+
+def _ivfpq_rerank_recall_sql() -> str:
+    """Reranked IVF-PQ top-5 graded against the brute-force top-5."""
+    from catalyst_spark.queries.pipeline import _RERANK_R
+
+    return _ivfpq_ctes() + f""",
+        sl AS (SELECT q_id, n_id FROM ipqrank WHERE rnk <= {_RERANK_R}),
+        nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+               FROM v),
+        rr AS (
+          SELECT s.q_id, s.n_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM sl s JOIN nv q ON q.vec_id = s.q_id
+                    JOIN nv c ON c.vec_id = s.n_id),
+        rtop AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, n_id) AS rnk
+            FROM rr) t
+          WHERE rnk <= 5),
+        sb AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        brute AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id)
+                     AS rnk
+            FROM sb) t
+          WHERE rnk <= 5)
+        SELECT b.q_id,
+               COUNT(rtop.n_id) AS hits,
+               ROUND(COUNT(rtop.n_id) / 5.0, 2) AS recall_at_5
+        FROM brute b
+        LEFT JOIN rtop ON rtop.q_id = b.q_id AND rtop.n_id = b.neighbor_id
+        GROUP BY b.q_id ORDER BY b.q_id
+    """
+
+
+def _edit_distance_sql() -> str:
+    """Brute exact Levenshtein over the complete prefix-filter pair
+    set — oracle twin of pipeline.dedup_edit_distance (both engines
+    implement the standard DP, so the integer distances agree
+    exactly)."""
+    return f"""
+        WITH {_SHINGLE_PAIRS_CTE}
+        SELECT p.a_id, p.b_id,
+               CAST(levenshtein(da.text, db.text) AS INT) AS edit_distance,
+               ROUND(1 - levenshtein(da.text, db.text)
+                     / CAST(GREATEST(len(da.text), len(db.text)) AS DOUBLE),
+                     4) AS edit_sim
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.a_id
+        JOIN documents db ON db.doc_id = p.b_id
+        ORDER BY a_id, b_id
+    """
+
+
 def _residual_src_ctes(include_probes: bool) -> str:
     """Coarse assignment + residual-vector CTEs (trailing comma),
     appended after _kmeans_sql: rv is x - c(x) with the FULL-precision
@@ -2985,3 +3072,6 @@ ORACLE_SQL["quality_survival_curve"] = _quality_curve_sql()
 ORACLE_SQL["holt_chunked"] = ORACLE_SQL["holt_linear_smooth"]
 ORACLE_SQL["near_dup_pagerank_converged"] = _pagerank_converged_sql()
 ORACLE_SQL["phash_dup_pairs"] = _phash_pairs_sql()
+ORACLE_SQL["dedup_edit_distance"] = _edit_distance_sql()
+ORACLE_SQL["ann_ivfpq_rerank_topk"] = _ivfpq_rerank_sql()
+ORACLE_SQL["ann_ivfpq_rerank_recall"] = _ivfpq_rerank_recall_sql()

@@ -1083,6 +1083,43 @@ def phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dup_pairs(ph, max_hamming=7).select("a_id", "b_id", "hamming")
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the near-dup candidates: exact
+    Levenshtein distance + normalized similarity for every pair the
+    complete-for-θ>=0.5 prefix filter surfaces. Token-set Jaccard is
+    order-blind (a shuffled paragraph scores 1.0); edit distance is
+    the precision rung that certifies near-identical REVISIONS (small
+    insertions/typo edits), the signal a curation pipeline uses to
+    pick "newer revision of the same page" over "same words, different
+    page".
+
+    Scale: Levenshtein is O(|a|·|b|) per pair — affordable ONLY as a
+    verify stage on blocked candidates, never as a corpus join; this
+    operator inherits dedup_prefix_filter's candidate completeness and
+    its enforced broadcast budget, so the quadratic work is bounded by
+    the (tiny) verified-pair count. Integer distance end-to-end
+    (Spark's levenshtein ≡ DuckDB's levenshtein, both the standard
+    DP), so the oracle is value-exact; the normalized similarity
+    divides by the longer length, the symmetric convention.
+    """
+    pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("a_id"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("tb"))
+    d = F.levenshtein("ta", "tb")
+    return (
+        b.join(a.join(F.broadcast(pairs), "a_id"), "b_id")
+        .select(
+            "a_id", "b_id",
+            d.alias("edit_distance"),
+            F.round(
+                F.lit(1) - d / F.greatest(F.length("ta"), F.length("tb")), 4
+            ).alias("edit_sim"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (bit-vote over _h60 token hashes).
 
@@ -2047,6 +2084,108 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res.count()  # probe-set-sized; ann_ivfpq_recall reuses it verbatim
     _TOPK_RESULT_CACHE[key] = res
     return res.orderBy("q_id", "rank")
+
+
+_RERANK_R = 20
+
+
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the standard production serving shape on
+    top of the IVF-PQ rung: the ADC scan produces a cheap SHORTLIST
+    (top-_RERANK_R by LUT distance, 4 bytes/candidate scanned), then
+    ONLY the shortlist's raw vectors are fetched and reranked with the
+    exact cosine. The expensive full-precision reads are bounded at
+    queries x R regardless of corpus size — at 100 TB the shortlist
+    fetch is a point-lookup join against the vector store while the
+    scan stage never touches a raw vector (Jegou et al. 2011 §V-C;
+    every FAISS/ScaNN deployment serves this shape).
+
+    Output schema matches ann_brute_topk (cos, not adc_d2): the
+    rerank stage re-grades candidates in the exact metric, so its
+    recall row (ann_ivfpq_rerank_recall) directly shows how much of
+    the quantization loss the rerank buys back at identical scan cost
+    vs ann_ivfpq_recall.
+
+    Engine parity: shortlist rank is the IVF-PQ rung's (d2, n_id)
+    order extended to R; rerank is the brute rung's sequential-fold
+    cosine and (cos DESC, n_id) ties. Plan: the shortlist join against
+    raw vectors broadcasts the probe-set-sized shortlist (q, R rows);
+    no new shuffle of anything corpus-sized.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfpq_rerank")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit.orderBy("q_id", "rank")
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    members = _coarse_assign(spark, sf_dir, v).select(
+        F.col("vec_id").alias("n_id"), "c_id"
+    )
+    probes = _probe_top2(spark, sf_dir, v)
+    cand = (
+        probes.join(members, "c_id")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    codes, cent = _pq_model(spark, sf_dir, v)
+    qs = v.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "e"
+    )
+    pairs = cand.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
+    for m in range(_PQ_M):
+        pairs = pairs.join(F.broadcast(_pq_lut(qs, cent, m)),
+                           ["q_id", f"code{m}"])
+    d2 = (
+        F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
+    )  # fixed left-to-right add: deterministic float order
+    ws = W.partitionBy("q_id").orderBy(F.col("d2_raw").asc(), F.col("n_id"))
+    shortlist = (
+        pairs.withColumn("d2_raw", d2)
+        .withColumn("srank", F.row_number().over(ws))
+        .where(F.col("srank") <= _RERANK_R)
+        .select("q_id", "n_id")
+    )
+    q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq") \
+        .drop("q_id_label")
+    n = _with_norm(emb, "n_id", "vc").drop("n_id_label")
+    wr = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    res = (
+        n.join(F.broadcast(shortlist.join(q, "q_id")), "n_id")
+        .withColumn("cos_raw", _cosine("vq", "vc"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
+                F.round("cos_raw", 2).alias("cos"))
+        .persist()
+    )
+    res.count()  # probe-set-sized; the recall row reuses it verbatim
+    _TOPK_RESULT_CACHE[key] = res
+    return res.orderBy("q_id", "rank")
+
+
+def ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the reranked IVF-PQ pipeline against the
+    exact brute-force baseline — read with ann_ivfpq_recall: the delta
+    between the two rows is exactly what the R-deep exact rerank buys
+    back of the quantization loss (the cell-pruning loss is shared and
+    irrecoverable without more probes), the tuning evidence for
+    choosing R."""
+    rr = ann_ivfpq_rerank_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        brute.join(rr, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
 
 
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4122,4 +4261,7 @@ PIPELINE_QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "near_dup_pagerank_converged": near_dup_pagerank_converged,
     "phash_dup_pairs": phash_dup_pairs,
+    "dedup_edit_distance": dedup_edit_distance,
+    "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
+    "ann_ivfpq_rerank_recall": ann_ivfpq_rerank_recall,
 }
