@@ -147,7 +147,7 @@ _R7_FRONT = [
     # new in r7 — no driver row ever
     "phash_dup_pairs", "near_dup_pagerank_converged",
     "dedup_edit_distance", "ann_ivfpq_rerank_topk",
-    "ann_ivfpq_rerank_recall",
+    "ann_ivfpq_rerank_recall", "phash_dup_clusters",
     # r6 additions that missed the r6 driver window — never checked
     "ann_sq8_ivf_topk", "ann_sq8_ivf_recall",
     # changed in r7 (code) — hard signal must follow the code

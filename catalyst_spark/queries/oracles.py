@@ -863,12 +863,25 @@ def _phash_pairs_sql() -> str:
     popcount verify (multimodal.image_dup_pairs); any banded-join miss
     or phantom shows up as a value-hash mismatch — the completeness-for-
     Hamming<=7 pigeonhole argument, value-proven."""
+    return f"""
+        WITH {_phash_table_cte()}
+        SELECT a.media_id AS a_id, b.media_id AS b_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM ph a JOIN ph b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 7
+        ORDER BY a_id, b_id
+    """
+
+
+def _phash_table_cte() -> str:
+    """Shared fl + ph CTE fragment (trailing 'ph' table): the
+    deterministic 60-bit hash table both pHash oracles derive from
+    `documents` (md5 strings identical to the Spark side's)."""
     base = _h60_duck("concat('ph:', CAST(d.doc_id // 8 AS VARCHAR))")
     pos = _h60_duck(
         "concat('fl:', CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))"
     )
-    return f"""
-        WITH fl AS (
+    return f"""fl AS (
           SELECT doc_id,
                  BIT_XOR(CAST(1 AS BIGINT) << CAST({pos} % 60 AS INT)) AS mask
           FROM (SELECT doc_id,
@@ -878,12 +891,30 @@ def _phash_pairs_sql() -> str:
         ph AS (
           SELECT d.doc_id AS media_id,
                  xor({base}, COALESCE(f.mask, 0)) AS phash
-          FROM documents d LEFT JOIN fl f ON d.doc_id = f.doc_id)
-        SELECT a.media_id AS a_id, b.media_id AS b_id,
-               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-        FROM ph a JOIN ph b ON a.media_id < b.media_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= 7
-        ORDER BY a_id, b_id
+          FROM documents d LEFT JOIN fl f ON d.doc_id = f.doc_id)"""
+
+
+def _phash_clusters_sql() -> str:
+    """Min-reachable-id connected components over the brute-force
+    Hamming<=7 pHash pair set — oracle twin of
+    pipeline.phash_dup_clusters (same recursive shape as the
+    dedup_clusters oracle)."""
+    return f"""
+        WITH RECURSIVE {_phash_table_cte()},
+        pairs AS (
+          SELECT a.media_id AS a_id, b.media_id AS b_id
+          FROM ph a JOIN ph b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION
+          SELECT b_id AS u, a_id AS v FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u)
+        SELECT u AS media_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY u ORDER BY media_id
     """
 
 
@@ -3073,5 +3104,6 @@ ORACLE_SQL["holt_chunked"] = ORACLE_SQL["holt_linear_smooth"]
 ORACLE_SQL["near_dup_pagerank_converged"] = _pagerank_converged_sql()
 ORACLE_SQL["phash_dup_pairs"] = _phash_pairs_sql()
 ORACLE_SQL["dedup_edit_distance"] = _edit_distance_sql()
+ORACLE_SQL["phash_dup_clusters"] = _phash_clusters_sql()
 ORACLE_SQL["ann_ivfpq_rerank_topk"] = _ivfpq_rerank_sql()
 ORACLE_SQL["ann_ivfpq_rerank_recall"] = _ivfpq_rerank_recall_sql()

@@ -1083,6 +1083,23 @@ def phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dup_pairs(ph, max_hamming=7).select("a_id", "b_id", "hamming")
 
 
+def phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup MATERIALIZATION: connected components over the
+    banded pHash pair set — (media_id, cluster_id = min reachable
+    media_id), the artifact an image-dedup pass consumes to keep one
+    representative per visual cluster (the image-side counterpart of
+    dedup_clusters, same min-label-propagation loop, same
+    recursive-CTE min-reachable oracle). Pairs inherit
+    phash_dup_pairs' value-proven Hamming<=7 completeness, so the
+    clustering provably contains every qualifying edge."""
+    pairs = phash_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    labels = _cc_labels(spark, pairs)
+    return labels.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("label").alias("cluster_id"),
+    ).orderBy("media_id")
+
+
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level verification of the near-dup candidates: exact
     Levenshtein distance + normalized similarity for every pair the
@@ -4264,4 +4281,5 @@ PIPELINE_QUERIES = {
     "dedup_edit_distance": dedup_edit_distance,
     "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
     "ann_ivfpq_rerank_recall": ann_ivfpq_rerank_recall,
+    "phash_dup_clusters": phash_dup_clusters,
 }
