@@ -148,10 +148,9 @@ _R7_FRONT = [
     "phash_dup_pairs", "near_dup_pagerank_converged",
     "dedup_edit_distance", "ann_ivfpq_rerank_topk",
     "ann_ivfpq_rerank_recall", "phash_dup_clusters",
+    "window_selfdup_cut", "lsh_bucket_size_hist",
     # r6 additions that missed the r6 driver window — never checked
     "ann_sq8_ivf_topk", "ann_sq8_ivf_recall",
-    # changed in r7 (code) — hard signal must follow the code
-    "unigram_surprisal",
     # last driver row in r4 (the full stale set from VERDICT r6)
     "ann_ivf_topk", "ann_recall_at_5", "approx_topk_tokens",
     "boilerplate_spans", "counter_rate", "dedup_keep_best",
@@ -167,6 +166,11 @@ _R7_FRONT = [
     "range_join_events", "robust_outliers", "session_cooccurrence",
     "sessionize", "text_stats", "token_counts", "ts_rate",
     "user_growth_curve", "window_decontaminate", "window_selfdup_spans",
+    # changed in r7 (persist refactor, ADVICE r6 — output-identical,
+    # r6-driver-green, local-sweep green): slot 51, first past the
+    # 50-entry window so every never-checked + r4-stale op fits; its
+    # staleness stays <=2 rounds and r8 fronts it
+    "unigram_surprisal",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R7_FRONT)

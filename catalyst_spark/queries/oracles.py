@@ -1302,6 +1302,99 @@ def _edit_distance_sql() -> str:
     """
 
 
+def _selfdup_cut_sql() -> str:
+    """Oracle twin of pipeline.window_selfdup_cut: same window/dup/run
+    machinery as the window_selfdup_spans oracle, runs >= _CUT_RUN
+    expand to covered token indices, kept tokens re-join with
+    string_agg (ORDER BY index ≡ Spark's order-preserving array
+    filter). Parallel-unnest of (token, index) zips the two lists."""
+    from catalyst_spark.queries.pipeline import _CUT_RUN, _WIN_TOKENS
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id, u.pos AS pos, {_h60_duck('u.w')} AS h
+          FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i,
+                            'w': array_to_string(
+                                   toks[i:(i + {_WIN_TOKENS} - 1)], ' ')}}
+                           FOR i IN range(1, greatest(2, len(toks)
+                                                         - {_WIN_TOKENS - 2}))])
+                     AS u
+            FROM d)),
+        dup AS (
+          SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        isl AS (
+          SELECT w.doc_id, w.pos,
+                 w.pos - row_number() OVER (PARTITION BY w.doc_id
+                                            ORDER BY w.pos) AS g
+          FROM w JOIN dup ON w.h = dup.h),
+        runs AS (
+          SELECT doc_id, MIN(pos) AS p0, COUNT(*) AS run
+          FROM isl GROUP BY doc_id, g
+          HAVING COUNT(*) >= {_CUT_RUN}),
+        cut AS (
+          SELECT DISTINCT doc_id,
+                 UNNEST(range(p0, p0 + run + {_WIN_TOKENS - 1})) AS i
+          FROM runs),
+        tok AS (
+          SELECT doc_id, unnest(toks) AS t,
+                 unnest(range(1, len(toks) + 1)) AS i
+          FROM d),
+        kept AS (
+          SELECT tok.doc_id,
+                 string_agg(tok.t, ' ' ORDER BY tok.i) AS kept_text,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM tok LEFT JOIN cut
+            ON cut.doc_id = tok.doc_id AND cut.i = tok.i
+          WHERE cut.i IS NULL
+          GROUP BY tok.doc_id)
+        SELECT d.doc_id,
+               CAST(len(d.toks) AS BIGINT) AS n_tokens,
+               CAST(len(d.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut,
+               COALESCE(k.kept_text, '') AS kept_text
+        FROM d LEFT JOIN kept k USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+def _bucket_hist_sql() -> str:
+    """Oracle twin of pipeline.lsh_bucket_size_hist: the production
+    8x4 banding's bucket-size histogram with per-class candidate-pair
+    volume and the over-cap flag."""
+    from catalyst_spark.queries.pipeline import (
+        _LSH_BUCKET_CAP,
+        _MINHASH_BANDS,
+        _MINHASH_ROWS,
+    )
+
+    buckets = ", ".join(
+        _h60_duck(
+            "concat_ws(',', "
+            + ", ".join(
+                [str(b)]
+                + [f"m{_MINHASH_ROWS * b + r}" for r in range(_MINHASH_ROWS)]
+            )
+            + ")"
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+        WITH {_MINHASH_SIG},
+        bands AS (SELECT doc_id, unnest([{buckets}]) AS bucket FROM sig),
+        sz AS (SELECT bucket, COUNT(*) AS n FROM bands GROUP BY bucket)
+        SELECT CAST(n AS BIGINT) AS bucket_size,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(COUNT(*) * (n * (n - 1) // 2) AS BIGINT)
+                 AS candidate_pairs,
+               n > {_LSH_BUCKET_CAP} AS over_cap
+        FROM sz GROUP BY n ORDER BY bucket_size
+    """
+
+
 def _residual_src_ctes(include_probes: bool) -> str:
     """Coarse assignment + residual-vector CTEs (trailing comma),
     appended after _kmeans_sql: rv is x - c(x) with the FULL-precision
@@ -3105,5 +3198,7 @@ ORACLE_SQL["near_dup_pagerank_converged"] = _pagerank_converged_sql()
 ORACLE_SQL["phash_dup_pairs"] = _phash_pairs_sql()
 ORACLE_SQL["dedup_edit_distance"] = _edit_distance_sql()
 ORACLE_SQL["phash_dup_clusters"] = _phash_clusters_sql()
+ORACLE_SQL["window_selfdup_cut"] = _selfdup_cut_sql()
+ORACLE_SQL["lsh_bucket_size_hist"] = _bucket_hist_sql()
 ORACLE_SQL["ann_ivfpq_rerank_topk"] = _ivfpq_rerank_sql()
 ORACLE_SQL["ann_ivfpq_rerank_recall"] = _ivfpq_rerank_recall_sql()

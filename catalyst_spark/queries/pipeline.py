@@ -229,6 +229,41 @@ def _band_buckets_array() -> Column:
     )
 
 
+_LSH_BUCKET_CAP = 16
+
+
+def lsh_bucket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size distribution with pair-volume accounting — the
+    operational guardrail audit the skew tests motivated
+    (tests/test_skew_robustness.py): a mass-duplicated corpus turns
+    one band bucket into m members = m*(m-1)/2 candidate pairs, and at
+    100 TB a production pipeline caps or diverts buckets past a size
+    threshold before the self-join. This reports, per bucket-size
+    class, how many buckets exist and how many candidate pairs that
+    class generates, flagging classes over _LSH_BUCKET_CAP — the
+    number an operator reads to decide whether the cap needs to
+    become a hard filter this run. Aggregates only: two
+    map-side-combining groupBys over 8-byte bucket keys, result is
+    histogram-sized."""
+    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.explode(_band_buckets_array()).alias("bucket")
+    )
+    sz = bands.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sz.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .select(
+            F.col("n").cast("bigint").alias("bucket_size"),
+            F.col("nb").cast("bigint").alias("n_buckets"),
+            (F.col("nb") * F.expr("n * (n - 1) div 2"))
+            .cast("bigint").alias("candidate_pairs"),
+            (F.col("n") > _LSH_BUCKET_CAP).alias("over_cap"),
+        )
+        .orderBy("bucket_size")
+    )
+
+
 def minhash_signatures_rowwise(docs: DataFrame) -> DataFrame:
     """Stateless per-ROW MinHash signatures: m_s = min over the doc's
     shingle hashes of the universal hash, computed with array
@@ -3645,6 +3680,74 @@ def window_selfdup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUT_RUN = 2
+
+
+def window_selfdup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring self-dedup MATERIALIZED (the actual output of the Lee
+    et al. 2022 pass window_selfdup_spans audits): every certified
+    duplicated span — a run of >= _CUT_RUN consecutive duplicated
+    window positions, i.e. a verbatim (run+7)-token stretch that
+    occurs in at least one other document — is CUT from the text, and
+    the surviving corpus is emitted with per-doc audit counts. The
+    aggressive both-copies variant (every doc sheds its duplicated
+    spans; the keep-first-occurrence variant needs a global ordering
+    decision that belongs to a policy layer, not the operator).
+
+    Plan shape: the shared window table feeds the duplicated-hash
+    aggregate (8-byte keys) and the islands pass; qualifying runs
+    collapse to a per-doc span LIST (model-sized per doc: spans, not
+    positions), and the cut itself is a pure array expression over the
+    token array — token indices never shuffle, the only joins are
+    doc-keyed. Reassembly is concat_ws over the kept tokens on BOTH
+    engines, so the output strings compare exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    win = _windowed(docs)
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    wr = W.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        win.join(dup_h, "h")
+        .select("doc_id", "pos")
+        .withColumn("g", F.col("pos") - F.row_number().over(wr))
+        .groupBy("doc_id", "g")
+        .agg(F.min("pos").alias("p0"), F.count(F.lit(1)).alias("run"))
+        .where(F.col("run") >= _CUT_RUN)
+    )
+    spans = runs.groupBy("doc_id").agg(
+        F.collect_list(F.struct("p0", "run")).alias("spans")
+    )
+    covered = (
+        f"s -> NOT exists(spans, sp -> s.i >= sp.p0"
+        f" AND s.i <= sp.p0 + sp.run + {_WIN_TOKENS - 2})"
+    )
+    idx_toks = f"transform({TOKENS}, (t, i0) -> struct(t AS t, i0 + 1 AS i))"
+    return (
+        docs.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(N_TOKENS).cast("bigint").alias("n_tokens"),
+            F.expr(
+                f"CASE WHEN spans IS NULL THEN cast({N_TOKENS} as bigint)"
+                f" ELSE size(filter({idx_toks}, {covered})) END"
+            ).cast("bigint").alias("n_kept"),
+            F.expr(
+                f"CASE WHEN spans IS NULL THEN concat_ws(' ', {TOKENS})"
+                f" ELSE concat_ws(' ', transform("
+                f"filter({idx_toks}, {covered}), s -> s.t)) END"
+            ).alias("kept_text"),
+        )
+        .withColumn("n_cut", (F.col("n_tokens") - F.col("n_kept")).cast("bigint"))
+        .select("doc_id", "n_tokens", "n_cut", "kept_text")
+        .orderBy("doc_id")
+    )
+
+
 def window_overlap_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level source overlap matrix: for every unordered
     source pair, how many distinct 8-token windows they share — the
@@ -4282,4 +4385,6 @@ PIPELINE_QUERIES = {
     "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
     "ann_ivfpq_rerank_recall": ann_ivfpq_rerank_recall,
     "phash_dup_clusters": phash_dup_clusters,
+    "window_selfdup_cut": window_selfdup_cut,
+    "lsh_bucket_size_hist": lsh_bucket_size_hist,
 }
