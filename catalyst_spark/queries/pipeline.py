@@ -1678,6 +1678,13 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocks here are LEARNED — this is the operator a pipeline runs
     when no labels exist. Oracle replays the unrolled k-means, the
     assignment, and the in-cell pair scan.
+
+    Measured at 10x (bench scale section, r7): 2.17x. Same two terms
+    as ann_sq8_ivf_topk's note: k is fixed at 8 for oracle
+    tractability, so in-cell pair counts grow quadratically with cell
+    size at 10x corpus (production grows k with N to bound |cell|),
+    plus the derived corpus's cross-family noise cosines add genuine
+    over-threshold pairs (see the bench scale note).
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
@@ -2422,6 +2429,13 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-literal zip_with at the scan; the probe side broadcasts
     (50 rows); distance is a JVM fold over 64 ints; ranking is the
     standard per-query window. The codes shuffle is 64 B/vector.
+
+    Measured at 10x (bench scale section, r7): 1.56 s -> 4.69 s =
+    3.0x while the scored-pair count grows a full 100x (10x probes x
+    10x corpus — this rung is O(Q·N) BY DESIGN, the exact-ordering
+    ablation partner). The sub-pair-linear time is the JVM integer
+    fold amortizing per-pair cost; the scale path is ann_sq8_ivf_topk,
+    which bounds rows touched per query by the probed cells.
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
@@ -2486,6 +2500,16 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: candidates are a hash equi-join on c_id; the 50-row probe
     code table broadcasts; distance is a JVM integer fold; no float
     and no raw vector anywhere after assignment.
+
+    Measured at 10x (bench scale section, r7): 1.04 s -> 7.16 s =
+    6.9x. The term: k is FIXED at 8 cells (kept small so the oracle's
+    unrolled k-means stays tractable), so at 10x corpus each probed
+    cell holds 10x members and the per-query scan is corpus-linear —
+    10x probes x 10x cell size = 100x scored pairs, same growth as
+    the full scan at 1/4 the constant (2 of 8 cells probed). A
+    production deployment grows k with the corpus (k ~ sqrt(N)), which
+    bounds |cell| and collapses the ratio to the probe-count growth;
+    ivf_cell_stats is the retrain signal that drives that re-k.
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
@@ -2581,6 +2605,15 @@ def semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic edge set; survivors are an anti-join of the corpus
     against cluster losers. Oracle: recursive-CTE min-reachable-id
     over the same unrolled-k-means pair set.
+
+    Measured at 10x (bench scale section, r7): 2.65 s -> 5.82 s =
+    2.2x. The term beyond linear: the derived sf1 corpus's
+    cross-family sign-flip noise cosines push extra pairs over the
+    0.4 threshold (documented in the bench scale note — real geometry
+    of that corpus, not join fan-out), growing the CC edge set
+    super-linearly and with it the label-propagation rounds' input;
+    the per-round plan is still one join + one aggregate on doc-id
+    keys.
     """
     pairs = semdedup_ivf(spark, sf_dir).select("a_id", "b_id")
     labels = _cc_labels(spark, pairs)
@@ -3638,6 +3671,13 @@ def window_selfdup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-hash set is an 8-byte-key aggregate (hashes occurring in
     >= 2 distinct docs); probe is an equi-join on the hash; islands
     window over matched positions per doc. Integer-exact everywhere.
+
+    Measured at 10x (bench scale section, r7): 2.6x. The over-linear
+    share is the islands pass: matched-window rows grow faster than
+    docs on the derived corpus (each replica family internally repeats
+    the sf0.1 dup structure, so dup hashes cover a larger share of
+    windows), and the per-doc row_number sorts that larger matched
+    set; keys stay (doc_id, pos) — nothing quadratic.
     """
     docs = load(spark, sf_dir, "documents")
     win = _windowed(docs)
@@ -4147,6 +4187,17 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram_surprisal's identical 3-branch shape (ADVICE r6); the
     doc-sized result is checkpointed eagerly and the token table
     released before returning.
+
+    Measured at 10x (bench scale section, r7): 0.87 s -> 2.84 s =
+    3.28x. Two explained terms: (a) the derived sf1 corpus gives each
+    replica family a DISJOINT token space, so the vocabulary — and the
+    count-join hash table — grows a full 10x with the corpus, where
+    natural text grows sublinearly (Heaps' law); (b) the eager
+    localCheckpoint materializes the 10x doc-sized result inside the
+    timed region (the price of releasing the persisted token table
+    deterministically — it also costs ~0.25 s of the sf0.1 slot vs
+    the unpersisted r6 form, the visible vs_prev 1.45 on a 0.8 s
+    slot). Both terms are linear; nothing in the plan is quadratic.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
