@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from catalyst_spark.queries.pipeline import _LSH_DIM, _PQ_DOT, _PQ_M
+from catalyst_spark.queries.pipeline import (
+    _LSH_DIM,
+    _PQ_DOT,
+    _PQ_M,
+    _RERANK_R,
+)
 from catalyst_spark.tables import load
 
 _TOPK = 5
@@ -594,6 +599,163 @@ def stream_ivfpq_residual_topk(
         _topk_update,
         outputStructType=PQ_TOPK_SCHEMA,
         stateStructType=PQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+RERANK_TOPK_SCHEMA = T.StructType([
+    T.StructField("q_id", T.LongType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("neighbor_id", T.LongType()),
+    T.StructField("cos", T.DoubleType()),
+    T.StructField("n_seen", T.LongType()),   # monotone: latest = final
+])
+
+RERANK_STATE_SCHEMA = T.StructType([
+    T.StructField("ds", T.ArrayType(T.DoubleType())),
+    T.StructField("ns", T.ArrayType(T.LongType())),
+    T.StructField("cs", T.ArrayType(T.DoubleType())),
+    T.StructField("n_seen", T.LongType()),
+])
+
+
+def rerank_static_index(spark: SparkSession, sf_dir: str):
+    """Serving artifacts for the two-stage rerank twin: the IVF-PQ
+    pieces (codes-with-cell table, PQ codebook entries, coarse centroid
+    entries — all via `ivfpq_static_index`, i.e. the on-disk model
+    store) plus the raw-vector table with precomputed L2 norms, built
+    by the batch rung's own `_with_norm` so the exact-metric operands
+    are bit-identical. The norms table is corpus-sized but static —
+    it is the vector store the rerank stage reads, never collected."""
+    from catalyst_spark.queries.pipeline import _with_norm
+
+    codes_cells, entries, coarse = ivfpq_static_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    vecs_norm = _with_norm(emb, "n_id", "vc").drop("n_id_label")
+    return codes_cells, entries, coarse, vecs_norm
+
+
+def _rerank_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bounded two-metric state: the top-_RERANK_R shortlist per query
+    by (adc d2 asc, n_id asc) — the batch rung's exact shortlist
+    order — with each entry carrying its precomputed exact cosine.
+    Emission reranks the CURRENT shortlist by (cos desc, n_id asc) and
+    emits top-5, so the final emission equals the batch rerank row
+    exactly. Idempotent under re-delivery (dedup on n_id). State:
+    _RERANK_R (d2, n_id, cos) triples per query."""
+    (q_id,) = key
+    ds, ns, cs, n_seen = (state.get if state.exists else ([], [], [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    merged = pd.DataFrame({
+        "d2": list(ds) + cand["d2"].tolist(),
+        "n_id": list(ns) + cand["n_id"].tolist(),
+        "cos": list(cs) + cand["cos"].tolist(),
+    })
+    merged = (
+        merged.sort_values(["d2", "n_id"], ignore_index=True)
+        .drop_duplicates("n_id", ignore_index=True)
+        .head(_RERANK_R)
+    )
+    n_seen = int(n_seen) + len(cand)
+    state.update((merged["d2"].tolist(), merged["n_id"].tolist(),
+                  merged["cos"].tolist(), n_seen))
+    top = merged.sort_values(
+        ["cos", "n_id"], ascending=[False, True], ignore_index=True
+    ).head(_TOPK)
+    yield pd.DataFrame({
+        "q_id": int(q_id),
+        "rank": range(1, len(top) + 1),
+        "neighbor_id": top["n_id"].astype("int64"),
+        "cos": [_round_half_up(x) for x in top["cos"]],
+        "n_seen": n_seen,
+    })
+
+
+def stream_ivfpq_rerank_topk(
+    vec_stream: DataFrame,
+    codes_cells: DataFrame,
+    cent_entries: list,
+    coarse_entries: list,
+    vecs_norm: DataFrame,
+) -> DataFrame:
+    """Online twin of the two-stage rerank rung
+    (ann_ivfpq_rerank_topk) — the production serving shape where the
+    cheap ADC scan shortlists and only the shortlist is graded in the
+    exact metric. Each arriving query probes its nprobe=2 coarse cells
+    through the batch assigner's own numpy pass (probe set
+    bit-identical to `_probe_top2`), LUT-scores the probed cells'
+    codes exactly as `stream_ivfpq_topk`, and equi-joins the SAME
+    c_id-bounded candidate set against the static raw-vector store to
+    grade each candidate with the batch rung's `_cosine` fold in the
+    same pass. Bounded state then keeps the top-_RERANK_R shortlist by
+    the ADC order with each entry's exact cosine attached; emission
+    reranks the shortlist and equals the batch row exactly (replay
+    test incl. re-delivery).
+
+    Twin-vs-batch cost note (honest): the batch rung defers the exact
+    metric to the R-bounded shortlist AFTER ranking; Structured
+    Streaming allows one stateful operator per update-mode query, so
+    the twin cannot rank first and join after — it grades the
+    candidate set eagerly instead. The exact-metric join still touches
+    ONLY the probed cells' members (the same c_id-bounded set the ADC
+    scan reads), so the asymptotics match the scan stage; at serving
+    scale the deferred point-lookup fetch is the batch/offline shape,
+    and the twin's contract is exact replay-equality, which eager
+    grading preserves bit-for-bit."""
+    spark = vec_stream.sparkSession
+    one = spark.createDataFrame(
+        [(cent_entries,)],
+        "cent array<struct<m: int, code: bigint, ce: array<double>>>",
+    )
+    sub = _LSH_DIM // _PQ_M
+    s = _stream_probe_top2(vec_stream, coarse_entries).crossJoin(
+        F.broadcast(one)
+    )
+    for m in range(_PQ_M):
+        qm = f"slice(e, {m * sub + 1}, {sub})"
+        p = (
+            _PQ_DOT.format(a=qm, b=qm)
+            + " - 2 * " + _PQ_DOT.format(a=qm, b="c.ce")
+            + " + " + _PQ_DOT.format(a="c.ce", b="c.ce")
+        )
+        s = s.withColumn(f"lut{m}", F.expr(
+            f"map_from_entries(transform(filter(cent, c -> c.m = {m}),"
+            f" c -> struct(c.code, {p})))"
+        ))
+    # keep the raw query vector for the exact metric: alias vq + its
+    # norm with the batch _with_norm expression text (bit-identical)
+    s = (
+        s.withColumn("c_id", F.explode("cells"))
+        .withColumn("vq", F.col("e"))
+        .withColumn("vq_norm", F.sqrt(F.expr(
+            "aggregate(vq, cast(0 as double), (s, x) -> s + x * x)"
+        )))
+        .drop("cent", "e", "cells")
+    )
+    d2 = (  # fixed left-to-right add — same float order as the batch rung
+        F.expr("element_at(lut0, code0)")
+        + F.expr("element_at(lut1, code1)")
+        + F.expr("element_at(lut2, code2)")
+        + F.expr("element_at(lut3, code3)")
+    )
+    from catalyst_spark.queries.pipeline import _cosine
+
+    scored = (
+        s.join(codes_cells, "c_id")  # stream-static equi-join: probed cells only
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vq", "vq_norm",
+                F.col("vec_id").alias("n_id"), d2.alias("d2"))
+        .join(vecs_norm, "n_id")  # raw-vector store: same c_id-bounded set
+        .withColumn("cos", _cosine("vq", "vc"))
+        .select("q_id", "n_id", "d2", "cos")
+    )
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _rerank_update,
+        outputStructType=RERANK_TOPK_SCHEMA,
+        stateStructType=RERANK_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1043,6 +1043,63 @@ def test_stream_ivfpq_residual_topk_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_ivfpq_rerank_topk_matches_batch(spark, tmp_path):
+    """Streaming two-stage rerank twin: replaying the probe set as a
+    file stream (one batch fully RE-DELIVERED) against the IVF-PQ
+    static index + raw-vector store must converge to
+    ann_ivfpq_rerank_topk's top-5 exactly — numpy coarse probe
+    (bit-identical to the batch assigner), c_id-bounded ADC scoring,
+    eager exact-cosine grading on the same candidate set, and bounded
+    (d2, n_id, cos) shortlist state reranked at emission."""
+    import json
+
+    from catalyst_spark.queries.pipeline import ann_ivfpq_rerank_topk
+    from catalyst_spark.streaming.ann import (
+        rerank_static_index,
+        stream_ivfpq_rerank_topk,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+            for r in ann_ivfpq_rerank_topk(spark, SF_DIR).collect()}
+    assert want
+
+    codes_cells, entries, coarse, vecs_norm = rerank_static_index(
+        spark, SF_DIR)
+    probes = (load(spark, SF_DIR, "embeddings")
+              .where("vec_id % 50 = 0")
+              .selectExpr("vec_id", "cast(embedding as array<double>)"
+                          " as embedding").collect())
+    d = tmp_path / "rerank_stream"
+    d.mkdir()
+    half = max(1, len(probes) // 2)
+    batches = [probes[:half], probes[half:], probes[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": list(r["embedding"])})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_ivfpq_rerank_topk(stream, codes_cells, entries, coarse,
+                                  vecs_norm)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("rerank_stream_topk").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from rerank_stream_topk").collect()
+    latest = {}
+    for r in rows:
+        k = (r["q_id"], r["rank"])
+        if k not in latest or r["n_seen"] > latest[k][0]:
+            latest[k] = (r["n_seen"], r["neighbor_id"], r["cos"])
+    got = {k: (v[1], v[2]) for k, v in latest.items()}
+    assert got == want
+
+
 class TaggingTCPFront:
     """A REAL multi-connection TCP ingress (VERDICT r6 item 8): any
     number of clients connect to the ingress socket and send newline-
