@@ -3202,3 +3202,123 @@ ORACLE_SQL["window_selfdup_cut"] = _selfdup_cut_sql()
 ORACLE_SQL["lsh_bucket_size_hist"] = _bucket_hist_sql()
 ORACLE_SQL["ann_ivfpq_rerank_topk"] = _ivfpq_rerank_sql()
 ORACLE_SQL["ann_ivfpq_rerank_recall"] = _ivfpq_rerank_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-training / corpus-audit statistics (r7)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["bpe_merge_stats"] = """
+    WITH w AS (
+      SELECT t AS w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) >= 2 GROUP BY t),
+    p AS (
+      SELECT cnt,
+             unnest([substr(w, CAST(i AS INT), 2)
+                     FOR i IN range(1, length(w))]) AS pair
+      FROM w),
+    a AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM p GROUP BY pair)
+    SELECT ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk, pair, n
+    FROM a ORDER BY n DESC, pair LIMIT 20
+"""
+
+ORACLE_SQL["token_coverage_curve"] = """
+    WITH c AS (
+      SELECT t, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk FROM c),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM c)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(SUM(r.c) AS BIGINT) AS covered_tokens,
+           MAX(tot.total_tokens) AS total_tokens,
+           ROUND(SUM(r.c) * 1.0 / MAX(tot.total_tokens), 4) AS coverage
+    FROM (VALUES (1), (10), (100), (1000)) ks(k)
+    JOIN r ON r.rnk <= ks.k
+    CROSS JOIN tot
+    GROUP BY ks.k ORDER BY k
+"""
+
+# incremental shard-vs-corpus dedup: exact fp semi-join + banded MinHash
+# candidates (shard side x corpus side only) verified with the
+# integer-exact Jaccard >= 0.5 test (2|I| >= |U|)
+ORACLE_SQL["incremental_shard_dedup"] = f"""
+    WITH {_MINHASH_SIG},
+    bands AS (
+      SELECT doc_id, unnest([{_MINHASH_BUCKETS}]) AS bucket FROM sig),
+    fp AS (
+      SELECT doc_id, source, substring(md5(text), 1, 16) AS fp,
+             doc_id % 7 = 0 AS is_new
+      FROM documents),
+    ex AS (
+      SELECT DISTINCT n.doc_id FROM fp n JOIN fp o
+        ON n.fp = o.fp AND n.is_new AND NOT o.is_new),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
+      FROM bands l JOIN bands r ON l.bucket = r.bucket
+      WHERE l.doc_id % 7 = 0 AND r.doc_id % 7 != 0),
+    near AS (
+      SELECT DISTINCT c.new_id AS doc_id
+      FROM cand c JOIN sig a ON a.doc_id = c.new_id
+                  JOIN sig b ON b.doc_id = c.old_id
+      WHERE 2 * len(list_intersect(a.hset, b.hset))
+            >= len(list_distinct(list_concat(a.hset, b.hset))))
+    SELECT n.source, COUNT(*) AS n_new,
+           CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup,
+           CAST(SUM(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           CAST(SUM(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM fp n LEFT JOIN ex e ON n.doc_id = e.doc_id
+              LEFT JOIN near nr ON n.doc_id = nr.doc_id
+    WHERE n.is_new GROUP BY n.source ORDER BY n.source
+"""
+
+# hybrid rank fusion: vector arm = exact cosine top-20; lexical arm =
+# shingle-hash-blocked Jaccard top-20; integer rank-sum fusion with a
+# 21 penalty for single-arm candidates
+ORACLE_SQL["rank_fusion_topk"] = _EMB_NORMED + f"""
+    , {_MINHASH_SIG},
+    vec AS (
+      SELECT q_id, id, vrank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+                          c.vec_id) AS vrank
+        FROM v q JOIN v c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 50 = 0) t
+      WHERE vrank <= 20),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
+    cd AS (
+      SELECT q.doc_id AS q_id, c.doc_id AS id, COUNT(*) AS inter
+      FROM shr q JOIN shr c ON q.h = c.h AND q.doc_id != c.doc_id
+      WHERE q.doc_id % 50 = 0
+        AND q.doc_id IN (SELECT vec_id FROM embeddings)
+      GROUP BY 1, 2),
+    lex AS (
+      SELECT q_id, id, lrank FROM (
+        SELECT cd.q_id, cd.id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cd.q_id
+                 ORDER BY cd.inter * 1.0 / (qs.sz + cs.sz - cd.inter) DESC,
+                          cd.id) AS lrank
+        FROM cd JOIN sizes qs ON qs.doc_id = cd.q_id
+                JOIN sizes cs ON cs.doc_id = cd.id) t
+      WHERE lrank <= 20),
+    fused AS (
+      SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+             COALESCE(v.id, l.id) AS id,
+             COALESCE(v.vrank, 21) + COALESCE(l.lrank, 21) AS fused
+      FROM vec v FULL JOIN lex l ON v.q_id = l.q_id AND v.id = l.id)
+    SELECT q_id, "rank", id AS result_id,
+           CAST(fused AS BIGINT) AS fused_rank_sum
+    FROM (
+      SELECT q_id, id, fused,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY fused, id) AS "rank"
+      FROM fused) t
+    WHERE "rank" <= 5 ORDER BY q_id, "rank"
+"""

@@ -4357,6 +4357,246 @@ def truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# tokenizer-training / corpus-audit statistics (r7)
+# ---------------------------------------------------------------------------
+
+_BPE_TOPN = 20
+
+
+def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge candidates: the top-_BPE_TOPN adjacent
+    character pairs by corpus frequency — the statistic a BPE tokenizer
+    trainer computes each merge round (Sennrich et al. 2016 §3.2).
+
+    The scale trick IS the classic BPE one: pair counting runs over the
+    WORD-FREQUENCY table, not the corpus — the only corpus-sized
+    shuffle is the map-side-combining groupBy(word); the pair explode
+    and everything after operate on the vocabulary-sized histogram
+    (Heaps-sublinear in corpus size). Top-N is TakeOrderedAndProject
+    (distributed partial top-k, no global sort); the final rank window
+    runs on _BPE_TOPN rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = words.select(
+        "cnt",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+        )).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").alias("n"))
+    top = agg.orderBy(F.col("n").desc(), "pair").limit(_BPE_TOPN)
+    wr = W.orderBy(F.col("n").desc(), "pair")
+    return (
+        top.withColumn("rnk", F.row_number().over(wr))
+        .select("rnk", "pair", "n")
+        .orderBy("rnk")
+    )
+
+
+_COVERAGE_KS = (1, 10, 100, 1000)
+
+
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage audit: what share of all corpus tokens the top-k
+    vocabulary entries cover, for k in _COVERAGE_KS — the number that
+    sizes a tokenizer's vocabulary and predicts OOV rates before a
+    training run.
+
+    Plan: one corpus-sized map-side-combining groupBy(token) builds the
+    histogram; the global rank is needed only up to max(k), so the
+    candidate set is a distributed TakeOrderedAndProject of
+    max(_COVERAGE_KS) rows (never a full-vocab global sort) and the
+    rank window runs on that bounded set. The k-expansion is a 4-row
+    broadcast nested-loop join; totals ride in as a single-row
+    broadcast. Integer counts everywhere; only the final share divides.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.col("c").desc(), "t").limit(max(_COVERAGE_KS))
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.col("c").desc(), "t"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k bigint")
+    tot = cnt.agg(F.sum("c").alias("total_tokens"))
+    return (
+        ranked.join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("c").alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            F.round(F.col("covered_tokens") / F.col("total_tokens"), 4)
+            .alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+_SHARD_MOD = 7
+
+
+def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-shard) dedup audit: the new shard
+    (doc_id % _SHARD_MOD == 0) deduped AGAINST the already-ingested
+    corpus — the flow a production pipeline runs on every arriving
+    shard rather than re-deduping the world. Per source: shard size,
+    docs dropped as exact duplicates of the corpus (md5 fingerprint
+    semi-join), docs dropped as near-duplicates (MinHash band buckets
+    of the shard equi-joined against the corpus side's buckets — never
+    shard x corpus all-pairs — then verified at Jaccard >= 0.5 with
+    the INTEGER-EXACT test 2|I| >= |U|), and survivors.
+
+    Reuses the persisted signature table (`_minhash_sig_cand`), i.e.
+    the signature index a real incremental pipeline keeps on disk;
+    the batch twin of the stream-vs-index join that
+    `minhash_index_bands` + stream_minhash_candidates serve online.
+    All outputs are integer counts — full value-level oracle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", "source",
+        F.expr("substring(md5(text), 1, 16)").alias("fp"),
+    )
+    new = fp.where(F.col("doc_id") % _SHARD_MOD == 0)
+    old = fp.where(F.col("doc_id") % _SHARD_MOD != 0)
+    exact = (
+        new.join(old.select("fp").distinct(), "fp", "semi")
+        .select("doc_id", F.lit(1).alias("_e"))
+    )
+    bands = sig.select(
+        "doc_id", F.explode(_band_buckets_array()).alias("bucket")
+    )
+    nb = bands.where(F.col("doc_id") % _SHARD_MOD == 0)
+    ob = bands.where(F.col("doc_id") % _SHARD_MOD != 0)
+    cand = (
+        nb.alias("l").join(ob.alias("r"), "bucket")
+        .select(F.col("l.doc_id").alias("new_id"),
+                F.col("r.doc_id").alias("old_id"))
+        .distinct()
+    )
+    hs = sig.select("doc_id", "hset")
+    near = (
+        cand.join(hs.select(F.col("doc_id").alias("new_id"),
+                            F.col("hset").alias("h_a")), "new_id")
+        .join(hs.select(F.col("doc_id").alias("old_id"),
+                        F.col("hset").alias("h_b")), "old_id")
+        .where(
+            F.size(F.array_intersect("h_a", "h_b")) * 2
+            >= F.size(F.array_union("h_a", "h_b"))
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return (
+        new.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(F.col("_e").isNotNull(), 1).otherwise(0))
+            .alias("n_exact_dup"),
+            F.sum(F.when(F.col("_e").isNull() & F.col("_n").isNotNull(), 1)
+                  .otherwise(0)).alias("n_near_dup"),
+            F.sum(F.when(F.col("_e").isNull() & F.col("_n").isNull(), 1)
+                  .otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_FUSION_R = 20
+_FUSION_MISS = _FUSION_R + 1
+
+
+def rank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: integer rank fusion of a LEXICAL arm (3-shingle
+    Jaccard, candidates blocked by shared shingle hash — never
+    all-pairs) and a VECTOR arm (exact cosine top-_FUSION_R), the
+    modality-fusion shape every modern search stack serves (RRF,
+    Cormack et al. 2009 — rank-sum variant so the fusion score is
+    integer-exact; an absent-from-one-arm candidate takes the
+    _FUSION_MISS penalty rank).
+
+    The query set is the ANN rungs' probe set (id % 50 == 0)
+    restricted to ids present in BOTH tables (the synthetic corpus
+    shares its id domain across documents/embeddings). Plan: lexical
+    candidates are a shingle-hash equi-join (query side is probe-set
+    sized); vector arm broadcasts the probe set over the corpus scan
+    (the exact baseline — swap in an index rung at scale); fusion is a
+    full outer join of two probe-set-x-R rank lists, i.e. bounded by
+    queries x 2R rows regardless of corpus size.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
+    c = _with_norm(emb, "n_id", "vc")
+    wv = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    vec = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_raw", _cosine("vq", "vc"))
+        .withColumn("vrank", F.row_number().over(wv))
+        .where(F.col("vrank") <= _FUSION_R)
+        .select("q_id", F.col("n_id").alias("id"), "vrank")
+    )
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingled(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.expr(_h60("s")).alias("h"))
+    qs_l = (
+        sh.where(F.col("doc_id") % 50 == 0)
+        .join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi")
+        .select(F.col("doc_id").alias("q_id"), "h")
+    )
+    cd = (
+        qs_l.join(sh.select(F.col("doc_id").alias("id"), "h"), "h")
+        .where(F.col("id") != F.col("q_id"))
+        .groupBy("q_id", "id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    wl = W.partitionBy("q_id").orderBy(F.col("jac").desc(), F.col("id"))
+    lex = (
+        cd.join(sizes.select(F.col("doc_id").alias("q_id"),
+                             F.col("sz").alias("qsz")), "q_id")
+        .join(sizes.select(F.col("doc_id").alias("id"),
+                           F.col("sz").alias("csz")), "id")
+        .withColumn(
+            "jac",
+            F.col("inter") / (F.col("qsz") + F.col("csz") - F.col("inter")),
+        )
+        .withColumn("lrank", F.row_number().over(wl))
+        .where(F.col("lrank") <= _FUSION_R)
+        .select("q_id", "id", "lrank")
+    )
+    fused = vec.join(lex, ["q_id", "id"], "full").select(
+        "q_id", "id",
+        (F.coalesce("vrank", F.lit(_FUSION_MISS))
+         + F.coalesce("lrank", F.lit(_FUSION_MISS))).alias("fused"),
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("fused").asc(), F.col("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", F.col("id").alias("result_id"),
+                F.col("fused").cast("bigint").alias("fused_rank_sum"))
+        .orderBy("q_id", "rank")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -4438,4 +4678,8 @@ PIPELINE_QUERIES = {
     "phash_dup_clusters": phash_dup_clusters,
     "window_selfdup_cut": window_selfdup_cut,
     "lsh_bucket_size_hist": lsh_bucket_size_hist,
+    "bpe_merge_stats": bpe_merge_stats,
+    "token_coverage_curve": token_coverage_curve,
+    "incremental_shard_dedup": incremental_shard_dedup,
+    "rank_fusion_topk": rank_fusion_topk,
 }

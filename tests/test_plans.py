@@ -374,6 +374,27 @@ def test_sq8_broadcast_probe_integer_scan(spark):
     assert "Broadcast" in plan
 
 
+def test_r7_tokenizer_fusion_ops_plan_shapes(spark):
+    """bpe_merge_stats / token_coverage_curve: the only corpus-sized
+    shuffle is the token groupBy (partial agg); top-k candidates come
+    from TakeOrderedAndProject, never a full-vocab global sort.
+    incremental_shard_dedup: band candidates and fingerprint checks are
+    equi/semi-joins, no cartesian. rank_fusion_topk: the vector arm
+    broadcasts the probe set; no cartesian anywhere."""
+    for q in ("bpe_merge_stats", "token_coverage_curve"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "TakeOrderedAndProject" in plan, q
+        assert plan.count("HashAggregate") >= 2, q  # map-side combine
+        assert "EvalPython" not in plan and "PythonUDF" not in plan, q
+    plan = plan_of(spark, "incremental_shard_dedup")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # exact-dup fingerprint check
+    plan = plan_of(spark, "rank_fusion_topk")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan  # probe set broadcasts over the scan
+
+
 def test_all_query_plans_no_cartesian_no_rowwise_python(spark):
     """Anti-pattern sweep over the ENTIRE query registry (VERDICT r5
     item 7): every plan must be free of CartesianProduct (unbounded
