@@ -116,6 +116,21 @@ _SCALE_QUERIES = (
     "bigram_surprisal",
     # semantic-dedup materialization: cell-bounded pair set + CC labels
     "semdedup_keep_one",
+    # r7 rungs at 10x: the rerank stage must stay bounded at queries x R
+    # raw-vector fetches however large the corpus
+    "ann_ivfpq_rerank_topk",
+    # per-pair O(len^2) Levenshtein is safe only because the candidate
+    # set is blocked — measured to prove the pair count, not doc count,
+    # drives it
+    "dedup_edit_distance",
+    # the substring-cut materialization reassembles every doc's text —
+    # the heaviest per-row payload in the window family
+    "window_selfdup_cut",
+    # r7b: shard-vs-corpus band join (the incremental flow) and the
+    # two-arm fusion (vector arm is Q x N by design — the exact
+    # baseline; the lexical arm is shingle-blocked)
+    "incremental_shard_dedup",
+    "rank_fusion_topk",
 )
 
 

@@ -3734,6 +3734,14 @@ def window_selfdup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans; the keep-first-occurrence variant needs a global ordering
     decision that belongs to a policy layer, not the operator).
 
+    Measured at 10x (bench scale section, r7): 2.17x. Same over-linear
+    term as window_selfdup_spans: matched-window rows grow faster than
+    docs on the derived corpus (each replica family repeats the sf0.1
+    dup structure internally, so dup hashes cover a larger share of
+    windows), and the cut stage reassembles the text payload for that
+    larger matched set; keys stay (doc_id, pos), the reassembly is a
+    per-doc array expression — nothing quadratic.
+
     Plan shape: the shared window table feeds the duplicated-hash
     aggregate (8-byte keys) and the islands pass; qualifying runs
     collapse to a per-doc span LIST (model-sized per doc: spans, not
@@ -4540,6 +4548,13 @@ def rank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the exact baseline — swap in an index rung at scale); fusion is a
     full outer join of two probe-set-x-R rank lists, i.e. bounded by
     queries x 2R rows regardless of corpus size.
+
+    Measured at 10x (bench scale section, r7): 2.32x while the vector
+    arm's scored pairs grow a full 100x (10x probes x 10x corpus —
+    the exact arm is O(Q*N) BY DESIGN, same term as ann_sq8_topk's
+    note; the JVM fold amortizes per-pair cost). The scale path swaps
+    that arm for any index rung (IVF-PQ / SQ8-IVF) — the fusion join
+    itself stays bounded at queries x 2R and is scale-free.
     """
     emb = load(spark, sf_dir, "embeddings")
     q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
