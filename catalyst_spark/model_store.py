@@ -122,15 +122,18 @@ def embeddings_fingerprint(v) -> list[int]:
             int(row["m"] or 0)]
 
 
-def load_kmeans(sf_dir: str, tag: str, fingerprint: list[int]):
-    """Return (C, cids) if a current model is stored, else None."""
+def load_kmeans(sf_dir: str, tag: str, fingerprint: list[int],
+                params: dict | None = None):
+    """Return (C, cids) if a current model is stored, else None.
+    `params` overrides the engine-default train hyperparameters in the
+    staleness check (re-k variants store their own k)."""
     import numpy as np
     import pyarrow.parquet as pq
 
     base = model_root() / _sf_tag(sf_dir)
     data = base / f"kmeans_{tag}.parquet"
     if not data.exists() or not _meta_ok(
-        base / f"kmeans_{tag}.json", fingerprint, _train_params()
+        base / f"kmeans_{tag}.json", fingerprint, params or _train_params()
     ):
         return None
     t = pq.read_table(data)
@@ -146,7 +149,8 @@ def load_kmeans(sf_dir: str, tag: str, fingerprint: list[int]):
     return C, cids.astype("i8")
 
 
-def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids) -> None:
+def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids,
+                params: dict | None = None) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -163,7 +167,8 @@ def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids) -> None:
     tmp = data.with_suffix(f".tmp-{uuid.uuid4().hex}")
     pq.write_table(t, tmp)
     os.replace(tmp, data)
-    _write_meta(base / f"kmeans_{tag}.json", fingerprint, _train_params())
+    _write_meta(base / f"kmeans_{tag}.json", fingerprint,
+                params or _train_params())
 
 
 def codes_path(sf_dir: str, name: str = "pq_codes") -> Path:

@@ -654,27 +654,39 @@ _SRP_PLANES = (
     f"      (SELECT unnest(range(0, {_LSH_BITS})) AS k))"
 )
 
-def _kmeans_sql() -> str:
+def _kmeans_sql(k: int | None = None, prefix: str = "",
+                header: bool = True) -> str:
     """Unrolled Lloyd iterations mirroring pipeline.ivf_train: same
     deterministic init (k lowest vec_ids), same |x|^2-2x.c+|c|^2
-    distance decomposition, ties by centroid id, empty clusters drop."""
+    distance decomposition, ties by centroid id, empty clusters drop.
+    `k` defaults to the engine-wide _KMEANS_K; `prefix` renames every
+    generated CTE so two unrollings (e.g. the k=8 and k=16 quantizers
+    of ivf_rek_cell_stats) coexist in one WITH clause; `header=False`
+    omits the shared v/dims CTEs for the second unrolling."""
     from catalyst_spark.queries.pipeline import (
         _KMEANS_ITERS,
         _KMEANS_K,
         _LSH_DIM,
     )
 
-    parts = [
-        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),",
-        f"dims AS (SELECT unnest(range(1, {_LSH_DIM + 1})) AS d),",
-        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id,"
+    k = k or _KMEANS_K
+    p = prefix
+    parts = []
+    if header:
+        parts += [
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e"
+            " FROM embeddings),",
+            f"dims AS (SELECT unnest(range(1, {_LSH_DIM + 1})) AS d),",
+        ]
+    parts.append(
+        f"{p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id,"
         " e AS ce FROM (SELECT vec_id, e FROM v ORDER BY vec_id"
-        f" LIMIT {_KMEANS_K})),",
-    ]
+        f" LIMIT {k})),"
+    )
     for i in range(1, _KMEANS_ITERS + 1):
-        prev = f"c{i - 1}"
+        prev = f"{p}c{i - 1}"
         parts.append(
-            f"a{i} AS (SELECT vec_id, e, c_id FROM ("
+            f"{p}a{i} AS (SELECT vec_id, e, c_id FROM ("
             " SELECT v.vec_id, v.e, c.c_id,"
             " row_number() OVER (PARTITION BY v.vec_id ORDER BY"
             " list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)"
@@ -682,12 +694,12 @@ def _kmeans_sql() -> str:
             f" FROM v, {prev} c) t WHERE rn = 1),"
         )
         parts.append(
-            f"m{i} AS (SELECT c_id, d, AVG(e[d]) AS m"
-            f" FROM a{i}, dims GROUP BY 1, 2),"
+            f"{p}m{i} AS (SELECT c_id, d, AVG(e[d]) AS m"
+            f" FROM {p}a{i}, dims GROUP BY 1, 2),"
         )
         parts.append(
-            f"c{i} AS (SELECT c_id, list(m ORDER BY d) AS ce"
-            f" FROM m{i} GROUP BY 1),"
+            f"{p}c{i} AS (SELECT c_id, list(m ORDER BY d) AS ce"
+            f" FROM {p}m{i} GROUP BY 1),"
         )
     return "\n".join(parts)
 
@@ -3322,3 +3334,53 @@ ORACLE_SQL["rank_fusion_topk"] = _EMB_NORMED + f"""
       FROM fused) t
     WHERE "rank" <= 5 ORDER BY q_id, "rank"
 """
+
+
+def _ivf_rek_sql() -> str:
+    """Oracle twin of pipeline.ivf_rek_cell_stats: TWO unrolled coarse
+    k-means (engine k and the re-k k=16 variant, CTE names prefixed so
+    they coexist), nearest-centroid assignment and integer cell stats
+    for each, UNION ALL ordered by k."""
+    from catalyst_spark.queries.pipeline import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _REK_K,
+    )
+
+    last8 = f"c{_KMEANS_ITERS}"
+    last16 = f"rk_c{_KMEANS_ITERS}"
+
+    def _stats(k: int, last: str, p: str) -> str:
+        return f"""
+        {p}dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last} c),
+        {p}asg AS (SELECT vec_id, c_id FROM {p}dist WHERE rn = 1),
+        {p}cells AS (
+          SELECT c_id, COUNT(*) AS n FROM {p}asg GROUP BY c_id),
+        {p}stats AS (
+          SELECT CAST({k} AS BIGINT) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 CAST(MAX(n) AS BIGINT) AS max_cell,
+                 CAST(MIN(n) AS BIGINT) AS min_cell,
+                 CAST(SUM(n * n) AS BIGINT) AS scan_mass
+          FROM {p}cells),"""
+
+    return (
+        _kmeans_sql()
+        + "\n" + _kmeans_sql(k=_REK_K, prefix="rk_", header=False)
+        + _stats(_KMEANS_K, last8, "s8_")
+        + _stats(_REK_K, last16, "s16_").rstrip(",")
+        + """
+        SELECT * FROM (
+          SELECT * FROM s8_stats UNION ALL SELECT * FROM s16_stats) t
+        ORDER BY k
+    """
+    )
+
+
+ORACLE_SQL["ivf_rek_cell_stats"] = _ivf_rek_sql()

@@ -1413,26 +1413,30 @@ def _emb_fp(spark: SparkSession, sf_dir: str):
     return hit
 
 
-def _cached_kmeans(spark: SparkSession, sf_dir: str, v: DataFrame, tag: str):
+def _cached_kmeans(spark: SparkSession, sf_dir: str, v: DataFrame, tag: str,
+                   k: int = _KMEANS_K):
     """Session-keyed cache over _kmeans_fit (VERDICT r4 item 1), backed
     by the on-disk model store (VERDICT r5 item 2): memory -> parquet ->
     fit-and-save. `tag` names the slice being fitted ("full" for the
-    64-dim model, "pq{m}" for the 16-dim PQ subspaces) — the caller
-    guarantees `v` is the same deterministic projection for a given
-    (sf_dir, tag), and the store key carries a data fingerprint, so
-    every path returns the identical model the fit would (parquet
-    float64 round-trips bit-exactly)."""
+    64-dim model, "pq{m}" for the 16-dim PQ subspaces, "full_k{k}" for
+    re-k variants) — the caller guarantees `v` is the same deterministic
+    projection for a given (sf_dir, tag), and the store key carries a
+    data fingerprint plus the train hyperparameters (k override
+    included), so every path returns the identical model the fit would
+    (parquet float64 round-trips bit-exactly)."""
     from catalyst_spark import model_store
 
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     hit = _KMEANS_MODEL_CACHE.get(key)
     if hit is None:
         fp = _emb_fp(spark, sf_dir)
-        hit = model_store.load_kmeans(sf_dir, tag, fp)
+        params = (None if k == _KMEANS_K
+                  else {**model_store._train_params(), "k": k})
+        hit = model_store.load_kmeans(sf_dir, tag, fp, params=params)
         if hit is None:
-            C, cids, _ = _kmeans_fit(spark, v)
+            C, cids, _ = _kmeans_fit(spark, v, k=k)
             hit = (C, cids)
-            model_store.save_kmeans(sf_dir, tag, fp, C, cids)
+            model_store.save_kmeans(sf_dir, tag, fp, C, cids, params=params)
         _KMEANS_MODEL_CACHE[key] = hit
     return hit
 
@@ -1449,21 +1453,23 @@ def _top2_cells(D, cids):
     return cids[idx].astype("int64")
 
 
-def _coarse_assign(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
+def _coarse_assign(spark: SparkSession, sf_dir: str, v: DataFrame,
+                   tag: str = "full", k: int = _KMEANS_K) -> DataFrame:
     """Persisted (vec_id, c_id) nearest-trained-centroid assignment —
     the coarse index four operators share (trained-IVF top-k,
     multiprobe members, semdedup cells, IVF-PQ members). One
     Arrow-batched argmin pass per session instead of four identical
     full scans; 16 B/vector resident. Deterministic given the cached
     model ((distance, c_id) ties), so a hit returns exactly what the
-    inline pass would."""
+    inline pass would. `tag`/`k` select a non-default quantizer (the
+    re-k operator's k=16 model) — cache keys carry the tag."""
     import numpy as np
 
-    key = (spark.sparkContext.applicationId, sf_dir, "coarse_assign")
+    key = (spark.sparkContext.applicationId, sf_dir, f"coarse_assign_{tag}")
     hit = _TOPK_RESULT_CACHE.get(key)
     if hit is not None:
         return hit
-    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    C, cids = _cached_kmeans(spark, sf_dir, v, tag, k=k)
     Cn = (C * C).sum(axis=1)
 
     def _assign(batches):
@@ -1485,16 +1491,62 @@ def _coarse_assign(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
     return assign
 
 
-def _kmeans_fit(spark: SparkSession, v: DataFrame):
+_REK_K = 16
+
+
+def ivf_rek_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-k decision MEASURED: the serving quantizer (k=_KMEANS_K)
+    and a re-trained k=_REK_K quantizer side by side, with the numbers
+    an operator reads to decide whether to re-k — surviving cell
+    count, largest/smallest cell, and the SCAN MASS sum(n_c^2), the
+    quadratic in-cell volume that drives both per-probe latency
+    (expected scanned rows for a uniformly drawn query ~ sum n_c^2 / N)
+    and the in-cell pair count of semdedup. Every fixed-k scale note in
+    this module says "production grows k with N to bound |cell|";
+    this operator is that claim as a measured, oracle-checked row pair:
+    doubling k should roughly halve the scan mass on balanced data,
+    and a hot cell that persists across the re-k is a data-skew (not
+    quantizer-resolution) signal.
+
+    Both models come through the shared cache/model store (the k=16
+    model persists under tag "full_k16" with its own hyperparameter
+    key); each assignment is one Arrow-batched argmin pass; the stats
+    are tiny integer aggregates. Oracle: TWO unrolled k-means (the
+    generator is parametric in k with CTE-name prefixing), assignment
+    and aggregate each, UNION ALL.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    outs = []
+    for k, tag in ((_KMEANS_K, "full"), (_REK_K, f"full_k{_REK_K}")):
+        assign = _coarse_assign(spark, sf_dir, v, tag=tag, k=k)
+        cells = assign.groupBy("c_id").agg(F.count(F.lit(1)).alias("n"))
+        outs.append(
+            cells.agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.max("n").alias("max_cell"),
+                F.min("n").alias("min_cell"),
+                F.sum(F.col("n") * F.col("n")).alias("scan_mass"),
+            ).select(F.lit(k).cast("bigint").alias("k"), "n_cells",
+                     "max_cell", "min_cell", "scan_mass")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("k")
+
+
+def _kmeans_fit(spark: SparkSession, v: DataFrame, k: int = _KMEANS_K):
     """Driver-coordinated Lloyd loop over (vec_id, e); returns the final
     centroid matrix, its surviving original ids, and the last-iteration
     means DataFrame (c_id, d, m). See ivf_train for the scale/parity
-    argument."""
+    argument. `k` defaults to the engine-wide _KMEANS_K; the re-k
+    operator (ivf_rek_cell_stats) fits a second quantizer with a
+    larger k from the same deterministic init rule."""
     import numpy as np
 
-    init = v.orderBy("vec_id").limit(_KMEANS_K).collect()
+    init = v.orderBy("vec_id").limit(k).collect()
     C = np.stack([np.asarray(r["e"]) for r in init])  # (k_active, dim)
-    cids = np.arange(_KMEANS_K, dtype="i8")  # original centroid ids
+    cids = np.arange(k, dtype="i8")  # original centroid ids
 
     def _partials_for(C, cids):
         Cn = (C * C).sum(axis=1)  # closure constants shipped per task
@@ -4697,4 +4749,5 @@ PIPELINE_QUERIES = {
     "token_coverage_curve": token_coverage_curve,
     "incremental_shard_dedup": incremental_shard_dedup,
     "rank_fusion_topk": rank_fusion_topk,
+    "ivf_rek_cell_stats": ivf_rek_cell_stats,
 }
