@@ -759,3 +759,176 @@ def stream_ivfpq_rerank_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUSION_TOPK_SCHEMA = T.StructType([
+    T.StructField("q_id", T.LongType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("result_id", T.LongType()),
+    T.StructField("fused_rank_sum", T.LongType()),
+    T.StructField("n_seen", T.LongType()),   # monotone: latest = final
+])
+
+FUSION_STATE_SCHEMA = T.StructType([
+    T.StructField("lj", T.ArrayType(T.DoubleType())),   # lex jaccard
+    T.StructField("li", T.ArrayType(T.LongType())),     # lex ids
+    T.StructField("vc", T.ArrayType(T.DoubleType())),   # vec cosine
+    T.StructField("vi", T.ArrayType(T.LongType())),     # vec ids
+    T.StructField("n_seen", T.LongType()),
+])
+
+
+def fusion_static_index(spark: SparkSession, sf_dir: str):
+    """Serving artifacts for the hybrid-fusion twin: the per-doc
+    shingle-hash set table (id, ch, csz — from the persisted MinHash
+    signature table, so the lexical operands are identical to the batch
+    arm's) and the raw-vector table with precomputed norms (the batch
+    `_with_norm` expression). Both are corpus-sized STATIC tables — the
+    vector store and the lexical index a serving tier keeps."""
+    from catalyst_spark.queries.pipeline import (
+        _minhash_sig_cand,
+        _with_norm,
+    )
+
+    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    hsets = sig.select(
+        F.col("doc_id").alias("id"),
+        F.col("hset").alias("ch"),
+        F.size("hset").alias("csz"),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    vecs_norm = _with_norm(emb, "n_id", "vc").drop("n_id_label")
+    return hsets, vecs_norm
+
+
+def _fusion_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bounded two-arm state: the top-_FUSION_R lexical candidates by
+    (jaccard desc, id asc) and the top-_FUSION_R vector candidates by
+    (cosine desc, id asc) — each the batch arm's exact rank order.
+    Emission assigns per-arm ranks, fuses by integer rank sum with the
+    _FUSION_MISS penalty for absent-arm candidates, and emits the
+    fused top-5, equal to batch rank_fusion_topk's row. Idempotent
+    under re-delivery (per-arm dedup on id). State: 2 x _FUSION_R
+    (score, id) pairs per query."""
+    from catalyst_spark.queries.pipeline import _FUSION_MISS, _FUSION_R
+
+    (q_id,) = key
+    lj, li, vc, vi, n_seen = (
+        state.get if state.exists else ([], [], [], [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+
+    def _merge(scores, ids, arm):
+        rows = cand[cand["arm"] == arm]
+        m = pd.DataFrame({
+            "s": list(scores) + rows["score"].tolist(),
+            "id": list(ids) + rows["id"].tolist(),
+        })
+        return (
+            m.sort_values(["s", "id"], ascending=[False, True],
+                          ignore_index=True)
+            .drop_duplicates("id", ignore_index=True)
+            .head(_FUSION_R)
+        )
+
+    lex = _merge(lj, li, "L")
+    vec = _merge(vc, vi, "V")
+    n_seen = int(n_seen) + len(cand)
+    state.update((lex["s"].tolist(), lex["id"].tolist(),
+                  vec["s"].tolist(), vec["id"].tolist(), n_seen))
+    fused: dict[int, int] = {}
+    for df in (lex, vec):
+        for rnk, i in enumerate(df["id"].tolist(), start=1):
+            fused[i] = fused.get(i, 0) + rnk
+    # absent-arm penalty: ids in only one list get _FUSION_MISS for the
+    # other arm (ids in neither never appear, matching the batch full
+    # outer join's domain)
+    both = set(lex["id"].tolist()) & set(vec["id"].tolist())
+    out = [(i, s if i in both else s + _FUSION_MISS)
+           for i, s in fused.items()]
+    out.sort(key=lambda t: (t[1], t[0]))
+    top = out[:_TOPK]
+    yield pd.DataFrame({
+        "q_id": int(q_id),
+        "rank": range(1, len(top) + 1),
+        "result_id": [i for i, _ in top],
+        "fused_rank_sum": [s for _, s in top],
+        "n_seen": n_seen,
+    })
+
+
+def stream_rank_fusion_topk(
+    doc_vec_stream: DataFrame,
+    hsets: DataFrame,
+    vecs_norm: DataFrame,
+) -> DataFrame:
+    """Online twin of the hybrid rank-fusion operator
+    (rank_fusion_topk): each arriving query carries its text AND its
+    embedding; the lexical arm scores it against the static shingle-set
+    table (Jaccard over the same _h60 hash sets as batch — the
+    intersection is a per-row array fold, no streaming aggregation
+    needed), the vector arm against the static raw-vector store with
+    the batch `_cosine` fold; both arms' candidate rows union into ONE
+    bounded keyed state that holds the two top-_FUSION_R lists and
+    emits the integer rank-sum fusion — equal to the batch row exactly
+    (replay test incl. re-delivery).
+
+    Honest cost note: both arms are scan-based stream-static joins
+    (per arriving query the static side is scanned — the corpus-sized
+    cost the batch op's blocking/broadcast shapes avoid). That is the
+    price of EXACT fused replay in a single stateful operator; a
+    serving tier that can tolerate candidate recall < 1 plugs the
+    banded lexical index (stream_minhash_candidates) and an ANN twin
+    (stream_sq8_ivf_topk / stream_ivfpq_topk) in front and fuses their
+    shortlists with the same state function. Intersection counts use
+    query-side multiplicity (size(filter(qh, contains))), identical to
+    the batch equi-join count whenever the 60-bit shingle hashes are
+    collision-free on the corpus (md5-prefix; the same assumption every
+    _h60 operator documents)."""
+    from catalyst_spark.queries.pipeline import _h60, _shingled
+
+    qh = _shingled(
+        doc_vec_stream.select("doc_id", "text")
+    ).select(
+        F.col("doc_id").alias("q_id"),
+        F.expr(f"transform(shingles, sh -> {_h60('sh')})").alias("qh"),
+    ).withColumn("qsz", F.size("qh"))
+    lex = (
+        qh.join(hsets, F.expr("arrays_overlap(qh, ch)"))
+        .where(F.col("id") != F.col("q_id"))
+        .withColumn(
+            "inter",
+            F.expr("size(filter(qh, h -> array_contains(ch, h)))"),
+        )
+        .select(
+            "q_id", "id", F.lit("L").alias("arm"),
+            (F.col("inter")
+             / (F.col("qsz") + F.col("csz") - F.col("inter")))
+            .alias("score"),
+        )
+    )
+    qv = (
+        doc_vec_stream.select(
+            F.col("doc_id").alias("q_id"),
+            F.expr("cast(embedding as array<double>)").alias("vq"),
+        )
+        .withColumn("vq_norm", F.sqrt(F.expr(
+            "aggregate(vq, cast(0 as double), (s, x) -> s + x * x)"
+        )))
+    )
+    from catalyst_spark.queries.pipeline import _cosine
+
+    vec = (
+        qv.join(vecs_norm, F.col("n_id") != F.col("q_id"))
+        .withColumn("score", _cosine("vq", "vc"))
+        .select("q_id", F.col("n_id").alias("id"),
+                F.lit("V").alias("arm"), "score")
+    )
+    return lex.unionByName(vec).groupBy("q_id").applyInPandasWithState(
+        _fusion_update,
+        outputStructType=FUSION_TOPK_SCHEMA,
+        stateStructType=FUSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
