@@ -131,6 +131,9 @@ _SCALE_QUERIES = (
     # baseline; the lexical arm is shingle-blocked)
     "incremental_shard_dedup",
     "rank_fusion_topk",
+    # the re-k report at 10x: two quantizer fits + assignments; the
+    # interesting number is the k=16 scan-mass drop at the larger corpus
+    "ivf_rek_cell_stats",
 )
 
 
