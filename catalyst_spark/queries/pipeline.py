@@ -134,9 +134,11 @@ def _minhash_coeffs() -> tuple[list[int], list[int]]:
     return a_lst, b_lst
 
 
-def _shingled(documents: DataFrame) -> DataFrame:
+def _shingled(documents: DataFrame, keep: tuple = ()) -> DataFrame:
     """doc_id + distinct 3-token shingle array (docs shorter than 3
-    tokens contribute the whole text as their only shingle).
+    tokens contribute the whole text as their only shingle). `keep`
+    carries extra columns through (streaming callers that must stay
+    single-projection to avoid a stream-stream self-join).
 
     Built with zip_with over three token-array slices rather than
     index-lambda transform: indexed access (tokens[i]) re-evaluates the
@@ -144,6 +146,7 @@ def _shingled(documents: DataFrame) -> DataFrame:
     lambda), measured 4x slower at sf0.1."""
     return documents.select(
         "doc_id",
+        *keep,
         F.expr(
             f"""CASE WHEN {N_TOKENS} >= 3 THEN
                   array_distinct(zip_with(

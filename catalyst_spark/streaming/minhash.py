@@ -56,3 +56,151 @@ def stream_minhash_candidates(
         )
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def shard_dedup_static_index(spark, sf_dir: str):
+    """The corpus-side serving artifacts for ingest-time shard dedup
+    (streaming face of queries.pipeline.incremental_shard_dedup): the
+    distinct corpus fingerprint table, the corpus band-bucket index,
+    and the corpus shingle-hash sets — all built from the persisted
+    signature table / documents for the corpus side
+    (doc_id % 7 != 0), i.e. what yesterday's pipeline left on disk."""
+    from catalyst_spark.queries.pipeline import _minhash_sig_cand
+    from catalyst_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    fp_index = old.select(
+        F.expr("substring(md5(text), 1, 16)").alias("fp")
+    ).distinct()
+    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    old_sig = sig.where(F.col("doc_id") % 7 != 0)
+    band_index = old_sig.select(
+        F.col("doc_id").alias("old_id"),
+        F.explode(_band_buckets_array()).alias("bucket"),
+    )
+    hset_index = old_sig.select(
+        F.col("doc_id").alias("old_id"), F.col("hset").alias("ch")
+    )
+    return fp_index, band_index, hset_index
+
+
+def _shard_classify_update(key, pdfs, state):
+    """Per-arriving-doc classification state: two booleans (exact-dup /
+    near-dup evidence seen) + the doc's source, merged by OR — so the
+    emission is idempotent under re-delivery and converges to the batch
+    operator's per-doc class: 'exact' wins, else 'near', else 'kept'
+    (the same precedence incremental_shard_dedup's counters apply)."""
+    import pandas as pd
+
+    (doc_id,) = key
+    ex, nr, src, n_seen = (
+        state.get if state.exists else (0, 0, "", 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    ex = int(bool(ex or cand["exact"].max()))
+    nr = int(bool(nr or cand["near"].max()))
+    src = src or str(cand["source"].iloc[0])
+    n_seen = int(n_seen) + len(cand)
+    state.update((ex, nr, src, n_seen))
+    status = "exact" if ex else ("near" if nr else "kept")
+    yield pd.DataFrame({
+        "doc_id": [int(doc_id)], "source": [src], "status": [status],
+        "n_seen": [n_seen],
+    })
+
+
+def stream_shard_dedup_classify(
+    doc_stream: DataFrame,
+    fp_index: DataFrame,
+    band_index: DataFrame,
+    hset_index: DataFrame,
+) -> DataFrame:
+    """Ingest-time dedup: each arriving shard document is classified
+    against the CORPUS index — 'exact' (fingerprint present), 'near'
+    (shares a MinHash band bucket with a corpus doc AND the
+    integer-exact Jaccard >= 0.5 verify passes: 2|I| >= |U| over the
+    same _h60 hash sets the batch op compares), else 'kept'. The
+    streaming face of incremental_shard_dedup: a production pipeline
+    runs THIS at ingest and the batch op as the nightly audit, and the
+    two agree exactly (replay test aggregates the per-doc classes into
+    the batch op's per-source counters, incl. re-delivery).
+
+    All scoring is stateless (fingerprint equi-join; band-bucket
+    equi-join against the index — only colliding buckets' corpus docs
+    are verified, never shard x corpus; the verify is a per-row array
+    fold); the only state is two booleans + source per arriving doc.
+    Evidence rows (base / exact-match / verified-near) union into one
+    keyed state per doc_id."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from catalyst_spark.queries.pipeline import _h60, _shingled
+
+    base = doc_stream.select(
+        "doc_id", "source",
+        F.lit(0).alias("exact"), F.lit(0).alias("near"),
+    )
+    exact = (
+        doc_stream.select(
+            "doc_id", "source",
+            F.expr("substring(md5(text), 1, 16)").alias("fp"),
+        )
+        .join(fp_index, "fp")
+        .select("doc_id", "source",
+                F.lit(1).alias("exact"), F.lit(0).alias("near"))
+    )
+    # ONE projection carries shingle hashes + minhash minima + source,
+    # so the near branch never stream-stream-self-joins (only
+    # stream-static joins follow; the sole stateful op is the keyed
+    # classifier)
+    from catalyst_spark.queries.pipeline import (
+        _MINHASH_P,
+        _MINHASH_PERMS,
+        _minhash_coeffs,
+    )
+
+    a_lst, b_lst = _minhash_coeffs()
+    enr = _shingled(
+        doc_stream.select("doc_id", "source", "text"), keep=("source",)
+    ).withColumn(
+        "qh", F.expr(f"transform(shingles, sh -> {_h60('sh')})")
+    )
+    for s in range(_MINHASH_PERMS):
+        enr = enr.withColumn(f"m{s}", F.expr(
+            f"array_min(transform(qh, h -> "
+            f"({a_lst[s]} * (h % {_MINHASH_P}) + {b_lst[s]}) % {_MINHASH_P}))"
+        ))
+    near = (
+        enr.select(
+            "doc_id", "source", "qh",
+            F.explode(_band_buckets_array()).alias("bucket"),
+        )
+        .join(band_index, "bucket")
+        .join(hset_index, "old_id")
+        .where(
+            F.size(F.array_intersect("qh", "ch")) * 2
+            >= F.size(F.array_union("qh", "ch"))
+        )
+        .select("doc_id", "source",
+                F.lit(0).alias("exact"), F.lit(1).alias("near"))
+    )
+    rows = base.unionByName(exact).unionByName(near)
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ex", T.IntegerType()),
+        T.StructField("nr", T.IntegerType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    return rows.groupBy("doc_id").applyInPandasWithState(
+        _shard_classify_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
