@@ -172,9 +172,9 @@ _R7_FRONT = [
     # staleness stays <=2 rounds and r8 fronts it
     "unigram_surprisal",
 ]
-# r8 rotation note: the five late-r7 additions (bpe_merge_stats,
+# r8 rotation note: the six late-r7 additions (bpe_merge_stats,
 # token_coverage_curve, incremental_shard_dedup, rank_fusion_topk,
-# ivf_rek_cell_stats —
+# ivf_rek_cell_stats, dup_quality_audit —
 # registry tail, local-sweep green) deliberately sit PAST the 50-entry
 # window so the r7 goal "zero pre-r7 operators ever-unchecked, max
 # staleness <=2 rounds" holds; r8 must front them first (no driver row

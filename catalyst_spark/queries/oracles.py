@@ -3384,3 +3384,39 @@ def _ivf_rek_sql() -> str:
 
 
 ORACLE_SQL["ivf_rek_cell_stats"] = _ivf_rek_sql()
+
+
+# cross-signal audit: complete >=0.5 pair membership x quality gate
+ORACLE_SQL["dup_quality_audit"] = f"""
+    WITH {_SHINGLE_PAIRS_CTE},
+    dup AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT a_id AS doc_id FROM pairs
+        UNION ALL SELECT b_id AS doc_id FROM pairs)),
+    g AS (
+      SELECT doc_id, source,
+             (n_tok >= {_QUALITY_BOUNDS['min_tok']}
+              AND n_tok <= {_QUALITY_BOUNDS['max_tok']}
+              AND tok_len >= {_QUALITY_BOUNDS['min_tok_len']}
+              AND tok_len <= {_QUALITY_BOUNDS['max_tok_len']}
+              AND stop_ratio >= {_QUALITY_BOUNDS['min_stop']}) AS q
+      FROM (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok,
+               length(replace(text, ' ', ''))
+                 / len(string_split(text, ' ')) AS tok_len,
+               {_hits_duck('en')}
+                 / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents))
+    SELECT g.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND g.q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dup_pass,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND NOT g.q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dup_fail,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL AND g.q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS uniq_pass,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL AND NOT g.q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS uniq_fail
+    FROM g LEFT JOIN dup d USING (doc_id)
+    GROUP BY g.source ORDER BY g.source
+"""

@@ -4667,6 +4667,58 @@ def rank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal curation audit: the per-source 2x2 contingency of
+    near-dup membership (any doc in the COMPLETE Jaccard >= 0.5 pair
+    set — the memoized prefix-filter pairs) against the cheap quality
+    gate (quality_filter's bounds). This is the table a curator reads
+    before ordering the pipeline stages: if dup_fail dominates dup_pass,
+    quality-filter-first removes most duplicates for free and the
+    expensive dedup pass runs on a smaller corpus; if duplicates
+    concentrate in PASSING docs (mirror sites of good content — the
+    common web-corpus case), dedup must run regardless and
+    quality-first saves nothing.
+
+    Plan: the pair set is the shared session-cached build; dup ids are
+    one distinct over 8-byte keys; the gate is a pure projection; one
+    left join + one source-sized aggregate. Integer counts only."""
+    documents = load(spark, sf_dir, "documents")
+    pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
+    dup_ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    b = _QUALITY_BOUNDS
+    n_tok = F.expr(N_TOKENS)
+    tok_len = F.length(F.regexp_replace("text", " ", "")) / n_tok
+    stop_ratio = F.expr(_hits("en")) / n_tok
+    passes = (
+        (n_tok >= b["min_tok"]) & (n_tok <= b["max_tok"])
+        & (tok_len >= b["min_tok_len"]) & (tok_len <= b["max_tok_len"])
+        & (stop_ratio >= b["min_stop"])
+    )
+    dup = F.col("_dup").isNotNull()
+    return (
+        documents.select("doc_id", "source", passes.alias("q"))
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(dup & F.col("q"), 1).otherwise(0))
+            .alias("dup_pass"),
+            F.sum(F.when(dup & ~F.col("q"), 1).otherwise(0))
+            .alias("dup_fail"),
+            F.sum(F.when(~dup & F.col("q"), 1).otherwise(0))
+            .alias("uniq_pass"),
+            F.sum(F.when(~dup & ~F.col("q"), 1).otherwise(0))
+            .alias("uniq_fail"),
+        )
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -4753,4 +4805,5 @@ PIPELINE_QUERIES = {
     "incremental_shard_dedup": incremental_shard_dedup,
     "rank_fusion_topk": rank_fusion_topk,
     "ivf_rek_cell_stats": ivf_rek_cell_stats,
+    "dup_quality_audit": dup_quality_audit,
 }
