@@ -346,7 +346,12 @@ def main() -> None:
     # median-of-n per query: one timing per pass, each pass fully cold, so
     # sub-second ambient noise can't masquerade as a regression while
     # build-owner attribution stays identical in every pass
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # default 5: an ambient-drift episode this round pushed six queries
+    # past the 1.3x flag under median-of-3 (spreads 0.4-0.8 s) and all
+    # six reverted at median-of-5; the soft deadline below degrades
+    # pass count gracefully on a slow machine, so the larger default
+    # costs nothing when time is short
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     # soft deadline: a slower machine should degrade to fewer passes,
     # not to a timed-out run with no artifact at all (never triggers at
     # this machine's ~100 s/pass)
