@@ -33,6 +33,25 @@ def test_every_query_is_oracle_checked():
     assert set(ORACLE_SQL) == set(ALL_QUERIES)
 
 
+def test_driver_window_composition():
+    """The driver's CORRECTNESS window is the FIRST 50 registry keys in
+    insertion order; the r7 rotation plan (queries/__init__.py) promises
+    exactly the _R7_FRONT prefix there — 8 new-in-r7 ops, the 2
+    never-checked r6 additions, and the full 40-op r4-stale set — with
+    every late-r7 addition deliberately PAST the window so max driver
+    staleness stays <= 2 rounds. Pin both, so a registry edit cannot
+    silently reshuffle the window before the driver runs."""
+    from catalyst_spark.queries import _R7_FRONT
+
+    names = list(ALL_QUERIES)
+    assert names[:50] == _R7_FRONT[:50]
+    assert names[50] == "unigram_surprisal"
+    for late in ("bpe_merge_stats", "token_coverage_curve",
+                 "incremental_shard_dedup", "rank_fusion_topk",
+                 "ivf_rek_cell_stats", "dup_quality_audit"):
+        assert names.index(late) > 50, late
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
