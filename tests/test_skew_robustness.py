@@ -152,3 +152,45 @@ def test_overlap_matrix_boilerplate_bounded(spark, skew_dirs):
     assert all(-2 <= g <= 500 for g in gains), gains
     assert any(g >= 1 for g in gains)
     assert skew_t < base_t * 8 + 10
+
+
+def test_incremental_shard_dedup_hot_clique_bounded(spark, skew_dirs):
+    """The shard-vs-corpus band join under the worst-case hot bucket
+    (5% identical docs): every clique member in the SHARD is a genuine
+    exact duplicate of the corpus side (the clique spans both sides of
+    the doc_id % 7 split), so candidate growth is output-relevant, and
+    the audit must (a) keep n_new per source identical to the clean
+    corpus (classification never drops arrivals), (b) classify every
+    hot shard doc as exact, (c) stay the same runtime order — the
+    shard x corpus equi-join on band buckets cannot blow past the
+    clique it is supposed to find."""
+    from catalyst_spark.queries.pipeline import (
+        incremental_shard_dedup,
+        reset_session_caches,
+    )
+
+    _, hot_dir, _ = skew_dirs
+    reset_session_caches(spark)
+    t0 = time.perf_counter()
+    base = {r["source"]: r for r in
+            incremental_shard_dedup(spark, SRC).collect()}
+    base_t = time.perf_counter() - t0
+    reset_session_caches(spark)
+    t0 = time.perf_counter()
+    skew = {r["source"]: r for r in
+            incremental_shard_dedup(spark, hot_dir).collect()}
+    skew_t = time.perf_counter() - t0
+
+    assert set(skew) == set(base)
+    for src in base:
+        assert skew[src]["n_new"] == base[src]["n_new"], src
+    hot_docs = spark.read.parquet(f"{hot_dir}/documents.parquet")
+    n_hot_shard = hot_docs.where(
+        "doc_id % 20 = 0 AND doc_id % 7 = 0").count()
+    assert n_hot_shard > 0
+    total_exact = sum(r["n_exact_dup"] for r in skew.values())
+    base_exact = sum(r["n_exact_dup"] for r in base.values())
+    # every hot shard doc matches the corpus-side clique fingerprint
+    assert total_exact >= n_hot_shard
+    assert total_exact <= base_exact + n_hot_shard
+    assert skew_t < base_t * 8 + 10  # same order, no quadratic blowup
