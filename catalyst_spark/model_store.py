@@ -106,8 +106,11 @@ def embeddings_fingerprint(v) -> list[int]:
     duplicates one row and drops another distinct one keeps the count
     and can keep the id-XOR. The masked sum is a second independent
     accumulator that such an edit cannot also preserve (it would need
-    equal 40-bit hash residues); 2^40 per row overflows ANSI longs
-    only past ~8e6 T rows."""
+    equal 40-bit hash residues). The sum accumulates in decimal(38,0)
+    (ADVICE r7: a bigint accumulator of 40-bit terms overflows ANSI
+    longs at ~2^23 rows, not the ~8e6 T the old docstring claimed);
+    decimal(38,0) holds ~10^38 / 2^40 ~ 9e25 rows before overflow, and
+    the reported value is the sum mod 2^40 so it stays a plain int."""
     from pyspark.sql import functions as F
 
     row = v.agg(
@@ -116,7 +119,10 @@ def embeddings_fingerprint(v) -> list[int]:
         # plain sum(vec_id) would overflow ANSI longs near ~4e9 rows
         F.expr("bit_xor(xxhash64(vec_id))").alias("s"),
         F.expr("bit_xor(xxhash64(vec_id, e))").alias("h"),
-        F.expr("sum(xxhash64(vec_id, e) & 1099511627775)").alias("m"),
+        F.expr(
+            "sum(cast(xxhash64(vec_id, e) & 1099511627775 "
+            "as decimal(38,0))) % 1099511627776"
+        ).alias("m"),
     ).first()
     return [int(row["n"]), int(row["s"] or 0), int(row["h"] or 0),
             int(row["m"] or 0)]

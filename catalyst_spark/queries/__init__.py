@@ -182,6 +182,48 @@ _R7_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R7_FRONT)
 
+# Round-8 driver window (VERDICT r7 item 1, the prescribed rotation):
+# the six late-r7 operators with NO driver row ever, then
+# unigram_surprisal (slot-51 carryover from r7), then the full
+# 42-operator r5-stale set — 6+1+42 = 49 slots, so after this window
+# zero operators are ever-unchecked and max staleness is <=2 rounds
+# everywhere (r6-green ops become exactly 2 rounds stale, r7-green 1).
+# Slot 50 is the re-k'd IVF serving rung (VERDICT r7 item 2, the one
+# named scale-killer converted to evidence).
+_R8_FRONT = [
+    # late-r7 additions — no driver row ever
+    "bpe_merge_stats", "token_coverage_curve", "incremental_shard_dedup",
+    "rank_fusion_topk", "ivf_rek_cell_stats", "dup_quality_audit",
+    # slot-51 carryover (r6-green, code changed in r7)
+    "unigram_surprisal",
+    # last driver row in r5 (the full stale set from VERDICT r7)
+    "ann_brute_topk", "anomaly_zscore", "asof_nearest_join",
+    "asof_prior_click", "bloom_decontaminate", "burn_rate_windows",
+    "chunk_dedup", "contamination_overlap", "cube_event_counts",
+    "dedup_cluster_size_hist", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "distinctive_terms",
+    "doc_length_quartiles_by_source", "domain_cap_sample",
+    "heavy_hitters", "json_props_stats", "lsh_band_recall_curve",
+    "lsh_recall_vs_exact", "minhash_jaccard_estimate", "mixture_weights",
+    "pack_sequences", "pivot_event_counts", "q18_running_total",
+    "q20_customer_deciles", "q21_salted_skew_join", "quality_filter",
+    "quality_survival_curve", "repetition_ratio", "rollup_doc_counts",
+    "stratified_sample", "text_simhash", "top3_per_group", "top_ngrams",
+    "train_val_test_split", "truncation_stats", "value_histogram",
+    "value_percentiles", "vocab_stats",
+    # slot 50: new-in-r8 re-k'd IVF serving rung (k grown with corpus)
+    "ann_sq8_ivf_rek_topk",
+]
+# r9 rotation note: the remaining new-in-r8 operators
+# (ann_sq8_ivf_rek_recall, rank_fusion_indexed, rank_fusion_recall,
+# incremental_shard_apply, window_selfdup_cut_first) sit PAST the
+# 50-entry window so the r8 goal "zero ever-unchecked operators, max
+# staleness <=2 rounds" holds; r9 must front them first (no driver row
+# ever), then the r6-stale rotation.
+
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R8_FRONT)
+
 __all__ = [
     "RELATIONAL_QUERIES",
     "PIPELINE_QUERIES",

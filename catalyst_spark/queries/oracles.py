@@ -3386,6 +3386,311 @@ def _ivf_rek_sql() -> str:
 ORACLE_SQL["ivf_rek_cell_stats"] = _ivf_rek_sql()
 
 
+def _sq8_ivf_rek_ctes() -> str:
+    """Shared CTEs for the re-k'd IVF+SQ8 oracles (oracle twin of
+    pipeline.ann_sq8_ivf_rek_topk): the k=_REK_K unrolled coarse
+    k-means (CTE names prefixed rk_, same parametric generator the
+    ivf_rek_cell_stats oracle uses) + bit-exact SQ8 codes + top-2
+    probes, top-1 members, in-cell candidates, integer rank. Valid at
+    every correctness scale because _serving_k(N) = _REK_K for all
+    N < 4 * _REK_N0 (= 16k rows; sf0.01 has 500, sf0.1 has 2k)."""
+    from catalyst_spark.queries.pipeline import (
+        _KMEANS_ITERS,
+        _LSH_DIM,
+        _REK_K,
+    )
+
+    last_c = f"rk_c{_KMEANS_ITERS}"
+    return (
+        _kmeans_sql(k=_REK_K, prefix="rk_")
+        + _sq8_code_ctes(with_header=False)
+        + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        members AS (SELECT vec_id AS n_id, c_id FROM dist WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id
+          FROM dist WHERE rn <= 2 AND vec_id % 50 = 0),
+        cand AS (
+          SELECT DISTINCT p.q_id, m.n_id
+          FROM probes p JOIN members m USING (c_id)
+          WHERE m.n_id != p.q_id),
+        sqirank AS (
+          SELECT ca.q_id, ca.n_id,
+                 CAST(list_sum(list_transform(range(1, {_LSH_DIM + 1}),
+                      d -> (q.c[d] - n.c[d]) * (q.c[d] - n.c[d])))
+                      AS BIGINT) AS d2,
+                 ROW_NUMBER() OVER (PARTITION BY ca.q_id ORDER BY
+                   CAST(list_sum(list_transform(range(1, {_LSH_DIM + 1}),
+                        d -> (q.c[d] - n.c[d]) * (q.c[d] - n.c[d])))
+                        AS BIGINT), ca.n_id) AS rnk
+          FROM cand ca
+          JOIN sq8codes q ON q.vec_id = ca.q_id
+          JOIN sq8codes n ON n.vec_id = ca.n_id)"""
+    )
+
+
+ORACLE_SQL["ann_sq8_ivf_rek_topk"] = _sq8_ivf_rek_ctes() + """
+    SELECT q_id, rnk AS "rank", n_id AS neighbor_id, d2 AS sq_d2
+    FROM sqirank WHERE rnk <= 5 ORDER BY q_id, "rank"
+"""
+
+ORACLE_SQL["ann_sq8_ivf_rek_recall"] = _sq8_ivf_rek_ctes() + """,
+    sqi AS (SELECT q_id, n_id FROM sqirank WHERE rnk <= 5),
+    nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    sb AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+      FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 50 = 0),
+    brute AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_raw DESC, neighbor_id)
+                 AS rnk
+        FROM sb) t
+      WHERE rnk <= 5)
+    SELECT b.q_id,
+           COUNT(sqi.n_id) AS hits,
+           ROUND(COUNT(sqi.n_id) / 5.0, 2) AS recall_at_5
+    FROM brute b
+    LEFT JOIN sqi ON sqi.q_id = b.q_id AND sqi.n_id = b.neighbor_id
+    GROUP BY b.q_id ORDER BY b.q_id
+"""
+
+
+# shared lexical-arm + fusion CTE fragments for the two rank-fusion
+# variants (twin of pipeline._fusion_lex_arm / _fuse_arms)
+_FUSION_LEX_CTES = """
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
+    cd AS (
+      SELECT q.doc_id AS q_id, c.doc_id AS id, COUNT(*) AS inter
+      FROM shr q JOIN shr c ON q.h = c.h AND q.doc_id != c.doc_id
+      WHERE q.doc_id % 50 = 0
+        AND q.doc_id IN (SELECT vec_id FROM embeddings)
+      GROUP BY 1, 2),
+    lex AS (
+      SELECT q_id, id, lrank FROM (
+        SELECT cd.q_id, cd.id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cd.q_id
+                 ORDER BY cd.inter * 1.0 / (qs.sz + cs.sz - cd.inter) DESC,
+                          cd.id) AS lrank
+        FROM cd JOIN sizes qs ON qs.doc_id = cd.q_id
+                JOIN sizes cs ON cs.doc_id = cd.id) t
+      WHERE lrank <= 20)"""
+
+# indexed vector arm: the IVF-PQ ADC shortlist exact-reranked to full
+# depth (twin of pipeline._ivfpq_rerank_ranked feeding rank_fusion_indexed)
+def _fusion_ivec_ctes() -> str:
+    from catalyst_spark.queries.pipeline import _RERANK_R
+
+    return f"""
+    sl AS (SELECT q_id, n_id FROM ipqrank WHERE rnk <= {_RERANK_R}),
+    nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    rr AS (
+      SELECT s.q_id, s.n_id,
+             list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+      FROM sl s JOIN nv q ON q.vec_id = s.q_id
+                JOIN nv c ON c.vec_id = s.n_id),
+    ivec AS (
+      SELECT q_id, n_id AS id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_raw DESC, n_id) AS vrank
+      FROM rr)"""
+
+
+_FUSION_TAIL = """
+    fused AS (
+      SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+             COALESCE(v.id, l.id) AS id,
+             COALESCE(v.vrank, 21) + COALESCE(l.lrank, 21) AS fused
+      FROM ivec v FULL JOIN lex l ON v.q_id = l.q_id AND v.id = l.id)
+    SELECT q_id, "rank", id AS result_id,
+           CAST(fused AS BIGINT) AS fused_rank_sum
+    FROM (
+      SELECT q_id, id, fused,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY fused, id) AS "rank"
+      FROM fused) t
+    WHERE "rank" <= 5 ORDER BY q_id, "rank"
+"""
+
+# index-served rank fusion: full IVF-PQ rerank CTEs (coarse k-means +
+# PQ codebooks + LUT shortlist + exact rerank) as the vector arm, the
+# shared shingle-blocked lexical arm, rank-sum fusion
+ORACLE_SQL["rank_fusion_indexed"] = (
+    _ivfpq_ctes() + ",\n    " + _MINHASH_SIG + ","
+    + _FUSION_LEX_CTES + "," + _fusion_ivec_ctes() + ","
+    + _FUSION_TAIL
+)
+
+# fusion-calibration: the index-served fusion's top-5 graded against
+# the exact-arm fusion's top-5 (shared lexical arm, so the delta is
+# purely the vector arm's pruning)
+ORACLE_SQL["rank_fusion_recall"] = (
+    _ivfpq_ctes() + ",\n    " + _MINHASH_SIG + ","
+    + _FUSION_LEX_CTES + "," + _fusion_ivec_ctes() + ","
+    + """
+    xvec AS (
+      SELECT q_id, id, vrank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+                          c.vec_id) AS vrank
+        FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 50 = 0) t
+      WHERE vrank <= 20),
+    ifused AS (
+      SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+             COALESCE(v.id, l.id) AS id,
+             COALESCE(v.vrank, 21) + COALESCE(l.lrank, 21) AS fused
+      FROM ivec v FULL JOIN lex l ON v.q_id = l.q_id AND v.id = l.id),
+    xfused AS (
+      SELECT COALESCE(v.q_id, l.q_id) AS q_id,
+             COALESCE(v.id, l.id) AS id,
+             COALESCE(v.vrank, 21) + COALESCE(l.lrank, 21) AS fused
+      FROM xvec v FULL JOIN lex l ON v.q_id = l.q_id AND v.id = l.id),
+    itop AS (
+      SELECT q_id, id FROM (
+        SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+                                            ORDER BY fused, id) AS rnk
+        FROM ifused) t
+      WHERE rnk <= 5),
+    xtop AS (
+      SELECT q_id, id FROM (
+        SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+                                            ORDER BY fused, id) AS rnk
+        FROM xfused) t
+      WHERE rnk <= 5)
+    SELECT x.q_id,
+           COUNT(i.id) AS hits,
+           ROUND(COUNT(i.id) / 5.0, 2) AS overlap_at_5
+    FROM xtop x LEFT JOIN itop i ON i.q_id = x.q_id AND i.id = x.id
+    GROUP BY x.q_id ORDER BY x.q_id
+"""
+)
+
+
+def _shard_apply_sql() -> str:
+    """Oracle twin of pipeline.incremental_shard_apply: the FULL
+    band-candidate pair set (identical to the operator's index + delta
+    union by the per-doc-blocking argument in its docstring), verified
+    at integer-exact Jaccard >= 0.5 over hset, recursive
+    min-reachable-id CC, survivors = documents minus cluster losers,
+    flagged by shard membership."""
+    from catalyst_spark.queries.pipeline import _SHARD_MOD
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_SIG},
+    bands AS (
+      SELECT doc_id, unnest([{_MINHASH_BUCKETS}]) AS bucket FROM sig),
+    cnd AS (
+      SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      FROM bands l JOIN bands r
+        ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    prs AS (
+      SELECT c.a_id, c.b_id
+      FROM cnd c JOIN sig a ON a.doc_id = c.a_id
+                 JOIN sig b ON b.doc_id = c.b_id
+      WHERE 2 * len(list_intersect(a.hset, b.hset))
+            >= len(list_distinct(list_concat(a.hset, b.hset)))),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM prs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM prs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, re.r FROM edges e JOIN reach re ON e.v = re.u),
+    lab AS (SELECT u AS doc_id, MIN(r) AS label FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source,
+           d.doc_id % {_SHARD_MOD} = 0 AS from_shard
+    FROM documents d
+    WHERE d.doc_id NOT IN
+      (SELECT doc_id FROM lab WHERE doc_id != label)
+    ORDER BY d.doc_id
+    """
+
+
+ORACLE_SQL["incremental_shard_apply"] = _shard_apply_sql()
+
+
+def _selfdup_cut_first_sql() -> str:
+    """Oracle twin of pipeline.window_selfdup_cut_first: the
+    _selfdup_cut_sql machinery with an ownership CTE — per duplicated
+    hash the doc minimizing (h60(doc_id), doc_id) keeps its
+    occurrences; only non-owner positions enter the islands pass."""
+    from catalyst_spark.queries.pipeline import _CUT_RUN, _WIN_TOKENS
+
+    hk = _h60_duck("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id, u.pos AS pos, {_h60_duck('u.w')} AS h
+          FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i,
+                            'w': array_to_string(
+                                   toks[i:(i + {_WIN_TOKENS} - 1)], ' ')}}
+                           FOR i IN range(1, greatest(2, len(toks)
+                                                         - {_WIN_TOKENS - 2}))])
+                     AS u
+            FROM d)),
+        own AS (
+          SELECT h, doc_id AS own FROM (
+            SELECT h, doc_id,
+                   COUNT(*) OVER (PARTITION BY h) AS nd,
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY {hk}, doc_id) AS rn
+            FROM (SELECT DISTINCT h, doc_id FROM w)) t
+          WHERE rn = 1 AND nd >= 2),
+        isl AS (
+          SELECT w.doc_id, w.pos,
+                 w.pos - row_number() OVER (PARTITION BY w.doc_id
+                                            ORDER BY w.pos) AS g
+          FROM w JOIN own ON w.h = own.h AND w.doc_id != own.own),
+        runs AS (
+          SELECT doc_id, MIN(pos) AS p0, COUNT(*) AS run
+          FROM isl GROUP BY doc_id, g
+          HAVING COUNT(*) >= {_CUT_RUN}),
+        cut AS (
+          SELECT DISTINCT doc_id,
+                 UNNEST(range(p0, p0 + run + {_WIN_TOKENS - 1})) AS i
+          FROM runs),
+        tok AS (
+          SELECT doc_id, unnest(toks) AS t,
+                 unnest(range(1, len(toks) + 1)) AS i
+          FROM d),
+        kept AS (
+          SELECT tok.doc_id,
+                 string_agg(tok.t, ' ' ORDER BY tok.i) AS kept_text,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM tok LEFT JOIN cut
+            ON cut.doc_id = tok.doc_id AND cut.i = tok.i
+          WHERE cut.i IS NULL
+          GROUP BY tok.doc_id)
+        SELECT d.doc_id,
+               CAST(len(d.toks) AS BIGINT) AS n_tokens,
+               CAST(len(d.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut,
+               COALESCE(k.kept_text, '') AS kept_text
+        FROM d LEFT JOIN kept k USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+ORACLE_SQL["window_selfdup_cut_first"] = _selfdup_cut_first_sql()
+
+
 # cross-signal audit: complete >=0.5 pair membership x quality gate
 ORACLE_SQL["dup_quality_audit"] = f"""
     WITH {_SHINGLE_PAIRS_CTE},

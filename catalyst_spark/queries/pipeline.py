@@ -1064,11 +1064,17 @@ def near_dup_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        # ADVICE r7: F.sum over an empty frame is NULL — on a corpus
+        # with zero prefix-filter pairs the edge set is empty, every
+        # frame here is empty, and int(None) would crash while the
+        # DuckDB oracle returns an empty result. `or 0` converges the
+        # loop immediately and the (empty) output matches the oracle.
         delta = int(
             new_ranks.select("doc_id", F.col("r").alias("rn"))
             .join(ranks, "doc_id")
             .agg(F.sum(F.abs(F.col("rn") - F.col("r"))).alias("d"))
             .first()["d"]
+            or 0
         )
         ranks, n_iters = new_ranks, i
         if delta < eps:
@@ -2069,14 +2075,17 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _probe_top2(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
+def _probe_top2(spark: SparkSession, sf_dir: str, v: DataFrame,
+                tag: str = "full", k: int = _KMEANS_K) -> DataFrame:
     """(q_id, c_id) probe assignment for the standard probe set
     (vec_id % 50 == 0): the nprobe=2 nearest learned coarse cells per
     query under the (distance, c_id) tie order — one Arrow-batched
-    distance pass, shared by the raw and residual IVF-PQ rungs."""
+    distance pass, shared by the raw and residual IVF-PQ rungs.
+    `tag`/`k` select a non-default quantizer (the re-k'd serving rung
+    probes the grown-k model), mirroring _coarse_assign."""
     import numpy as np
 
-    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    C, cids = _cached_kmeans(spark, sf_dir, v, tag, k=k)
     Cn = (C * C).sum(axis=1)
 
     def _assign_top2(batches):
@@ -2226,10 +2235,27 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw vectors broadcasts the probe-set-sized shortlist (q, R rows);
     no new shuffle of anything corpus-sized.
     """
+    ranked = _ivfpq_rerank_ranked(spark, sf_dir)
+    return (
+        ranked.where(F.col("rrank") <= 5)
+        .select("q_id", F.col("rrank").alias("rank"),
+                F.col("n_id").alias("neighbor_id"),
+                F.round("cos_raw", 2).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def _ivfpq_rerank_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL exact-reranked IVF-PQ shortlist, cached: (q_id, n_id,
+    cos_raw, rrank) for every shortlist candidate (rrank 1.._RERANK_R
+    under (cos DESC, n_id)). ann_ivfpq_rerank_topk reads rrank <= 5;
+    rank_fusion_indexed consumes the whole depth as its vector arm —
+    one probe-set-sized build serves both (r8 refactor of the r7
+    top-5-only cache)."""
     key = (spark.sparkContext.applicationId, sf_dir, "ivfpq_rerank")
     hit = _TOPK_RESULT_CACHE.get(key)
     if hit is not None:
-        return hit.orderBy("q_id", "rank")
+        return hit
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -2269,15 +2295,13 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = (
         n.join(F.broadcast(shortlist.join(q, "q_id")), "n_id")
         .withColumn("cos_raw", _cosine("vq", "vc"))
-        .withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= 5)
-        .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
-                F.round("cos_raw", 2).alias("cos"))
+        .withColumn("rrank", F.row_number().over(wr))
+        .select("q_id", "n_id", "cos_raw", "rrank")
         .persist()
     )
-    res.count()  # probe-set-sized; the recall row reuses it verbatim
+    res.count()  # probe-set-sized; rerank top-5 + fusion arm reuse it
     _TOPK_RESULT_CACHE[key] = res
-    return res.orderBy("q_id", "rank")
+    return res
 
 
 def ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2566,14 +2590,23 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds |cell| and collapses the ratio to the probe-count growth;
     ivf_cell_stats is the retrain signal that drives that re-k.
     """
+    return _sq8_ivf_impl(spark, sf_dir, "full", _KMEANS_K)
+
+
+def _sq8_ivf_impl(spark: SparkSession, sf_dir: str, tag: str,
+                  k: int) -> DataFrame:
+    """Shared IVF+SQ8 serving body: probe nprobe=2 cells of the
+    (tag, k) coarse quantizer, scan in-cell SQ8 codes with the exact
+    integer fold, rank (sq_d2, n_id). ann_sq8_ivf_topk serves the
+    engine-default k; ann_sq8_ivf_rek_topk the corpus-grown k."""
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    members = _coarse_assign(spark, sf_dir, v).select(
+    members = _coarse_assign(spark, sf_dir, v, tag=tag, k=k).select(
         F.col("vec_id").alias("n_id"), "c_id"
     )
-    probes = _probe_top2(spark, sf_dir, v)
+    probes = _probe_top2(spark, sf_dir, v, tag=tag, k=k)
     cand = (
         probes.join(members, "c_id")
         .where(F.col("n_id") != F.col("q_id"))
@@ -2598,6 +2631,74 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
                 "sq_d2")
         .orderBy("q_id", "rank")
+    )
+
+
+_REK_N0 = 4000  # corpus size where the serving-k schedule starts growing
+
+
+def _serving_k(n: int) -> int:
+    """The re-k schedule VERDICT r7 item 2 asked to SERVE (the fixed-k
+    rung's corpus-linear in-cell scan was the one named scale-killer):
+    k doubles for every 4x corpus growth past _REK_N0, i.e. k ~ sqrt(N)
+    in powers of two, which bounds expected cell size growth at
+    sqrt(N) instead of N. Concretely: <= 16k rows -> k=16 (sf0.001 /
+    sf0.01 / sf0.1 all serve k=16, so the static k=16 oracle is exact
+    at every correctness scale), 16k..64k -> k=32 (the bench 10x corpus
+    trains k=32 through the model store), 64k..256k -> 64, ... Pure
+    arithmetic on the corpus count the session fingerprint already
+    holds — choosing k costs zero extra scans."""
+    k = _REK_K
+    while n >= 4 * _REK_N0:
+        k *= 2
+        n //= 4
+    return k
+
+
+def ann_sq8_ivf_rek_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 served at the CORPUS-GROWN k (VERDICT r7 item 2 — the
+    named scale-killer converted to a served rung): identical scan,
+    code, and rank machinery to ann_sq8_ivf_topk, but the coarse
+    quantizer is re-trained at k = _serving_k(N) through the model
+    store (tag "full_k{k}", hyperparameter-keyed so the k=16 and k=32
+    artifacts coexist). At the correctness scales N <= 16k so k = 16
+    and the oracle's unrolled k=16 k-means is exact; at the bench 10x
+    corpus (20k vectors) the schedule serves k=32, halving expected
+    cell size relative to fixed k — the measured 10x time ratio vs
+    ann_sq8_ivf_topk's 6.9x is the ratio-collapse evidence in
+    bench_summary's scale section.
+
+    Scale: per-query scanned rows ~ nprobe * N / k = nprobe *
+    sqrt(N * _REK_N0) under the schedule — sub-linear in corpus, the
+    property that keeps probe latency bounded at 100 TB. Training cost
+    stays model-sized per iteration (k x 64 doubles to the driver) and
+    is paid once per corpus fingerprint, amortized by the store.
+    """
+    n = _emb_fp(spark, sf_dir)[0]
+    k = _serving_k(n)
+    return _sq8_ivf_impl(spark, sf_dir, f"full_k{k}", k)
+
+
+def ann_sq8_ivf_rek_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the re-k'd IVF+SQ8 rung against the exact
+    brute-force baseline — read against ann_sq8_ivf_recall: growing k
+    shrinks cells, so recall can only move through the cell-pruning
+    term (finer cells prune more aggressively at fixed nprobe); this
+    row is the evidence that the re-k's latency win did not silently
+    buy unacceptable recall loss, the exact trade a deployment reads
+    before flipping the re-k switch."""
+    sq = ann_sq8_ivf_rek_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        brute.join(sq, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
     )
 
 
@@ -3784,10 +3885,10 @@ def window_selfdup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated span — a run of >= _CUT_RUN consecutive duplicated
     window positions, i.e. a verbatim (run+7)-token stretch that
     occurs in at least one other document — is CUT from the text, and
-    the surviving corpus is emitted with per-doc audit counts. The
-    aggressive both-copies variant (every doc sheds its duplicated
-    spans; the keep-first-occurrence variant needs a global ordering
-    decision that belongs to a policy layer, not the operator).
+    the surviving corpus is emitted with per-doc audit counts. This is
+    the aggressive both-copies variant (every doc sheds its duplicated
+    spans); window_selfdup_cut_first is the keep-first production
+    default (hash-ordered owner per duplicated hash retains one copy).
 
     Measured at 10x (bench scale section, r7): 2.17x. Same over-linear
     term as window_selfdup_spans: matched-window rows grow faster than
@@ -3813,10 +3914,19 @@ def window_selfdup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nd") >= 2)
         .select("h")
     )
+    return _cut_spans_output(docs, win.join(dup_h, "h"))
+
+
+def _cut_spans_output(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared span-cut materialization: collapse the (doc_id, pos)
+    cut-candidate rows `cand` into >= _CUT_RUN islands, expand to
+    per-doc span lists, cut the covered tokens, and emit the audit
+    row (doc_id, n_tokens, n_cut, kept_text) — the machinery
+    window_selfdup_cut and window_selfdup_cut_first share (the two
+    differ only in WHICH duplicated positions are candidates)."""
     wr = W.partitionBy("doc_id").orderBy("pos")
     runs = (
-        win.join(dup_h, "h")
-        .select("doc_id", "pos")
+        cand.select("doc_id", "pos")
         .withColumn("g", F.col("pos") - F.row_number().over(wr))
         .groupBy("doc_id", "g")
         .agg(F.min("pos").alias("p0"), F.count(F.lit(1)).alias("run"))
@@ -3849,6 +3959,50 @@ def window_selfdup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "n_cut", "kept_text")
         .orderBy("doc_id")
     )
+
+
+def window_selfdup_cut_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring self-dedup with KEEP-FIRST retention (VERDICT r7 item
+    7 — the production default window_selfdup_cut's docstring deferred
+    to a policy layer): each duplicated window hash gets exactly one
+    OWNER document, and only non-owner occurrences become cut
+    candidates, so the corpus retains a copy of every duplicated span
+    instead of shedding both (the both-copies variant deletes shared
+    material everywhere — right for boilerplate, wrong for content).
+
+    The deterministic global order the policy needs is HASH order:
+    owner(h) = the doc minimizing (h60(doc_id), doc_id) among docs
+    containing h. Hashing the doc id decorrelates ownership from
+    ingest order — min-doc_id ownership would systematically favor
+    the oldest crawl snapshot, concentrating retention (and cut load)
+    on one source; hash order spreads keepers uniformly while staying
+    engine-exact (the portable h60 both engines share).
+
+    Plan shape: ownership is one aggregate over the DISTINCT (h,
+    doc_id) pairs of the shared window table — min of a (hash-key,
+    doc_id) struct, 16-byte state per hash; candidates are the same
+    equi-join as the both-copies variant plus one != filter; the
+    islands/cut/reassembly machinery is shared verbatim
+    (_cut_spans_output). Same audit schema, so per-doc parity with
+    window_selfdup_cut is a direct column comparison (n_cut here is
+    <= the both-copies n_cut for every doc, a tested invariant).
+    """
+    docs = load(spark, sf_dir, "documents")
+    win = _windowed(docs)
+    hk = F.expr(_h60("cast(doc_id as string)"))
+    own = (
+        win.select("h", "doc_id").distinct()
+        .withColumn("hk", hk)
+        .groupBy("h")
+        .agg(
+            F.min(F.struct("hk", "doc_id")).alias("mn"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("h", F.col("mn.doc_id").alias("own"))
+    )
+    cand = win.join(own, "h").where(F.col("doc_id") != F.col("own"))
+    return _cut_spans_output(docs, cand)
 
 
 def window_overlap_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4582,6 +4736,85 @@ def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shard dedup DECIDED AND APPLIED (VERDICT r7 item 6
+    — incremental_shard_dedup reports counters; this materializes the
+    post-state): the arriving shard (doc_id % _SHARD_MOD == 0) is
+    merged into the corpus under cluster-keep-lowest semantics, and
+    the operator emits the resulting corpus (doc_id, source,
+    from_shard) — the batch analog of what stream_shard_dedup_classify
+    feeds online.
+
+    THE MERGEABILITY IDENTITY (the design constraint, mirroring
+    incremental_rollup_merge): the post-state equals from-scratch
+    dedup of the union corpus. It holds because the pair predicate is
+    per-doc-blocked (MinHash band buckets + the INTEGER-EXACT shingle
+    Jaccard >= 0.5 verify on hset): pairs(union) splits exactly into
+    pairs(corpus) — the edge index an incremental pipeline keeps on
+    disk — plus the DELTA edges touching the shard (shard x corpus
+    band join + shard-internal band join, both shard-bounded). CC
+    min-label over index + delta is then CC over pairs(union), so
+    keep-lowest survivors match from-scratch output row for row
+    (tests/test_pipeline assert the identity; the signature-index
+    delta write rides the model-store convention in the same test).
+    A delta edge can BRIDGE two existing corpus clusters — their
+    keepers re-compete under the merged label, which is why the apply
+    step re-labels over index + delta rather than patching survivor
+    sets (the shortcut that silently breaks the identity).
+
+    Scale: the delta joins shuffle shard-sized 8-byte band keys; the
+    corpus-side edge index is pair-bounded (the skew suite pins the
+    hot-dup-clique bound); CC runs on the edge set, not the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.explode(_band_buckets_array()).alias("bucket")
+    )
+    ob = bands.where(F.col("doc_id") % _SHARD_MOD != 0)
+    nb = bands.where(F.col("doc_id") % _SHARD_MOD == 0)
+    # the stored corpus edge index: band candidates within the corpus
+    idx = (
+        ob.alias("l").join(ob.alias("r"), "bucket")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a_id"),
+                F.col("r.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # delta: every candidate touching the shard (shard x all, a != b),
+    # normalized to a < b so the union is the full band-candidate set
+    delta = (
+        nb.alias("l").join(bands.alias("r"), "bucket")
+        .where(F.col("l.doc_id") != F.col("r.doc_id"))
+        .select(F.least("l.doc_id", "r.doc_id").alias("a_id"),
+                F.greatest("l.doc_id", "r.doc_id").alias("b_id"))
+        .distinct()
+    )
+    hs = sig.select("doc_id", "hset")
+    pairs = (
+        idx.unionByName(delta).distinct()
+        .join(hs.select(F.col("doc_id").alias("a_id"),
+                        F.col("hset").alias("h_a")), "a_id")
+        .join(hs.select(F.col("doc_id").alias("b_id"),
+                        F.col("hset").alias("h_b")), "b_id")
+        .where(
+            F.size(F.array_intersect("h_a", "h_b")) * 2
+            >= F.size(F.array_union("h_a", "h_b"))
+        )
+        .select("a_id", "b_id")
+    )
+    labels = _cc_labels(spark, pairs)
+    losers = labels.where(F.col("doc_id") != F.col("label")).select("doc_id")
+    return (
+        docs.join(losers, "doc_id", "anti")
+        .select(
+            "doc_id", "source",
+            (F.col("doc_id") % _SHARD_MOD == 0).alias("from_shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _FUSION_R = 20
 _FUSION_MISS = _FUSION_R + 1
 
@@ -4622,6 +4855,13 @@ def rank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vrank") <= _FUSION_R)
         .select("q_id", F.col("n_id").alias("id"), "vrank")
     )
+    return _fuse_arms(spark, sf_dir, vec)
+
+
+def _fusion_lex_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical arm both fusion variants share: shingle-hash-blocked
+    3-shingle Jaccard, top-_FUSION_R per query as (q_id, id, lrank)."""
+    emb = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
     sh = _shingled(docs).select(
         "doc_id", F.explode("shingles").alias("s")
@@ -4652,6 +4892,15 @@ def rank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lrank") <= _FUSION_R)
         .select("q_id", "id", "lrank")
     )
+    return lex
+
+
+def _fuse_arms(spark: SparkSession, sf_dir: str,
+               vec: DataFrame) -> DataFrame:
+    """Rank-sum fusion of a (q_id, id, vrank) vector arm with the
+    shared lexical arm: full outer join bounded at queries x 2R,
+    _FUSION_MISS penalty for single-arm candidates, (fused, id) top-5."""
+    lex = _fusion_lex_arm(spark, sf_dir)
     fused = vec.join(lex, ["q_id", "id"], "full").select(
         "q_id", "id",
         (F.coalesce("vrank", F.lit(_FUSION_MISS))
@@ -4664,6 +4913,54 @@ def rank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rank", F.col("id").alias("result_id"),
                 F.col("fused").cast("bigint").alias("fused_rank_sum"))
         .orderBy("q_id", "rank")
+    )
+
+
+def rank_fusion_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SERVED OFF THE INDEX (VERDICT r7 item 3):
+    rank_fusion_topk with its exact O(Q*N) vector arm swapped for the
+    two-stage IVF-PQ rerank rung — coarse-probed candidates, ADC
+    shortlist (4 bytes/candidate scanned), exact cosine only over the
+    _RERANK_R-deep shortlist. The vector arm's vrank is the reranked
+    shortlist's exact-cosine rank, so depth R = _RERANK_R = _FUSION_R
+    and the arm is the index-served twin of the exact arm's top-R.
+
+    Scale: the exact arm scores Q x N pairs; this arm touches
+    nprobe * N / k code rows per query and fetches exactly R raw
+    vectors — the fusion join stays bounded at queries x 2R either
+    way, so the whole query is now index-bounded end to end (the
+    production serving shape; rank_fusion_recall measures what the
+    swap costs in fused-rank agreement). The reranked shortlist is
+    the session-cached build ann_ivfpq_rerank_topk already serves —
+    zero extra passes when both run.
+    """
+    ranked = _ivfpq_rerank_ranked(spark, sf_dir)
+    vec = ranked.select(
+        "q_id", F.col("n_id").alias("id"), F.col("rrank").alias("vrank")
+    )
+    return _fuse_arms(spark, sf_dir, vec)
+
+
+def rank_fusion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fusion-calibration row (VERDICT r7 item 3): per query, how many
+    of the exact-arm fusion's top-5 the index-served fusion reproduces
+    — overlap@5 between rank_fusion_indexed and rank_fusion_topk. The
+    two pipelines share the lexical arm, so every disagreement is the
+    vector arm's pruning (cell probe + shortlist depth), making this
+    the direct cost-of-the-swap number a deployment reads next to the
+    latency win."""
+    idx = rank_fusion_indexed(spark, sf_dir).select(
+        "q_id", "result_id"
+    ).withColumn("_hit", F.lit(1))
+    exact = rank_fusion_topk(spark, sf_dir).select("q_id", "result_id")
+    return (
+        exact.join(idx, ["q_id", "result_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / 5.0, 2).alias("overlap_at_5"),
+        )
+        .orderBy("q_id")
     )
 
 
@@ -4806,4 +5103,11 @@ PIPELINE_QUERIES = {
     "rank_fusion_topk": rank_fusion_topk,
     "ivf_rek_cell_stats": ivf_rek_cell_stats,
     "dup_quality_audit": dup_quality_audit,
+    # new in r8
+    "ann_sq8_ivf_rek_topk": ann_sq8_ivf_rek_topk,
+    "ann_sq8_ivf_rek_recall": ann_sq8_ivf_rek_recall,
+    "rank_fusion_indexed": rank_fusion_indexed,
+    "rank_fusion_recall": rank_fusion_recall,
+    "incremental_shard_apply": incremental_shard_apply,
+    "window_selfdup_cut_first": window_selfdup_cut_first,
 }

@@ -35,21 +35,31 @@ def test_every_query_is_oracle_checked():
 
 def test_driver_window_composition():
     """The driver's CORRECTNESS window is the FIRST 50 registry keys in
-    insertion order; the r7 rotation plan (queries/__init__.py) promises
-    exactly the _R7_FRONT prefix there — 8 new-in-r7 ops, the 2
-    never-checked r6 additions, and the full 40-op r4-stale set — with
-    every late-r7 addition deliberately PAST the window so max driver
-    staleness stays <= 2 rounds. Pin both, so a registry edit cannot
-    silently reshuffle the window before the driver runs."""
-    from catalyst_spark.queries import _R7_FRONT
+    insertion order; the r8 rotation plan (queries/__init__.py, VERDICT
+    r7 item 1) promises exactly the _R8_FRONT prefix there — the 6
+    never-driver-checked late-r7 ops, the unigram_surprisal slot-51
+    carryover, the full 42-op r5-stale set, and the new re-k'd IVF rung
+    in slot 50 — with every OTHER new-in-r8 addition deliberately PAST
+    the window so max driver staleness stays <= 2 rounds. Pin both, so
+    a registry edit cannot silently reshuffle the window before the
+    driver runs."""
+    from catalyst_spark.queries import _R8_FRONT
 
     names = list(ALL_QUERIES)
-    assert names[:50] == _R7_FRONT[:50]
-    assert names[50] == "unigram_surprisal"
-    for late in ("bpe_merge_stats", "token_coverage_curve",
-                 "incremental_shard_dedup", "rank_fusion_topk",
-                 "ivf_rek_cell_stats", "dup_quality_audit"):
-        assert names.index(late) > 50, late
+    assert len(_R8_FRONT) == 50
+    assert names[:50] == _R8_FRONT
+    # the hard-signal bar: the six never-checked ops lead the window
+    assert names[:6] == [
+        "bpe_merge_stats", "token_coverage_curve",
+        "incremental_shard_dedup", "rank_fusion_topk",
+        "ivf_rek_cell_stats", "dup_quality_audit",
+    ]
+    assert names[6] == "unigram_surprisal"
+    assert names[49] == "ann_sq8_ivf_rek_topk"
+    for late in ("ann_sq8_ivf_rek_recall", "rank_fusion_indexed",
+                 "rank_fusion_recall", "incremental_shard_apply",
+                 "window_selfdup_cut_first"):
+        assert names.index(late) >= 50, late
 
 
 def test_entry_smoke(spark):
