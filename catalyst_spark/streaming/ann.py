@@ -705,6 +705,30 @@ def stream_ivfpq_rerank_topk(
     scale the deferred point-lookup fetch is the batch/offline shape,
     and the twin's contract is exact replay-equality, which eager
     grading preserves bit-for-bit."""
+    scored = _rerank_scored(vec_stream, codes_cells, cent_entries,
+                            coarse_entries, vecs_norm)
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _rerank_update,
+        outputStructType=RERANK_TOPK_SCHEMA,
+        stateStructType=RERANK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _rerank_scored(
+    vec_stream: DataFrame,
+    codes_cells: DataFrame,
+    cent_entries: list,
+    coarse_entries: list,
+    vecs_norm: DataFrame,
+) -> DataFrame:
+    """The two-stage rerank twin's scored candidate stream, factored
+    (r8) so the indexed-fusion twin reuses it as its vector arm: per
+    arriving query, (q_id, n_id, d2, cos) over the c_id-bounded
+    candidate set — numpy coarse probe (bit-identical to
+    `_probe_top2`), LUT ADC distance, eager exact cosine via the
+    static raw-vector store."""
     spark = vec_stream.sparkSession
     one = spark.createDataFrame(
         [(cent_entries,)],
@@ -752,13 +776,7 @@ def stream_ivfpq_rerank_topk(
         .withColumn("cos", _cosine("vq", "vc"))
         .select("q_id", "n_id", "d2", "cos")
     )
-    return scored.groupBy("q_id").applyInPandasWithState(
-        _rerank_update,
-        outputStructType=RERANK_TOPK_SCHEMA,
-        stateStructType=RERANK_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return scored
 
 
 FUSION_TOPK_SCHEMA = T.StructType([
@@ -886,27 +904,8 @@ def stream_rank_fusion_topk(
     the batch equi-join count whenever the 60-bit shingle hashes are
     collision-free on the corpus (md5-prefix; the same assumption every
     _h60 operator documents)."""
-    from catalyst_spark.queries.pipeline import _h60, _shingled
-
-    qh = _shingled(
-        doc_vec_stream.select("doc_id", "text")
-    ).select(
-        F.col("doc_id").alias("q_id"),
-        F.expr(f"transform(shingles, sh -> {_h60('sh')})").alias("qh"),
-    ).withColumn("qsz", F.size("qh"))
-    lex = (
-        qh.join(hsets, F.expr("arrays_overlap(qh, ch)"))
-        .where(F.col("id") != F.col("q_id"))
-        .withColumn(
-            "inter",
-            F.expr("size(filter(qh, h -> array_contains(ch, h)))"),
-        )
-        .select(
-            "q_id", "id", F.lit("L").alias("arm"),
-            (F.col("inter")
-             / (F.col("qsz") + F.col("csz") - F.col("inter")))
-            .alias("score"),
-        )
+    lex = _stream_lex_arm(doc_vec_stream, hsets).select(
+        "q_id", "id", F.lit("L").alias("arm"), "score"
     )
     qv = (
         doc_vec_stream.select(
@@ -929,6 +928,154 @@ def stream_rank_fusion_topk(
         _fusion_update,
         outputStructType=FUSION_TOPK_SCHEMA,
         stateStructType=FUSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _stream_lex_arm(doc_vec_stream: DataFrame, hsets: DataFrame) -> DataFrame:
+    """The fusion twins' shared lexical arm (factored r8): each
+    arriving query's 3-shingle hash set scored against the static
+    shingle-set table — (q_id, id, score) with score = exact Jaccard,
+    the batch `_fusion_lex_arm`'s operands via the same _h60 hashes."""
+    from catalyst_spark.queries.pipeline import _h60, _shingled
+
+    qh = _shingled(
+        doc_vec_stream.select("doc_id", "text")
+    ).select(
+        F.col("doc_id").alias("q_id"),
+        F.expr(f"transform(shingles, sh -> {_h60('sh')})").alias("qh"),
+    ).withColumn("qsz", F.size("qh"))
+    return (
+        qh.join(hsets, F.expr("arrays_overlap(qh, ch)"))
+        .where(F.col("id") != F.col("q_id"))
+        .withColumn(
+            "inter",
+            F.expr("size(filter(qh, h -> array_contains(ch, h)))"),
+        )
+        .select(
+            "q_id", "id",
+            (F.col("inter")
+             / (F.col("qsz") + F.col("csz") - F.col("inter")))
+            .alias("score"),
+        )
+    )
+
+
+FUSION_IDX_STATE_SCHEMA = T.StructType([
+    T.StructField("lj", T.ArrayType(T.DoubleType())),   # lex jaccard
+    T.StructField("li", T.ArrayType(T.LongType())),     # lex ids
+    T.StructField("vd", T.ArrayType(T.DoubleType())),   # shortlist adc d2
+    T.StructField("vi", T.ArrayType(T.LongType())),     # shortlist ids
+    T.StructField("vcs", T.ArrayType(T.DoubleType())),  # shortlist cosines
+    T.StructField("n_seen", T.LongType()),
+])
+
+
+def _fusion_indexed_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bounded two-arm state for the INDEX-SERVED fusion: the lexical
+    top-_FUSION_R by (jaccard desc, id asc) exactly as `_fusion_update`,
+    plus the rerank twin's (d2, id, cos) shortlist — membership by the
+    ADC order (d2 asc, id asc), _RERANK_R deep. Emission ranks the
+    lexical list by its stored order, reranks the CURRENT shortlist by
+    (cos desc, id asc) for the vector ranks — the batch
+    rank_fusion_indexed vrank — then fuses by integer rank sum with
+    the _FUSION_MISS penalty and emits top-5. Idempotent under
+    re-delivery (per-arm dedup on id)."""
+    from catalyst_spark.queries.pipeline import _FUSION_MISS, _FUSION_R
+
+    (q_id,) = key
+    lj, li, vd, vi, vcs, n_seen = (
+        state.get if state.exists else ([], [], [], [], [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+
+    lrows = cand[cand["arm"] == "L"]
+    lex = pd.DataFrame({
+        "s": list(lj) + lrows["score"].tolist(),
+        "id": list(li) + lrows["id"].tolist(),
+    })
+    lex = (
+        lex.sort_values(["s", "id"], ascending=[False, True],
+                        ignore_index=True)
+        .drop_duplicates("id", ignore_index=True)
+        .head(_FUSION_R)
+    )
+    vrows = cand[cand["arm"] == "V"]
+    sl = pd.DataFrame({
+        "d2": list(vd) + vrows["d2"].tolist(),
+        "id": list(vi) + vrows["id"].tolist(),
+        "cos": list(vcs) + vrows["cos"].tolist(),
+    })
+    sl = (
+        sl.sort_values(["d2", "id"], ignore_index=True)
+        .drop_duplicates("id", ignore_index=True)
+        .head(_RERANK_R)
+    )
+    n_seen = int(n_seen) + len(cand)
+    state.update((lex["s"].tolist(), lex["id"].tolist(),
+                  sl["d2"].tolist(), sl["id"].tolist(),
+                  sl["cos"].tolist(), n_seen))
+    vec_ranked = sl.sort_values(
+        ["cos", "id"], ascending=[False, True], ignore_index=True)
+    fused: dict[int, int] = {}
+    for df in (lex, vec_ranked):
+        for rnk, i in enumerate(df["id"].tolist(), start=1):
+            fused[i] = fused.get(i, 0) + rnk
+    both = set(lex["id"].tolist()) & set(vec_ranked["id"].tolist())
+    out = [(i, s if i in both else s + _FUSION_MISS)
+           for i, s in fused.items()]
+    out.sort(key=lambda t: (t[1], t[0]))
+    top = out[:_TOPK]
+    yield pd.DataFrame({
+        "q_id": int(q_id),
+        "rank": range(1, len(top) + 1),
+        "result_id": [i for i, _ in top],
+        "fused_rank_sum": [s for _, s in top],
+        "n_seen": n_seen,
+    })
+
+
+def stream_rank_fusion_indexed(
+    doc_vec_stream: DataFrame,
+    hsets: DataFrame,
+    codes_cells: DataFrame,
+    cent_entries: list,
+    coarse_entries: list,
+    vecs_norm: DataFrame,
+) -> DataFrame:
+    """Online twin of the INDEX-SERVED hybrid fusion
+    (rank_fusion_indexed, VERDICT r7 item 3): the vector arm scores
+    through the rerank twin's c_id-bounded path — numpy coarse probe,
+    LUT ADC distance over only the probed cells' codes, eager exact
+    cosine against the raw-vector store — instead of
+    stream_rank_fusion_topk's full corpus scan, so per arriving query
+    the vector-side work is nprobe * N / k code rows plus the bounded
+    exact grades, the same asymptotics as the batch index rung. The
+    lexical arm and fusion algebra are shared with the exact twin
+    verbatim (_stream_lex_arm; rank-sum + _FUSION_MISS), and the state
+    holds the lexical top-R plus the ADC-ordered (d2, id, cos)
+    shortlist, reranked at emission — equal to the batch
+    rank_fusion_indexed row exactly (replay test incl. re-delivery)."""
+    lex = _stream_lex_arm(doc_vec_stream, hsets).select(
+        "q_id", "id", F.lit("L").alias("arm"), "score",
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("cos"),
+    )
+    vec_stream = doc_vec_stream.selectExpr(
+        "doc_id as vec_id", "embedding"
+    )
+    vec = _rerank_scored(
+        vec_stream, codes_cells, cent_entries, coarse_entries, vecs_norm
+    ).select(
+        "q_id", F.col("n_id").alias("id"), F.lit("V").alias("arm"),
+        F.lit(None).cast("double").alias("score"), "d2", "cos",
+    )
+    return lex.unionByName(vec).groupBy("q_id").applyInPandasWithState(
+        _fusion_indexed_update,
+        outputStructType=FUSION_TOPK_SCHEMA,
+        stateStructType=FUSION_IDX_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

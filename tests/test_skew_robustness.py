@@ -194,3 +194,114 @@ def test_incremental_shard_dedup_hot_clique_bounded(spark, skew_dirs):
     assert total_exact >= n_hot_shard
     assert total_exact <= base_exact + n_hot_shard
     assert skew_t < base_t * 8 + 10  # same order, no quadratic blowup
+
+
+@pytest.fixture(scope="module")
+def vec_skew_dir(spark, tmp_path_factory):
+    """Embedding-side degenerate corpus (VERDICT r7 item 5): 30% of
+    sf0.1's vectors replaced with ONE identical vector — the worst case
+    for both embedding blockers at once (one hot coarse cell for
+    semdedup_ivf, one hot bucket in every SRP table for
+    dedup_embedding_lsh)."""
+    root = tmp_path_factory.mktemp("vecskew")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    hot = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    d = str(root / "hotvec")
+    (
+        emb.select(
+            "vec_id",
+            F.when(F.col("vec_id") % 10 < 3,
+                   F.array(*[F.lit(float(x)).cast("float") for x in hot]))
+            .otherwise(F.col("embedding")).alias("embedding"),
+            "label",
+        ).write.parquet(f"{d}/embeddings.parquet")
+    )
+    n_hot = emb.where("vec_id % 10 < 3").count()
+    return d, n_hot
+
+
+def test_embedding_hot_cell_is_output_sized(spark, vec_skew_dir):
+    """semdedup_ivf under the hot vector clique: the in-cell scorer
+    must recover the full cos-1.0 clique (m*(m-1)/2 pairs — genuine
+    OUTPUT of a >= 0.4 semantic-dup operator, the pairwise relation is
+    inherently quadratic in clique size), and candidate work must stay
+    bounded by cells, never corpus x corpus; runtime stays the same
+    order as the clean corpus despite the clique-sized output."""
+    from catalyst_spark.queries.pipeline import (
+        reset_session_caches,
+        semdedup_ivf,
+    )
+
+    d, n_hot = vec_skew_dir
+    reset_session_caches(spark)
+    t0 = time.perf_counter()
+    base_n = semdedup_ivf(spark, SRC).count()
+    base_t = time.perf_counter() - t0
+    reset_session_caches(spark)
+    t0 = time.perf_counter()
+    skew_n = semdedup_ivf(spark, d).count()
+    skew_t = time.perf_counter() - t0
+    clique = n_hot * (n_hot - 1) // 2
+    assert skew_n >= clique  # full clique recovered (same cell, cos 1.0)
+    # residue beyond the clique: hot-vs-cellmate and clean in-cell
+    # pairs — bounded by the clean output plus a hot x cell-members
+    # linear term, nothing corpus-quadratic beyond the genuine clique
+    assert skew_n <= clique + base_n + n_hot * 2000
+    assert skew_t < base_t * 10 + 60
+
+
+def test_embedding_hot_srp_bucket_recovers_clique(spark, vec_skew_dir):
+    """dedup_embedding_lsh under the same clique: identical vectors
+    share EVERY table's bucket (the worst-case hot SRP bucket), so the
+    16-table candidate join must recover the full clique exactly once
+    per pair (distinct), verify it at cos 1.0, and stay output-sized;
+    runtime stays the same order."""
+    from catalyst_spark.queries.pipeline import (
+        dedup_embedding_lsh,
+        reset_session_caches,
+    )
+
+    d, n_hot = vec_skew_dir
+    reset_session_caches(spark)
+    t0 = time.perf_counter()
+    base_n = dedup_embedding_lsh(spark, SRC).count()
+    base_t = time.perf_counter() - t0
+    reset_session_caches(spark)
+    t0 = time.perf_counter()
+    skew_n = dedup_embedding_lsh(spark, d).count()
+    skew_t = time.perf_counter() - t0
+    clique = n_hot * (n_hot - 1) // 2
+    assert skew_n >= clique
+    assert skew_n <= clique + base_n + n_hot * 2000
+    assert skew_t < base_t * 10 + 60
+
+
+def test_ivf_cell_stats_flags_hot_cell(spark, vec_skew_dir):
+    """The index-health reports must FLAG the skew: ivf_cell_stats'
+    max_cell/share jump to clique scale on the hot corpus (the
+    operational signal that the quantizer needs retraining or the cell
+    needs splitting), and the re-k report shows the hot cell PERSISTS
+    across k=8 -> k=16 — identical vectors land in one cell at any k,
+    which is exactly the data-skew (not quantizer-resolution) signature
+    ivf_rek_cell_stats' docstring names."""
+    from catalyst_spark.queries.pipeline import (
+        ivf_cell_stats,
+        ivf_rek_cell_stats,
+        reset_session_caches,
+    )
+
+    d, n_hot = vec_skew_dir
+    reset_session_caches(spark)
+    base_max = max(r["n_vecs"] for r in ivf_cell_stats(spark, SRC).collect())
+    reset_session_caches(spark)
+    rows = ivf_cell_stats(spark, d).collect()
+    hot_max = max(r["n_vecs"] for r in rows)
+    hot_share = max(r["share_permille"] for r in rows)
+    assert hot_max >= n_hot          # the clique concentrates in one cell
+    assert hot_share >= 300          # >= 30% of the corpus in that cell
+    assert hot_max > base_max
+    rek = {r["k"]: r for r in ivf_rek_cell_stats(spark, d).collect()}
+    # the hot cell persists across the re-k: max_cell stays >= clique
+    # size at BOTH k values (data skew, not quantizer resolution)
+    assert rek[8]["max_cell"] >= n_hot
+    assert rek[16]["max_cell"] >= n_hot

@@ -1398,3 +1398,68 @@ def test_graphite_tcp_framed_socket_end_to_end(spark, tmp_path):
                          "other.metric"}
     # the store is date-partitioned (partition pruning at scale)
     assert any(p.name.startswith("dt=") for p in store.iterdir())
+
+
+def test_stream_rank_fusion_indexed_matches_batch(spark, tmp_path):
+    """Index-served streaming fusion twin (VERDICT r7 item 3):
+    replaying the probe set (text + embedding; one batch fully
+    RE-DELIVERED) with the vector arm scoring through the rerank
+    twin's c_id-bounded path must converge to rank_fusion_indexed's
+    fused top-5 exactly — ADC-ordered (d2, id, cos) shortlist state
+    reranked at emission, shared lexical arm, rank-sum fusion."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.pipeline import rank_fusion_indexed
+    from catalyst_spark.streaming.ann import (
+        fusion_static_index,
+        rerank_static_index,
+        stream_rank_fusion_indexed,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["q_id"], r["rank"]): (r["result_id"], r["fused_rank_sum"])
+            for r in rank_fusion_indexed(spark, SF_DIR).collect()}
+    assert want
+
+    hsets, _ = fusion_static_index(spark, SF_DIR)
+    codes_cells, entries, coarse, vecs_norm = rerank_static_index(
+        spark, SF_DIR)
+    emb = load(spark, SF_DIR, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) as e")
+    probes = (load(spark, SF_DIR, "documents")
+              .select("doc_id", "text")
+              .join(emb, F.expr("doc_id = vec_id"))
+              .where("doc_id % 50 = 0")
+              .select("doc_id", "text", "e").collect())
+    assert probes
+    d = tmp_path / "fusion_idx_stream"
+    d.mkdir()
+    half = max(1, len(probes) // 2)
+    batches = [probes[:half], probes[half:], probes[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "text": r["text"],
+                        "embedding": list(r["e"])})
+            for r in chunk))
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_rank_fusion_indexed(stream, hsets, codes_cells, entries,
+                                    coarse, vecs_norm)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("fusion_idx_stream_topk").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from fusion_idx_stream_topk").collect()
+    latest = {}
+    for r in rows:
+        k = (r["q_id"], r["rank"])
+        if k not in latest or r["n_seen"] > latest[k][0]:
+            latest[k] = (r["n_seen"], r["result_id"], r["fused_rank_sum"])
+    got = {k: (v[1], v[2]) for k, v in latest.items()}
+    assert got == want
