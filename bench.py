@@ -134,6 +134,27 @@ _SCALE_QUERIES = (
     # the re-k report at 10x: two quantizer fits + assignments; the
     # interesting number is the k=16 scan-mass drop at the larger corpus
     "ivf_rek_cell_stats",
+    # r8: the re-k'd SERVING rung (VERDICT r7 item 2) — _serving_k
+    # trains k=16 at sf0.1 and k=32 at the 10x corpus through the model
+    # store, so this row IS the measured ratio-collapse evidence next
+    # to ann_sq8_ivf_topk's fixed-k 6.9x
+    "ann_sq8_ivf_rek_topk",
+    # r8: index-served fusion vs the exact-arm row above it — the
+    # vector arm's O(Q*N) term replaced by the cell-pruned rerank path
+    "rank_fusion_indexed",
+    # r8: 10x rows for the previously-unscaled r7b ops (VERDICT r7
+    # item 4) — BPE pair counting and the coverage curve are
+    # vocabulary-shaped (Heaps-sublinear aggregates over corpus-sized
+    # token streams), the audit is pair-set + projection joins, and
+    # the pHash family is the banded multimodal join
+    "bpe_merge_stats",
+    "token_coverage_curve",
+    "dup_quality_audit",
+    "phash_dup_pairs",
+    "phash_dup_clusters",
+    # r8: the incremental apply adds CC labeling on top of the shard
+    # audit's band joins — measured so the merge step's cost is pinned
+    "incremental_shard_apply",
 )
 
 
@@ -234,6 +255,7 @@ _SHARED_BUILDS = (
     "prefix_verified_pairs",
     "cc_labels",
     "coarse_kmeans_assign",
+    "rek_kmeans_assign",
     "pq_codes",
     "rpq_codes",
     "brute_topk_baseline",
@@ -277,6 +299,12 @@ def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
     timed("cc_labels", noop("dedup_clusters"))
     timed("coarse_kmeans_assign",
           lambda: P._coarse_assign(spark, sf_dir, v).count())
+    # the re-k'd quantizer (k = _serving_k(N), model-store-backed):
+    # shared by ivf_rek_cell_stats and the ann_sq8_ivf_rek_* rungs
+    rek_k = P._serving_k(emb.count())
+    timed("rek_kmeans_assign",
+          lambda: P._coarse_assign(
+              spark, sf_dir, v, tag=f"full_k{rek_k}", k=rek_k).count())
     timed("pq_codes", lambda: P._pq_model(spark, sf_dir, v)[0].count())
     timed("rpq_codes", lambda: P._pq_model(
         spark, sf_dir, P._residual_vecs(spark, sf_dir, v),
