@@ -1463,3 +1463,107 @@ def test_stream_rank_fusion_indexed_matches_batch(spark, tmp_path):
             latest[k] = (r["n_seen"], r["result_id"], r["fused_rank_sum"])
     got = {k: (v[1], v[2]) for k, v in latest.items()}
     assert got == want
+
+
+def test_http_ingest_end_to_end(spark):
+    """S1/S2/K1/K2 driven over REAL HTTP (VERDICT r7 item 8, the HTTP
+    mirror of the TCP socket test): a live localhost http.server plays
+    the Warp 10 backend; an InfluxDB write is pushed through the full
+    shim chain — route + method gate + token chain -> parse_influx ->
+    encode_sensision -> WarpHTTPSink's per-partition POSTs (default
+    urllib transport, 27-line CRLF chunks) -> reverse-proxy read-back
+    of /warp/api/v0/fetch — with row-level asserts over the round
+    trip and the X-Warp header filter."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from catalyst_spark.config import Config
+    from catalyst_spark.control.auth import extract_token
+    from catalyst_spark.control.reverse import reverse_for_route
+    from catalyst_spark.control.routes import check_method, route
+    from catalyst_spark.encode import encode_sensision
+    from catalyst_spark.parsers.influxdb import parse_influx
+    from catalyst_spark.sinks.warp_sink import WarpHTTPSink
+
+    store: list[str] = []
+    tokens_seen: list[str] = []
+
+    class _Warp(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            if self.path == "/api/v0/update":
+                tokens_seen.append(self.headers.get("X-Warp10-Token", ""))
+                store.extend(
+                    ln for ln in body.replace("\r\n", "\n").split("\n") if ln)
+                self.send_response(200)
+                self.send_header("X-Warp10-Elapsed", "1")
+                self.end_headers()
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_GET(self):
+            if self.path.startswith("/api/v0/fetch"):
+                body = "\n".join(store).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("X-Warp10-Fetched", str(len(store)))
+                self.send_header("Server", "not-forwarded")  # filtered out
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Warp)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        # --- the arriving request, shim decisions first ---
+        path = "/influxdb/write"
+        assert route(path) == "influxdb"
+        assert check_method(path, "POST") is None
+        assert check_method(path, "GET") == 405  # write is POST-only
+        token = extract_token({"X-Warp10-Token": "tok-e2e"})
+        assert token == "tok-e2e"
+
+        body_lines = [
+            "cpu,host=a usage=0.5 1700000000000000000",
+            "cpu,host=b usage=1.5 1700000001000000000",
+            "mem,host=a free=12i 1700000002000000000",
+        ]
+        lines = spark.createDataFrame([(l,) for l in body_lines], "line string")
+        parsed = parse_influx(lines)
+        assert parsed.where("parse_error is not null").count() == 0
+        encoded = encode_sensision(parsed.drop("parse_error"))
+        # T11 lines carry their CRLF terminator; the backend stores them
+        # newline-split, so compare on the stripped payload
+        want = sorted(r["sensision"].rstrip("\r\n")
+                      for r in encoded.collect())
+        assert len(want) == len(body_lines)
+
+        # --- real POST through the sink's per-partition path ---
+        sink = WarpHTTPSink(f"http://127.0.0.1:{port}", token)
+        sink.foreach_batch(encoded, 0)
+        assert sorted(store) == want          # backend got every line
+        assert set(tokens_seen) == {"tok-e2e"}
+
+        # --- reverse-proxy read-back (K2) over the same live server ---
+        cfg = Config(warp_endpoint=f"http://127.0.0.1:{port}")
+        res = reverse_for_route(
+            "reverse", "/warp/api/v0/fetch", cfg,
+            method="GET", query="selector=~.*",
+        )
+        assert res.status == 200
+        got = sorted(res.body.decode().split("\n"))
+        assert got == want                    # row-level round trip
+        assert res.headers.get("X-Warp10-Fetched") == str(len(want))
+        assert "Server" not in res.headers    # only X-Warp* forwarded
+    finally:
+        srv.shutdown()
+        srv.server_close()
