@@ -3691,6 +3691,118 @@ def _selfdup_cut_first_sql() -> str:
 ORACLE_SQL["window_selfdup_cut_first"] = _selfdup_cut_first_sql()
 
 
+def _packing_curve_sql() -> str:
+    """Oracle twin of pipeline.packing_efficiency_curve: the
+    pack_sequences next-fit recursion unrolled once per capacity
+    (CTE names prefixed p{cap}_), each reduced to its one-row audit,
+    UNION ALL ordered by capacity."""
+    from catalyst_spark.queries.pipeline import (
+        _PACK_CAPACITIES,
+        _PACK_SHARD,
+    )
+
+    blocks, selects = [], []
+    for cap in _PACK_CAPACITIES:
+        p = f"p{cap}_"
+        blocks.append(f"""
+        {p}r AS (
+          SELECT source, shard, doc_id, tok, rn,
+                 tok AS fill, CAST(0 AS BIGINT) AS bin
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.shard, t.doc_id, t.tok, t.rn,
+                 CASE WHEN r.fill + t.tok > {cap} THEN t.tok
+                      ELSE r.fill + t.tok END,
+                 CASE WHEN r.fill + t.tok > {cap} THEN r.bin + 1
+                      ELSE r.bin END
+          FROM t JOIN {p}r r ON t.source = r.source AND t.shard = r.shard
+                       AND t.rn = r.rn + 1),
+        {p}s AS (
+          SELECT CAST({cap} AS BIGINT) AS capacity,
+                 CAST(COUNT(*) AS BIGINT) AS n_bins,
+                 CAST(SUM(bt) AS BIGINT) AS total_tok,
+                 CAST((SUM(bt) * 1000) // (COUNT(*) * {cap}) AS BIGINT)
+                   AS fill_permille,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+                  WHERE tok > {cap}) AS n_oversize
+          FROM (SELECT source, shard, bin, SUM(tok) AS bt
+                FROM {p}r GROUP BY 1, 2, 3)),""")
+        selects.append(f"SELECT * FROM {p}s")
+    return (
+        f"""
+        WITH RECURSIVE t AS (
+          SELECT source, doc_id // {_PACK_SHARD} AS shard, doc_id,
+                 len(string_split(text, ' ')) AS tok,
+                 row_number() OVER (PARTITION BY source,
+                                    doc_id // {_PACK_SHARD}
+                                    ORDER BY doc_id) AS rn
+          FROM documents),"""
+        + "".join(blocks).rstrip(",")
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") u ORDER BY capacity"
+    )
+
+
+ORACLE_SQL["packing_efficiency_curve"] = _packing_curve_sql()
+
+
+def _contam_ngram_sizes_sql() -> str:
+    """Oracle twin of pipeline.contamination_ngram_sizes: the
+    contamination sweep per shingle size n (CTE names prefixed n{n}_),
+    reduced to one audit row each, UNION ALL ordered by n."""
+    from catalyst_spark.queries.pipeline import (
+        _CONTAM_EVAL_SOURCE,
+        _CONTAM_MIN_SHARED,
+        _CONTAM_NGRAM_SIZES,
+    )
+
+    blocks, selects = [], []
+    for n in _CONTAM_NGRAM_SIZES:
+        p = f"n{n}_"
+        blocks.append(f"""
+        {p}shr AS (
+          SELECT doc_id, source, {_h60_duck('s')} AS h
+          FROM (
+            SELECT doc_id, source, unnest(
+              CASE WHEN len(toks) >= {n} THEN
+                list_distinct([array_to_string(toks[i:(i + {n - 1})], ' ')
+                               FOR i IN range(1, len(toks) - {n - 2})])
+              ELSE [text] END) AS s
+            FROM (SELECT doc_id, source, text,
+                         string_split(text, ' ') AS toks
+                  FROM documents))),
+        {p}pairs AS (
+          SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+                 COUNT(*) AS c
+          FROM (SELECT doc_id, h FROM {p}shr
+                WHERE source = '{_CONTAM_EVAL_SOURCE}') e
+          JOIN (SELECT doc_id, h FROM {p}shr
+                WHERE source != '{_CONTAM_EVAL_SOURCE}') t USING (h)
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}),
+        {p}s AS (
+          SELECT CAST({n} AS BIGINT) AS ngram_n,
+                 CAST(COUNT(*) AS BIGINT) AS flagged_pairs,
+                 CAST(COUNT(DISTINCT eval_id) AS BIGINT)
+                   AS flagged_eval_docs,
+                 CAST(COUNT(DISTINCT train_id) AS BIGINT)
+                   AS flagged_train_docs,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total_shared
+          FROM {p}pairs),""")
+        selects.append(f"SELECT * FROM {p}s")
+    return (
+        "WITH "
+        + "".join(blocks).rstrip(",").lstrip()
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") u ORDER BY ngram_n"
+    )
+
+
+ORACLE_SQL["contamination_ngram_sizes"] = _contam_ngram_sizes_sql()
+
+
 # cross-signal audit: complete >=0.5 pair membership x quality gate
 ORACLE_SQL["dup_quality_audit"] = f"""
     WITH {_SHINGLE_PAIRS_CTE},

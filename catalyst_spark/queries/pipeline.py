@@ -2585,10 +2585,12 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled k-means stays tractable), so at 10x corpus each probed
     cell holds 10x members and the per-query scan is corpus-linear —
     10x probes x 10x cell size = 100x scored pairs, same growth as
-    the full scan at 1/4 the constant (2 of 8 cells probed). A
-    production deployment grows k with the corpus (k ~ sqrt(N)), which
-    bounds |cell| and collapses the ratio to the probe-count growth;
-    ivf_cell_stats is the retrain signal that drives that re-k.
+    the full scan at 1/4 the constant (2 of 8 cells probed). The
+    re-k'd twin ann_sq8_ivf_rek_topk (r8) SERVES the k ~ sqrt(N)
+    schedule that bounds |cell| (k=16 at sf0.1, k=32 at the 10x bench
+    corpus via the model store) — this fixed-k rung stays as the
+    measured ablation partner; ivf_cell_stats / ivf_rek_cell_stats
+    are the retrain signals that drive the re-k.
     """
     return _sq8_ivf_impl(spark, sf_dir, "full", _KMEANS_K)
 
@@ -3235,6 +3237,63 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_NGRAM_SIZES = (3, 5, 8)
+
+
+def contamination_ngram_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination n-gram-size knob MEASURED (r8): the
+    contamination_overlap sweep re-run at shingle sizes
+    _CONTAM_NGRAM_SIZES, one row per n — flagged (eval, train) pairs,
+    distinct flagged eval and train docs, and total shared shingles.
+    Larger n is stricter (an 8-token verbatim match is near-certain
+    contamination; 3-token matches include idiom noise): the curve's
+    drop-off is the evidence a decontamination run uses to pick n, the
+    same decision Lee et al. 2022 make with 50-token windows vs
+    shingle sweeps.
+
+    Plan per n: distinct n-shingles hash at the scan (8-byte keys),
+    eval x train equi-join on the hash, pair-count threshold — three
+    bounded passes over the token stream, no all-pairs anywhere.
+    Integer counts end to end; docs shorter than n contribute their
+    whole text, mirroring _shingled's floor case.
+    """
+    from functools import reduce
+
+    docs = load(spark, sf_dir, "documents")
+    outs = []
+    for n in _CONTAM_NGRAM_SIZES:
+        shing = (
+            f"CASE WHEN {N_TOKENS} >= {n} THEN"
+            f" array_distinct(transform(sequence(1, {N_TOKENS} - {n - 1}),"
+            f" i -> concat_ws(' ', slice({TOKENS}, i, {n}))))"
+            f" ELSE array(text) END"
+        )
+        tagged = docs.select(
+            "doc_id", "source", F.explode(F.expr(shing)).alias("sh")
+        ).select("doc_id", "source", F.expr(_h60("sh")).alias("h"))
+        eval_side = tagged.where(
+            F.col("source") == _CONTAM_EVAL_SOURCE
+        ).select(F.col("doc_id").alias("eval_id"), "h")
+        train_side = tagged.where(
+            F.col("source") != _CONTAM_EVAL_SOURCE
+        ).select(F.col("doc_id").alias("train_id"), "h")
+        pairs = (
+            eval_side.join(train_side, "h")
+            .groupBy("eval_id", "train_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= _CONTAM_MIN_SHARED)
+        )
+        outs.append(pairs.agg(
+            F.count(F.lit(1)).alias("flagged_pairs"),
+            F.countDistinct("eval_id").alias("flagged_eval_docs"),
+            F.countDistinct("train_id").alias("flagged_train_docs"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("total_shared"),
+        ).select(F.lit(n).cast("bigint").alias("ngram_n"),
+                 "flagged_pairs", "flagged_eval_docs",
+                 "flagged_train_docs", "total_shared"))
+    return reduce(DataFrame.unionByName, outs).orderBy("ngram_n")
+
+
 # quality-gate bounds (tokens, mean token length, stopword ratio)
 _QUALITY_BOUNDS = dict(min_tok=20, max_tok=1000, min_tok_len=2.0,
                        max_tok_len=12.0, min_stop=0.05)
@@ -3321,6 +3380,82 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard", "bin")
     )
+
+
+_PACK_CAPACITIES = (256, 512, 1024, 2048)
+
+
+def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The context-length knob MEASURED (r8): next-fit packing run at
+    capacities _PACK_CAPACITIES, one audit row per capacity — bins
+    used, total tokens, integer-permille fill, and the docs that
+    overflow a bin on their own (tok > capacity, the truncation-or-
+    split population). This is the table a training run reads when
+    choosing sequence length: fill rises with capacity until shard
+    boundaries dominate, while the oversize count falls — the
+    crossover is the efficient context length for the corpus.
+
+    Plan: the same (source, shard)-parallel applyInPandas next-fit as
+    pack_sequences, once per capacity over the tiny (source, shard,
+    doc_id, tok) projection — four passes over a doc-count-sized
+    table, never the text. All outputs are exact integers (fill is
+    total_tok * 1000 div (n_bins * capacity)); the oracle unrolls the
+    same recursion per capacity with prefixed CTEs.
+    """
+    from functools import reduce
+
+    documents = load(spark, sf_dir, "documents")
+    d = documents.select(
+        "source",
+        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        "doc_id",
+        F.expr(N_TOKENS).alias("tok"),
+    )
+    def _packer(cap):
+        # factory: applyInPandas dispatches on arity, so the capacity
+        # must be captured in a closure, not a default argument
+        def _pack(pdf):
+            pdf = pdf.sort_values("doc_id")
+            bins = []
+            bin_id, fill = 0, 0
+            for tok in pdf["tok"]:
+                if fill + tok > cap and fill > 0:
+                    bin_id += 1
+                    fill = 0
+                fill += tok
+                bins.append(bin_id)
+            return pdf.assign(bin=bins)[
+                ["source", "shard", "doc_id", "tok", "bin"]]
+
+        return _pack
+
+    outs = []
+    for cap in _PACK_CAPACITIES:
+        packed = d.groupBy("source", "shard").applyInPandas(
+            _packer(cap),
+            "source string, shard long, doc_id long, tok int, bin long",
+        )
+        outs.append(
+            packed.groupBy("source", "shard", "bin")
+            .agg(F.sum("tok").alias("bt"))
+            .agg(
+                F.count(F.lit(1)).alias("n_bins"),
+                F.sum("bt").alias("total_tok"),
+            )
+            .crossJoin(
+                d.where(F.col("tok") > cap)
+                .agg(F.count(F.lit(1)).alias("n_oversize"))
+            )
+            .select(
+                F.lit(cap).cast("bigint").alias("capacity"),
+                "n_bins",
+                "total_tok",
+                F.expr(f"(total_tok * 1000) div (n_bins * {cap})")
+                .alias("fill_permille"),
+                "n_oversize",
+            )
+        )
+    return reduce(DataFrame.unionByName, outs).orderBy("capacity")
 
 
 def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4840,9 +4975,12 @@ def rank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured at 10x (bench scale section, r7): 2.32x while the vector
     arm's scored pairs grow a full 100x (10x probes x 10x corpus —
     the exact arm is O(Q*N) BY DESIGN, same term as ann_sq8_topk's
-    note; the JVM fold amortizes per-pair cost). The scale path swaps
-    that arm for any index rung (IVF-PQ / SQ8-IVF) — the fusion join
-    itself stays bounded at queries x 2R and is scale-free.
+    note; the JVM fold amortizes per-pair cost). The scale path is
+    rank_fusion_indexed (r8): the same fusion with the vector arm
+    served off the IVF-PQ rerank shortlist — the fusion join itself
+    stays bounded at queries x 2R and is scale-free, so this exact-arm
+    variant remains as the ground-truth ablation partner
+    (rank_fusion_recall measures the swap's cost).
     """
     emb = load(spark, sf_dir, "embeddings")
     q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
@@ -5110,4 +5248,6 @@ PIPELINE_QUERIES = {
     "rank_fusion_recall": rank_fusion_recall,
     "incremental_shard_apply": incremental_shard_apply,
     "window_selfdup_cut_first": window_selfdup_cut_first,
+    "packing_efficiency_curve": packing_efficiency_curve,
+    "contamination_ngram_sizes": contamination_ngram_sizes,
 }

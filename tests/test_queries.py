@@ -58,7 +58,8 @@ def test_driver_window_composition():
     assert names[49] == "ann_sq8_ivf_rek_topk"
     for late in ("ann_sq8_ivf_rek_recall", "rank_fusion_indexed",
                  "rank_fusion_recall", "incremental_shard_apply",
-                 "window_selfdup_cut_first"):
+                 "window_selfdup_cut_first", "packing_efficiency_curve",
+                 "contamination_ngram_sizes"):
         assert names.index(late) >= 50, late
 
 

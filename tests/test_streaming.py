@@ -1264,6 +1264,8 @@ class TaggingTCPFront:
                 conn, _ = self.ingress.accept()
             except socket.timeout:
                 continue
+            except OSError:
+                break  # stop() closed the listener mid-accept
             with self.lock:
                 cid = self._next_conn[0]
                 self._next_conn[0] += 1
@@ -1297,6 +1299,8 @@ class TaggingTCPFront:
                 conn, _ = self.egress.accept()
             except socket.timeout:
                 continue
+            except OSError:
+                break  # stop() closed the listener mid-accept
             self.all_received.wait(timeout=30)
             with self.lock:
                 payload = "".join(t + "\n" for t in self.tagged).encode()
