@@ -155,6 +155,14 @@ _SCALE_QUERIES = (
     # r8: the incremental apply adds CC labeling on top of the shard
     # audit's band joins — measured so the merge step's cost is pinned
     "incremental_shard_apply",
+    # r8b: PII scrub is a pure scan-side regex pass (the linearity row
+    # should be ~10x flat); the boilerplate cut shuffles the chunk
+    # table twice on 8-byte hashes then reassembles per doc (the same
+    # text-volume surface as window_selfdup_cut); the funnel chains the
+    # shared pair/contamination builds with doc_id anti-joins
+    "pii_extract_stats",
+    "boilerplate_line_cut",
+    "curation_funnel",
 )
 
 

@@ -3837,3 +3837,165 @@ ORACLE_SQL["dup_quality_audit"] = f"""
     FROM g LEFT JOIN dup d USING (doc_id)
     GROUP BY g.source ORDER BY g.source
 """
+
+
+def _pii_sql() -> str:
+    """Oracle twin of pipeline.pii_extract_stats: same derived PII
+    augmentation (CASE/concat from doc_id), same Java-regex/RE2-common
+    patterns, same mask chain order. DuckDB's regexp_replace needs the
+    explicit 'g' flag to match Spark's replace-all semantics."""
+    from catalyst_spark.queries.pipeline import _PII_PATTERNS
+
+    aug = """concat(text,
+        CASE WHEN doc_id % 7 = 0 THEN concat(' user',
+             CAST(doc_id AS VARCHAR), '@mail',
+             CAST(doc_id % 5 AS VARCHAR), '.com') ELSE '' END,
+        CASE WHEN doc_id % 11 = 0 THEN concat(' +1-555-',
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+        CASE WHEN doc_id % 13 = 0 THEN concat(' 10.0.',
+             CAST(doc_id % 256 AS VARCHAR), '.',
+             CAST((doc_id * 7) % 256 AS VARCHAR)) ELSE '' END,
+        CASE WHEN doc_id % 17 = 0 THEN concat(' https://host',
+             CAST(doc_id % 50 AS VARCHAR), '.example.org/p/',
+             CAST(doc_id AS VARCHAR)) ELSE '' END)"""
+    cnts = ",\n             ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS c_{name}"
+        for name, pat, _ in _PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, mask in _PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{mask}', 'g')"
+    any_pii = " + ".join(f"c_{name}" for name, _, _ in _PII_PATTERNS)
+    per_type = ",\n           ".join(
+        f"CAST(SUM(c_{name}) AS BIGINT) AS n_{name}"
+        for name, _, _ in _PII_PATTERNS
+    )
+    return f"""
+      WITH aug AS (
+        SELECT doc_id, source, {aug} AS t FROM documents),
+      per_doc AS (
+        SELECT source,
+             {cnts},
+             length(t) - length({red}) AS red_delta
+        FROM aug)
+      SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           {per_type},
+           CAST(SUM(red_delta) AS BIGINT) AS red_chars
+      FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+ORACLE_SQL["pii_extract_stats"] = _pii_sql()
+
+
+# corpus-frequency chunk cut: boilerplate hash set -> cut -> reassemble
+# (parallel unnests zip in DuckDB, giving (pos, chunk) without structs)
+def _boiler_cut_sql() -> str:
+    from catalyst_spark.queries.pipeline import _BOILER_MIN_DOCS
+
+    k = _CHUNK_TOKENS
+    return f"""
+      WITH ch AS (
+        SELECT doc_id, source,
+               unnest(range(0, nch)) AS pos,
+               unnest([array_to_string(toks[(c*{k}+1):(c*{k}+{k})], ' ')
+                       FOR c IN range(0, nch)]) AS chunk
+        FROM (SELECT doc_id, source, toks,
+                     CAST(ceil(len(toks) / {k}.0) AS INT) AS nch
+              FROM (SELECT doc_id, source,
+                           string_split(text, ' ') AS toks
+                    FROM documents))),
+      hh AS (
+        SELECT doc_id, source, pos, chunk, {_h60_duck('chunk')} AS h
+        FROM ch),
+      boiler AS (
+        SELECT h FROM hh GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}),
+      agg AS (
+        SELECT hh.doc_id, hh.source,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cut,
+               COALESCE(string_agg(
+                   CASE WHEN b.h IS NULL THEN hh.chunk END,
+                   ' ' ORDER BY hh.pos), '') AS kept_text
+        FROM hh LEFT JOIN boiler b ON hh.h = b.h
+        GROUP BY hh.doc_id, hh.source)
+      SELECT doc_id, source, n_chunks, n_cut,
+             CAST(CASE WHEN kept_text = '' THEN 0
+                  ELSE len(string_split(kept_text, ' ')) END
+                  AS BIGINT) AS kept_tokens,
+             md5(kept_text) AS kept_h
+      FROM agg ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["boilerplate_line_cut"] = _boiler_cut_sql()
+
+
+# staged curation funnel: quality -> exact dedup -> near-dup (complete
+# >=0.5 pairs, both endpoints stage-2-alive, greatest id loses) ->
+# decontamination (contamination_overlap's flagged train set)
+ORACLE_SQL["curation_funnel"] = f"""
+    WITH {_SHINGLE_PAIRS_CTE},
+    base AS (
+      SELECT doc_id, text, source, CAST(n_tok AS BIGINT) AS n_tok,
+             (n_tok >= {_QUALITY_BOUNDS['min_tok']}
+              AND n_tok <= {_QUALITY_BOUNDS['max_tok']}
+              AND tok_len >= {_QUALITY_BOUNDS['min_tok_len']}
+              AND tok_len <= {_QUALITY_BOUNDS['max_tok_len']}
+              AND stop_ratio >= {_QUALITY_BOUNDS['min_stop']}) AS q
+      FROM (
+        SELECT doc_id, text, source,
+               len(string_split(text, ' ')) AS n_tok,
+               length(replace(text, ' ', ''))
+                 / len(string_split(text, ' ')) AS tok_len,
+               {{stop_hits}}
+                 / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents)),
+    s1 AS (SELECT * FROM base WHERE q),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+    s2 AS (SELECT * FROM s1
+           WHERE doc_id IN (SELECT doc_id FROM keep)),
+    drop3 AS (
+      SELECT DISTINCT GREATEST(a_id, b_id) AS doc_id
+      FROM pairs
+      WHERE a_id IN (SELECT doc_id FROM s2)
+        AND b_id IN (SELECT doc_id FROM s2)),
+    s3 AS (SELECT * FROM s2
+           WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+    cshr AS (
+      SELECT u.doc_id, dd.source, {_h60_duck('sg')} AS h
+      FROM (SELECT doc_id, unnest(shingles) AS sg FROM sh) u
+      JOIN documents dd USING (doc_id)),
+    flagged AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, h FROM cshr
+            WHERE source = '{_CONTAM_EVAL_SOURCE}') e
+      JOIN (SELECT doc_id, h FROM cshr
+            WHERE source != '{_CONTAM_EVAL_SOURCE}') t USING (h)
+      GROUP BY e.doc_id, t.doc_id
+      HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}),
+    s4 AS (SELECT * FROM s3
+           WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens
+      FROM base
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'quality', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'near_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'decontam', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
+    ) u ORDER BY stage
+""".replace("{stop_hits}", _hits_duck("en"))

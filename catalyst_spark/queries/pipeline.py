@@ -5154,6 +5154,227 @@ def dup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (r8): the redaction pass every released corpus runs
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no natural PII, so the operator derives a
+# deterministic PII-bearing twin of each document from doc_id (same
+# CASE/concat in the DuckDB oracle) and then genuinely exercises the
+# regex extraction + masking on it — the same derived-input convention
+# the phash_dup_pairs oracle uses for image hashes. Patterns stay in
+# the common Java-regex / RE2 subset (explicit classes, no \w, no
+# backrefs) so both engines match identically.
+_PII_PATTERNS = (
+    ("email", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+    ("phone", "\\+1-555-[0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("url", "https://[a-z0-9./_-]+", "<URL>"),
+)
+
+# Spark-dialect derived text; oracles.py carries the DuckDB twin.
+_PII_AUG = """concat(text,
+    CASE WHEN doc_id % 7 = 0 THEN concat(' user', cast(doc_id AS string),
+         '@mail', cast(doc_id % 5 AS string), '.com') ELSE '' END,
+    CASE WHEN doc_id % 11 = 0 THEN concat(' +1-555-',
+         lpad(cast(doc_id % 10000 AS string), 4, '0')) ELSE '' END,
+    CASE WHEN doc_id % 13 = 0 THEN concat(' 10.0.',
+         cast(doc_id % 256 AS string), '.',
+         cast((doc_id * 7) % 256 AS string)) ELSE '' END,
+    CASE WHEN doc_id % 17 = 0 THEN concat(' https://host',
+         cast(doc_id % 50 AS string), '.example.org/p/',
+         cast(doc_id AS string)) ELSE '' END)"""
+
+
+def pii_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit — the scrub pass a corpus runs
+    before release: regex extraction of emails / phone numbers / IPv4
+    addresses / URLs, masked replacement, and the per-source audit a
+    reviewer signs off on (docs touched, matches per type, characters
+    redacted). The masked text itself is value-checked through
+    `red_chars` = sum(len(pii_text) - len(redacted)), which pins every
+    replacement byte-for-byte without shipping 100 TB of text into the
+    result.
+
+    Plan: every pattern is a pure column expression evaluated at the
+    scan (regexp_count / chained regexp_replace, JVM codegen, no
+    shuffle), then ONE source-sized aggregate. At 100 TB this is the
+    cheapest possible shape: a single map-side pass over text plus a
+    20-row reduce. IP mask applies before URL count would not matter
+    (patterns are disjoint by construction: URLs here carry no
+    dotted-quad), and the chain order email->phone->ip->url is fixed in
+    both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "source", F.expr(_PII_AUG).alias("t"))
+    counts = [
+        F.regexp_count(F.col("t"), F.lit(pat)).alias(f"c_{name}")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    red = F.col("t")
+    for _, pat, mask in _PII_PATTERNS:
+        red = F.regexp_replace(red, pat, mask)
+    per_doc = aug.select(
+        "source", *counts,
+        (F.length("t") - F.length(red)).alias("red_delta"),
+    )
+    any_pii = sum(F.col(f"c_{n}") for n, _, _ in _PII_PATTERNS)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(any_pii > 0, 1).otherwise(0)).cast("bigint")
+            .alias("docs_with_pii"),
+            *[F.sum(f"c_{n}").cast("bigint").alias(f"n_{n}")
+              for n, _, _ in _PII_PATTERNS],
+            F.sum("red_delta").cast("bigint").alias("red_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# boilerplate cut: corpus doc-frequency threshold on 8-token chunks
+_BOILER_MIN_DOCS = 2
+
+
+def boilerplate_line_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line removal (the CCNet pass, materialized):
+    chunk_dedup FINDS cross-document boilerplate; this operator CUTS it
+    — every non-overlapping 8-token chunk whose hash occurs in >=
+    _BOILER_MIN_DOCS distinct documents is dropped from every document,
+    and the survivors are reassembled in position order. Output is the
+    per-doc audit (chunks seen / cut, kept tokens) plus md5 of the
+    reassembled text, which value-pins the reassembly byte-for-byte. A
+    doc whose every chunk is boilerplate survives as the empty string
+    (kept_h = md5(''), the keep-the-row convention so corpus row counts
+    stay stable through the pass).
+
+    Plan: posexplode chunks -> 60-bit hash -> one aggregate for the
+    boilerplate-hash set (8-byte keys, boilerplate-sized — far below
+    chunk count) -> hash equi-join back -> one doc_id-keyed aggregate
+    whose collect_list is doc-sized (the same bound as the document
+    itself; reassembly cannot exceed its input row). No all-pairs, no
+    token-index shuffle: chunk text crosses the wire once, inside the
+    per-doc rebuild, exactly as window_selfdup_cut does.
+    """
+    docs = load(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.expr(
+            f"""transform(
+                  sequence(0, cast(ceil({N_TOKENS} / {_CHUNK_TOKENS}.0) as int) - 1),
+                  c -> concat_ws(' ', slice({TOKENS},
+                                            c * {_CHUNK_TOKENS} + 1,
+                                            {_CHUNK_TOKENS})))"""
+        )).alias("pos", "chunk"),
+    ).select("doc_id", "source", "pos", "chunk",
+             F.expr(_h60("chunk")).alias("h"))
+    boiler = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("h", F.lit(1).alias("_cut"))
+    )
+    tagged = chunks.join(boiler, "h", "left")
+    kept_struct = F.when(
+        F.col("_cut").isNull(), F.struct("pos", "chunk")
+    )
+    return (
+        tagged.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_cut").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_cut"),
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list("
+                       "CASE WHEN _cut IS NULL THEN struct(pos, chunk) END"
+                       ")), x -> x.chunk)"),
+            ).alias("kept_text"),
+        )
+        .select(
+            "doc_id", "source", "n_chunks", "n_cut",
+            F.expr(f"size(split(kept_text, ' ')) "
+                   f"* CASE WHEN kept_text = '' THEN 0 ELSE 1 END")
+            .cast("bigint").alias("kept_tokens"),
+            F.md5("kept_text").alias("kept_h"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pass as ONE auditable funnel — the table a
+    data lead reads to sign off a training corpus: documents and tokens
+    surviving each successive stage: (0) raw corpus, (1) quality gate
+    (_QUALITY_BOUNDS), (2) exact dedup keep-min-doc_id within
+    survivors, (3) near-dup drop (any COMPLETE Jaccard >= 0.5 pair,
+    both endpoints alive, higher doc_id loses — the deterministic
+    canonical-min rule, no recursion needed), (4) decontamination
+    (train docs sharing >= 3 3-shingles with the held-out source,
+    i.e. contamination_overlap's flag set, removed).
+
+    Every stage reuses the session-shared builds the standalone
+    operators own (prefix-filter pair set, contamination join), so the
+    funnel's marginal cost is stage bookkeeping: four doc_id-keyed
+    anti-joins over 8-byte keys plus one 5-row aggregate. At 100 TB
+    each stage is the exact plan its standalone operator already
+    proved; chaining them adds no new shuffle shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    b = _QUALITY_BOUNDS
+    n_tok = F.expr(N_TOKENS)
+    tok_len = F.length(F.regexp_replace("text", " ", "")) / n_tok
+    stop_ratio = F.expr(_hits("en")) / n_tok
+    passes = (
+        (n_tok >= b["min_tok"]) & (n_tok <= b["max_tok"])
+        & (tok_len >= b["min_tok_len"]) & (tok_len <= b["max_tok_len"])
+        & (stop_ratio >= b["min_stop"])
+    )
+    base = docs.select("doc_id", "text", "source",
+                       n_tok.cast("bigint").alias("n_tok"),
+                       passes.alias("q"))
+
+    s1 = base.where("q")
+    keep = (
+        s1.groupBy(F.md5("text").alias("hh"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keep, "doc_id", "semi")
+    pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
+    alive = s2.select("doc_id")
+    both_alive = (
+        pairs.join(alive.withColumnRenamed("doc_id", "a_id"), "a_id", "semi")
+        .join(alive.withColumnRenamed("doc_id", "b_id"), "b_id", "semi")
+        .select(F.greatest("a_id", "b_id").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(both_alive, "doc_id", "anti")
+    flagged = contamination_overlap(spark, sf_dir).select(
+        F.col("train_id").alias("doc_id")).distinct()
+    s4 = s3.join(flagged, "doc_id", "anti")
+
+    def _stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    from functools import reduce
+    stages = [
+        _stage(0, "raw", base),
+        _stage(1, "quality", s1),
+        _stage(2, "exact_dedup", s2),
+        _stage(3, "near_dedup", s3),
+        _stage(4, "decontam", s4),
+    ]
+    return reduce(DataFrame.unionByName, stages).orderBy("stage")
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -5250,4 +5471,7 @@ PIPELINE_QUERIES = {
     "window_selfdup_cut_first": window_selfdup_cut_first,
     "packing_efficiency_curve": packing_efficiency_curve,
     "contamination_ngram_sizes": contamination_ngram_sizes,
+    "pii_extract_stats": pii_extract_stats,
+    "boilerplate_line_cut": boilerplate_line_cut,
+    "curation_funnel": curation_funnel,
 }

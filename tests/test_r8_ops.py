@@ -156,3 +156,89 @@ def test_pagerank_converged_empty_graph(spark, tmp_path):
     ).coalesce(1).write.parquet(d + "/documents.parquet")
     out = near_dup_pagerank_converged(spark, d)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r8b: PII scrub / boilerplate cut / curation funnel
+# ---------------------------------------------------------------------------
+
+def test_pii_counts_follow_injection_schedule(spark):
+    """The derived-PII schedule is exact arithmetic on doc_id (every
+    doc_id % 7 == 0 carries exactly one email, etc.), so the per-source
+    type counts must equal the modulus census — which proves the regex
+    EXTRACTION found precisely the injected items, no more, no fewer."""
+    from collections import Counter
+
+    from catalyst_spark.queries.pipeline import pii_extract_stats
+    from catalyst_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    want = Counter()
+    for r in docs:
+        for name, m in (("email", 7), ("phone", 11), ("ip", 13), ("url", 17)):
+            if r["doc_id"] % m == 0:
+                want[(r["source"], name)] += 1
+    out = pii_extract_stats(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == len(docs)
+    for r in out:
+        for name in ("email", "phone", "ip", "url"):
+            assert r[f"n_{name}"] == want[(r["source"], name)], (
+                r["source"], name)
+        # masking really removed characters wherever anything matched
+        any_n = sum(r[f"n_{n}"] for n in ("email", "phone", "ip", "url"))
+        assert (r["red_chars"] > 0) == (any_n > 0)
+
+
+def test_boilerplate_cut_reconciles_with_chunk_dedup(spark):
+    """Cross-operator consistency: the cut pass and the audit pass see
+    the SAME boilerplate set (8-token chunks in >= 2 distinct docs), so
+    per-source sum(n_cut) == chunk_dedup.n_dup_chunks and chunk counts
+    agree; and a doc with nothing cut reassembles to its own text
+    byte-for-byte (kept_h == md5(text))."""
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.pipeline import (
+        boilerplate_line_cut,
+        chunk_dedup,
+    )
+    from catalyst_spark.tables import load
+
+    cut = boilerplate_line_cut(spark, SF_DIR)
+    audit = {r["source"]: r for r in chunk_dedup(spark, SF_DIR).collect()}
+    per_src = {
+        r["source"]: r
+        for r in cut.groupBy("source")
+        .agg(F.sum("n_chunks").alias("nc"), F.sum("n_cut").alias("cut"))
+        .collect()
+    }
+    assert per_src.keys() == audit.keys()
+    for src, r in per_src.items():
+        assert r["nc"] == audit[src]["n_chunks"], src
+        assert r["cut"] == audit[src]["n_dup_chunks"], src
+
+    docs = {r["doc_id"]: r["text"]
+            for r in load(spark, SF_DIR, "documents").collect()}
+    import hashlib
+    uncut = [r for r in cut.collect() if r["n_cut"] == 0]
+    assert uncut, "corpus should have at least one untouched doc"
+    for r in uncut:
+        want = hashlib.md5(docs[r["doc_id"]].encode()).hexdigest()
+        assert r["kept_h"] == want, r["doc_id"]
+
+
+def test_curation_funnel_stages_reconcile(spark):
+    """Funnel arithmetic: monotone nonincreasing docs/tokens; stage 0
+    equals the corpus census; stage 1 equals quality_filter's 'pass'
+    count — the two operators must never disagree about the same gate."""
+    from catalyst_spark.queries.pipeline import curation_funnel, quality_filter
+    from catalyst_spark.tables import load
+
+    stages = {r["stage"]: r for r in curation_funnel(spark, SF_DIR).collect()}
+    assert sorted(stages) == [0, 1, 2, 3, 4]
+    for i in range(1, 5):
+        assert stages[i]["n_docs"] <= stages[i - 1]["n_docs"]
+        assert stages[i]["n_tokens"] <= stages[i - 1]["n_tokens"]
+    assert stages[0]["n_docs"] == load(spark, SF_DIR, "documents").count()
+    q_pass = sum(r["n"] for r in quality_filter(spark, SF_DIR).collect()
+                 if r["reason"] == "pass")
+    assert stages[1]["n_docs"] == q_pass
