@@ -305,3 +305,60 @@ def test_ivf_cell_stats_flags_hot_cell(spark, vec_skew_dir):
     # size at BOTH k values (data skew, not quantizer resolution)
     assert rek[8]["max_cell"] >= n_hot
     assert rek[16]["max_cell"] >= n_hot
+
+
+def test_boilerplate_cut_under_hot_chunk(spark, skew_dirs):
+    """boilerplate_line_cut under the hot-window corpus: appending one
+    fixed 8-token line to 30% of docs creates (at most) one hot chunk
+    hash — the boiler line lands on a chunk boundary only when the
+    doc's token count is a multiple of 8 — plus per-doc straddle
+    chunks. The plan claims: output stays one row per doc, cut growth
+    stays LINEAR in boilerplated docs (each gains <= 2 chunks), every
+    boundary-aligned boiler chunk is actually removed from the rebuilt
+    text, and runtime stays the same order. A hash-keyed design that
+    exploded the hot key would show quadratic growth here."""
+    from catalyst_spark.queries.pipeline import (
+        boilerplate_line_cut,
+        reset_session_caches,
+    )
+
+    boiler_dir, _, _ = skew_dirs
+    reset_session_caches(spark)
+    t0 = time.perf_counter()
+    base = boilerplate_line_cut(spark, SRC)
+    base_rows = base.count()
+    base_cut = base.agg(F.sum("n_cut")).first()[0]
+    base_t = time.perf_counter() - t0
+    reset_session_caches(spark)
+    t0 = time.perf_counter()
+    skew = boilerplate_line_cut(spark, boiler_dir)
+    skew_rows = skew.count()
+    skew_cut = skew.agg(F.sum("n_cut")).first()[0]
+    skew_t = time.perf_counter() - t0
+
+    docs = spark.read.parquet(f"{boiler_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_boiler = docs.where("doc_id % 10 < 3").count()
+    assert base_rows == skew_rows == n_docs  # keep-the-row convention
+    # linear growth bound: <= 2 extra chunks per boilerplated doc (the
+    # straddle + the aligned boiler line), never clique-quadratic
+    assert abs(skew_cut - base_cut) <= 2 * n_boiler + 100, (
+        base_cut, skew_cut, n_boiler)
+    # boundary-aligned boiler docs (>= 2 of them make the hash hot):
+    # the rebuilt text must NOT retain the boiler line
+    aligned = docs.where(
+        "doc_id % 10 < 3 AND size(split(text, ' ')) % 8 = 0")
+    if aligned.count() >= 2:
+        aligned_ids = {r["doc_id"] for r in aligned.select("doc_id").collect()}
+        kept = {r["doc_id"]: r for r in skew.collect()
+                if r["doc_id"] in aligned_ids}
+        assert kept.keys() == aligned_ids
+        texts = {r["doc_id"]: r["text"] for r in aligned.collect()}
+        import hashlib
+        for doc_id, r in kept.items():
+            # the hot boiler chunk was genuinely removed: at least one
+            # cut, and the rebuilt text is NOT the untouched original
+            assert r["n_cut"] >= 1, doc_id
+            full_h = hashlib.md5(texts[doc_id].encode()).hexdigest()
+            assert r["kept_h"] != full_h, doc_id
+    assert skew_t < base_t * 8 + 10
