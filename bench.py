@@ -163,6 +163,15 @@ _SCALE_QUERIES = (
     "pii_extract_stats",
     "boilerplate_line_cut",
     "curation_funnel",
+    # r8b: keep-first cut reassembles per-doc text like window_selfdup_cut
+    # plus a min-over-occurrences shuffle to pick the retained copy; the
+    # packing curve re-aggregates pack_sequences over a small ladder of
+    # context lengths (ladder-sized fan-out of one doc-length aggregate);
+    # the n-gram-size curve re-runs the decontamination join per n in a
+    # fixed ladder — each term is a window equi-join, never all-pairs
+    "window_selfdup_cut_first",
+    "packing_efficiency_curve",
+    "contamination_ngram_sizes",
 )
 
 

@@ -3999,3 +3999,147 @@ ORACLE_SQL["curation_funnel"] = f"""
              CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
     ) u ORDER BY stage
 """.replace("{stop_hits}", _hits_duck("en"))
+
+
+# Gopher-style independent rule matrix: per-doc (n_tok, n_dist, top_cnt)
+# from one token group-by; every rule decision is integer math, exactly
+# mirroring the Spark builder's cleared-denominator comparisons.
+def _gopher_rules_sql() -> str:
+    from catalyst_spark.queries.pipeline import _GOPHER_MIN_STOP_HITS
+
+    b = _QUALITY_BOUNDS
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      cnt AS (
+        SELECT doc_id, source, t, COUNT(*) AS c
+        FROM tok GROUP BY 1, 2, 3),
+      pd AS (
+        SELECT doc_id, source, MAX(c) AS top_cnt, SUM(c) AS n_tok,
+               COUNT(*) AS n_dist
+        FROM cnt GROUP BY 1, 2),
+      aux AS (
+        SELECT doc_id, length(replace(text, ' ', '')) AS nchars,
+               {_hits_duck('en')} AS stop_hits
+        FROM documents),
+      j AS (
+        SELECT pd.source,
+               CASE WHEN n_tok < {b['min_tok']}
+                      OR n_tok > {b['max_tok']} THEN 1 ELSE 0 END AS f_bounds,
+               CASE WHEN nchars < {int(b['min_tok_len'])} * n_tok
+                      OR nchars > {int(b['max_tok_len'])} * n_tok
+                    THEN 1 ELSE 0 END AS f_len,
+               CASE WHEN n_dist * 5 < n_tok * 2 THEN 1 ELSE 0 END AS f_ttr,
+               CASE WHEN top_cnt * 8 >= n_tok THEN 1 ELSE 0 END AS f_top,
+               CASE WHEN stop_hits < {_GOPHER_MIN_STOP_HITS}
+                    THEN 1 ELSE 0 END AS f_stop
+        FROM pd JOIN aux USING (doc_id))
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(f_bounds) AS BIGINT) AS n_fail_bounds,
+             CAST(SUM(f_len) AS BIGINT) AS n_fail_len,
+             CAST(SUM(f_ttr) AS BIGINT) AS n_fail_ttr,
+             CAST(SUM(f_top) AS BIGINT) AS n_fail_top,
+             CAST(SUM(f_stop) AS BIGINT) AS n_fail_stop,
+             CAST(SUM(CASE WHEN f_bounds + f_len + f_ttr + f_top + f_stop = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM j GROUP BY source ORDER BY source
+    """
+
+
+ORACLE_SQL["gopher_quality_rules"] = _gopher_rules_sql()
+
+
+# duplicated-n-gram coverage: top-2-gram occurrence char mass (argmax
+# tie-broken by gram text DESC in both engines) + exact positional
+# coverage of duplicated n-grams, n = _DUPG_DUP_N (each token position
+# counted once).
+def _dup_ngram_coverage_sql() -> str:
+    from catalyst_spark.queries.pipeline import (
+        _DUPG_DUP_N,
+        _DUPG_FLAG_DEN,
+        _DUPG_FLAG_NUM,
+        _DUPG_TOP_N,
+    )
+
+    n5 = _DUPG_DUP_N
+    return f"""
+      WITH d AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks,
+               length(text) AS len_text
+        FROM documents),
+      g2 AS (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1]
+                       FOR i IN range(1, len(toks))]) AS g
+        FROM d WHERE len(toks) >= {_DUPG_TOP_N}),
+      c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+      top2 AS (
+        SELECT doc_id, c * length(g) AS top2_chars
+        FROM (SELECT doc_id, g, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, g DESC) AS rn
+              FROM c2)
+        WHERE rn = 1),
+      g5 AS (
+        SELECT doc_id, u.pos AS pos, u.g AS g
+        FROM (
+          SELECT doc_id,
+                 unnest([{{'pos': i,
+                          'g': array_to_string(toks[i:(i + {n5 - 1})], ' ')}}
+                         FOR i IN range(1, len(toks) - {n5 - 2})]) AS u
+          FROM d WHERE len(toks) >= {n5})),
+      dup5 AS (
+        SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      cov AS (
+        SELECT doc_id, COUNT(DISTINCT p) AS cov_tok
+        FROM (SELECT g5.doc_id, unnest(range(pos, pos + {n5})) AS p
+              FROM g5 JOIN dup5 USING (doc_id, g))
+        GROUP BY 1),
+      pd AS (
+        SELECT d.doc_id, d.source, d.len_text, len(d.toks) AS n_tok,
+               COALESCE(top2.top2_chars, 0) AS top2_chars,
+               COALESCE(cov.cov_tok, 0) AS cov_tok
+        FROM d LEFT JOIN top2 USING (doc_id) LEFT JOIN cov USING (doc_id))
+      SELECT source, COUNT(*) AS n_docs,
+             ROUND(SUM(top2_chars) * 1.0 / SUM(len_text), 4)
+               AS top2_char_ratio,
+             ROUND(SUM(cov_tok) * 1.0 / SUM(n_tok), 4) AS dupn_coverage,
+             CAST(SUM(CASE WHEN cov_tok * {_DUPG_FLAG_DEN}
+                                >= n_tok * {_DUPG_FLAG_NUM}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      FROM pd GROUP BY source ORDER BY source
+    """
+
+
+ORACLE_SQL["dup_ngram_coverage"] = _dup_ngram_coverage_sql()
+
+
+# inverse-sqrt temperature mixing: sqrt is IEEE-correctly-rounded in
+# both engines (general pow is not — the reason alpha is pinned at 0.5)
+def _temperature_resample_sql() -> str:
+    from catalyst_spark.queries.pipeline import _TEMP_BUDGET
+
+    return f"""
+      WITH s AS (
+        SELECT source,
+               SUM(len(string_split(text, ' '))) AS src_tokens
+        FROM documents GROUP BY source),
+      t AS (
+        SELECT source, src_tokens,
+               SUM(src_tokens) OVER () AS total,
+               sqrt(src_tokens) AS q_raw,
+               SUM(sqrt(src_tokens)) OVER () AS q_total
+        FROM s)
+      SELECT source, CAST(src_tokens AS BIGINT) AS src_tokens,
+             ROUND(src_tokens * 1.0 / total, 4) AS share,
+             ROUND(q_raw / q_total, 4) AS temp_share,
+             ROUND((q_raw / q_total) / (src_tokens * 1.0 / total), 4)
+               AS upsample,
+             CAST(FLOOR(q_raw / q_total * {_TEMP_BUDGET}) AS BIGINT)
+               AS budget_tokens
+      FROM t ORDER BY source
+    """
+
+
+ORACLE_SQL["temperature_resample"] = _temperature_resample_sql()

@@ -5375,6 +5375,223 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, stages).orderBy("stage")
 
 
+# Gopher-style rule thresholds beyond _QUALITY_BOUNDS — both are
+# integer-exact at the decision boundary (no float compare anywhere):
+# type-token ratio >= 0.4  <=>  n_dist * 5 >= n_tok * 2
+# top-token share >= 1/8   <=>  top_cnt * 8 >= n_tok
+_GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent per-rule quality audit (the Gopher-rules shape, Rae
+    et al. 2021 §A1.1): unlike quality_filter's first-fail cascade, every
+    rule is evaluated on EVERY document, so the output is the rule x
+    source failure matrix a curation review actually needs — a cascade
+    hides rule B's true selectivity behind rule A. Rules: token-count
+    bounds and mean-token-length bounds (the _QUALITY_BOUNDS pair),
+    type-token ratio >= 0.4 (templated text craters TTR), top-token
+    share < 1/8 (single-token loops), >= 2 stopword hits (word salad
+    has none). Every decision is integer math — see the threshold note
+    above — so the oracle matches bit-for-bit.
+
+    Plan: ZERO pre-aggregate shuffles. n_distinct is
+    size(array_distinct(toks)) and the top count is a doc-local
+    transform+filter fold (O(n_distinct x n_tok) per row, JVM codegen,
+    bounded by doc length) — where repetition_ratio pays two
+    doc_id-keyed shuffles for the same numbers, this pass computes them
+    at the scan and pays only the final ~source-row reduce. At 100 TB
+    that is the difference between a map-only pass and re-shuffling the
+    token stream.
+    """
+    docs = load(spark, sf_dir, "documents")
+    b = _QUALITY_BOUNDS
+    n_tok = F.expr(N_TOKENS)
+    nchars = F.length(F.regexp_replace("text", " ", ""))
+    n_dist = F.expr(f"size(array_distinct({TOKENS}))")
+    top_cnt = F.expr(
+        f"array_max(transform(array_distinct({TOKENS}), "
+        f"t -> size(filter({TOKENS}, x -> x = t))))"
+    )
+    stop_hits = F.expr(_hits("en"))
+    rules = [
+        ("bounds", (n_tok < b["min_tok"]) | (n_tok > b["max_tok"])),
+        # mean token length in [2, 12]: nchars/n_tok vs bounds, cleared
+        # of the division (bounds are integral, so this is exact)
+        ("len", (nchars < int(b["min_tok_len"]) * n_tok)
+                | (nchars > int(b["max_tok_len"]) * n_tok)),
+        ("ttr", n_dist * 5 < n_tok * 2),
+        ("top", top_cnt * 8 >= n_tok),
+        ("stop", stop_hits < _GOPHER_MIN_STOP_HITS),
+    ]
+    per_doc = docs.select(
+        "source",
+        *[f.cast("int").alias(f"f_{name}") for name, f in rules],
+    )
+    any_fail = sum(F.col(f"f_{name}") for name, _ in rules)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(f"f_{name}").cast("bigint").alias(f"n_fail_{name}")
+              for name, _ in rules],
+            F.sum(F.when(any_fail == 0, 1).otherwise(0)).cast("bigint")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+# duplicated-n-gram coverage parameters (Gopher §A1.1 repetition rules):
+# the top-2-gram char mass and the token coverage of duplicated 3-grams.
+# n=3 (Gopher uses 5..10 on web text) because the synthetic corpus's
+# ~56-token docs over a ~40-word vocabulary carry NO within-doc 5-gram
+# repeats at any sf (measured: 0 at sf0.01 and sf0.1) while 3-grams
+# repeat in ~5% of docs — the smallest n with real signal here.
+_DUPG_TOP_N = 2
+_DUPG_DUP_N = 3
+# flag threshold: duplicated-3-gram coverage >= 0.1 of the doc's tokens
+# (one repeated 3-gram in a ~56-token doc covers ~6/56 ~ 0.107)
+_DUPG_FLAG_NUM, _DUPG_FLAG_DEN = 1, 10
+
+
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metrics the top-token ratio can't see: (a) the
+    character mass of each doc's most frequent 2-gram (occurrences x
+    gram length — the occurrence-mass convention; overlapping
+    occurrences count their characters once per occurrence), and (b)
+    the fraction of token POSITIONS covered by n-grams (n =
+    _DUPG_DUP_N) that occur >= 2 times in the doc — exact positional
+    coverage, counting each token once however many duplicated grams
+    cross it. A doc looping a 20-token paragraph has a modest top-token
+    ratio but ~1.0 duplicated-n-gram coverage; this is the operator
+    that catches it.
+
+    Plan: both n-gram tables explode to ~n_tok rows per doc of (pos,
+    gram-hash) — the same stride-1 volume bound as the window family —
+    then aggregate per (doc, gram). The top-2-gram picks argmax via one
+    doc_id-partitioned window over the (doc, gram) COUNTS (gram-count
+    rows, far below token rows; ties broken by gram text descending so
+    both engines pick the same gram). Duplicated n-grams join back to
+    their positions (equi-join on the gram hash within doc_id),
+    explode each occurrence to its n covered positions, and
+    count-distinct per doc. Everything shuffles doc_id-keyed 8-byte
+    hashes; nothing is all-pairs, nothing exceeds window-table volume.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        F.expr(TOKENS).alias("toks"),
+        F.length("text").alias("len_text"),
+        F.expr(N_TOKENS).alias("n_tok"),
+    )
+
+    def grams(n: int):
+        return base.where(F.col("n_tok") >= n).select(
+            "doc_id",
+            F.posexplode(F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {n})))"
+            )).alias("pos", "g"),
+        )
+
+    g2 = grams(_DUPG_TOP_N).groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("c"), F.desc("g"))
+    top2 = (
+        g2.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", (F.col("c") * F.length("g")).alias("top2_chars"))
+    )
+
+    gn = grams(_DUPG_DUP_N)
+    dupn = gn.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c")).where("c >= 2").select("doc_id", "g")
+    covn = (
+        gn.join(dupn, ["doc_id", "g"])
+        .select("doc_id", F.explode(
+            F.expr(f"sequence(pos, pos + {_DUPG_DUP_N - 1})")).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("cov_tok"))
+    )
+
+    per_doc = (
+        base.select("doc_id", "source", "len_text", "n_tok")
+        .join(top2, "doc_id", "left")
+        .join(covn, "doc_id", "left")
+        .select(
+            "source", "len_text", "n_tok",
+            F.coalesce("top2_chars", F.lit(0)).alias("top2_chars"),
+            F.coalesce("cov_tok", F.lit(0)).alias("cov_tok"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("top2_chars") / F.sum("len_text"), 4)
+            .alias("top2_char_ratio"),
+            F.round(F.sum("cov_tok") / F.sum("n_tok"), 4)
+            .alias("dupn_coverage"),
+            F.sum(
+                F.when(F.col("cov_tok") * _DUPG_FLAG_DEN
+                       >= F.col("n_tok") * _DUPG_FLAG_NUM, 1).otherwise(0)
+            ).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# temperature resampling: alpha is FIXED at 0.5 (inverse-sqrt
+# temperature, the classic multilingual-mixing setting) specifically
+# because sqrt is IEEE-correctly-rounded in every engine while pow(x, a)
+# is not — JVM Math.pow and C libm may differ in the last ulp, and this
+# repo's oracles are value-hashed. The budget is the fixed token count
+# the expected-allocation column is computed against.
+_TEMP_BUDGET = 1_000_000
+
+
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture reweighting (the multilingual-corpus
+    standard): sampling share q_s ∝ p_s^0.5 — flatter than proportional
+    (α=1, which starves small sources) but steeper than uniform (α=0,
+    which over-samples tiny sources into repetition). mixture_weights
+    answers "what weight equalizes everything"; this answers the
+    production question "what does the corpus actually sample at
+    temperature α, and how many tokens does each source contribute to a
+    fixed budget". α is pinned at 0.5 so the weight is sqrt — correctly
+    rounded IEEE in every engine, unlike general pow (see the constant
+    note above).
+
+    Plan: one shuffle to the per-source token aggregate; the sqrt /
+    normalize / budget math runs over the ~S-row aggregate via an
+    unpartitioned window (S = source count, never corpus rows).
+    """
+    documents = load(spark, sf_dir, "documents")
+    per_src = documents.groupBy("source").agg(
+        F.sum(F.expr(N_TOKENS)).alias("src_tokens")
+    )
+    w = W.partitionBy()
+    q_raw = F.sqrt(F.col("src_tokens"))
+    return (
+        per_src.withColumn("total", F.sum("src_tokens").over(w))
+        .withColumn("q_raw", q_raw)
+        .withColumn("q_total", F.sum("q_raw").over(w))
+        .select(
+            "source",
+            "src_tokens",
+            F.round(F.col("src_tokens") / F.col("total"), 4).alias("share"),
+            F.round(F.col("q_raw") / F.col("q_total"), 4)
+            .alias("temp_share"),
+            F.round((F.col("q_raw") / F.col("q_total"))
+                    / (F.col("src_tokens") / F.col("total")), 4)
+            .alias("upsample"),
+            F.floor(F.col("q_raw") / F.col("q_total") * _TEMP_BUDGET)
+            .cast("bigint").alias("budget_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -5474,4 +5691,7 @@ PIPELINE_QUERIES = {
     "pii_extract_stats": pii_extract_stats,
     "boilerplate_line_cut": boilerplate_line_cut,
     "curation_funnel": curation_funnel,
+    "gopher_quality_rules": gopher_quality_rules,
+    "dup_ngram_coverage": dup_ngram_coverage,
+    "temperature_resample": temperature_resample,
 }

@@ -242,3 +242,90 @@ def test_curation_funnel_stages_reconcile(spark):
     q_pass = sum(r["n"] for r in quality_filter(spark, SF_DIR).collect()
                  if r["reason"] == "pass")
     assert stages[1]["n_docs"] == q_pass
+
+
+# ---------------------------------------------------------------------------
+# r8c: Gopher rule matrix / duplicated-n-gram coverage / temperature mix
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_cross_reconcile(spark):
+    """Cross-operator consistency: (a) the rule matrix censuses every
+    doc; (b) a doc that fails NO rule is counted in n_pass, so
+    n_docs - n_pass <= sum of per-rule failures (a failing doc fails
+    >= 1 rule); (c) repetition_ratio's 0.2 flag is strictly tighter
+    than the matrix's 1/8 top-share rule, so per source n_repetitive
+    <= n_fail_top — the two operators must rank the same docs."""
+    from catalyst_spark.queries.pipeline import (
+        gopher_quality_rules,
+        repetition_ratio,
+    )
+    from catalyst_spark.tables import load
+
+    out = {r["source"]: r for r in gopher_quality_rules(spark, SF_DIR).collect()}
+    rep = {r["source"]: r for r in repetition_ratio(spark, SF_DIR).collect()}
+    assert out.keys() == rep.keys()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in out.values()) == n_docs
+    rules = ("bounds", "len", "ttr", "top", "stop")
+    for src, r in out.items():
+        fail_sum = sum(r[f"n_fail_{k}"] for k in rules)
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        assert r["n_docs"] - r["n_pass"] <= fail_sum, src
+        assert rep[src]["n_repetitive"] <= r["n_fail_top"], src
+
+
+def test_dup_ngram_coverage_constructed_corpus(spark, tmp_path):
+    """Exact semantics on a hand-built corpus: a doc that is one
+    repeated 3-gram end-to-end has positional coverage exactly 1.0 and
+    is flagged; a doc with no repeated 3-gram contributes zero
+    coverage; the top-2-gram char mass equals occurrences x len(gram)
+    for the argmax gram with the (count, gram text) DESC tie-break."""
+    from catalyst_spark.queries.pipeline import dup_ngram_coverage
+
+    texts = [
+        # "a b c" repeated: every 3-gram duplicated -> coverage 8/8
+        (0, "a b c a b c a b"),
+        # all-distinct tokens: no duplicated 3-gram, top 2-gram is the
+        # lexicographically greatest of the all-count-1 2-grams
+        (1, "q w e r t y u i"),
+    ]
+    rows = [(i, t, "en", f"s{i}", len(t)) for i, t in texts]
+    d = str(tmp_path / "dupg")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    out = {r["source"]: r for r in dup_ngram_coverage(spark, d).collect()}
+    r0, r1 = out["s0"], out["s1"]
+    assert r0["dupn_coverage"] == 1.0 and r0["n_flagged"] == 1
+    assert r1["dupn_coverage"] == 0.0 and r1["n_flagged"] == 0
+    # doc 0 2-gram counts: "a b" 3 (pos 1,4,7), "b c" 2, "c a" 2 ->
+    # argmax is "a b" outright; chars = 3 occurrences * len("a b")
+    assert r0["top2_char_ratio"] == round(3 * 3 / len(texts[0][1]), 4)
+    # doc 1: every 2-gram count 1, text DESC picks "y u"; 1 * 3 chars
+    assert r1["top2_char_ratio"] == round(3 / len(texts[1][1]), 4)
+
+
+def test_temperature_resample_flattens(spark):
+    """Inverse-sqrt temperature must FLATTEN the mixture. The provable
+    shape (upsample_s = N / (sum_sqrt * sqrt(n_s))): upsample is
+    strictly decreasing in source size, and because
+    sqrt(n_max * n_i) >= n_i the LARGEST source always lands <= 1 while
+    the smallest always lands >= 1 — the crossing sits at
+    (N / sum_sqrt)^2, NOT the mean, so no per-source mean test is
+    valid. Shares each sum to ~1; the floor'd budget allocation never
+    exceeds the budget."""
+    from catalyst_spark.queries.pipeline import (
+        _TEMP_BUDGET,
+        temperature_resample,
+    )
+
+    rows = sorted(temperature_resample(spark, SF_DIR).collect(),
+                  key=lambda r: r["src_tokens"])
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-2
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-2
+    ups = [r["upsample"] for r in rows]
+    assert all(a >= b for a, b in zip(ups, ups[1:])), ups  # nonincreasing
+    assert ups[0] >= 1.0 - 1e-4   # smallest source never starved
+    assert ups[-1] <= 1.0 + 1e-4  # largest source never amplified
+    assert sum(r["budget_tokens"] for r in rows) <= _TEMP_BUDGET
