@@ -172,6 +172,13 @@ _SCALE_QUERIES = (
     "window_selfdup_cut_first",
     "packing_efficiency_curve",
     "contamination_ngram_sizes",
+    # r8c: the rule matrix is a pure scan + 20-row reduce (the flattest
+    # possible curve — any superlinearity here is a plan bug); the
+    # dup-n-gram tables are window-family-sized with a gram-count
+    # argmax window; temperature mixing is one aggregate + S-row math
+    "gopher_quality_rules",
+    "dup_ngram_coverage",
+    "temperature_resample",
 )
 
 
