@@ -179,6 +179,10 @@ _SCALE_QUERIES = (
     "gopher_quality_rules",
     "dup_ngram_coverage",
     "temperature_resample",
+    # r8c: the x64 per-dim explode is the op's whole cost — sums are
+    # partial-aggregated map-side to 640 (label, dim) rows, and the
+    # pairwise stage joins only that model-sized aggregate
+    "label_centroid_similarity",
 )
 
 

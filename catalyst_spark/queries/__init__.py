@@ -220,8 +220,8 @@ _R8_FRONT = [
 # incremental_shard_apply, window_selfdup_cut_first,
 # packing_efficiency_curve, contamination_ngram_sizes, the late-r8
 # trio pii_extract_stats / boilerplate_line_cut / curation_funnel, and
-# the r8c trio gopher_quality_rules / dup_ngram_coverage /
-# temperature_resample) sit PAST the 50-entry window so the r8 goal
+# the r8c quartet gopher_quality_rules / dup_ngram_coverage /
+# temperature_resample / label_centroid_similarity) sit PAST the 50-entry window so the r8 goal
 # "zero ever-unchecked operators, max staleness <=2 rounds" holds; r9
 # must front them first (no driver row ever), then the r6-stale
 # rotation.

@@ -4143,3 +4143,46 @@ def _temperature_resample_sql() -> str:
 
 
 ORACLE_SQL["temperature_resample"] = _temperature_resample_sql()
+
+
+# per-label centroid cosine: integer fixed-point sums (order-free) ->
+# exact integer dots/norms -> two correctly-rounded sqrts + one divide
+def _label_centroid_similarity_sql() -> str:
+    from catalyst_spark.queries.pipeline import _CENTROID_Q
+
+    return f"""
+      WITH e AS (
+        SELECT label, u.d AS dim, u.v AS v
+        FROM (
+          SELECT label,
+                 unnest([{{'d': i - 1, 'v': embedding[i]}}
+                         FOR i IN range(1, len(embedding) + 1)]) AS u
+          FROM embeddings)),
+      sums AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * {_CENTROID_Q})
+                             AS BIGINT)) AS BIGINT) AS q
+        FROM e GROUP BY 1, 2),
+      counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+      norms AS (
+        SELECT label, CAST(SUM(q * q) AS BIGINT) AS norm2
+        FROM sums GROUP BY 1),
+      dots AS (
+        SELECT a.label AS label_lo, b.label AS label_hi,
+               CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        FROM sums a JOIN sums b
+          ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2)
+      SELECT d.label_lo, d.label_hi,
+             CAST(cl.n AS BIGINT) AS n_lo, CAST(ch.n AS BIGINT) AS n_hi,
+             ROUND(d.dot / (sqrt(nl.norm2) * sqrt(nh.norm2)), 4) AS cosine
+      FROM dots d
+      JOIN norms nl ON nl.label = d.label_lo
+      JOIN norms nh ON nh.label = d.label_hi
+      JOIN counts cl ON cl.label = d.label_lo
+      JOIN counts ch ON ch.label = d.label_hi
+      ORDER BY d.label_lo, d.label_hi
+    """
+
+
+ORACLE_SQL["label_centroid_similarity"] = _label_centroid_similarity_sql()

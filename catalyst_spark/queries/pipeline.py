@@ -5592,6 +5592,83 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# centroid quantization: per-dimension fixed-point scale. 2^20 keeps the
+# integer dot products inside int64 through the 10x bench corpus
+# (per-dim sums ~1.5e8 at sf1, squared ~2.3e16, x64 dims ~1.5e18 <
+# 2^63); at 1000x-corpus production you would drop the scale (or
+# accumulate in decimal) — noted because THIS is the op's overflow knob.
+_CENTROID_Q = 1 << 20
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-geometry drift diagnostic: pairwise cosine between the
+    per-label embedding centroids — the table that shows which label
+    clusters overlap (encoder drift, label noise, mode collapse pull
+    centroids together; a healthy embedding space keeps them apart).
+
+    Engine-exactness design: cosine is scale-invariant, so centroid
+    MEANS are never materialized — per-dim fixed-point integer SUMS
+    stand in for them, making the reduction order-free (integer
+    addition commutes; float per-row quantization floor(v * 2^20) is
+    exact on identical IEEE inputs in every engine). The pairwise dot
+    products and squared norms are then INTEGER arithmetic end to end;
+    the only floats anywhere are the final two correctly-rounded sqrts
+    and one divide, identical IEEE ops on identical integers.
+
+    Plan: one explode to (label, dim, q) — the x64 fan-out every
+    per-dimension aggregate pays — partial-aggregated map-side down to
+    640 (label, dim) rows; the pairwise stage self-joins THAT 640-row
+    aggregate (labels x dims, model-sized, broadcast) so no corpus data
+    is ever joined. Output is labels-choose-2 rows.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sums = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding")).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            # cast to double BEFORE scaling: float32 x int would stay
+            # float32 in Spark (losing bits) while DuckDB widens — and
+            # double x 2^20 is exact (power-of-two scale, no rounding)
+            F.sum(F.floor(F.col("v").cast("double") * _CENTROID_Q)
+                  .cast("bigint"))
+            .alias("q"),
+        )
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("q") * F.col("q")).alias("norm2"))
+    a, b = sums.alias("a"), sums.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_lo"),
+                 F.col("b.label").alias("label_hi"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("dot"))
+    )
+    return (
+        dots
+        .join(norms.withColumnRenamed("label", "label_lo")
+                   .withColumnRenamed("norm2", "n2_lo"), "label_lo")
+        .join(norms.withColumnRenamed("label", "label_hi")
+                   .withColumnRenamed("norm2", "n2_hi"), "label_hi")
+        .join(counts.withColumnRenamed("label", "label_lo")
+                    .withColumnRenamed("n", "n_lo"), "label_lo")
+        .join(counts.withColumnRenamed("label", "label_hi")
+                    .withColumnRenamed("n", "n_hi"), "label_hi")
+        .select(
+            "label_lo", "label_hi", "n_lo", "n_hi",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("n2_lo")) * F.sqrt(F.col("n2_hi"))), 4
+            ).alias("cosine"),
+        )
+        .orderBy("label_lo", "label_hi")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -5694,4 +5771,5 @@ PIPELINE_QUERIES = {
     "gopher_quality_rules": gopher_quality_rules,
     "dup_ngram_coverage": dup_ngram_coverage,
     "temperature_resample": temperature_resample,
+    "label_centroid_similarity": label_centroid_similarity,
 }

@@ -329,3 +329,44 @@ def test_temperature_resample_flattens(spark):
     assert ups[0] >= 1.0 - 1e-4   # smallest source never starved
     assert ups[-1] <= 1.0 + 1e-4  # largest source never amplified
     assert sum(r["budget_tokens"] for r in rows) <= _TEMP_BUDGET
+
+
+def test_label_centroid_similarity_matches_numpy(spark):
+    """Third-implementation check (beyond the DuckDB oracle): numpy
+    reproduces the op exactly because every step up to the final two
+    sqrts is integer — floor-quantize, per-label per-dim sums, integer
+    dots/norms — and sqrt is correctly rounded everywhere."""
+    import math
+
+    import numpy as np
+
+    from catalyst_spark.queries.pipeline import (
+        _CENTROID_Q,
+        label_centroid_similarity,
+    )
+    from catalyst_spark.tables import load
+
+    rows = load(spark, SF_DIR, "embeddings").collect()
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        q = np.floor(np.array(r["embedding"], dtype=np.float64)
+                     * _CENTROID_Q).astype(np.int64)
+        sums[r["label"]] = sums.get(r["label"], 0) + q
+        counts[r["label"]] = counts.get(r["label"], 0) + 1
+    want = {}
+    for lo in sorted(sums):
+        for hi in sorted(sums):
+            if lo < hi:
+                dot = int(np.dot(sums[lo], sums[hi]))
+                n2l = int(np.dot(sums[lo], sums[lo]))
+                n2h = int(np.dot(sums[hi], sums[hi]))
+                want[(lo, hi)] = round(
+                    dot / (math.sqrt(n2l) * math.sqrt(n2h)), 4)
+    out = label_centroid_similarity(spark, SF_DIR).collect()
+    assert len(out) == len(want)
+    for r in out:
+        k = (r["label_lo"], r["label_hi"])
+        assert r["cosine"] == want[k], k
+        assert (r["n_lo"], r["n_hi"]) == (counts[k[0]], counts[k[1]])
+        assert -1.0 <= r["cosine"] <= 1.0
