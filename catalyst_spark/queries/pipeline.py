@@ -3395,14 +3395,19 @@ def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries dominate, while the oversize count falls — the
     crossover is the efficient context length for the corpus.
 
-    Plan: the same (source, shard)-parallel applyInPandas next-fit as
-    pack_sequences, once per capacity over the tiny (source, shard,
-    doc_id, tok) projection — four passes over a doc-count-sized
-    table, never the text. All outputs are exact integers (fill is
-    total_tok * 1000 div (n_bins * capacity)); the oracle unrolls the
-    same recursion per capacity with prefixed CTEs.
+    Plan: ONE (source, shard)-parallel applyInPandas pass that packs
+    every capacity in _PACK_CAPACITIES inside the same python call
+    (shards are independent under next-fit, so per-group bin counts
+    add) — each group's rows cross the Arrow boundary once instead of
+    once per capacity, which is what held the 10x ratio at 5.25x when
+    this ran as four sequential passes (python-worker round-trips,
+    not packing arithmetic, were the cost). Oversize counts come from
+    one conditional-sum aggregate on the JVM side. All outputs are
+    exact integers (fill is total_tok * 1000 div (n_bins * capacity));
+    the oracle unrolls the same recursion per capacity with prefixed
+    CTEs.
     """
-    from functools import reduce
+    import pandas as pd
 
     documents = load(spark, sf_dir, "documents")
     d = documents.select(
@@ -3411,51 +3416,55 @@ def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(N_TOKENS).alias("tok"),
     )
-    def _packer(cap):
-        # factory: applyInPandas dispatches on arity, so the capacity
-        # must be captured in a closure, not a default argument
-        def _pack(pdf):
-            pdf = pdf.sort_values("doc_id")
-            bins = []
+
+    def _pack_all(pdf):
+        pdf = pdf.sort_values("doc_id")
+        toks = pdf["tok"].tolist()
+        src, shard = pdf["source"].iloc[0], pdf["shard"].iloc[0]
+        rows = []
+        for cap in _PACK_CAPACITIES:
             bin_id, fill = 0, 0
-            for tok in pdf["tok"]:
+            for tok in toks:
                 if fill + tok > cap and fill > 0:
                     bin_id += 1
                     fill = 0
                 fill += tok
-                bins.append(bin_id)
-            return pdf.assign(bin=bins)[
-                ["source", "shard", "doc_id", "tok", "bin"]]
-
-        return _pack
-
-    outs = []
-    for cap in _PACK_CAPACITIES:
-        packed = d.groupBy("source", "shard").applyInPandas(
-            _packer(cap),
-            "source string, shard long, doc_id long, tok int, bin long",
+            rows.append((src, shard, cap, bin_id + 1, sum(toks)))
+        return pd.DataFrame(
+            rows,
+            columns=["source", "shard", "capacity", "n_bins", "group_tok"],
         )
-        outs.append(
-            packed.groupBy("source", "shard", "bin")
-            .agg(F.sum("tok").alias("bt"))
-            .agg(
-                F.count(F.lit(1)).alias("n_bins"),
-                F.sum("bt").alias("total_tok"),
-            )
-            .crossJoin(
-                d.where(F.col("tok") > cap)
-                .agg(F.count(F.lit(1)).alias("n_oversize"))
-            )
-            .select(
-                F.lit(cap).cast("bigint").alias("capacity"),
-                "n_bins",
-                "total_tok",
-                F.expr(f"(total_tok * 1000) div (n_bins * {cap})")
-                .alias("fill_permille"),
-                "n_oversize",
-            )
+
+    packed = d.groupBy("source", "shard").applyInPandas(
+        _pack_all,
+        "source string, shard long, capacity long, n_bins long, "
+        "group_tok long",
+    )
+    stats = packed.groupBy("capacity").agg(
+        F.sum("n_bins").alias("n_bins"),
+        F.sum("group_tok").alias("total_tok"),
+    )
+    over = d.agg(*[
+        F.sum((F.col("tok") > cap).cast("int")).cast("bigint")
+        .alias(f"o_{cap}")
+        for cap in _PACK_CAPACITIES
+    ])
+    oversize = F.coalesce(*[
+        F.when(F.col("capacity") == cap, F.col(f"o_{cap}"))
+        for cap in _PACK_CAPACITIES
+    ])
+    return (
+        stats.crossJoin(F.broadcast(over))
+        .select(
+            "capacity",
+            "n_bins",
+            "total_tok",
+            F.expr("(total_tok * 1000) div (n_bins * capacity)")
+            .alias("fill_permille"),
+            oversize.alias("n_oversize"),
         )
-    return reduce(DataFrame.unionByName, outs).orderBy("capacity")
+        .orderBy("capacity")
+    )
 
 
 def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
