@@ -69,6 +69,25 @@ def _hits(lang: str) -> str:
 # deduplication
 # ---------------------------------------------------------------------------
 
+def _pandas_groups(df: DataFrame, keys, fn, schema: str) -> DataFrame:
+    """groupBy(keys).applyInPandas with the python stage's parallelism
+    pinned at spark.sql.shuffle.partitions.
+
+    Why: AQE's byte-based partition coalescing sees a few MB of skinny
+    grouped rows and folds the pre-pandas shuffle down to ONE partition,
+    which serializes EVERY group through a single python worker — bytes
+    are the wrong cost model for python-per-group stages (measured at
+    bench sf1: a NOOP applyInPandas over 4056 (source, shard) groups
+    took 10.2 s single-partition vs 1.7 s at width 32). An
+    explicit-width repartition on the grouping keys already satisfies
+    the ClusteredDistribution the pandas node requires, so Spark
+    inserts no second shuffle and the explicit width survives AQE —
+    exactly the width a production job tunes via shuffle.partitions.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys).groupBy(*keys).applyInPandas(fn, schema)
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups keyed by md5(text).
 
@@ -1317,8 +1336,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        v.groupBy("label")
-        .applyInPandas(_gram_pairs_scorer(0.4), "a_id long, b_id long, cos double")
+        _pandas_groups(v, ["label"], _gram_pairs_scorer(0.4),
+                       "a_id long, b_id long, cos double")
         .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
         .orderBy("a_id", "b_id")
     )
@@ -1753,9 +1772,9 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = _coarse_assign(spark, sf_dir, v)
     return (
-        v.join(assign, "vec_id")
-        .groupBy("c_id")
-        .applyInPandas(_gram_pairs_scorer(0.4), "a_id long, b_id long, cos double")
+        _pandas_groups(v.join(assign, "vec_id"), ["c_id"],
+                       _gram_pairs_scorer(0.4),
+                       "a_id long, b_id long, cos double")
         .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
         .orderBy("a_id", "b_id")
     )
@@ -3368,8 +3387,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.assign(bin=bins)
         return pdf[["source", "shard", "doc_id", "tok", "bin"]]
 
-    packed = d.groupBy("source", "shard").applyInPandas(
-        _pack, "source string, shard long, doc_id long, tok int, bin long"
+    packed = _pandas_groups(
+        d, ["source", "shard"], _pack,
+        "source string, shard long, doc_id long, tok int, bin long",
     )
     return (
         packed.groupBy("source", "shard", "bin")
@@ -3399,9 +3419,12 @@ def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     every capacity in _PACK_CAPACITIES inside the same python call
     (shards are independent under next-fit, so per-group bin counts
     add) — each group's rows cross the Arrow boundary once instead of
-    once per capacity, which is what held the 10x ratio at 5.25x when
-    this ran as four sequential passes (python-worker round-trips,
-    not packing arithmetic, were the cost). Oversize counts come from
+    once per capacity — run at pinned width via _pandas_groups. The
+    r8 bench's 5.25x 10x-ratio had TWO causes, both python-stage, not
+    packing arithmetic: four sequential Arrow passes, and AQE folding
+    the tiny shuffle to one partition so every shard group ran through
+    a single python worker (see _pandas_groups; measured sf1
+    12.9 s -> 2.2 s after the two fixes). Oversize counts come from
     one conditional-sum aggregate on the JVM side. All outputs are
     exact integers (fill is total_tok * 1000 div (n_bins * capacity));
     the oracle unrolls the same recursion per capacity with prefixed
@@ -3435,8 +3458,8 @@ def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["source", "shard", "capacity", "n_bins", "group_tok"],
         )
 
-    packed = d.groupBy("source", "shard").applyInPandas(
-        _pack_all,
+    packed = _pandas_groups(
+        d, ["source", "shard"], _pack_all,
         "source string, shard long, capacity long, n_bins long, "
         "group_tok long",
     )
