@@ -1759,12 +1759,14 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     when no labels exist. Oracle replays the unrolled k-means, the
     assignment, and the in-cell pair scan.
 
-    Measured at 10x (bench scale section, r7): 2.17x. Same two terms
-    as ann_sq8_ivf_topk's note: k is fixed at 8 for oracle
-    tractability, so in-cell pair counts grow quadratically with cell
-    size at 10x corpus (production grows k with N to bound |cell|),
-    plus the derived corpus's cross-family noise cosines add genuine
-    over-threshold pairs (see the bench scale note).
+    Measured at 10x (bench scale section, r7): 2.17x; r8, after the
+    _pandas_groups width pin: 1.53x. Same two underlying terms as
+    ann_sq8_ivf_topk's note: k is fixed at 8 for oracle tractability,
+    so in-cell pair counts grow quadratically with cell size at 10x
+    corpus (production grows k with N to bound |cell| — the served
+    re-k rung exists as ann_sq8_ivf_rek_topk), plus the derived
+    corpus's cross-family noise cosines add genuine over-threshold
+    pairs (see the bench scale note).
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(

@@ -44,3 +44,53 @@ def stream_pii_scrub(doc_stream: DataFrame) -> DataFrame:
         red.alias("red_text"),
         (F.length("t") - F.length(red)).alias("red_delta"),
     )
+
+
+def stream_quality_gate(doc_stream: DataFrame) -> DataFrame:
+    """Ingest-time quality gate: the streaming twin of
+    queries.pipeline.gopher_quality_rules — the OTHER canonical
+    stateless curation stage (scrub cleans what passes; this decides
+    what enters at all). Every arriving (doc_id, source, text) row is
+    scored on the five Gopher-style rules independently — token-count
+    bounds, mean-token-length bounds, type-token ratio, top-token
+    share, stopword hits — emitting one flag column per rule plus the
+    combined pass verdict. Every decision is the batch operator's
+    cleared-denominator integer comparison, so aggregating the emitted
+    rows per source reproduces gopher_quality_rules exactly (tested,
+    incl. re-delivery; emission is a pure function of the row).
+
+    Like the batch twin, the per-doc distinct/top-count numbers are
+    doc-local array folds — no state store, no watermark, no shuffle:
+    the whole gate runs inside whole-stage codegen at wire speed, which
+    is exactly what an ingest path needs from its first filter.
+    """
+    from catalyst_spark.queries.pipeline import (
+        _GOPHER_MIN_STOP_HITS,
+        _QUALITY_BOUNDS,
+        N_TOKENS,
+        TOKENS,
+        _hits,
+    )
+
+    b = _QUALITY_BOUNDS
+    n_tok = F.expr(N_TOKENS)
+    nchars = F.length(F.regexp_replace("text", " ", ""))
+    n_dist = F.expr(f"size(array_distinct({TOKENS}))")
+    top_cnt = F.expr(
+        f"array_max(transform(array_distinct({TOKENS}), "
+        f"t -> size(filter({TOKENS}, x -> x = t))))"
+    )
+    stop_hits = F.expr(_hits("en"))
+    rules = [
+        ("bounds", (n_tok < b["min_tok"]) | (n_tok > b["max_tok"])),
+        ("len", (nchars < int(b["min_tok_len"]) * n_tok)
+                | (nchars > int(b["max_tok_len"]) * n_tok)),
+        ("ttr", n_dist * 5 < n_tok * 2),
+        ("top", top_cnt * 8 >= n_tok),
+        ("stop", stop_hits < _GOPHER_MIN_STOP_HITS),
+    ]
+    flags = [f.cast("int").alias(f"f_{name}") for name, f in rules]
+    return doc_stream.select("doc_id", "source", *flags).withColumn(
+        "passes",
+        sum(F.col(f"f_{name}") for name, _ in rules) == 0,
+    )

@@ -1638,3 +1638,66 @@ def test_stream_pii_scrub_matches_batch(spark, tmp_path):
         assert agg[src] == [w["n_docs"], w["docs_with_pii"], w["n_email"],
                             w["n_phone"], w["n_ip"], w["n_url"],
                             w["red_chars"]], src
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """Ingest-time quality gate: replaying the corpus as a file stream
+    (one batch RE-DELIVERED) must emit per-doc rule flags whose
+    per-source aggregate equals gopher_quality_rules exactly — the
+    stateless-twin contract, same shape as the PII scrub test."""
+    import json
+    from collections import defaultdict
+
+    from catalyst_spark.queries.pipeline import gopher_quality_rules
+    from catalyst_spark.streaming.scrub import stream_quality_gate
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {r["source"]: r
+            for r in gopher_quality_rules(spark, SF_DIR).collect()}
+
+    docs = (load(spark, SF_DIR, "documents")
+            .select("doc_id", "source", "text").collect())
+    d = tmp_path / "gate_stream"
+    d.mkdir()
+    half = max(1, len(docs) // 2)
+    batches = [docs[:half], docs[half:], docs[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "source": r["source"],
+                        "text": r["text"]})
+            for r in chunk))
+
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_quality_gate(stream)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("gate_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from gate_stream").collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r["doc_id"])
+        if prev is not None:
+            assert tuple(prev) == tuple(r), r["doc_id"]  # idempotent
+        latest[r["doc_id"]] = r
+    assert len(latest) == len(docs)
+    names = ("bounds", "len", "ttr", "top", "stop")
+    agg = defaultdict(lambda: [0] * 7)
+    for r in latest.values():
+        a = agg[r["source"]]
+        a[0] += 1
+        for i, n in enumerate(names):
+            a[1 + i] += r[f"f_{n}"]
+        a[6] += 1 if r["passes"] else 0
+    assert agg.keys() == want.keys()
+    for src, a in agg.items():
+        w = want[src]
+        got = (a[0], *a[1:6], a[6])
+        exp = (w["n_docs"], w["n_fail_bounds"], w["n_fail_len"],
+               w["n_fail_ttr"], w["n_fail_top"], w["n_fail_stop"],
+               w["n_pass"])
+        assert got == exp, src
