@@ -409,9 +409,12 @@ def main() -> None:
     # costs nothing when time is short
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     # soft deadline: a slower machine should degrade to fewer passes,
-    # not to a timed-out run with no artifact at all (never triggers at
-    # this machine's ~100 s/pass)
-    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "900"))
+    # not to a timed-out run with no artifact at all. Sized for the
+    # CURRENT registry: ~180 s/pass at 163 queries (the r8 registry
+    # outgrew the original 900 s budget written at ~100 s/pass — that
+    # budget silently cut a run to 4 passes, which also suppressed the
+    # regression gate via the run-count methodology check)
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1500"))
     bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n, _ in ordered}
     sb_samples: dict[str, list[float]] = {n: [] for n in _SHARED_BUILDS}
