@@ -228,6 +228,51 @@ _R8_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R8_FRONT)
 
+# Round-9 driver window (VERDICT r8 item 1, the prescribed rotation):
+# the fourteen new-in-r8 operators with NO driver row ever lead, then
+# 36 of the 49 r6-stale operators (latest driver row r6 — at the
+# 2-round cadence limit), ordered OLDEST CODE FIRST per the verdict:
+# every spill candidate was introduced 08-13 vs the 13 held back
+# (08-14 commits). 14 + 36 = 50 slots exactly.
+_R9_FRONT = [
+    # new in r8 — no driver row ever (judge-swept green in r8)
+    "ann_sq8_ivf_rek_recall", "rank_fusion_indexed", "rank_fusion_recall",
+    "incremental_shard_apply", "window_selfdup_cut_first",
+    "packing_efficiency_curve", "contamination_ngram_sizes",
+    "pii_extract_stats", "boilerplate_line_cut", "curation_funnel",
+    "gopher_quality_rules", "dup_ngram_coverage", "temperature_resample",
+    "label_centroid_similarity",
+    # r6-stale, oldest code first (all introduced 08-13; the 08-14
+    # cohort spills to r10 — see the r10 rotation note below)
+    "dedup_exact", "dedup_token_set", "q9_semi_join", "q10_anti_join",
+    "q11_top_k", "q12_set_op", "q13_string_functions", "q14_case_cascade",
+    "q15_union_dedup", "q16_text_group", "q17_exact_dedup_counts",
+    "dedup_rate_by_source", "ngram_novelty", "rare_token_ratio",
+    "funnel_conversion", "retention_cohorts", "gap_fill",
+    "ohlc_downsample", "ts_downsample", "time_weighted_avg",
+    "dedup_clusters", "series_correlation", "rolling_window_7d",
+    "embedding_norm_outliers", "seasonal_hourly_profile",
+    "cusum_chunked", "holt_chunked", "cusum_changepoints",
+    "dedup_prefix_filter", "source_minhash_similarity", "semdedup_ivf",
+    "ann_multiprobe_recall", "ivf_train", "ann_ivf_trained_topk",
+    "ann_pq_adc_topk", "ann_pq_recall",
+]
+# r10 rotation note (VERDICT r8 item 8 — the spill decided NOW so the
+# cadence guarantee survives the growing registry without judge
+# arithmetic): r10 must front, in this order,
+#   (a) any new-in-r9 operators (no driver row ever — registry tail),
+#   (b) the 13 r6-stale spill ops (newest r6 code, all 08-14 commits,
+#       r7 driver rows... none; r6 rows only — 3 rounds stale by r10):
+#       ann_ivfpq_topk, ann_ivfpq_recall, ann_ivfpq_residual_topk,
+#       ann_ivfpq_residual_recall, ann_sq8_topk, ann_sq8_recall,
+#       ivf_cell_stats, bigram_surprisal, window_overlap_source_matrix,
+#       pq_distortion, interval_coverage, semdedup_keep_one,
+#       dedup_threshold_sensitivity,
+#   (c) then the r7-stale rotation (the _R7_FRONT set, 2 rounds stale
+#       by r10), oldest code first, to fill the remaining slots.
+
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R9_FRONT)
+
 __all__ = [
     "RELATIONAL_QUERIES",
     "PIPELINE_QUERIES",
