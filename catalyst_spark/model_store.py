@@ -110,7 +110,16 @@ def embeddings_fingerprint(v) -> list[int]:
     (ADVICE r7: a bigint accumulator of 40-bit terms overflows ANSI
     longs at ~2^23 rows, not the ~8e6 T the old docstring claimed);
     decimal(38,0) holds ~10^38 / 2^40 ~ 9e25 rows before overflow, and
-    the reported value is the sum mod 2^40 so it stays a plain int."""
+    the reported value is the sum mod 2^40 so it stays a plain int.
+
+    KEY BREAK (r8, noted per ADVICE r8): the r8 switch of the fourth
+    term from a raw 40-bit-term sum to sum-mod-2^40 changed the
+    reported value for essentially every corpus, so artifacts persisted
+    under the pre-r8 fingerprint are permanently stale — they retrain
+    on first use (correct, never wrong) but would otherwise linger on
+    disk forever. gc_stale_artifacts() below reaps them; pipeline's
+    once-per-session fingerprint scan calls it so the store never
+    accumulates orphans across key migrations."""
     from pyspark.sql import functions as F
 
     row = v.agg(
@@ -175,6 +184,36 @@ def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids,
     os.replace(tmp, data)
     _write_meta(base / f"kmeans_{tag}.json", fingerprint,
                 params or _train_params())
+
+
+def gc_stale_artifacts(sf_dir: str, fingerprint: list[int]) -> int:
+    """Reap every artifact under this data dir whose stored fingerprint
+    no longer matches the live table (ADVICE r8: a fingerprint-format
+    migration — or regenerated testdata — strands artifacts that will
+    never load again; without GC they accumulate forever). Matching
+    artifacts are untouched regardless of params/tag, so coexisting
+    hyperparameter variants (full_k16 / full_k32) survive. Returns the
+    number of artifacts removed. Unreadable metadata counts as stale —
+    a half-written artifact's data files are reaped with it."""
+    base = model_root() / _sf_tag(sf_dir)
+    if not base.is_dir():
+        return 0
+    reaped = 0
+    for meta in sorted(base.glob("*.json")):
+        try:
+            fp = json.loads(meta.read_text()).get("fingerprint")
+        except (OSError, ValueError):
+            fp = None
+        if fp == list(fingerprint):
+            continue
+        data = meta.with_suffix(".parquet")
+        if data.is_dir():
+            shutil.rmtree(data, ignore_errors=True)
+        elif data.exists():
+            data.unlink(missing_ok=True)
+        meta.unlink(missing_ok=True)
+        reaped += 1
+    return reaped
 
 
 def codes_path(sf_dir: str, name: str = "pq_codes") -> Path:

@@ -3393,11 +3393,16 @@ def _sq8_ivf_rek_ctes() -> str:
     ivf_rek_cell_stats oracle uses) + bit-exact SQ8 codes + top-2
     probes, top-1 members, in-cell candidates, integer rank. Valid at
     every correctness scale because _serving_k(N) = _REK_K for all
-    N < 4 * _REK_N0 (= 16k rows; sf0.01 has 500, sf0.1 has 2k)."""
+    N < 4 * _REK_N0 (= 16k rows; sf0.01 has 500, sf0.1 has 2k) — and
+    ENFORCED, not just documented (ADVICE r8): the chk CTE raises a
+    DuckDB error() if the live embeddings count reaches 4 * _REK_N0,
+    so running this oracle at a scale where the operator serves k > 16
+    fails loudly instead of reporting a spurious wrong-k mismatch."""
     from catalyst_spark.queries.pipeline import (
         _KMEANS_ITERS,
         _LSH_DIM,
         _REK_K,
+        _REK_N0,
     )
 
     last_c = f"rk_c{_KMEANS_ITERS}"
@@ -3431,13 +3436,20 @@ def _sq8_ivf_rek_ctes() -> str:
                         AS BIGINT), ca.n_id) AS rnk
           FROM cand ca
           JOIN sq8codes q ON q.vec_id = ca.q_id
-          JOIN sq8codes n ON n.vec_id = ca.n_id)"""
+          JOIN sq8codes n ON n.vec_id = ca.n_id),
+        chk AS (
+          SELECT CASE WHEN (SELECT COUNT(*) FROM embeddings)
+                           >= {4 * _REK_N0}
+                 THEN error('rek oracle pins k=16 but _serving_k(N) '
+                            '> 16 at this corpus size')
+                 ELSE 0 END AS z)"""
     )
 
 
 ORACLE_SQL["ann_sq8_ivf_rek_topk"] = _sq8_ivf_rek_ctes() + """
     SELECT q_id, rnk AS "rank", n_id AS neighbor_id, d2 AS sq_d2
-    FROM sqirank WHERE rnk <= 5 ORDER BY q_id, "rank"
+    FROM sqirank WHERE rnk <= 5 AND (SELECT z FROM chk) = 0
+    ORDER BY q_id, "rank"
 """
 
 ORACLE_SQL["ann_sq8_ivf_rek_recall"] = _sq8_ivf_rek_ctes() + """,
@@ -3461,13 +3473,21 @@ ORACLE_SQL["ann_sq8_ivf_rek_recall"] = _sq8_ivf_rek_ctes() + """,
            ROUND(COUNT(sqi.n_id) / 5.0, 2) AS recall_at_5
     FROM brute b
     LEFT JOIN sqi ON sqi.q_id = b.q_id AND sqi.n_id = b.neighbor_id
+    WHERE (SELECT z FROM chk) = 0
     GROUP BY b.q_id ORDER BY b.q_id
 """
 
 
 # shared lexical-arm + fusion CTE fragments for the two rank-fusion
-# variants (twin of pipeline._fusion_lex_arm / _fuse_arms)
-_FUSION_LEX_CTES = """
+# variants (twin of pipeline._fusion_lex_arm / _fuse_arms). Built by
+# functions that interpolate _FUSION_R / _FUSION_MISS from the pipeline
+# module (ADVICE r8: hardcoded 20/21 literals would silently
+# desynchronize operator and oracle if the constants ever move), the
+# same convention _fusion_ivec_ctes uses for _RERANK_R.
+def _fusion_lex_ctes() -> str:
+    from catalyst_spark.queries.pipeline import _FUSION_R
+
+    return f"""
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
     cd AS (
       SELECT q.doc_id AS q_id, c.doc_id AS id, COUNT(*) AS inter
@@ -3484,7 +3504,10 @@ _FUSION_LEX_CTES = """
                           cd.id) AS lrank
         FROM cd JOIN sizes qs ON qs.doc_id = cd.q_id
                 JOIN sizes cs ON cs.doc_id = cd.id) t
-      WHERE lrank <= 20)"""
+      WHERE lrank <= {_FUSION_R})"""
+
+
+_FUSION_LEX_CTES = _fusion_lex_ctes()
 
 # indexed vector arm: the IVF-PQ ADC shortlist exact-reranked to full
 # depth (twin of pipeline._ivfpq_rerank_ranked feeding rank_fusion_indexed)
@@ -3506,11 +3529,15 @@ def _fusion_ivec_ctes() -> str:
       FROM rr)"""
 
 
-_FUSION_TAIL = """
+def _fusion_tail() -> str:
+    from catalyst_spark.queries.pipeline import _FUSION_MISS
+
+    return f"""
     fused AS (
       SELECT COALESCE(v.q_id, l.q_id) AS q_id,
              COALESCE(v.id, l.id) AS id,
-             COALESCE(v.vrank, 21) + COALESCE(l.lrank, 21) AS fused
+             COALESCE(v.vrank, {_FUSION_MISS})
+               + COALESCE(l.lrank, {_FUSION_MISS}) AS fused
       FROM ivec v FULL JOIN lex l ON v.q_id = l.q_id AND v.id = l.id)
     SELECT q_id, "rank", id AS result_id,
            CAST(fused AS BIGINT) AS fused_rank_sum
@@ -3521,6 +3548,9 @@ _FUSION_TAIL = """
       FROM fused) t
     WHERE "rank" <= 5 ORDER BY q_id, "rank"
 """
+
+
+_FUSION_TAIL = _fusion_tail()
 
 # index-served rank fusion: full IVF-PQ rerank CTEs (coarse k-means +
 # PQ codebooks + LUT shortlist + exact rerank) as the vector arm, the
@@ -3534,10 +3564,10 @@ ORACLE_SQL["rank_fusion_indexed"] = (
 # fusion-calibration: the index-served fusion's top-5 graded against
 # the exact-arm fusion's top-5 (shared lexical arm, so the delta is
 # purely the vector arm's pruning)
-ORACLE_SQL["rank_fusion_recall"] = (
-    _ivfpq_ctes() + ",\n    " + _MINHASH_SIG + ","
-    + _FUSION_LEX_CTES + "," + _fusion_ivec_ctes() + ","
-    + """
+def _fusion_recall_tail() -> str:
+    from catalyst_spark.queries.pipeline import _FUSION_MISS, _FUSION_R
+
+    return f"""
     xvec AS (
       SELECT q_id, id, vrank FROM (
         SELECT q.vec_id AS q_id, c.vec_id AS id,
@@ -3547,16 +3577,18 @@ ORACLE_SQL["rank_fusion_recall"] = (
                           c.vec_id) AS vrank
         FROM nv q JOIN nv c ON q.vec_id != c.vec_id
         WHERE q.vec_id % 50 = 0) t
-      WHERE vrank <= 20),
+      WHERE vrank <= {_FUSION_R}),
     ifused AS (
       SELECT COALESCE(v.q_id, l.q_id) AS q_id,
              COALESCE(v.id, l.id) AS id,
-             COALESCE(v.vrank, 21) + COALESCE(l.lrank, 21) AS fused
+             COALESCE(v.vrank, {_FUSION_MISS})
+               + COALESCE(l.lrank, {_FUSION_MISS}) AS fused
       FROM ivec v FULL JOIN lex l ON v.q_id = l.q_id AND v.id = l.id),
     xfused AS (
       SELECT COALESCE(v.q_id, l.q_id) AS q_id,
              COALESCE(v.id, l.id) AS id,
-             COALESCE(v.vrank, 21) + COALESCE(l.lrank, 21) AS fused
+             COALESCE(v.vrank, {_FUSION_MISS})
+               + COALESCE(l.lrank, {_FUSION_MISS}) AS fused
       FROM xvec v FULL JOIN lex l ON v.q_id = l.q_id AND v.id = l.id),
     itop AS (
       SELECT q_id, id FROM (
@@ -3576,6 +3608,12 @@ ORACLE_SQL["rank_fusion_recall"] = (
     FROM xtop x LEFT JOIN itop i ON i.q_id = x.q_id AND i.id = x.id
     GROUP BY x.q_id ORDER BY x.q_id
 """
+
+
+ORACLE_SQL["rank_fusion_recall"] = (
+    _ivfpq_ctes() + ",\n    " + _MINHASH_SIG + ","
+    + _FUSION_LEX_CTES + "," + _fusion_ivec_ctes() + ","
+    + _fusion_recall_tail()
 )
 
 
@@ -4118,7 +4156,10 @@ ORACLE_SQL["dup_ngram_coverage"] = _dup_ngram_coverage_sql()
 # inverse-sqrt temperature mixing: sqrt is IEEE-correctly-rounded in
 # both engines (general pow is not — the reason alpha is pinned at 0.5)
 def _temperature_resample_sql() -> str:
-    from catalyst_spark.queries.pipeline import _TEMP_BUDGET
+    # fixed-point sqrt weights (ADVICE r8): q_total is an order-free
+    # BIGINT sum and budget_tokens exact integer division — see the
+    # operator docstring for the exactness argument
+    from catalyst_spark.queries.pipeline import _TEMP_BUDGET, _TEMP_FX
 
     return f"""
       WITH s AS (
@@ -4128,15 +4169,17 @@ def _temperature_resample_sql() -> str:
       t AS (
         SELECT source, src_tokens,
                SUM(src_tokens) OVER () AS total,
-               sqrt(src_tokens) AS q_raw,
-               SUM(sqrt(src_tokens)) OVER () AS q_total
+               CAST(FLOOR(sqrt(src_tokens) * {_TEMP_FX}) AS BIGINT)
+                 AS q_fx,
+               SUM(CAST(FLOOR(sqrt(src_tokens) * {_TEMP_FX}) AS BIGINT))
+                 OVER () AS q_total
         FROM s)
       SELECT source, CAST(src_tokens AS BIGINT) AS src_tokens,
              ROUND(src_tokens * 1.0 / total, 4) AS share,
-             ROUND(q_raw / q_total, 4) AS temp_share,
-             ROUND((q_raw / q_total) / (src_tokens * 1.0 / total), 4)
-               AS upsample,
-             CAST(FLOOR(q_raw / q_total * {_TEMP_BUDGET}) AS BIGINT)
+             ROUND(q_fx * 1.0 / q_total, 4) AS temp_share,
+             ROUND((q_fx * 1.0 / q_total)
+                   / (src_tokens * 1.0 / total), 4) AS upsample,
+             CAST((q_fx * {_TEMP_BUDGET}) // q_total AS BIGINT)
                AS budget_tokens
       FROM t ORDER BY source
     """

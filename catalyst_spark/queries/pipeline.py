@@ -1438,6 +1438,9 @@ def _emb_fp(spark: SparkSession, sf_dir: str):
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
         hit = _EMB_FP_CACHE[key] = model_store.embeddings_fingerprint(base)
+        # once per session per data dir: reap artifacts stranded by a
+        # fingerprint migration or regenerated testdata (ADVICE r8)
+        model_store.gc_stale_artifacts(sf_dir, hit)
     return hit
 
 
@@ -5582,6 +5585,11 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repo's oracles are value-hashed. The budget is the fixed token count
 # the expected-allocation column is computed against.
 _TEMP_BUDGET = 1_000_000
+# fixed-point scale for the sqrt sampling weight: q = floor(sqrt(n) *
+# 2^20) stays exact (sqrt correctly rounded, *2^20 moves only the
+# exponent) and q * _TEMP_BUDGET fits int64 through ~2^23x the bench
+# corpus (q ~ 3e12 at 1e13 tokens/source; x 1e6 = 3e18 < 2^63)
+_TEMP_FX = 1 << 20
 
 
 def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5596,7 +5604,18 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded IEEE in every engine, unlike general pow (see the constant
     note above).
 
-    Plan: one shuffle to the per-source token aggregate; the sqrt /
+    Engine-exactness design (ADVICE r8: a float SUM(sqrt) OVER () is
+    addition-order-dependent, and a last-ulp drift in q_total can flip
+    a ROUND/FLOOR at a boundary): the sqrt weight is quantized to
+    fixed-point BIGINT — q = floor(sqrt(src_tokens) * 2^20), exact on
+    identical integer inputs in every engine because sqrt is correctly
+    rounded and the *2^20/floor pair only moves the exponent — so
+    q_total is an ORDER-FREE integer sum and budget_tokens is exact
+    integer division (q * B div q_total), never a float product. The
+    remaining float ops (share/temp_share/upsample) are single divides
+    of identical integers — deterministic IEEE, no accumulation.
+
+    Plan: one shuffle to the per-source token aggregate; the quantize /
     normalize / budget math runs over the ~S-row aggregate via an
     unpartitioned window (S = source count, never corpus rows).
     """
@@ -5605,21 +5624,21 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(N_TOKENS)).alias("src_tokens")
     )
     w = W.partitionBy()
-    q_raw = F.sqrt(F.col("src_tokens"))
+    q_fx = F.floor(F.sqrt(F.col("src_tokens")) * _TEMP_FX).cast("bigint")
     return (
         per_src.withColumn("total", F.sum("src_tokens").over(w))
-        .withColumn("q_raw", q_raw)
-        .withColumn("q_total", F.sum("q_raw").over(w))
+        .withColumn("q_fx", q_fx)
+        .withColumn("q_total", F.sum("q_fx").over(w))
         .select(
             "source",
             "src_tokens",
             F.round(F.col("src_tokens") / F.col("total"), 4).alias("share"),
-            F.round(F.col("q_raw") / F.col("q_total"), 4)
+            F.round(F.col("q_fx") / F.col("q_total"), 4)
             .alias("temp_share"),
-            F.round((F.col("q_raw") / F.col("q_total"))
+            F.round((F.col("q_fx") / F.col("q_total"))
                     / (F.col("src_tokens") / F.col("total")), 4)
             .alias("upsample"),
-            F.floor(F.col("q_raw") / F.col("q_total") * _TEMP_BUDGET)
+            F.expr(f"q_fx * {_TEMP_BUDGET}L div q_total")
             .cast("bigint").alias("budget_tokens"),
         )
         .orderBy("source")

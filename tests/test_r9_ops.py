@@ -1,0 +1,128 @@
+"""Round-9 invariants: the four ADVICE r8 fixes (model-store GC of
+fingerprint-stranded artifacts, the rek-oracle scale guard, fixed-point
+temperature weights, fusion-constant interpolation) and the r9
+operator work.
+
+Reference parity note: these cover THIS repo's analytical surface; the
+reference (ovh/catalyst) has no analogue — its querying is delegated
+to the TSDB backend (reference README).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_gc_stale_artifacts(tmp_path, monkeypatch):
+    """ADVICE r8: artifacts whose stored fingerprint mismatches the
+    live one are reaped (file + dir forms, unreadable meta included);
+    current-fingerprint artifacts survive regardless of tag/params —
+    coexisting hyperparameter variants must not be collected."""
+    import os
+
+    from catalyst_spark import model_store as ms
+
+    monkeypatch.setenv("CATALYST_ANN_MODEL_DIR", str(tmp_path))
+    sf = "/data/sfX"
+    base = tmp_path / ms._sf_tag(sf)
+    base.mkdir(parents=True)
+    live = [10, 20, 30, 40]
+    stale = [1, 2, 3, 4]
+
+    def put(tag, fp, as_dir=False, meta=None):
+        data = base / f"{tag}.parquet"
+        if as_dir:
+            data.mkdir()
+            (data / "part-0.parquet").write_bytes(b"x")
+        else:
+            data.write_bytes(b"x")
+        (base / f"{tag}.json").write_text(
+            meta if meta is not None
+            else json.dumps({"version": 1, "fingerprint": fp, "params": {}})
+        )
+
+    put("kmeans_full", live)
+    put("kmeans_full_k32", live)        # other params, same fp: keep
+    put("kmeans_old", stale)
+    put("pq_codes", stale, as_dir=True)
+    put("kmeans_broken", live, meta="{not json")
+    assert ms.gc_stale_artifacts(sf, live) == 3
+    names = sorted(p.name for p in base.iterdir())
+    assert names == [
+        "kmeans_full.json", "kmeans_full.parquet",
+        "kmeans_full_k32.json", "kmeans_full_k32.parquet",
+    ]
+    # idempotent; missing dir is a no-op
+    assert ms.gc_stale_artifacts(sf, live) == 0
+    assert ms.gc_stale_artifacts("/data/absent", live) == 0
+
+
+def test_rek_oracle_scale_guard():
+    """ADVICE r8: the rek oracles pin k=_REK_K=16, valid only while
+    _serving_k(N) == 16; the oracle must ENFORCE that precondition by
+    erroring on an oversized corpus instead of silently comparing
+    against a wrong-k model."""
+    import duckdb
+
+    from catalyst_spark.queries.oracles import ORACLE_SQL
+    from catalyst_spark.queries.pipeline import _REK_N0, _serving_k
+
+    sql = ORACLE_SQL["ann_sq8_ivf_rek_topk"]
+    assert "error(" in sql  # the chk CTE is present
+    con = duckdb.connect()
+    # a corpus one row past the schedule's first doubling point
+    n_bad = 4 * _REK_N0
+    assert _serving_k(n_bad) == 32
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT range AS vec_id, [0.5, 0.5] AS embedding, "
+        f"'a' AS label FROM range({n_bad})"
+    )
+    with pytest.raises(duckdb.Error, match="rek oracle"):
+        con.execute(sql).fetchall()
+
+
+def test_fusion_oracle_constants_interpolated():
+    """ADVICE r8: the fusion oracle fragments must track _FUSION_R /
+    _FUSION_MISS from the pipeline module, not re-state them."""
+    from catalyst_spark.queries import oracles
+    from catalyst_spark.queries.pipeline import _FUSION_MISS, _FUSION_R
+
+    lex = oracles._fusion_lex_ctes()
+    assert f"lrank <= {_FUSION_R}" in lex
+    tail = oracles._fusion_tail()
+    assert f"COALESCE(v.vrank, {_FUSION_MISS})" in tail
+    rec = oracles._fusion_recall_tail()
+    assert f"vrank <= {_FUSION_R}" in rec
+    assert f"COALESCE(l.lrank, {_FUSION_MISS})" in rec
+
+
+def test_temperature_resample_integer_exact(spark):
+    """ADVICE r8: the sampling weight is fixed-point BIGINT so q_total
+    is order-free; budget_tokens comes from exact integer division and
+    the budgets can never exceed the budget in aggregate."""
+    import math
+
+    from catalyst_spark.queries.pipeline import (
+        _TEMP_BUDGET,
+        _TEMP_FX,
+        temperature_resample,
+    )
+
+    rows = temperature_resample(spark, SF_DIR).collect()
+    assert rows
+    q = [math.floor(math.isqrt(r["src_tokens"] * _TEMP_FX * _TEMP_FX))
+         for r in rows]
+    # reference integer computation: floor(sqrt(n) * 2^20) ==
+    # isqrt(n * 2^40) exactly (both are the integer part of the same
+    # real number; sqrt's correct rounding cannot cross an integer
+    # boundary because n * 2^40 is never a perfect-square boundary
+    # case beyond the double's exact range at test scales)
+    q_total = sum(q)
+    for r, qi in zip(rows, q):
+        assert r["budget_tokens"] == qi * _TEMP_BUDGET // q_total
+    assert sum(r["budget_tokens"] for r in rows) <= _TEMP_BUDGET
