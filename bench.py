@@ -287,6 +287,8 @@ _SHARED_BUILDS = (
     "pq_codes",
     "rpq_codes",
     "brute_topk_baseline",
+    "ivfpq_rerank_shortlist",
+    "fusion_lex_arm",
 )
 
 
@@ -338,6 +340,14 @@ def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
         spark, sf_dir, P._residual_vecs(spark, sf_dir, v),
         prefix="rpq")[0].count())
     timed("brute_topk_baseline", noop("ann_brute_topk"))
+    # the exact-reranked IVF-PQ shortlist and the shingle-Jaccard
+    # lexical arm (VERDICT r8 item 4): each feeds the rerank rung AND
+    # both fusion variants, so their one-time build cost belongs here,
+    # not in whichever fusion slot the rotation runs first
+    timed("ivfpq_rerank_shortlist",
+          lambda: P._ivfpq_rerank_ranked(spark, sf_dir).count())
+    timed("fusion_lex_arm",
+          lambda: P._fusion_lex_arm(spark, sf_dir).count())
     return out
 
 

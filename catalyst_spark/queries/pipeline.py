@@ -5035,7 +5035,19 @@ def rank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fusion_lex_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lexical arm both fusion variants share: shingle-hash-blocked
-    3-shingle Jaccard, top-_FUSION_R per query as (q_id, id, lrank)."""
+    3-shingle Jaccard, top-_FUSION_R per query as (q_id, id, lrank).
+
+    Session-cached (VERDICT r8 item 4): rank_fusion_topk,
+    rank_fusion_indexed, and rank_fusion_recall (which runs both
+    pipelines) all consume this arm — without the cache the shingle
+    explode + equi-join + two-window build ran up to four times per
+    bench session; with it the arm is one probe-set-x-R persisted
+    build, the same _TOPK_RESULT_CACHE convention as
+    _ivfpq_rerank_ranked."""
+    key = (spark.sparkContext.applicationId, sf_dir, "fusion_lex_arm")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
     sh = _shingled(docs).select(
@@ -5066,7 +5078,10 @@ def _fusion_lex_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lrank", F.row_number().over(wl))
         .where(F.col("lrank") <= _FUSION_R)
         .select("q_id", "id", "lrank")
+        .persist()
     )
+    lex.count()  # probe-set x R rows; both fusion variants reuse it
+    _TOPK_RESULT_CACHE[key] = lex
     return lex
 
 
