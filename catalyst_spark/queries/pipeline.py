@@ -5433,6 +5433,26 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-token share >= 1/8   <=>  top_cnt * 8 >= n_tok
 _GOPHER_MIN_STOP_HITS = 2
 
+# Most-frequent-token count as an O(n log n) doc-local fold (VERDICT r8
+# item 5): sort the token array, then one linear pass tracking the
+# current equal-run length and the best seen — the max run of a sorted
+# array IS the top token's count. The previous
+# transform(array_distinct(..), t -> size(filter(.., x -> x = t)))
+# shape was O(n_distinct x n_tok) per row: harmless on ~56-token
+# synthetic docs, ~10^7 ops/doc on real 10k-token web documents. Both
+# shapes are shuffle-free whole-stage-codegen expressions; the fold
+# keeps that property without the quadratic term. `t <=> a.prev` is
+# null-safe so the seeded null prev starts run 1 on the first token.
+_TOP_TOKEN_COUNT = (
+    "aggregate(array_sort({toks}), "
+    "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+    "(a, t) -> named_struct("
+    "'prev', t, "
+    "'run', IF(t <=> a.prev, a.run + 1, 1), "
+    "'best', greatest(a.best, IF(t <=> a.prev, a.run + 1, 1))), "
+    "a -> a.best)"
+)
+
 
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independent per-rule quality audit (the Gopher-rules shape, Rae
@@ -5447,23 +5467,20 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     above — so the oracle matches bit-for-bit.
 
     Plan: ZERO pre-aggregate shuffles. n_distinct is
-    size(array_distinct(toks)) and the top count is a doc-local
-    transform+filter fold (O(n_distinct x n_tok) per row, JVM codegen,
-    bounded by doc length) — where repetition_ratio pays two
-    doc_id-keyed shuffles for the same numbers, this pass computes them
-    at the scan and pays only the final ~source-row reduce. At 100 TB
-    that is the difference between a map-only pass and re-shuffling the
-    token stream.
+    size(array_distinct(toks)) and the top count is the O(n log n)
+    sorted-run fold _TOP_TOKEN_COUNT (see the bound note at its
+    definition) — where repetition_ratio pays two doc_id-keyed
+    shuffles for the same numbers, this pass computes them at the scan
+    and pays only the final ~source-row reduce. At 100 TB that is the
+    difference between a map-only pass and re-shuffling the token
+    stream.
     """
     docs = load(spark, sf_dir, "documents")
     b = _QUALITY_BOUNDS
     n_tok = F.expr(N_TOKENS)
     nchars = F.length(F.regexp_replace("text", " ", ""))
     n_dist = F.expr(f"size(array_distinct({TOKENS}))")
-    top_cnt = F.expr(
-        f"array_max(transform(array_distinct({TOKENS}), "
-        f"t -> size(filter({TOKENS}, x -> x = t))))"
-    )
+    top_cnt = F.expr(_TOP_TOKEN_COUNT.format(toks=TOKENS))
     stop_hits = F.expr(_hits("en"))
     rules = [
         ("bounds", (n_tok < b["min_tok"]) | (n_tok > b["max_tok"])),

@@ -67,6 +67,7 @@ def stream_quality_gate(doc_stream: DataFrame) -> DataFrame:
     from catalyst_spark.queries.pipeline import (
         _GOPHER_MIN_STOP_HITS,
         _QUALITY_BOUNDS,
+        _TOP_TOKEN_COUNT,
         N_TOKENS,
         TOKENS,
         _hits,
@@ -76,10 +77,7 @@ def stream_quality_gate(doc_stream: DataFrame) -> DataFrame:
     n_tok = F.expr(N_TOKENS)
     nchars = F.length(F.regexp_replace("text", " ", ""))
     n_dist = F.expr(f"size(array_distinct({TOKENS}))")
-    top_cnt = F.expr(
-        f"array_max(transform(array_distinct({TOKENS}), "
-        f"t -> size(filter({TOKENS}, x -> x = t))))"
-    )
+    top_cnt = F.expr(_TOP_TOKEN_COUNT.format(toks=TOKENS))
     stop_hits = F.expr(_hits("en"))
     rules = [
         ("bounds", (n_tok < b["min_tok"]) | (n_tok > b["max_tok"])),

@@ -126,3 +126,23 @@ def test_temperature_resample_integer_exact(spark):
     for r, qi in zip(rows, q):
         assert r["budget_tokens"] == qi * _TEMP_BUDGET // q_total
     assert sum(r["budget_tokens"] for r in rows) <= _TEMP_BUDGET
+
+
+def test_top_token_fold_matches_quadratic_shape(spark):
+    """VERDICT r8 item 5: the O(n log n) sorted-run fold must equal the
+    old O(n_distinct x n_tok) transform+filter count on every document
+    (including all-identical and all-distinct token extremes)."""
+    from catalyst_spark.queries.pipeline import _TOP_TOKEN_COUNT
+    from pyspark.sql import functions as F
+
+    rows = [("a b c a b a",), ("x",), ("y y y y",), ("p q r s",),
+            ("",), ("t t s s",)]
+    df = spark.createDataFrame(rows, ["text"])
+    toks = "split(text, ' ')"
+    out = df.select(
+        F.expr(_TOP_TOKEN_COUNT.format(toks=toks)).alias("fold"),
+        F.expr(f"array_max(transform(array_distinct({toks}), "
+               f"t -> size(filter({toks}, x -> x = t))))").alias("quad"),
+    ).collect()
+    assert [r["fold"] for r in out] == [r["quad"] for r in out]
+    assert [r["fold"] for r in out] == [3, 1, 4, 1, 1, 2]
