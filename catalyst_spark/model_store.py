@@ -221,20 +221,24 @@ def codes_path(sf_dir: str, name: str = "pq_codes") -> Path:
 
 
 def load_codes(spark, sf_dir: str, fingerprint: list[int],
-               name: str = "pq_codes"):
+               name: str = "pq_codes", params: dict | None = None):
     """Return the stored codes DataFrame if current, else None. `name`
     distinguishes code tables built from different vector spaces (raw
-    "pq_codes" vs residual "rpq_codes")."""
+    "pq_codes" vs residual "rpq_codes") or different index kinds (the
+    dedup corpus band-pair index). `params` overrides the
+    ANN-train-constant staleness check for tables whose shape is
+    governed by other constants (e.g. MinHash banding)."""
     path = codes_path(sf_dir, name)
     if not path.exists() or not _meta_ok(
-        path.parent / f"{name}.json", fingerprint, _train_params()
+        path.parent / f"{name}.json", fingerprint,
+        params if params is not None else _train_params()
     ):
         return None
     return spark.read.parquet(str(path))
 
 
 def save_codes(codes_df, sf_dir: str, fingerprint: list[int],
-               name: str = "pq_codes") -> None:
+               name: str = "pq_codes", params: dict | None = None) -> None:
     path = codes_path(sf_dir, name)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex}")
@@ -242,4 +246,5 @@ def save_codes(codes_df, sf_dir: str, fingerprint: list[int],
     if path.exists():
         shutil.rmtree(path)
     os.replace(tmp, path)
-    _write_meta(path.parent / f"{name}.json", fingerprint, _train_params())
+    _write_meta(path.parent / f"{name}.json", fingerprint,
+                params if params is not None else _train_params())

@@ -4908,6 +4908,54 @@ def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_band_index(spark: SparkSession, sf_dir: str,
+                       bands: DataFrame) -> DataFrame:
+    """The persisted corpus-side dedup edge index (VERDICT r8 item 3):
+    band-candidate pairs (a_id < b_id) WITHIN the already-ingested
+    corpus (doc_id % _SHARD_MOD != 0), load-or-built through the model
+    store under name "corpus_band_index". The fingerprint covers only
+    corpus rows — ingesting a shard must not invalidate the index it
+    is being merged into — and the params pin the banding scheme so a
+    MinHash constant change rebuilds instead of serving a stale
+    geometry. Session-cached so one bench/driver session reads the
+    parquet once."""
+    from catalyst_spark import model_store
+
+    key = (spark.sparkContext.applicationId, sf_dir, "corpus_band_index")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    corpus_docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _SHARD_MOD != 0
+    )
+    fp = model_store.embeddings_fingerprint(
+        corpus_docs.select(F.col("doc_id").alias("vec_id"),
+                           F.col("text").alias("e"))
+    )
+    params = {"perms": _MINHASH_PERMS, "bands": _MINHASH_BANDS,
+              "rows": _MINHASH_ROWS, "shard_mod": _SHARD_MOD}
+    idx = model_store.load_codes(spark, sf_dir, fp,
+                                 name="corpus_band_index", params=params)
+    if idx is None:
+        ob = bands.where(F.col("doc_id") % _SHARD_MOD != 0)
+        built = (
+            ob.alias("l").join(ob.alias("r"), "bucket")
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("a_id"),
+                    F.col("r.doc_id").alias("b_id"))
+            .distinct()
+        )
+        model_store.save_codes(built, sf_dir, fp,
+                               name="corpus_band_index", params=params)
+        # serve from the store even on the cold path so the op's plan
+        # is the production read shape in every session
+        idx = model_store.load_codes(spark, sf_dir, fp,
+                                     name="corpus_band_index",
+                                     params=params)
+    _TOPK_RESULT_CACHE[key] = idx
+    return idx
+
+
 def incremental_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental shard dedup DECIDED AND APPLIED (VERDICT r7 item 6
     — incremental_shard_dedup reports counters; this materializes the
@@ -4934,8 +4982,19 @@ def incremental_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     step re-labels over index + delta rather than patching survivor
     sets (the shortcut that silently breaks the identity).
 
+    THE INDEX IS READ, NOT RECOMPUTED (VERDICT r8 item 3): the
+    corpus-side band-candidate pair set is served from the on-disk
+    model store (name "corpus_band_index", keyed on a fingerprint of
+    the CORPUS docs only — shard rows don't touch the key — plus the
+    MinHash banding params), trained once per corpus exactly like the
+    ANN centroids. A cold store pays one corpus self-join to build it;
+    every later session's incremental cost is genuinely ∝ shard: the
+    delta band joins plus an index READ. Staleness safety is the
+    model-store convention — regenerated corpus data mismatches the
+    fingerprint and rebuilds.
+
     Scale: the delta joins shuffle shard-sized 8-byte band keys; the
-    corpus-side edge index is pair-bounded (the skew suite pins the
+    stored index is pair-bounded (the skew suite pins the
     hot-dup-clique bound); CC runs on the edge set, not the corpus.
     """
     docs = load(spark, sf_dir, "documents")
@@ -4943,16 +5002,8 @@ def incremental_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(_band_buckets_array()).alias("bucket")
     )
-    ob = bands.where(F.col("doc_id") % _SHARD_MOD != 0)
     nb = bands.where(F.col("doc_id") % _SHARD_MOD == 0)
-    # the stored corpus edge index: band candidates within the corpus
-    idx = (
-        ob.alias("l").join(ob.alias("r"), "bucket")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a_id"),
-                F.col("r.doc_id").alias("b_id"))
-        .distinct()
-    )
+    idx = _corpus_band_index(spark, sf_dir, bands)
     # delta: every candidate touching the shard (shard x all, a != b),
     # normalized to a < b so the union is the full band-candidate set
     delta = (
