@@ -92,3 +92,100 @@ def stream_quality_gate(doc_stream: DataFrame) -> DataFrame:
         "passes",
         sum(F.col(f"f_{name}") for name, _ in rules) == 0,
     )
+
+
+def boiler_hash_index(spark, sf_dir: str) -> list[int]:
+    """Batch-side build of the boilerplate-chunk hash set (the static
+    index stream_boilerplate_cut broadcasts): 60-bit hashes of every
+    non-overlapping _CHUNK_TOKENS-token chunk occurring in >=
+    _BOILER_MIN_DOCS distinct corpus documents — the exact set
+    queries.pipeline.boilerplate_line_cut derives. Sorted for
+    determinism. The set is dup-structure-sized, not corpus-sized (a
+    chunk enters only by repeating across documents); the CCNet
+    deployment shape is precisely this: frequency pass over yesterday's
+    corpus, broadcast set over today's stream. If the set ever outgrew
+    a broadcast, the same emission works as a stream-static hash join
+    (stream_shard_dedup_classify's shape) at the cost of a shuffle."""
+    from catalyst_spark.queries.pipeline import (
+        _BOILER_MIN_DOCS,
+        _CHUNK_TOKENS,
+        _h60,
+        N_TOKENS,
+        TOKENS,
+    )
+    from catalyst_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"""transform(
+                  sequence(0, cast(ceil({N_TOKENS} / {_CHUNK_TOKENS}.0)
+                              as int) - 1),
+                  c -> concat_ws(' ', slice({TOKENS},
+                                            c * {_CHUNK_TOKENS} + 1,
+                                            {_CHUNK_TOKENS})))"""
+        )).alias("chunk"),
+    ).select("doc_id", F.expr(_h60("chunk")).alias("h"))
+    rows = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("h").orderBy("h").collect()
+    )
+    return [r["h"] for r in rows]
+
+
+def stream_boilerplate_cut(doc_stream: DataFrame,
+                           boiler_hashes: list[int]) -> DataFrame:
+    """Ingest-time corpus-frequency line removal (VERDICT r8 item 6):
+    the streaming twin of queries.pipeline.boilerplate_line_cut's
+    per-doc audit, closing the ingest-time story for the curation
+    funnel's heavy stage. The boiler-hash set rides into the plan as
+    one broadcast array literal (the stream_bloom_probe pattern) and
+    every arriving document is chunked, filtered, and reassembled
+    INSIDE ONE ROW — pure projection, append mode, no state store, no
+    watermark, no shuffle: re-delivered rows re-emit byte-identical
+    audits (tested).
+
+    Emission matches the batch audit column-for-column (n_chunks,
+    n_cut, kept_tokens, kept_h = md5 of the reassembled text), so
+    replaying the corpus through this stream reproduces
+    boilerplate_line_cut row-for-row. Membership is array_contains
+    over the broadcast set — O(|set|) per chunk, fine for a
+    dup-tail-sized set; the note on boiler_hash_index gives the
+    stream-static-join escape hatch if the set outgrows a broadcast.
+    """
+    from catalyst_spark.queries.pipeline import (
+        _CHUNK_TOKENS,
+        _h60,
+        N_TOKENS,
+        TOKENS,
+    )
+
+    spark = doc_stream.sparkSession
+    idx_row = spark.createDataFrame([(boiler_hashes,)], "bhs array<bigint>")
+    chunks = (
+        f"""transform(
+              sequence(0, cast(ceil({N_TOKENS} / {_CHUNK_TOKENS}.0)
+                          as int) - 1),
+              c -> concat_ws(' ', slice({TOKENS},
+                                        c * {_CHUNK_TOKENS} + 1,
+                                        {_CHUNK_TOKENS})))"""
+    )
+    kept = f"filter({chunks}, ch -> NOT array_contains(bhs, {_h60('ch')}))"
+    kept_text = f"concat_ws(' ', {kept})"
+    return (
+        doc_stream.crossJoin(F.broadcast(idx_row))
+        .select(
+            "doc_id", "source",
+            F.expr(f"size({chunks})").cast("bigint").alias("n_chunks"),
+            (F.expr(f"size({chunks})") - F.expr(f"size({kept})"))
+            .cast("bigint").alias("n_cut"),
+            F.expr(
+                f"size(split({kept_text}, ' ')) "
+                f"* CASE WHEN {kept_text} = '' THEN 0 ELSE 1 END"
+            ).cast("bigint").alias("kept_tokens"),
+            F.md5(F.expr(kept_text)).alias("kept_h"),
+        )
+    )

@@ -1701,3 +1701,63 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
                w["n_fail_ttr"], w["n_fail_top"], w["n_fail_stop"],
                w["n_pass"])
         assert got == exp, src
+
+
+def test_stream_boilerplate_cut_matches_batch(spark, tmp_path):
+    """Ingest-time corpus-frequency line removal (VERDICT r8 item 6):
+    the batch pass builds the boiler-hash index; replaying the corpus
+    as a file stream (one batch RE-DELIVERED) against that broadcast
+    index must reproduce boilerplate_line_cut's per-doc audit
+    row-for-row — n_chunks, n_cut, kept_tokens, and the md5 value-pin
+    of the reassembled text."""
+    import json
+
+    from catalyst_spark.queries.pipeline import boilerplate_line_cut
+    from catalyst_spark.streaming.scrub import (
+        boiler_hash_index,
+        stream_boilerplate_cut,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {r["doc_id"]: r
+            for r in boilerplate_line_cut(spark, SF_DIR).collect()}
+    assert sum(r["n_cut"] for r in want.values()) > 0  # real boilerplate
+
+    idx = boiler_hash_index(spark, SF_DIR)
+    assert idx == sorted(idx) and len(idx) > 0
+
+    docs = (load(spark, SF_DIR, "documents")
+            .select("doc_id", "source", "text").collect())
+    d = tmp_path / "boiler_stream"
+    d.mkdir()
+    half = max(1, len(docs) // 2)
+    batches = [docs[:half], docs[half:], docs[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "source": r["source"],
+                        "text": r["text"]})
+            for r in chunk))
+
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_boilerplate_cut(stream, idx)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("boiler_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from boiler_stream").collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r["doc_id"])
+        if prev is not None:
+            assert tuple(prev) == tuple(r), r["doc_id"]  # idempotent
+        latest[r["doc_id"]] = r
+    assert latest.keys() == want.keys()
+    for doc_id, got in latest.items():
+        w = want[doc_id]
+        assert (got["n_chunks"], got["n_cut"], got["kept_tokens"],
+                got["kept_h"]) == (w["n_chunks"], w["n_cut"],
+                                   w["kept_tokens"], w["kept_h"]), doc_id
