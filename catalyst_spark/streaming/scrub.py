@@ -24,13 +24,17 @@ from pyspark.sql import functions as F
 from catalyst_spark.queries.pipeline import _PII_AUG, _PII_PATTERNS
 
 
-def stream_pii_scrub(doc_stream: DataFrame) -> DataFrame:
+def stream_pii_scrub(doc_stream: DataFrame,
+                     keep: tuple = ()) -> DataFrame:
     """(doc_id, source, text) stream -> per-doc scrub row: match counts
     per PII type, redacted text, and the redacted-character delta. Same
     expressions as the batch operator's per-doc stage, so aggregating
-    the stream's rows per source reproduces pii_extract_stats."""
+    the stream's rows per source reproduces pii_extract_stats. `keep`
+    names extra input columns passed through untouched (the composed
+    curation pipeline keeps the raw text for the dedup probe)."""
     aug = doc_stream.select(
-        "doc_id", "source", F.expr(_PII_AUG).alias("t")
+        "doc_id", "source", F.expr(_PII_AUG).alias("t"),
+        *[F.col(c) for c in keep],
     )
     counts = [
         F.regexp_count(F.col("t"), F.lit(pat)).alias(f"c_{name}")
@@ -43,10 +47,12 @@ def stream_pii_scrub(doc_stream: DataFrame) -> DataFrame:
         "doc_id", "source", *counts,
         red.alias("red_text"),
         (F.length("t") - F.length(red)).alias("red_delta"),
+        *[F.col(c) for c in keep],
     )
 
 
-def stream_quality_gate(doc_stream: DataFrame) -> DataFrame:
+def stream_quality_gate(doc_stream: DataFrame,
+                        keep: tuple = ()) -> DataFrame:
     """Ingest-time quality gate: the streaming twin of
     queries.pipeline.gopher_quality_rules — the OTHER canonical
     stateless curation stage (scrub cleans what passes; this decides
@@ -88,7 +94,9 @@ def stream_quality_gate(doc_stream: DataFrame) -> DataFrame:
         ("stop", stop_hits < _GOPHER_MIN_STOP_HITS),
     ]
     flags = [f.cast("int").alias(f"f_{name}") for name, f in rules]
-    return doc_stream.select("doc_id", "source", *flags).withColumn(
+    return doc_stream.select(
+        "doc_id", "source", *flags, *[F.col(c) for c in keep]
+    ).withColumn(
         "passes",
         sum(F.col(f"f_{name}") for name, _ in rules) == 0,
     )
@@ -188,4 +196,129 @@ def stream_boilerplate_cut(doc_stream: DataFrame,
             ).cast("bigint").alias("kept_tokens"),
             F.md5(F.expr(kept_text)).alias("kept_h"),
         )
+    )
+
+
+def stream_curation_pipeline(
+    doc_stream: DataFrame,
+    fp_index: DataFrame,
+    band_index: DataFrame,
+    hset_index: DataFrame,
+) -> DataFrame:
+    """The ingest-time curation stages COMPOSED as one streaming query
+    (VERDICT r8 item 7): quality gate -> PII scrub -> shard-dedup
+    classify over a single arriving corpus — the pipeline production
+    actually runs, not three proofs in isolation. One emission per
+    gate-passing document: its dedup class against the corpus index,
+    its scrub audit delta, and n_seen for the re-delivery proof;
+    gate-failing documents never reach the scrub or the index probes
+    (the filter is upstream of every join, so rejected rows cost one
+    projection — the 100 TB ingest shape).
+
+    Stage wiring: the gate and scrub are the stateless twins above
+    (passthrough `keep` carries the raw text to the dedup probe — the
+    corpus index is built over raw text, and the scrubbed payload is
+    what the SINK persists, so probing raw is the correct order);
+    classification evidence is the stream_shard_dedup_classify shape
+    (fingerprint equi-join, band-bucket join + integer-exact Jaccard
+    verify), with the per-doc state extended by the scrub delta so the
+    composed emission carries the whole funnel fate of the document.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from catalyst_spark.queries.pipeline import (
+        _MINHASH_P,
+        _MINHASH_PERMS,
+        _band_buckets_array,
+        _h60,
+        _minhash_coeffs,
+        _shingled,
+    )
+
+    survivors = (
+        stream_quality_gate(doc_stream, keep=("text",))
+        .where("passes")
+        .select("doc_id", "source", "text")
+    )
+    scrubbed = stream_pii_scrub(survivors, keep=("text",))
+    base = scrubbed.select(
+        "doc_id", "source", "red_delta",
+        F.lit(0).alias("exact"), F.lit(0).alias("near"),
+    )
+    exact = (
+        scrubbed.select(
+            "doc_id", "source",
+            F.expr("substring(md5(text), 1, 16)").alias("fp"),
+        )
+        .join(fp_index, "fp")
+        .select("doc_id", "source", F.lit(0).alias("red_delta"),
+                F.lit(1).alias("exact"), F.lit(0).alias("near"))
+    )
+    a_lst, b_lst = _minhash_coeffs()
+    enr = _shingled(
+        scrubbed.select("doc_id", "source", "text"), keep=("source",)
+    ).withColumn(
+        "qh", F.expr(f"transform(shingles, sh -> {_h60('sh')})")
+    )
+    for s in range(_MINHASH_PERMS):
+        enr = enr.withColumn(f"m{s}", F.expr(
+            f"array_min(transform(qh, h -> "
+            f"({a_lst[s]} * (h % {_MINHASH_P}) + {b_lst[s]}) % {_MINHASH_P}))"
+        ))
+    near = (
+        enr.select(
+            "doc_id", "source", "qh",
+            F.explode(_band_buckets_array()).alias("bucket"),
+        )
+        .join(band_index, "bucket")
+        .join(hset_index, "old_id")
+        .where(
+            F.size(F.array_intersect("qh", "ch")) * 2
+            >= F.size(F.array_union("qh", "ch"))
+        )
+        .select("doc_id", "source", F.lit(0).alias("red_delta"),
+                F.lit(0).alias("exact"), F.lit(1).alias("near"))
+    )
+    rows = base.unionByName(exact).unionByName(near)
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        (doc_id,) = key
+        ex, nr, src, red, n_seen = (
+            state.get if state.exists else (0, 0, "", 0, 0))
+        cand = pd.concat(list(pdfs), ignore_index=True)
+        ex = int(bool(ex or cand["exact"].max()))
+        nr = int(bool(nr or cand["near"].max()))
+        src = src or str(cand["source"].iloc[0])
+        red = max(int(red), int(cand["red_delta"].max()))
+        n_seen = int(n_seen) + len(cand)
+        state.update((ex, nr, src, red, n_seen))
+        status = "exact" if ex else ("near" if nr else "kept")
+        yield pd.DataFrame({
+            "doc_id": [int(doc_id)], "source": [src], "status": [status],
+            "red_delta": [red], "n_seen": [n_seen],
+        })
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("red_delta", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ex", T.IntegerType()),
+        T.StructField("nr", T.IntegerType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("red", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    return rows.groupBy("doc_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
