@@ -4229,3 +4229,113 @@ def _label_centroid_similarity_sql() -> str:
 
 
 ORACLE_SQL["label_centroid_similarity"] = _label_centroid_similarity_sql()
+
+
+# --- r9 additions -----------------------------------------------------
+
+
+def _tokenizer_fertility_sql() -> str:
+    from catalyst_spark.queries.pipeline import _SUBTOK_RE
+
+    return f"""
+      WITH per AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS w,
+               len(regexp_extract_all(text, '{_SUBTOK_RE}')) AS s,
+               length(replace(text, ' ', '')) AS ch
+        FROM documents)
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS total_words,
+             CAST(SUM(s) AS BIGINT) AS total_subtoks,
+             CAST(SUM(ch) AS BIGINT) AS total_chars,
+             ROUND(SUM(s) * 1.0 / SUM(w), 4) AS fertility,
+             ROUND(SUM(ch) * 1.0 / SUM(s), 4) AS chars_per_subtok
+      FROM per GROUP BY source ORDER BY source
+    """
+
+
+ORACLE_SQL["tokenizer_fertility"] = _tokenizer_fertility_sql()
+
+
+def _shard_manifest_sql() -> str:
+    from catalyst_spark.queries.pipeline import _MANIFEST_MOD
+
+    h = _h60_duck("concat(CAST(doc_id AS VARCHAR), ':', text)")
+    return f"""
+      WITH d AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS w,
+               {h} AS h
+        FROM documents)
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS total_tokens,
+             MIN(doc_id) AS min_doc_id,
+             MAX(doc_id) AS max_doc_id,
+             bit_xor(h) AS content_xor,
+             CAST(SUM(CAST(h AS DECIMAL(38,0))) % {_MANIFEST_MOD}
+                  AS BIGINT) AS content_sum
+      FROM d GROUP BY source ORDER BY source
+    """
+
+
+ORACLE_SQL["shard_manifest"] = _shard_manifest_sql()
+
+
+def _embedding_dim_variance_sql() -> str:
+    from catalyst_spark.queries.pipeline import _EMB_FX
+
+    return f"""
+      WITH q AS (
+        SELECT u.dim, u.q
+        FROM (
+          SELECT unnest([{{'dim': i,
+                           'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                           * {_EMB_FX}) AS BIGINT)}}
+                         FOR i IN range(1, len(embedding) + 1)]) AS u
+          FROM embeddings)),
+      agg AS (
+        SELECT dim, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS sum_fx,
+               CAST(SUM(q * q) AS BIGINT) AS sumsq_fx
+        FROM q GROUP BY dim)
+      SELECT dim, n, sum_fx, sumsq_fx,
+             ROUND(sum_fx * 1.0 / n / {_EMB_FX}, 6) AS mean,
+             ROUND((sumsq_fx * 1.0 / n
+                    - (sum_fx * 1.0 / n) * (sum_fx * 1.0 / n))
+                   / ({float(_EMB_FX)} * {float(_EMB_FX)}), 8) AS variance
+      FROM agg ORDER BY dim
+    """
+
+
+ORACLE_SQL["embedding_dim_variance"] = _embedding_dim_variance_sql()
+
+
+def _chunk_overlap_split_sql() -> str:
+    from catalyst_spark.queries.pipeline import _RAG_CHUNK, _RAG_STRIDE
+
+    return f"""
+      WITH per AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tok,
+               len(range(1, len(string_split(text, ' ')) + 1,
+                         {_RAG_STRIDE})) AS n_chunks,
+               CAST(list_sum(list_transform(
+                 range(1, len(string_split(text, ' ')) + 1,
+                       {_RAG_STRIDE}),
+                 s -> least({_RAG_CHUNK},
+                            len(string_split(text, ' ')) - s + 1)))
+                 AS BIGINT) AS emitted
+        FROM documents)
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+             CAST(SUM(emitted) AS BIGINT) AS emitted_tokens,
+             ROUND(SUM(emitted) * 1.0 / SUM(n_tok), 4) AS dup_factor
+      FROM per GROUP BY source ORDER BY source
+    """
+
+
+ORACLE_SQL["chunk_overlap_split"] = _chunk_overlap_split_sql()

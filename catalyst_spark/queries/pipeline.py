@@ -5831,6 +5831,185 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer for fertility accounting: letter runs, digit
+# runs, and single non-alphanumeric marks — the GPT-2 pretokenizer's
+# class structure without the library dependency. Simple character
+# classes so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+_SUBTOK_RE = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source — the table a tokenizer
+    owner reads before committing a vocab: whitespace words, BPE-ish
+    subword tokens (_SUBTOK_RE runs), non-space chars, and the two
+    ratios that matter: fertility (subtokens per word — high fertility
+    sources burn sequence length) and compression (chars per subtoken).
+    Totals are exact BIGINTs; each ratio is ONE divide of identical
+    integers (deterministic IEEE), so the oracle matches value-level.
+
+    Plan: pure scan-side expressions (regexp_extract_all + size, no
+    explode — the token ARRAY never leaves the row) into one ~20-row
+    source aggregate: a map-only pass at 100 TB, the same shape as
+    token_counts."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.expr(N_TOKENS).alias("w"),
+        F.expr(f"size(regexp_extract_all(text, '{_SUBTOK_RE}', 0))")
+        .alias("s"),
+        F.length(F.regexp_replace("text", " ", "")).alias("ch"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_words"),
+            F.sum("s").cast("bigint").alias("total_subtoks"),
+            F.sum("ch").cast("bigint").alias("total_chars"),
+            F.round(F.sum("s") / F.sum("w"), 4).alias("fertility"),
+            F.round(F.sum("ch") / F.sum("s"), 4).alias("chars_per_subtok"),
+        )
+        .orderBy("source")
+    )
+
+
+# manifest sum modulus: 2^60 keeps the reported value a positive long
+_MANIFEST_MOD = 1 << 60
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-integrity manifest — what a pipeline publishes
+    next to every shipped shard so the consumer can verify the copy
+    without re-reading the producer's: row count, token total, doc_id
+    range, and two ORDER-FREE content accumulators over
+    h60(doc_id ':' text): bit_xor (cheap, but blind to rows duplicated
+    an even number of times) and the 60-bit-masked decimal sum (the
+    complementary accumulator, same argument as the model-store
+    fingerprint). Both are pure integer math on the portable md5-based
+    _h60, so producer (Spark) and verifier (DuckDB oracle) agree
+    bit-for-bit — the manifest actually works cross-engine.
+
+    Plan: one scan, one ~source-count-row aggregate; every accumulator
+    is map-side combinable. At 100 TB this is the cheapest possible
+    full-corpus integrity pass (no sort, no shuffle beyond the 20-group
+    reduce)."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(_h60("concat(cast(doc_id as string), ':', text)"))
+    return (
+        docs.select("source", F.expr(N_TOKENS).alias("w"), "doc_id",
+                    h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.expr("bit_xor(h)").alias("content_xor"),
+            F.expr(f"cast(sum(cast(h as decimal(38,0))) % {_MANIFEST_MOD} "
+                   "as bigint)").alias("content_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# fixed-point scale for embedding statistics: floor(v * 2^20) is exact
+# on identical IEEE inputs (see label_centroid_similarity's argument)
+_EMB_FX = 1 << 20
+
+
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — the collapsed-dimension
+    diagnostic (a dim whose variance craters carries no information;
+    an encoder regression often shows up here first). Values are
+    quantized to fixed-point BIGINTs at the scan (floor(v * 2^20)), so
+    the per-dim SUM and SUM-OF-SQUARES are order-free exact integers;
+    mean and variance are then a handful of IEEE ops on identical
+    integers (exact multiply/subtract/divide — no accumulation), so
+    the oracle matches value-level. sumsq_fx tops out around
+    n * 2^40 — fine in a BIGINT through ~8M rows; the 100 TB note is
+    to accumulate in decimal(38,0) exactly as shard_manifest does.
+
+    Plan: one posexplode to (dim, q) — the x64 fan-out every per-dim
+    aggregate pays, map-side combined down to 64 rows before the
+    shuffle. Nothing else moves."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(F.expr(
+            f"transform(cast(embedding as array<double>), "
+            f"v -> cast(floor(v * {_EMB_FX}) as bigint))"
+        )).alias("d0", "q")
+    ).select((F.col("d0") + 1).alias("dim"), "q")
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").cast("bigint").alias("sum_fx"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sumsq_fx"),
+        )
+        .select(
+            "dim", "n", "sum_fx", "sumsq_fx",
+            F.round(F.col("sum_fx") / F.col("n") / _EMB_FX, 6)
+            .alias("mean"),
+            F.round(
+                (F.col("sumsq_fx") / F.col("n")
+                 - (F.col("sum_fx") / F.col("n"))
+                 * (F.col("sum_fx") / F.col("n")))
+                / (float(_EMB_FX) * float(_EMB_FX)), 8
+            ).alias("variance"),
+        )
+        .orderBy("dim")
+    )
+
+
+# RAG chunking geometry: window of _RAG_CHUNK tokens every _RAG_STRIDE
+_RAG_CHUNK = 32
+_RAG_STRIDE = 24
+
+
+def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking audit (the RAG-ingest pre-pass): every
+    document is split into _RAG_CHUNK-token windows on a _RAG_STRIDE
+    stride (overlap = chunk - stride tokens), and the per-source audit
+    reports chunk counts, emitted-token volume, and the duplication
+    factor (emitted / original tokens) — the number that decides the
+    chunk store's size and the embedding bill before anything runs.
+    Chunk starts are 1, 1+stride, ... <= n_tok, so every token is
+    covered and short tails are kept; all counts are integer-exact
+    (emitted tokens per doc = sum over starts of min(chunk, n-s+1))
+    and the factor is one divide of identical BIGINTs.
+
+    Plan: the chunk-geometry sums are computed INSIDE each row with a
+    sequence+aggregate fold — no explode, nothing token-shaped ever
+    shuffles; the output reduce is ~source-sized. The actual chunk
+    TEXT never needs to materialize for the audit, which is the point:
+    at 100 TB you size the downstream store before paying for it."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.expr(N_TOKENS)
+    starts = f"sequence(1, {N_TOKENS}, {_RAG_STRIDE})"
+    emitted = (
+        f"aggregate({starts}, cast(0 as bigint), (acc, s) -> acc + "
+        f"least({_RAG_CHUNK}, {N_TOKENS} - s + 1))"
+    )
+    per = docs.select(
+        "source",
+        n.cast("bigint").alias("n_tok"),
+        F.expr(f"size({starts})").cast("bigint").alias("n_chunks"),
+        F.expr(emitted).alias("emitted"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_chunks").cast("bigint").alias("total_chunks"),
+            F.sum("emitted").cast("bigint").alias("emitted_tokens"),
+            F.round(F.sum("emitted") / F.sum("n_tok"), 4)
+            .alias("dup_factor"),
+        )
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -5934,4 +6113,10 @@ PIPELINE_QUERIES = {
     "dup_ngram_coverage": dup_ngram_coverage,
     "temperature_resample": temperature_resample,
     "label_centroid_similarity": label_centroid_similarity,
+    # new in r9 — registry tail, past the 50-entry driver window by
+    # design (see the r10 rotation note in queries/__init__.py)
+    "tokenizer_fertility": tokenizer_fertility,
+    "shard_manifest": shard_manifest,
+    "embedding_dim_variance": embedding_dim_variance,
+    "chunk_overlap_split": chunk_overlap_split,
 }
