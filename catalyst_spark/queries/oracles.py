@@ -4339,3 +4339,67 @@ def _chunk_overlap_split_sql() -> str:
 
 
 ORACLE_SQL["chunk_overlap_split"] = _chunk_overlap_split_sql()
+
+
+def _dsir_importance_weights_sql() -> str:
+    from catalyst_spark.queries.pipeline import (
+        _CONTAM_EVAL_SOURCE,
+        _DSIR_BUCKETS,
+        _DSIR_TOPN,
+    )
+
+    h = _h60_duck("w")
+    return f"""
+      WITH tb AS (
+        SELECT doc_id, source,
+               {h} % {_DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents)),
+      ct AS (SELECT b, COUNT(*) AS ct FROM tb
+             WHERE source = '{_CONTAM_EVAL_SOURCE}' GROUP BY b),
+      cr AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+      nn AS (SELECT
+               (SELECT COUNT(*) FROM tb
+                WHERE source = '{_CONTAM_EVAL_SOURCE}') AS n_t,
+               (SELECT COUNT(*) FROM tb) AS n_r),
+      sc AS (
+        SELECT tb.doc_id, tb.source, COUNT(*) AS n_tok,
+               SUM(length(bin(COALESCE(ct.ct, 0) + 1))
+                   - length(bin(cr.cr + 1))) AS rb
+        FROM tb JOIN cr USING (b) LEFT JOIN ct USING (b)
+        WHERE tb.source != '{_CONTAM_EVAL_SOURCE}'
+        GROUP BY 1, 2)
+      SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(rb + n_tok * (length(bin(n_r + {_DSIR_BUCKETS}))
+                                - length(bin(n_t + {_DSIR_BUCKETS})))
+                  AS BIGINT) AS w_bits
+      FROM sc, nn
+      ORDER BY w_bits DESC, doc_id LIMIT {_DSIR_TOPN}
+    """
+
+
+ORACLE_SQL["dsir_importance_weights"] = _dsir_importance_weights_sql()
+
+
+def _hard_negative_mining_sql() -> str:
+    from catalyst_spark.queries.pipeline import _HN_HI, _HN_K, _HN_LO
+
+    return _EMB_NORMED + f"""
+        , s AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neg_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM v q JOIN v c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0)
+        SELECT q_id, "rank", neg_id, ROUND(cos_raw, 2) AS cos FROM (
+          SELECT q_id, neg_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_raw DESC, neg_id)
+                   AS "rank"
+          FROM s
+          WHERE cos_raw >= {_HN_LO} AND cos_raw < {_HN_HI}) t
+        WHERE "rank" <= {_HN_K} ORDER BY q_id, "rank"
+    """
+
+
+ORACLE_SQL["hard_negative_mining"] = _hard_negative_mining_sql()

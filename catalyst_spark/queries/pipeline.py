@@ -6010,6 +6010,121 @@ def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR hashed-feature space: 2^12 buckets (Xie et al. 2023 use 10^4;
+# 4096 keeps the count tables obviously model-sized at any corpus)
+_DSIR_BUCKETS = 1 << 12
+_DSIR_TOPN = 20
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (the DSIR shape, Xie et
+    al. 2023): score every non-target document by how target-like its
+    hashed unigram distribution is — the importance weight
+    log p_target(doc) - log p_raw(doc) under two bucketed unigram LMs
+    (add-one smoothed, _DSIR_BUCKETS hashed features). Target domain =
+    _CONTAM_EVAL_SOURCE (the held-out source the decontamination family
+    already distinguishes); raw = the full corpus. Output: the
+    _DSIR_TOPN highest-weight candidate docs — the resampling front a
+    curation pass would promote.
+
+    Engine-exactness design: the per-token log-ratio uses the INTEGER
+    bit-length surrogate for log2 (bitlen(ct+1) - bitlen(cr+1), the
+    unigram_surprisal convention — error < 1 bit/token, no float log
+    anywhere), so the per-doc weight is an order-free integer sum and
+    the normalization term n_tok * (bitlen(N_raw + B) -
+    bitlen(N_tgt + B)) is exact integer math. w_bits ranks docs in
+    bit units; ties break on doc_id.
+
+    Plan: both count tables are bucket-sized (4096 rows — the hashed
+    trick is WHY DSIR scales: the LM is O(buckets), not O(vocab)), so
+    the score join is a broadcast against the exploded token stream,
+    followed by one doc-sized aggregate and a TakeOrdered top-N. At
+    100 TB: one token pass, two broadcast LUTs, no corpus shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(F.expr(TOKENS)).alias("w"),
+    ).select(
+        "doc_id", "source",
+        F.expr(f"pmod({_h60('w')}, {_DSIR_BUCKETS})").alias("b"),
+    ).persist()
+    tgt = toks.where(F.col("source") == _CONTAM_EVAL_SOURCE)
+    ct = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    cr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    n_t = tgt.count()
+    n_r = toks.count()
+    norm_bits = ((n_r + _DSIR_BUCKETS).bit_length()
+                 - (n_t + _DSIR_BUCKETS).bit_length())
+    bitlen = "length(bin({c}))"
+    scored = (
+        toks.where(F.col("source") != _CONTAM_EVAL_SOURCE)
+        .join(F.broadcast(cr), "b")
+        .join(F.broadcast(ct), "b", "left")
+        .select(
+            "doc_id", "source",
+            (F.expr(bitlen.format(c="coalesce(ct, 0) + 1"))
+             - F.expr(bitlen.format(c="cr + 1"))).alias("lw"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("lw").cast("bigint").alias("ratio_bits"),
+        )
+        .select(
+            "doc_id", "source", "n_tok",
+            (F.col("ratio_bits") + F.col("n_tok") * norm_bits)
+            .cast("bigint").alias("w_bits"),
+        )
+    )
+    out = (
+        scored.orderBy(F.col("w_bits").desc(), "doc_id")
+        .limit(_DSIR_TOPN)
+    )
+    res = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return res
+
+
+# hard-negative band: near-but-not-duplicate cosine range
+_HN_LO = 0.30
+_HN_HI = 0.95
+_HN_K = 3
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each probe query, the top
+    _HN_K NEAR-MISS neighbors — candidates whose exact cosine falls in
+    [_HN_LO, _HN_HI): similar enough to be informative negatives,
+    below the near-duplicate band (a positive mislabeled as a negative
+    poisons the loss — the reason the ceiling matters as much as the
+    floor). Ranked (cos DESC, n_id) inside the band.
+
+    Exactness: the cosine is the brute rung's sequential-fold dot
+    product — byte-identical doubles in both engines — so the band
+    predicate and the rank order match the oracle exactly; the output
+    rounds for display only. Scale: this exact form is O(Q*N) like
+    ann_brute_topk (the ground-truth ablation partner); the serving
+    path is the same band filter over the IVF-PQ rerank shortlist —
+    the shortlist already carries exact cosines, so production pays
+    zero extra scans on top of retrieval.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
+    c = _with_norm(emb, "n_id", "vc")
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos_raw", _cosine("vq", "vc"))
+        .where((F.col("cos_raw") >= _HN_LO) & (F.col("cos_raw") < _HN_HI))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _HN_K)
+        .select("q_id", "rank", F.col("n_id").alias("neg_id"),
+                F.round("cos_raw", 2).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -6119,4 +6234,6 @@ PIPELINE_QUERIES = {
     "shard_manifest": shard_manifest,
     "embedding_dim_variance": embedding_dim_variance,
     "chunk_overlap_split": chunk_overlap_split,
+    "dsir_importance_weights": dsir_importance_weights,
+    "hard_negative_mining": hard_negative_mining,
 }
