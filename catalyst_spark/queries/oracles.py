@@ -4403,3 +4403,82 @@ def _hard_negative_mining_sql() -> str:
 
 
 ORACLE_SQL["hard_negative_mining"] = _hard_negative_mining_sql()
+
+
+def _ann_nprobe_sweep_sql() -> str:
+    """Oracle twin of pipeline.ann_nprobe_sweep: unrolled coarse
+    k-means + SQ8 codes, one dist rank, then per-sweep-point candidate
+    set / integer rank / brute-hit count, unioned into the three-row
+    frontier table. Every count is an integer; mean recall is a single
+    divide of exact integers (same on the Spark side)."""
+    from catalyst_spark.queries.pipeline import (
+        _KMEANS_ITERS,
+        _LSH_DIM,
+        _NPROBE_SWEEP,
+    )
+
+    last_c = f"c{_KMEANS_ITERS}"
+    head = _kmeans_sql() + _sq8_code_ctes(with_header=False) + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        members AS (SELECT vec_id AS n_id, c_id FROM dist WHERE rn = 1),
+        nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+               FROM v),
+        sb AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+          FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0),
+        brute AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, neighbor_id)
+                     AS rnk
+            FROM sb) t
+          WHERE rnk <= 5),
+        nq AS (SELECT COUNT(DISTINCT q_id) AS n FROM brute)"""
+    d2 = (f"CAST(list_sum(list_transform(range(1, {_LSH_DIM + 1}), "
+          f"d -> (q.c[d] - n.c[d]) * (q.c[d] - n.c[d]))) AS BIGINT)")
+    blocks = []
+    selects = []
+    for np_ in _NPROBE_SWEEP:
+        blocks.append(f""",
+        cand{np_} AS (
+          SELECT DISTINCT p.vec_id AS q_id, m.n_id
+          FROM dist p JOIN members m USING (c_id)
+          WHERE p.rn <= {np_} AND p.vec_id % 50 = 0
+            AND m.n_id != p.vec_id),
+        top{np_} AS (
+          SELECT q_id, n_id FROM (
+            SELECT ca.q_id, ca.n_id,
+                   ROW_NUMBER() OVER (PARTITION BY ca.q_id ORDER BY
+                     {d2}, ca.n_id) AS rnk
+            FROM cand{np_} ca
+            JOIN sq8codes q ON q.vec_id = ca.q_id
+            JOIN sq8codes n ON n.vec_id = ca.n_id) t
+          WHERE rnk <= 5)""")
+        selects.append(f"""
+        SELECT CAST({np_} AS BIGINT) AS nprobe,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{np_})
+                 AS scanned_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM brute b JOIN top{np_} s
+                  ON s.q_id = b.q_id AND s.n_id = b.neighbor_id)
+                 AS total_hits,
+               ROUND((SELECT COUNT(*)
+                      FROM brute b JOIN top{np_} s
+                        ON s.q_id = b.q_id AND s.n_id = b.neighbor_id)
+                     / (5.0 * (SELECT n FROM nq)), 4)
+                 AS mean_recall_at_5""")
+    return (head + "".join(blocks)
+            + " UNION ALL ".join(selects)
+            + " ORDER BY nprobe")
+
+
+ORACLE_SQL["ann_nprobe_sweep"] = _ann_nprobe_sweep_sql()

@@ -6010,6 +6010,124 @@ def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_topn(spark: SparkSession, sf_dir: str, v: DataFrame,
+                nprobe: int, tag: str = "full",
+                k: int = _KMEANS_K) -> DataFrame:
+    """(q_id, c_id, crank) for the top-`nprobe` coarse cells per probe
+    query under the (distance, c_id) tie order — _probe_top2
+    generalized for the nprobe sweep (same vectorized lexsort, rank
+    column added so one pass serves every sweep point by filtering)."""
+    import numpy as np
+
+    C, cids = _cached_kmeans(spark, sf_dir, v, tag, k=k)
+    Cn = (C * C).sum(axis=1)
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            D = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + Cn[None, :]
+            idx = np.lexsort(
+                (np.broadcast_to(cids, D.shape), D), axis=1)[:, :nprobe]
+            ids = cids[idx].astype("int64")
+            n = ids.shape[1]
+            yield pd.DataFrame({
+                "q_id": np.repeat(pdf["vec_id"].to_numpy(), n)
+                .astype("int64"),
+                "c_id": ids.ravel(),
+                "crank": np.tile(np.arange(1, n + 1), len(pdf))
+                .astype("int64"),
+            })
+
+    return v.where(F.col("vec_id") % 50 == 0).mapInPandas(
+        _assign, "q_id long, c_id long, crank long"
+    )
+
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe knob measured (the companion to the re-k scan-mass
+    table: k fixes expected cell size, nprobe fixes how many cells a
+    query pays for): for each sweep point, the IVF+SQ8 rung's total
+    scanned candidate rows and its recall@5 against the exact
+    brute-force baseline — the three-row table a deployment reads to
+    place itself on the scan/recall frontier. Scanned rows grow
+    ~linearly in nprobe while recall saturates; the elbow is the
+    serving configuration.
+
+    Exactness: candidates and ranks are the ann_sq8_ivf_topk machinery
+    verbatim (integer SQ8 distance, (d2, n_id) ties); hits and scan
+    counts are integers; mean recall is ONE divide of exact integers.
+    Plan: the probe assignment runs ONCE at max(nprobe) with a rank
+    column (every sweep point filters it), candidates stay cell-pruned
+    equi-joins, and each sweep point adds one probe-set-sized rank +
+    one semi-join — nothing corpus-sized is ever re-scanned per point.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    members = _coarse_assign(spark, sf_dir, v).select(
+        F.col("vec_id").alias("n_id"), "c_id"
+    )
+    probes = _probe_topn(spark, sf_dir, v, max(_NPROBE_SWEEP)).persist()
+    probes.count()
+    codes = _sq8_codes(spark, sf_dir, v)
+    qs = codes.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("c").alias("qc")
+    )
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    nq = brute.select("q_id").distinct().count()
+    d2 = F.expr(
+        "aggregate(zip_with(qc, c, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as long), (s, x) -> s + x)"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sq_d2").asc(), F.col("n_id"))
+    parts = []
+    cands = []
+    for np_ in _NPROBE_SWEEP:
+        cand = (
+            probes.where(F.col("crank") <= np_)
+            .join(members, "c_id")
+            .where(F.col("n_id") != F.col("q_id"))
+            .select("q_id", "n_id")
+            .distinct()
+            .persist()
+        )
+        cands.append(cand)
+        scanned = cand.count()
+        top5 = (
+            cand.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
+            .join(F.broadcast(qs), "q_id")
+            .withColumn("sq_d2", d2)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("q_id", F.col("n_id").alias("neighbor_id"))
+        )
+        parts.append(
+            brute.join(top5, ["q_id", "neighbor_id"], "semi").agg(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                F.lit(scanned).cast("bigint").alias("scanned_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("total_hits"),
+                F.round(F.count(F.lit(1)) / (5.0 * nq), 4)
+                .alias("mean_recall_at_5"),
+            )
+        )
+    from functools import reduce
+
+    res = reduce(DataFrame.unionByName, parts).orderBy("nprobe") \
+        .localCheckpoint(eager=True)
+    for cand in cands:
+        cand.unpersist()
+    probes.unpersist()
+    return res
+
+
 # DSIR hashed-feature space: 2^12 buckets (Xie et al. 2023 use 10^4;
 # 4096 keeps the count tables obviously model-sized at any corpus)
 _DSIR_BUCKETS = 1 << 12
@@ -6236,4 +6354,5 @@ PIPELINE_QUERIES = {
     "chunk_overlap_split": chunk_overlap_split,
     "dsir_importance_weights": dsir_importance_weights,
     "hard_negative_mining": hard_negative_mining,
+    "ann_nprobe_sweep": ann_nprobe_sweep,
 }
