@@ -322,3 +322,80 @@ def stream_curation_pipeline(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dsir_weight_index(spark, sf_dir: str):
+    """Batch-side build of the DSIR scoring model (the static index
+    stream_dsir_gate broadcasts): the per-bucket bit-length log-ratio
+    table lw[b] = bitlen(ct[b] + 1) - bitlen(cr[b] + 1) over
+    _DSIR_BUCKETS hashed unigram buckets, plus the integer
+    normalization term per token. Model-sized BY CONSTRUCTION (4096
+    ints regardless of corpus size — the hashed-feature trick is why
+    DSIR streams); matches queries.pipeline.dsir_importance_weights'
+    scoring exactly. Returns (lw_by_bucket: list[int], norm_bits:
+    int)."""
+    from catalyst_spark.queries.pipeline import (
+        _CONTAM_EVAL_SOURCE,
+        _DSIR_BUCKETS,
+        _h60,
+        TOKENS,
+    )
+    from catalyst_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.expr(TOKENS)).alias("w")
+    ).select(
+        "source",
+        F.expr(f"pmod({_h60('w')}, {_DSIR_BUCKETS})").alias("b"),
+    )
+    rows = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("source") == _CONTAM_EVAL_SOURCE, 1)
+              .otherwise(0)).alias("ct"),
+    ).collect()
+    lw = [0] * _DSIR_BUCKETS
+    n_t = n_r = 0
+    for r in rows:
+        lw[r["b"]] = ((int(r["ct"]) + 1).bit_length()
+                      - (int(r["cr"]) + 1).bit_length())
+        n_t += int(r["ct"])
+        n_r += int(r["cr"])
+    norm_bits = ((n_r + _DSIR_BUCKETS).bit_length()
+                 - (n_t + _DSIR_BUCKETS).bit_length())
+    return lw, norm_bits
+
+
+def stream_dsir_gate(doc_stream: DataFrame, lw: list[int],
+                     norm_bits: int) -> DataFrame:
+    """Ingest-time DSIR scoring: the streaming face of
+    dsir_importance_weights — every arriving document gets its
+    importance weight (in bit units) against the broadcast 4096-bucket
+    log-ratio table, the score a resampling ingest uses to decide
+    admission on the spot. Stateless pure projection (the model rides
+    in as one array literal, the per-doc sum is a doc-local fold) —
+    append mode, no state store, wire-speed inside codegen; the exact
+    deployment shape DSIR describes (score with yesterday's hashed LM,
+    admit by weight)."""
+    from catalyst_spark.queries.pipeline import (
+        _DSIR_BUCKETS,
+        _h60,
+        N_TOKENS,
+        TOKENS,
+    )
+
+    spark = doc_stream.sparkSession
+    idx_row = spark.createDataFrame([(lw,)], "lw array<bigint>")
+    per_tok = (f"aggregate({TOKENS}, cast(0 as bigint), (acc, w) -> "
+               f"acc + element_at(lw, cast(pmod({_h60('w')}, "
+               f"{_DSIR_BUCKETS}) as int) + 1))")
+    return (
+        doc_stream.crossJoin(F.broadcast(idx_row))
+        .select(
+            "doc_id", "source",
+            F.expr(N_TOKENS).cast("bigint").alias("n_tok"),
+            (F.expr(per_tok)
+             + F.expr(N_TOKENS).cast("bigint") * F.lit(norm_bits))
+            .cast("bigint").alias("w_bits"),
+        )
+    )

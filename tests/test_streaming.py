@@ -1879,3 +1879,64 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
         gated = sum(1 for i, r in latest.items() if r["source"] == src)
         assert gated <= arriving[src]
         assert sum(v for (s, _), v in classes.items() if s == src) == gated
+
+
+def test_stream_dsir_gate_matches_batch(spark, tmp_path):
+    """Ingest-time DSIR scoring: replaying the non-target corpus as a
+    file stream (one batch RE-DELIVERED) against the broadcast bucket
+    log-ratio model must reproduce dsir_importance_weights' w_bits for
+    every doc — in particular the batch operator's top-N front."""
+    import json
+
+    from catalyst_spark.queries.pipeline import (
+        _CONTAM_EVAL_SOURCE,
+        dsir_importance_weights,
+    )
+    from catalyst_spark.streaming.scrub import (
+        dsir_weight_index,
+        stream_dsir_gate,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    top = dsir_importance_weights(spark, SF_DIR).collect()
+    assert top
+    lw, norm_bits = dsir_weight_index(spark, SF_DIR)
+
+    docs = (load(spark, SF_DIR, "documents")
+            .where(f"source != '{_CONTAM_EVAL_SOURCE}'")
+            .select("doc_id", "source", "text").collect())
+    d = tmp_path / "dsir_stream"
+    d.mkdir()
+    half = max(1, len(docs) // 2)
+    batches = [docs[:half], docs[half:], docs[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "source": r["source"],
+                        "text": r["text"]})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_dsir_gate(stream, lw, norm_bits)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("dsir_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from dsir_stream").collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r["doc_id"])
+        if prev is not None:
+            assert tuple(prev) == tuple(r), r["doc_id"]  # idempotent
+        latest[r["doc_id"]] = r
+    assert len(latest) == len(docs)
+    for t in top:  # the batch top-N front scores identically online
+        got = latest[t["doc_id"]]
+        assert (got["n_tok"], got["w_bits"]) == (t["n_tok"], t["w_bits"])
+    # and the stream's own top-N (w_bits DESC, doc_id) IS the batch front
+    stream_top = sorted(latest.values(),
+                        key=lambda r: (-r["w_bits"], r["doc_id"]))[:len(top)]
+    assert [(r["doc_id"], r["w_bits"]) for r in stream_top] \
+        == [(r["doc_id"], r["w_bits"]) for r in top]
