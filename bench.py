@@ -183,6 +183,20 @@ _SCALE_QUERIES = (
     # partial-aggregated map-side to 640 (label, dim) rows, and the
     # pairwise stage joins only that model-sized aggregate
     "label_centroid_similarity",
+    # r9: fertility / manifest / chunk-audit are scan + 20-row reduces
+    # (expected ~10x flat); dim-variance is the x64 explode; DSIR is
+    # one token pass against two broadcast 4096-row LUTs; the
+    # hard-negative band is O(Q*N) BY DESIGN (the exact ablation
+    # partner, expected ~100x — the serving path rides the rerank
+    # shortlist); the nprobe sweep's scan mass is reported separately
+    # in rek_scan_mass and grows ~linearly in nprobe
+    "tokenizer_fertility",
+    "shard_manifest",
+    "embedding_dim_variance",
+    "chunk_overlap_split",
+    "dsir_importance_weights",
+    "hard_negative_mining",
+    "ann_nprobe_sweep",
 )
 
 
@@ -450,11 +464,12 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     # soft deadline: a slower machine should degrade to fewer passes,
     # not to a timed-out run with no artifact at all. Sized for the
-    # CURRENT registry: ~180 s/pass at 163 queries (the r8 registry
+    # CURRENT registry: ~195 s/pass at 170 queries (the r8 registry
     # outgrew the original 900 s budget written at ~100 s/pass — that
     # budget silently cut a run to 4 passes, which also suppressed the
-    # regression gate via the run-count methodology check)
-    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1500"))
+    # regression gate via the run-count methodology check; r9 resized
+    # again for the 7 new operators)
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1600"))
     bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n, _ in ordered}
     sb_samples: dict[str, list[float]] = {n: [] for n in _SHARED_BUILDS}

@@ -362,3 +362,61 @@ def test_boilerplate_cut_under_hot_chunk(spark, skew_dirs):
             full_h = hashlib.md5(texts[doc_id].encode()).hexdigest()
             assert r["kept_h"] != full_h, doc_id
     assert skew_t < base_t * 8 + 10
+
+
+def test_dsir_hot_bucket_stays_model_sized(spark, skew_dirs):
+    """dsir_importance_weights under the hot-dup corpus: 5% of docs
+    collapse to one identical text, so a handful of hashed buckets
+    absorb that text's entire token mass. The plan claims the count
+    tables stay EXACTLY _DSIR_BUCKETS-bounded (model-sized broadcast
+    LUTs — the hashed-feature trick is the scale argument) no matter
+    how skewed the token distribution gets, the output stays top-N
+    sized, and runtime stays the same order as the uniform corpus."""
+    from catalyst_spark.queries.pipeline import (
+        _DSIR_BUCKETS,
+        _DSIR_TOPN,
+        _CONTAM_EVAL_SOURCE,
+        _h60,
+        TOKENS,
+        dsir_importance_weights,
+        reset_session_caches,
+    )
+
+    _, hot_dir, _ = skew_dirs
+    n_base, t_base = _timed_count(dsir_importance_weights, spark, SRC)
+    n_hot, t_hot = _timed_count(dsir_importance_weights, spark, hot_dir)
+    assert n_base == n_hot == _DSIR_TOPN
+    # the bucket table is capped by construction — verify on the skewed
+    # corpus, not the friendly one
+    docs = spark.read.parquet(f"{hot_dir}/documents.parquet")
+    n_buckets = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("w"))
+        .select(F.expr(f"pmod({_h60('w')}, {_DSIR_BUCKETS})").alias("b"))
+        .distinct().count()
+    )
+    assert n_buckets <= _DSIR_BUCKETS
+    assert t_hot < 10 * t_base + 5  # same order, generous CI headroom
+
+
+def test_boiler_hash_index_is_dup_structure_sized(spark, skew_dirs):
+    """boiler_hash_index under the boilerplate corpus: the broadcast
+    set must grow by the new cross-doc-duplicated chunk hashes ONLY
+    (dup-structure-sized, never corpus-sized) — the honesty bound for
+    the stream_boilerplate_cut broadcast claim."""
+    from catalyst_spark.streaming.scrub import boiler_hash_index
+
+    boiler_dir, _, _ = skew_dirs
+    base = set(boiler_hash_index(spark, SRC))
+    skew = set(boiler_hash_index(spark, boiler_dir))
+    docs = spark.read.parquet(f"{boiler_dir}/documents.parquet")
+    n_chunks_total = docs.selectExpr(
+        "cast(ceil(size(split(text, ' ')) / 8.0) as long) AS c"
+    ).agg(F.sum("c")).first()[0]
+    # far below total chunk volume: the set is the duplicated tail
+    assert len(skew) < n_chunks_total / 10
+    # docs whose token count is a multiple of 8 gain the boiler line as
+    # a clean chunk shared across all of them — the skewed set must
+    # contain NEW duplicated hashes (tail-chunk hashes of touched docs
+    # may legitimately leave the set, so growth is on membership, not
+    # cardinality)
+    assert len(skew - base) >= 1
