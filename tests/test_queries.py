@@ -35,31 +35,41 @@ def test_every_query_is_oracle_checked():
 
 def test_driver_window_composition():
     """The driver's CORRECTNESS window is the FIRST 50 registry keys in
-    insertion order; the r8 rotation plan (queries/__init__.py, VERDICT
-    r7 item 1) promises exactly the _R8_FRONT prefix there — the 6
-    never-driver-checked late-r7 ops, the unigram_surprisal slot-51
-    carryover, the full 42-op r5-stale set, and the new re-k'd IVF rung
-    in slot 50 — with every OTHER new-in-r8 addition deliberately PAST
-    the window so max driver staleness stays <= 2 rounds. Pin both, so
-    a registry edit cannot silently reshuffle the window before the
+    insertion order; the r9 rotation plan (queries/__init__.py, VERDICT
+    r8 item 1) promises exactly the _R9_FRONT prefix there — the 14
+    never-driver-checked r8 ops first, then 36 of the 49 r6-stale ops
+    (oldest code first) — with the 13-op spill and every new-in-r9
+    addition deliberately PAST the window (named in the r10 rotation
+    note) so max driver staleness stays bounded. Pin both, so a
+    registry edit cannot silently reshuffle the window before the
     driver runs."""
-    from catalyst_spark.queries import _R8_FRONT
+    from catalyst_spark.queries import _R9_FRONT
 
     names = list(ALL_QUERIES)
-    assert len(_R8_FRONT) == 50
-    assert names[:50] == _R8_FRONT
-    # the hard-signal bar: the six never-checked ops lead the window
-    assert names[:6] == [
-        "bpe_merge_stats", "token_coverage_curve",
-        "incremental_shard_dedup", "rank_fusion_topk",
-        "ivf_rek_cell_stats", "dup_quality_audit",
+    assert len(_R9_FRONT) == 50
+    assert names[:50] == _R9_FRONT
+    # the hard-signal bar: the 14 never-checked r8 ops lead the window
+    assert names[:14] == [
+        "ann_sq8_ivf_rek_recall", "rank_fusion_indexed",
+        "rank_fusion_recall", "incremental_shard_apply",
+        "window_selfdup_cut_first", "packing_efficiency_curve",
+        "contamination_ngram_sizes", "pii_extract_stats",
+        "boilerplate_line_cut", "curation_funnel", "gopher_quality_rules",
+        "dup_ngram_coverage", "temperature_resample",
+        "label_centroid_similarity",
     ]
-    assert names[6] == "unigram_surprisal"
-    assert names[49] == "ann_sq8_ivf_rek_topk"
-    for late in ("ann_sq8_ivf_rek_recall", "rank_fusion_indexed",
-                 "rank_fusion_recall", "incremental_shard_apply",
-                 "window_selfdup_cut_first", "packing_efficiency_curve",
-                 "contamination_ngram_sizes"):
+    # the r10 front: the 13 r6-stale spill ops and the new-in-r9 tail
+    # sit past the window
+    for late in ("ann_ivfpq_topk", "ann_ivfpq_recall",
+                 "ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall",
+                 "ann_sq8_topk", "ann_sq8_recall", "ivf_cell_stats",
+                 "bigram_surprisal", "window_overlap_source_matrix",
+                 "pq_distortion", "interval_coverage", "semdedup_keep_one",
+                 "dedup_threshold_sensitivity",
+                 "tokenizer_fertility", "shard_manifest",
+                 "embedding_dim_variance", "chunk_overlap_split",
+                 "dsir_importance_weights", "hard_negative_mining",
+                 "ann_nprobe_sweep"):
         assert names.index(late) >= 50, late
 
 
