@@ -260,11 +260,11 @@ _R9_FRONT = [
 # r10 rotation note (VERDICT r8 item 8 — the spill decided NOW so the
 # cadence guarantee survives the growing registry without judge
 # arithmetic): r10 must front, in this order,
-#   (a) the seven new-in-r9 operators (no driver row ever — registry
+#   (a) the new-in-r9 operators (no driver row ever — registry
 #       tail): tokenizer_fertility, shard_manifest,
 #       embedding_dim_variance, chunk_overlap_split,
 #       dsir_importance_weights, hard_negative_mining,
-#       ann_nprobe_sweep,
+#       ann_nprobe_sweep, cdc_chunk_dedup,
 #   (b) the 13 r6-stale spill ops (newest r6 code, all 08-14 commits,
 #       r7 driver rows... none; r6 rows only — 3 rounds stale by r10):
 #       ann_ivfpq_topk, ann_ivfpq_recall, ann_ivfpq_residual_topk,

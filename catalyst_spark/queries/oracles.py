@@ -4482,3 +4482,46 @@ def _ann_nprobe_sweep_sql() -> str:
 
 
 ORACLE_SQL["ann_nprobe_sweep"] = _ann_nprobe_sweep_sql()
+
+
+def _cdc_chunk_dedup_sql() -> str:
+    from catalyst_spark.queries.pipeline import _CDC_MOD
+
+    hw = _h60_duck("u.w")
+    hc = _h60_duck("chunk")
+    return f"""
+      WITH t AS (
+        SELECT doc_id, source, u.pos AS pos, u.w AS w,
+               CASE WHEN {hw} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS is_b
+        FROM (
+          SELECT doc_id, source,
+                 unnest([{{'pos': i - 1, 'w': l[i]}}
+                         FOR i IN range(1, len(l) + 1)]) AS u
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+                FROM documents))),
+      c AS (
+        SELECT doc_id, source, pos, w,
+               SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+        FROM t),
+      ch AS (
+        SELECT doc_id, source, cid,
+               string_agg(w, ' ' ORDER BY pos) AS chunk,
+               COUNT(*) AS n_tok
+        FROM c GROUP BY 1, 2, 3),
+      hh AS (SELECT doc_id, source, n_tok, {hc} AS h FROM ch),
+      dup AS (SELECT h FROM hh GROUP BY h
+              HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT source,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_dup_chunks,
+             CAST(1000 * SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1
+                             ELSE 0 END) // COUNT(*) AS BIGINT)
+               AS dup_chunk_permille,
+             ROUND(SUM(n_tok) * 1.0 / COUNT(*), 2) AS avg_chunk_tokens
+      FROM hh GROUP BY source ORDER BY source
+    """
+
+
+ORACLE_SQL["cdc_chunk_dedup"] = _cdc_chunk_dedup_sql()

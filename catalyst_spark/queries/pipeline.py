@@ -6010,6 +6010,77 @@ def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# content-defined chunking: a token starts a new chunk when its hash
+# falls in 1/_CDC_MOD of the space -> expected chunk length _CDC_MOD
+_CDC_MOD = 8
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (the rsync/LBFS trick, Muthitacharoen
+    et al. 2001, applied to corpus text): chunk boundaries are chosen
+    by CONTENT — a token opens a new chunk when h60(token) mod _CDC_MOD
+    == 0 — so an insertion or deletion shifts only the chunk it lands
+    in before boundaries RESYNCHRONIZE, where chunk_dedup's fixed
+    8-token grid shifts every window after the edit and loses the
+    match. This is the robust production form of sub-document dedup
+    for crawl re-processing (same page, one edited sentence); the
+    per-source audit mirrors chunk_dedup's so the two are directly
+    comparable. Expected chunk length is _CDC_MOD tokens; the
+    duplicated share is integer permille.
+
+    Plan: one token explode; the chunk id is a per-doc cumulative sum
+    over token positions (the one unavoidable doc-keyed window — chunk
+    membership is inherently sequential); chunks reassemble in a
+    doc-keyed aggregate; the dup decision is a chunk-hash aggregate on
+    8-byte keys. Same text-volume surface as chunk_dedup plus the one
+    window pass; nothing is all-pairs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.expr(TOKENS)).alias("pos", "w"),
+    ).withColumn(
+        "is_b",
+        (F.expr(f"pmod({_h60('w')}, {_CDC_MOD})") == 0).cast("int"),
+    )
+    wc = W.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    chunks = (
+        toks.withColumn("cid", F.sum("is_b").over(wc))
+        .groupBy("doc_id", "source", "cid")
+        .agg(
+            F.expr("concat_ws(' ', transform(array_sort("
+                   "collect_list(struct(pos, w))), x -> x.w))")
+            .alias("chunk"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .select("doc_id", "source", "n_tok",
+                F.expr(_h60("chunk")).alias("h"))
+    )
+    dup = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    return (
+        chunks.join(dup, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_dup_chunks"),
+            F.expr("1000 * sum(CASE WHEN _dup IS NOT NULL THEN 1 ELSE 0 "
+                   "END) div count(1)").cast("bigint")
+            .alias("dup_chunk_permille"),
+            F.round(F.sum("n_tok") / F.count(F.lit(1)), 2)
+            .alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def _probe_topn(spark: SparkSession, sf_dir: str, v: DataFrame,
                 nprobe: int, tag: str = "full",
                 k: int = _KMEANS_K) -> DataFrame:
@@ -6355,4 +6426,5 @@ PIPELINE_QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "hard_negative_mining": hard_negative_mining,
     "ann_nprobe_sweep": ann_nprobe_sweep,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
 }

@@ -199,3 +199,58 @@ def test_rek_scan_mass_reduction(spark):
     assert 0 < rek < fixed
     # within 40% of the theoretical k-ratio (cell imbalance tolerance)
     assert abs(fixed / rek - k / _KMEANS_K) < 0.4 * (k / _KMEANS_K)
+
+
+def test_cdc_resynchronizes_after_insertion(spark):
+    """The CDC claim itself: prepend ONE token to every document and
+    re-chunk. Content-defined boundaries resynchronize at the first
+    boundary token, so only the first chunk of each doc changes —
+    chunk-hash overlap with the original stays high — while the fixed
+    8-token grid (chunk_dedup's geometry) shifts EVERY window after
+    the edit and loses almost all matches. Computed in pure Python
+    (independent of the Spark implementation) over the real corpus."""
+    import hashlib
+
+    from catalyst_spark.queries.pipeline import _CDC_MOD, _CHUNK_TOKENS
+    from catalyst_spark.tables import load
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def cdc_chunks(toks):
+        out, cur = [], []
+        for w in toks:
+            if h60(w) % _CDC_MOD == 0 and cur:
+                out.append(" ".join(cur))
+                cur = []
+            cur.append(w)
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    def grid_chunks(toks):
+        return [" ".join(toks[i:i + _CHUNK_TOKENS])
+                for i in range(0, len(toks), _CHUNK_TOKENS)]
+
+    docs = [r["text"].split(" ")
+            for r in load(spark, "/root/testdata/sf0.001", "documents")
+            .select("text").collect()]
+    docs = [t for t in docs if len(t) >= 3 * _CHUNK_TOKENS]
+    assert len(docs) >= 100
+
+    cdc_keep = grid_keep = cdc_tot = grid_tot = 0
+    for toks in docs:
+        edited = ["zzzinserted"] + toks
+        a, b = set(cdc_chunks(toks)), set(cdc_chunks(edited))
+        cdc_keep += len(a & b)
+        cdc_tot += len(a)
+        g, h = set(grid_chunks(toks)), set(grid_chunks(edited))
+        grid_keep += len(g & h)
+        grid_tot += len(g)
+    cdc_rate = cdc_keep / cdc_tot
+    grid_rate = grid_keep / grid_tot
+    # CDC must keep the large majority of chunks; the fixed grid loses
+    # (almost) everything because every boundary shifts by one token
+    assert cdc_rate > 0.75, cdc_rate
+    assert grid_rate < 0.15, grid_rate
+    assert cdc_rate > 4 * grid_rate
