@@ -4525,3 +4525,56 @@ def _cdc_chunk_dedup_sql() -> str:
 
 
 ORACLE_SQL["cdc_chunk_dedup"] = _cdc_chunk_dedup_sql()
+
+
+def _ltob_downsample_sql() -> str:
+    from catalyst_spark.queries.tsdb import _LTOB_BUCKET_US
+
+    return f"""
+      WITH pts AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) // {_LTOB_BUCKET_US} AS bucket
+        FROM events),
+      agg AS (
+        SELECT event_type, bucket, COUNT(*) AS n,
+               SUM(CAST(us AS HUGEINT)) AS sx,
+               SUM(CAST(cents AS HUGEINT)) AS sy
+        FROM pts GROUP BY 1, 2),
+      j AS (
+        SELECT p.*, l.n AS n_l, l.sx AS sx_l, l.sy AS sy_l,
+               r.n AS n_r, r.sx AS sx_r, r.sy AS sy_r
+        FROM pts p
+        LEFT JOIN agg l ON l.event_type = p.event_type
+                       AND l.bucket = p.bucket - 1
+        LEFT JOIN agg r ON r.event_type = p.event_type
+                       AND r.bucket = p.bucket + 1),
+      ranked AS (
+        SELECT event_type, bucket, us, cents,
+               CASE WHEN n_l IS NOT NULL AND n_r IS NOT NULL THEN
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type, bucket
+                   ORDER BY abs(
+                     (sx_l * CAST(n_r AS HUGEINT)
+                        - sx_r * CAST(n_l AS HUGEINT))
+                     * (CAST(cents AS HUGEINT) * CAST(n_l AS HUGEINT)
+                        - sy_l)
+                     - (sx_l - CAST(us AS HUGEINT)
+                          * CAST(n_l AS HUGEINT))
+                     * (sy_r * CAST(n_l AS HUGEINT)
+                        - sy_l * CAST(n_r AS HUGEINT))) DESC,
+                     us ASC, event_id ASC)
+               ELSE
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type, bucket
+                   ORDER BY us ASC, event_id ASC)
+               END AS rnk
+        FROM j)
+      SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+             us AS ts_us, ROUND(cents / 100.0, 2) AS value
+      FROM ranked WHERE rnk = 1
+      ORDER BY event_type, bucket
+    """
+
+
+ORACLE_SQL["ltob_downsample"] = _ltob_downsample_sql()

@@ -1589,6 +1589,94 @@ def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LTOB bucket width: 6h of µs, matching the OHLC downsample's grain
+_LTOB_BUCKET_US = 6 * 3600 * 1_000_000
+
+
+def ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013 §4.2
+    — the parallel sibling of Grafana/Timescale's LTTB): per series and
+    6h bucket, keep the point forming the LARGEST triangle with the
+    neighbor buckets' average points — the visually-dominant point, not
+    the first/max/mean. Edge buckets (no left or right neighbor) keep
+    their earliest point, the LTTB keep-the-endpoints convention.
+
+    EXACT-INTEGER design: the triangle area vs the neighbors' AVERAGE
+    points is a rational whose denominator (n_l² n_r) is constant
+    within a bucket, so the per-bucket argmax compares the
+    cleared-denominator integer
+        A* = (sx_l·n_r − sx_r·n_l)(y_p·n_l − sy_l)
+           − (sx_l − x_p·n_l)(sy_r·n_l − sy_l·n_r)
+    built from integer µs timestamps and integer cents, accumulated in
+    decimal(38,0) (epoch-µs sums pass 2^63; products stay ≤ ~10^30 —
+    both engines compare decimals exactly). Ties break (|A*| desc, ts
+    asc, event_id asc): fully deterministic, no float anywhere.
+
+    Plan: one (series, bucket) aggregate for the neighbor sums, two
+    broadcast-sized joins back (bucket±1 — the aggregate is
+    bucket-count-sized, far below row count), one per-(series, bucket)
+    rank window. At 100 TB the shuffles carry the series key — the
+    same single-shuffle shape as every downsample here.
+    """
+    events = load(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type", "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("bucket", F.expr(f"us div {_LTOB_BUCKET_US}"))
+    agg = pts.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("us").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sy"),
+    )
+    lft = agg.select(
+        "event_type", (F.col("bucket") + 1).alias("bucket"),
+        F.col("n").alias("n_l"), F.col("sx").alias("sx_l"),
+        F.col("sy").alias("sy_l"),
+    )
+    rgt = agg.select(
+        "event_type", (F.col("bucket") - 1).alias("bucket"),
+        F.col("n").alias("n_r"), F.col("sx").alias("sx_r"),
+        F.col("sy").alias("sy_r"),
+    )
+    j = pts.join(lft, ["event_type", "bucket"], "left") \
+           .join(rgt, ["event_type", "bucket"], "left")
+    d = "cast({x} as decimal(38,0))"
+    area = F.expr(
+        f"abs((sx_l * {d.format(x='n_r')} - sx_r * {d.format(x='n_l')})"
+        f" * ({d.format(x='cents')} * {d.format(x='n_l')} - sy_l)"
+        f" - (sx_l - {d.format(x='us')} * {d.format(x='n_l')})"
+        f" * (sy_r * {d.format(x='n_l')} - sy_l * {d.format(x='n_r')}))"
+    )
+    w_edge = W.partitionBy("event_type", "bucket") \
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+    w_area = W.partitionBy("event_type", "bucket") \
+        .orderBy(F.col("a").desc(), F.col("us").asc(),
+                 F.col("event_id").asc())
+    interior = (
+        j.where(F.col("n_l").isNotNull() & F.col("n_r").isNotNull())
+        .withColumn("a", area)
+        .withColumn("rnk", F.row_number().over(w_area))
+    )
+    edge = (
+        j.where(F.col("n_l").isNull() | F.col("n_r").isNull())
+        .withColumn("rnk", F.row_number().over(w_edge))
+    )
+    keep = interior.select("event_type", "bucket", "us", "cents", "rnk") \
+        .unionByName(edge.select("event_type", "bucket", "us", "cents",
+                                 "rnk")) \
+        .where(F.col("rnk") == 1)
+    return (
+        keep.select(
+            "event_type",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("us").alias("ts_us"),
+            F.round(F.col("cents") / 100.0, 2).alias("value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
     "value_percentiles": value_percentiles,
@@ -1631,4 +1719,6 @@ TSDB_QUERIES = {
     "cusum_chunked": cusum_chunked,
     "holt_chunked": holt_chunked,
     "seasonal_hourly_profile": seasonal_hourly_profile,
+    # new in r9 — registry tail (r10 rotation note in __init__.py)
+    "ltob_downsample": ltob_downsample,
 }
