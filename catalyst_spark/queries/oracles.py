@@ -4578,3 +4578,70 @@ def _ltob_downsample_sql() -> str:
 
 
 ORACLE_SQL["ltob_downsample"] = _ltob_downsample_sql()
+
+
+def _embedding_principal_direction_sql() -> str:
+    """Oracle twin of pipeline.embedding_principal_direction: the
+    _POW_ITERS power-iteration steps UNROLLED as CTE chains (the
+    near_dup_pagerank / k-means convention) — fixed-point rows, exact
+    HUGEINT matvec, max-abs renormalization by truncating integer
+    division, and the Rayleigh quotient as an exact integer ppb ratio.
+    Every intermediate is an integer, so the direction matches the
+    engine bit-for-bit."""
+    from catalyst_spark.queries.pipeline import (
+        _EMB_FX,
+        _LSH_DIM,
+        _POW_ITERS,
+        _POW_VSCALE,
+    )
+
+    dims = _LSH_DIM
+    v0 = "[" + ", ".join([str(_POW_VSCALE)] * dims) + "]"
+    sql = f"""
+      WITH q AS (
+        SELECT [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_EMB_FX})
+                     AS BIGINT)
+                FOR i IN range(1, len(embedding) + 1)] AS q
+        FROM embeddings),
+      nn AS (SELECT COUNT(*) AS n FROM q),
+      v0 AS (SELECT {v0} AS v)"""
+    for k in range(1, _POW_ITERS + 1):
+        sql += f""",
+      d{k} AS (
+        SELECT q.q AS q,
+               list_sum(list_transform(range(1, {dims + 1}),
+                        i -> q.q[i] * v.v[i])) AS dot
+        FROM q, v{k - 1} v),
+      y{k} AS (
+        SELECT u.dim AS dim,
+               SUM(CAST(u.qd AS HUGEINT) * CAST(dot AS HUGEINT)) AS y
+        FROM (SELECT unnest([{{'dim': i, 'qd': q[i]}}
+                             FOR i IN range(1, len(q) + 1)]) AS u,
+                     dot
+              FROM d{k})
+        GROUP BY 1),
+      m{k} AS (SELECT GREATEST(MAX(ABS(y)), 1) AS m FROM y{k}),
+      v{k}rows AS (
+        SELECT dim,
+               CASE WHEN y >= 0 THEN (y * {_POW_VSCALE}) // m
+                    ELSE -((-y * {_POW_VSCALE}) // m) END AS val
+        FROM y{k}, m{k}),
+      v{k} AS (SELECT list(val ORDER BY dim) AS v FROM v{k}rows)"""
+    last, prev = _POW_ITERS, _POW_ITERS - 1
+    sql += f"""
+      SELECT r.dim AS dim, CAST(r.val AS BIGINT) AS loading,
+             CAST(
+               ((SELECT SUM(CAST(a.val AS HUGEINT) * y.y)
+                 FROM v{prev}rows a JOIN y{last} y USING (dim))
+                * 1000000000)
+               // ((SELECT SUM(CAST(val AS HUGEINT) * val)
+                    FROM v{prev}rows)
+                   * (SELECT n FROM nn)
+                   * {_EMB_FX * _EMB_FX}) AS BIGINT) AS rayleigh_ppb
+      FROM v{last}rows r ORDER BY dim
+    """
+    return sql
+
+
+ORACLE_SQL["embedding_principal_direction"] = \
+    _embedding_principal_direction_sql()

@@ -6010,6 +6010,96 @@ def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# power-iteration geometry: v normalized to max|v| = 2^10 each step
+# keeps every row product inside int64 (q*dot <= 2^20 * 2^36 = 2^56)
+_POW_VSCALE = 1 << 10
+_POW_ITERS = 3
+
+
+def embedding_principal_direction(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Dominant direction of the embedding second-moment matrix via
+    POWER ITERATION — the spectrum diagnostic next to
+    embedding_dim_variance: per-dim variance sees axis-aligned
+    collapse, this sees collapse along ANY direction (anisotropy /
+    encoder mode collapse concentrate the spectrum; Mu & Viswanath
+    2018 build their whole post-processing on this direction). Three
+    iterations of v <- S v with S = sum(q qᵀ) over the fixed-point
+    rows q = floor(e * 2^20), v re-normalized each step to
+    max|v| = 2^10 by exact integer division (both engines truncate
+    toward zero — tested), so EVERY number in the iteration is an
+    exact integer and the unrolled DuckDB oracle reproduces the
+    direction bit-for-bit. Uncentered by design (the raw second
+    moment, not covariance — centering would make the matvec a
+    rational; the synthetic embeddings are near-centered and a
+    production run would subtract the mean upstream). Output: the 64
+    loadings plus the Rayleigh quotient (v2·Sv2)/(v2·v2) in exact
+    integer parts-per-billion of variance units.
+
+    THE DIAGNOSTIC CONTRACT (what 3 steps buys): convergence rate is
+    (λ2/λ1)^k, so when a dominant direction EXISTS — the collapse case
+    the diagnostic hunts — three steps align to cos > 0.99 and the
+    Rayleigh reports λ1 to ~2% (tested on an injected-direction
+    corpus). On near-isotropic data (the synthetic corpus: λ2/λ1 =
+    0.93) there is no meaningful direction to converge to, and the
+    Rayleigh correctly reads ≈ the MEAN eigenvalue — i.e. "no
+    anisotropy", which is the verdict a healthy embedding space should
+    get. The Rayleigh is always a lower bound on λ1 and never below
+    λ_min (tested against a numpy eigendecomposition both ways).
+
+    Plan: each iteration is ONE corpus pass — a zip_with dot against
+    the broadcast 64-int v literal, then a posexplode re-aggregated to
+    64 (dim) rows map-side; the driver collects 64 integers per
+    iteration (the k-means / PageRank coordination pattern). At 100 TB:
+    _POW_ITERS scans, model-sized traffic, no shuffle wider than 64
+    rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(F.expr(
+        f"transform(cast(embedding as array<double>), "
+        f"v -> cast(floor(v * {_EMB_FX}) as bigint))"
+    ).alias("q"))
+
+    def _matvec(v: list[int]) -> list[int]:
+        arr = "array(" + ", ".join(f"{x}L" for x in v) + ")"
+        dot = (f"aggregate(zip_with(q, {arr}, (a, b) -> a * b), "
+               f"cast(0 as long), (s, x) -> s + x)")
+        rows = (
+            q.select("q", F.expr(dot).alias("dot"))
+            .select(F.posexplode("q").alias("d0", "qd"), "dot")
+            .groupBy((F.col("d0") + 1).alias("dim"))
+            .agg(F.sum(F.expr("cast(qd * dot as decimal(38,0))"))
+                 .alias("y"))
+            .collect()
+        )
+        y = [0] * len(v)
+        for r in rows:
+            y[int(r["dim"]) - 1] = int(r["y"])
+        return y
+
+    v = [_POW_VSCALE] * _LSH_DIM
+    v_prev, y_last = v, None
+    for _ in range(_POW_ITERS):
+        y_last = _matvec(v)
+        m = max(max(abs(x) for x in y_last), 1)
+        v_prev = v
+        # exact integer division, truncated toward zero — the same
+        # semantics as Spark's `div` and DuckDB's `//` (tested)
+        v = [(x * _POW_VSCALE) // m if x >= 0
+             else -((-x * _POW_VSCALE) // m) for x in y_last]
+    # Rayleigh quotient in exact integer parts-per-billion of variance
+    # units: (v2·Sv2) / (v2·v2 · n · 2^40) — a float ratio here would
+    # convert the huge numerator to double BEFORE dividing in one
+    # engine and AFTER in the other; the integer form is engine-free
+    num = sum(a * b for a, b in zip(v_prev, y_last))
+    den = sum(a * a for a in v_prev)
+    ray_ppb = (num * 1_000_000_000) // (den * emb.count() * _EMB_FX
+                                        * _EMB_FX)
+    return spark.createDataFrame(
+        [(d + 1, v[d], ray_ppb) for d in range(_LSH_DIM)],
+        "dim int, loading bigint, rayleigh_ppb bigint",
+    ).orderBy("dim")
+
+
 # content-defined chunking: a token starts a new chunk when its hash
 # falls in 1/_CDC_MOD of the space -> expected chunk length _CDC_MOD
 _CDC_MOD = 8
@@ -6427,4 +6517,5 @@ PIPELINE_QUERIES = {
     "hard_negative_mining": hard_negative_mining,
     "ann_nprobe_sweep": ann_nprobe_sweep,
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "embedding_principal_direction": embedding_principal_direction,
 }

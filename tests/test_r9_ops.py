@@ -254,3 +254,78 @@ def test_cdc_resynchronizes_after_insertion(spark):
     assert cdc_rate > 0.75, cdc_rate
     assert grid_rate < 0.15, grid_rate
     assert cdc_rate > 4 * grid_rate
+
+
+def test_principal_direction_bounds_on_isotropic_corpus(spark):
+    """On the near-isotropic synthetic embeddings (numpy: lambda2 /
+    lambda1 = 0.93) there is no dominant direction for 3 power steps
+    to converge to — and the operator's DIAGNOSTIC contract is exactly
+    that: the Rayleigh estimate must sit between the mean eigenvalue
+    (isotropy) and the top eigenvalue (hard upper bound for any
+    Rayleigh quotient), far closer to the mean than a collapsed space
+    would put it. Third-implementation eigendecomposition via numpy on
+    the same quantized rows."""
+    import numpy as np
+
+    from catalyst_spark.queries.pipeline import (
+        _EMB_FX,
+        embedding_principal_direction,
+    )
+    from catalyst_spark.tables import load
+
+    rows = embedding_principal_direction(spark, SF_DIR).collect()
+    ray = rows[0]["rayleigh_ppb"] / 1e9
+    emb = np.stack([
+        np.floor(np.asarray(r["embedding"], dtype=np.float64) * _EMB_FX)
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    ])
+    w = np.linalg.eigvalsh(emb.T @ emb) / len(emb) / _EMB_FX ** 2
+    assert w.mean() * 0.999 <= ray <= w[-1] * 1.001, (ray, w.mean(), w[-1])
+    # isotropy verdict: nowhere near a collapsed space (top eig would
+    # dominate); the estimate stays within 2x of the mean eigenvalue
+    assert ray < 2 * w.mean()
+
+
+def test_principal_direction_converges_on_anisotropic_corpus(
+        spark, tmp_path):
+    """The real convergence check: inject a dominant direction (every
+    row gains a strong common component, lambda1 >> lambda2) and the
+    3-step fixed-point iteration must align with numpy's top
+    eigenvector (cos > 0.99) and report its eigenvalue to within 2%.
+    This is the space the diagnostic exists to flag — mode collapse
+    concentrates the spectrum exactly like this."""
+    import numpy as np
+
+    from catalyst_spark.queries.pipeline import (
+        _EMB_FX,
+        _LSH_DIM,
+        embedding_principal_direction,
+    )
+    from catalyst_spark.tables import load
+
+    base = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    ])
+    direction = np.arange(1, _LSH_DIM + 1, dtype=np.float64)
+    direction /= np.linalg.norm(direction)
+    skewed = base + 3.0 * np.outer(np.ones(len(base)), direction)
+    d = tmp_path / "aniso"
+    spark.createDataFrame(
+        [(i, [float(x) for x in row], "a")
+         for i, row in enumerate(skewed)],
+        "vec_id long, embedding array<double>, label string",
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    rows = embedding_principal_direction(spark, str(d)).collect()
+    v = np.array([r["loading"] for r in sorted(rows,
+                                               key=lambda r: r["dim"])],
+                 dtype=float)
+    ray = rows[0]["rayleigh_ppb"] / 1e9
+    q = np.floor(skewed * _EMB_FX)
+    w, U = np.linalg.eigh(q.T @ q)
+    cos = abs(v @ U[:, -1]) / (np.linalg.norm(v)
+                               * np.linalg.norm(U[:, -1]))
+    assert cos > 0.99, cos
+    true_ray = w[-1] / len(q) / _EMB_FX ** 2
+    assert 0.98 * true_ray <= ray <= 1.001 * true_ray, (ray, true_ray)
