@@ -197,6 +197,15 @@ _SCALE_QUERIES = (
     "dsir_importance_weights",
     "hard_negative_mining",
     "ann_nprobe_sweep",
+    # r9b: CDC shuffles the token stream once (window + two hash
+    # aggregates — the chunk_dedup surface plus the cid window); LTOB
+    # is one bucket aggregate + two bucket-sized joins; the power
+    # iteration is _POW_ITERS corpus passes with 64-row traffic; MMR
+    # is bounded at queries x R^2 once the shared rerank build exists
+    "cdc_chunk_dedup",
+    "ltob_downsample",
+    "embedding_principal_direction",
+    "mmr_diversified_topk",
 )
 
 

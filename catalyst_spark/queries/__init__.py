@@ -265,7 +265,7 @@ _R9_FRONT = [
 #       embedding_dim_variance, chunk_overlap_split,
 #       dsir_importance_weights, hard_negative_mining,
 #       ann_nprobe_sweep, cdc_chunk_dedup, ltob_downsample,
-#       embedding_principal_direction,
+#       embedding_principal_direction, mmr_diversified_topk,
 #   (b) the 13 r6-stale spill ops (newest r6 code, all 08-14 commits,
 #       r7 driver rows... none; r6 rows only — 3 rounds stale by r10):
 #       ann_ivfpq_topk, ann_ivfpq_recall, ann_ivfpq_residual_topk,

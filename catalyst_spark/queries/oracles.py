@@ -4645,3 +4645,67 @@ def _embedding_principal_direction_sql() -> str:
 
 ORACLE_SQL["embedding_principal_direction"] = \
     _embedding_principal_direction_sql()
+
+
+def _mmr_diversified_topk_sql() -> str:
+    """Oracle twin of pipeline.mmr_diversified_topk: the IVF-PQ rerank
+    shortlist CTEs (sl/nv/rr from the fusion fragment) + the pairwise
+    candidate-cosine frame, then the greedy MMR selection UNROLLED one
+    CTE chain per step (pen -> argmax -> selected-set union), λ = 0.5
+    exact-in-binary. The chained CTEs are MATERIALIZED (the
+    near_dup_pagerank convention): sp{k} references sp{k-1} twice, so
+    default CTE inlining would expand the chain EXPONENTIALLY — the
+    measured hang that motivated the hint. Same IEEE arithmetic on the same doubles, ties on
+    candidate id — value-for-value with the engine."""
+    from catalyst_spark.queries.pipeline import _MMR_K, _MMR_LAMBDA
+
+    head = (
+        _ivfpq_ctes() + "," + _fusion_ivec_ctes() + """,
+    rrm AS MATERIALIZED (SELECT * FROM rr),
+    mp AS MATERIALIZED (
+      SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+             list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS sim
+      FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.n_id != b.n_id
+      JOIN nv x ON x.vec_id = a.n_id
+      JOIN nv y ON y.vec_id = b.n_id),
+    sel1 AS MATERIALIZED (
+      SELECT q_id, n_id, cos_raw AS score FROM (
+        SELECT q_id, n_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_raw DESC, n_id) AS rn
+        FROM rrm) t WHERE rn = 1),
+    sp1 AS MATERIALIZED (SELECT q_id, n_id FROM sel1)"""
+    )
+    for k in range(2, _MMR_K + 1):
+        head += f""",
+    pen{k} AS MATERIALIZED (
+      SELECT p.q_id, p.a_id AS n_id, MAX(p.sim) AS pen
+      FROM mp p JOIN sp{k - 1} s
+        ON s.q_id = p.q_id AND s.n_id = p.b_id
+      GROUP BY 1, 2),
+    sel{k} AS MATERIALIZED (
+      SELECT q_id, n_id, score FROM (
+        SELECT c.q_id, c.n_id,
+               c.cos_raw - {_MMR_LAMBDA} * pe.pen AS score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.q_id
+                 ORDER BY c.cos_raw - {_MMR_LAMBDA} * pe.pen DESC,
+                          c.n_id) AS rn
+        FROM rrm c JOIN pen{k} pe
+          ON pe.q_id = c.q_id AND pe.n_id = c.n_id
+        WHERE NOT EXISTS (SELECT 1 FROM sp{k - 1} s
+                          WHERE s.q_id = c.q_id
+                            AND s.n_id = c.n_id)) t
+      WHERE rn = 1),
+    sp{k} AS MATERIALIZED (SELECT q_id, n_id FROM sp{k - 1}
+              UNION ALL SELECT q_id, n_id FROM sel{k})"""
+    selects = " UNION ALL ".join(
+        f"SELECT q_id, CAST({k} AS BIGINT) AS \"rank\", "
+        f"n_id AS result_id, ROUND(score, 2) AS mmr_score FROM sel{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return (head + "\n    SELECT * FROM (" + selects
+            + ") ORDER BY q_id, \"rank\"")
+
+
+ORACLE_SQL["mmr_diversified_topk"] = _mmr_diversified_topk_sql()

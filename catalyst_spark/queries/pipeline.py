@@ -6010,6 +6010,92 @@ def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_LAMBDA = 0.5  # exact in binary: 0.5 * x is an exponent shift
+_MMR_K = 5
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998) over the IVF-PQ rerank shortlist: greedy selection
+    of _MMR_K results per query where each step takes
+    argmax(rel(c) − λ · max sim(c, selected)) — near-duplicate results
+    that brute top-k would stack are pushed apart, the standard search
+    / RAG-context diversification pass. λ = 0.5 exactly: halving a
+    double is an exponent shift, so the MMR score is the same IEEE
+    arithmetic on the same cosines in both engines and the unrolled
+    greedy (one CTE chain per step) matches value-for-value; ties
+    break on candidate id.
+
+    Plan: candidates are the session-cached exact-reranked shortlist
+    (ann_ivfpq_rerank's build — zero extra corpus scans); the pairwise
+    candidate-candidate cosines are a probe-set × R² frame (bounded by
+    queries × 400 rows, never corpus-sized); each greedy step is one
+    aggregate + one window over that frame. At 100 TB the whole
+    operator is index-bounded — MMR never touches a raw corpus row
+    beyond the R vectors the rerank already fetched.
+    """
+    ranked = _ivfpq_rerank_ranked(spark, sf_dir)
+    cand = ranked.select("q_id", "n_id", "cos_raw")
+    emb = load(spark, sf_dir, "embeddings")
+    vn = _with_norm(emb, "a_id", "va")
+    wn = _with_norm(emb, "b_id", "vb")
+    pairs = (
+        cand.select("q_id", F.col("n_id").alias("a_id"))
+        .join(cand.select("q_id", F.col("n_id").alias("b_id")), "q_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .join(vn, "a_id").join(wn, "b_id")
+        .select("q_id", "a_id", "b_id",
+                _cosine("va", "vb").alias("sim"))
+        .persist()
+    )
+    pairs.count()
+    w1 = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), "n_id")
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("q_id", "n_id", F.col("cos_raw").alias("score"),
+                F.lit(1).alias("rank"))
+    )
+    # each greedy step is materialized eagerly: the selected set is
+    # queries-sized (tiny), and leaving the steps lazy nests windows /
+    # anti-joins _MMR_K deep — a measured plan explosion, not a
+    # data-volume problem
+    selected = sel.localCheckpoint(eager=True)
+    for step in range(2, _MMR_K + 1):
+        pen = (
+            pairs.join(
+                selected.select("q_id", F.col("n_id").alias("b_id")),
+                ["q_id", "b_id"],
+            )
+            .groupBy("q_id", F.col("a_id").alias("n_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        remaining = cand.join(selected.select("q_id", "n_id"),
+                              ["q_id", "n_id"], "anti")
+        scored = remaining.join(pen, ["q_id", "n_id"]).withColumn(
+            "score", F.col("cos_raw") - _MMR_LAMBDA * F.col("pen")
+        )
+        ws = W.partitionBy("q_id").orderBy(F.col("score").desc(), "n_id")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .where(F.col("rn") == 1)
+            .select("q_id", "n_id", "score", F.lit(step).alias("rank"))
+        )
+        selected = selected.unionByName(pick) \
+            .localCheckpoint(eager=True)
+    res = (
+        selected.select(
+            "q_id", F.col("rank").cast("bigint").alias("rank"),
+            F.col("n_id").alias("result_id"),
+            F.round("score", 2).alias("mmr_score"),
+        )
+        .orderBy("q_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
+    return res
+
+
 # power-iteration geometry: v normalized to max|v| = 2^10 each step
 # keeps every row product inside int64 (q*dot <= 2^20 * 2^36 = 2^56)
 _POW_VSCALE = 1 << 10
@@ -6518,4 +6604,5 @@ PIPELINE_QUERIES = {
     "ann_nprobe_sweep": ann_nprobe_sweep,
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "embedding_principal_direction": embedding_principal_direction,
+    "mmr_diversified_topk": mmr_diversified_topk,
 }
