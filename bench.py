@@ -198,12 +198,13 @@ _SCALE_QUERIES = (
     "hard_negative_mining",
     "ann_nprobe_sweep",
     # r9b: CDC shuffles the token stream once (window + two hash
-    # aggregates — the chunk_dedup surface plus the cid window); LTOB
-    # is one bucket aggregate + two bucket-sized joins; the power
-    # iteration is _POW_ITERS corpus passes with 64-row traffic; MMR
-    # is bounded at queries x R^2 once the shared rerank build exists
+    # aggregates — the chunk_dedup surface plus the cid window); the
+    # power iteration is _POW_ITERS corpus passes with 64-row traffic;
+    # MMR is bounded at queries x R^2 once the shared rerank build
+    # exists. (ltob_downsample reads EVENTS, which the derived 10x
+    # corpus does not carry — its scale story is the one-aggregate
+    # downsample shape ts_downsample already pins.)
     "cdc_chunk_dedup",
-    "ltob_downsample",
     "embedding_principal_direction",
     "mmr_diversified_topk",
 )
