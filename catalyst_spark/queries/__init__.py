@@ -275,6 +275,18 @@ _R9_FRONT = [
 #       dedup_threshold_sensitivity,
 #   (c) then the r7-stale rotation (the _R7_FRONT set, 2 rounds stale
 #       by r10), oldest code first, to fill the remaining slots.
+# CADENCE ARITHMETIC (stated so the bound is honest, not aspirational):
+# at 174 registry entries and a 50-slot driver window, the steady-state
+# maximum staleness is ceil(174/50) = 4 rounds — the old "<= 2 rounds
+# everywhere" guarantee became impossible the moment the registry
+# passed 100 entries (it needs 2 windows to cover everything). The
+# invariants that DO survive any registry size, and that every rotation
+# here preserves: (1) zero ever-unchecked operators after each round's
+# window runs (new ops front the NEXT round), (2) strict oldest-first
+# rotation so staleness is uniform, never concentrated, and (3) any
+# operator whose code or oracle changes re-fronts immediately. The
+# local sweep (CORRECTNESS_local_r{N}.json, all entries at sf0.01)
+# covers the full registry every round regardless.
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R9_FRONT)
 
