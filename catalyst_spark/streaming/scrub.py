@@ -145,7 +145,8 @@ def boiler_hash_index(spark, sf_dir: str) -> list[int]:
 
 
 def stream_boilerplate_cut(doc_stream: DataFrame,
-                           boiler_hashes: list[int]) -> DataFrame:
+                           boiler_hashes: list[int],
+                           keep: tuple = ()) -> DataFrame:
     """Ingest-time corpus-frequency line removal (VERDICT r8 item 6):
     the streaming twin of queries.pipeline.boilerplate_line_cut's
     per-doc audit, closing the ingest-time story for the curation
@@ -186,7 +187,7 @@ def stream_boilerplate_cut(doc_stream: DataFrame,
     return (
         doc_stream.crossJoin(F.broadcast(idx_row))
         .select(
-            "doc_id", "source",
+            "doc_id", "source", *[F.col(c) for c in keep],
             F.expr(f"size({chunks})").cast("bigint").alias("n_chunks"),
             (F.expr(f"size({chunks})") - F.expr(f"size({kept})"))
             .cast("bigint").alias("n_cut"),
@@ -204,14 +205,17 @@ def stream_curation_pipeline(
     fp_index: DataFrame,
     band_index: DataFrame,
     hset_index: DataFrame,
+    boiler_hashes: list[int],
 ) -> DataFrame:
     """The ingest-time curation stages COMPOSED as one streaming query
-    (VERDICT r8 item 7): quality gate -> PII scrub -> shard-dedup
-    classify over a single arriving corpus — the pipeline production
-    actually runs, not three proofs in isolation. One emission per
+    (VERDICT r8 item 7, extended r9 with the line-removal stage):
+    quality gate -> PII scrub -> boilerplate cut -> shard-dedup
+    classify over a single arriving corpus — the full funnel production
+    actually runs, not four proofs in isolation. One emission per
     gate-passing document: its dedup class against the corpus index,
-    its scrub audit delta, and n_seen for the re-delivery proof;
-    gate-failing documents never reach the scrub or the index probes
+    its scrub audit delta, its boiler-cut audit (chunks cut + kept
+    tokens), and n_seen for the re-delivery proof; gate-failing
+    documents never reach the scrub, the cut, or the index probes
     (the filter is upstream of every join, so rejected rows cost one
     projection — the 100 TB ingest shape).
 
@@ -242,8 +246,11 @@ def stream_curation_pipeline(
         .select("doc_id", "source", "text")
     )
     scrubbed = stream_pii_scrub(survivors, keep=("text",))
-    base = scrubbed.select(
-        "doc_id", "source", "red_delta",
+    cut = stream_boilerplate_cut(scrubbed, boiler_hashes,
+                                 keep=("red_delta",))
+    base = cut.select(
+        "doc_id", "source", "red_delta", "n_cut",
+        F.col("kept_tokens").alias("kept_tok"),
         F.lit(0).alias("exact"), F.lit(0).alias("near"),
     )
     exact = (
@@ -253,6 +260,8 @@ def stream_curation_pipeline(
         )
         .join(fp_index, "fp")
         .select("doc_id", "source", F.lit(0).alias("red_delta"),
+                F.lit(0).cast("bigint").alias("n_cut"),
+                F.lit(0).cast("bigint").alias("kept_tok"),
                 F.lit(1).alias("exact"), F.lit(0).alias("near"))
     )
     a_lst, b_lst = _minhash_coeffs()
@@ -278,6 +287,8 @@ def stream_curation_pipeline(
             >= F.size(F.array_union("qh", "ch"))
         )
         .select("doc_id", "source", F.lit(0).alias("red_delta"),
+                F.lit(0).cast("bigint").alias("n_cut"),
+                F.lit(0).cast("bigint").alias("kept_tok"),
                 F.lit(0).alias("exact"), F.lit(1).alias("near"))
     )
     rows = base.unionByName(exact).unionByName(near)
@@ -286,19 +297,22 @@ def stream_curation_pipeline(
         import pandas as pd
 
         (doc_id,) = key
-        ex, nr, src, red, n_seen = (
-            state.get if state.exists else (0, 0, "", 0, 0))
+        ex, nr, src, red, cutn, kept, n_seen = (
+            state.get if state.exists else (0, 0, "", 0, 0, 0, 0))
         cand = pd.concat(list(pdfs), ignore_index=True)
         ex = int(bool(ex or cand["exact"].max()))
         nr = int(bool(nr or cand["near"].max()))
         src = src or str(cand["source"].iloc[0])
         red = max(int(red), int(cand["red_delta"].max()))
+        cutn = max(int(cutn), int(cand["n_cut"].max()))
+        kept = max(int(kept), int(cand["kept_tok"].max()))
         n_seen = int(n_seen) + len(cand)
-        state.update((ex, nr, src, red, n_seen))
+        state.update((ex, nr, src, red, cutn, kept, n_seen))
         status = "exact" if ex else ("near" if nr else "kept")
         yield pd.DataFrame({
             "doc_id": [int(doc_id)], "source": [src], "status": [status],
-            "red_delta": [red], "n_seen": [n_seen],
+            "red_delta": [red], "boiler_cut": [cutn],
+            "kept_tokens": [kept], "n_seen": [n_seen],
         })
 
     out_schema = T.StructType([
@@ -306,6 +320,8 @@ def stream_curation_pipeline(
         T.StructField("source", T.StringType()),
         T.StructField("status", T.StringType()),
         T.StructField("red_delta", T.LongType()),
+        T.StructField("boiler_cut", T.LongType()),
+        T.StructField("kept_tokens", T.LongType()),
         T.StructField("n_seen", T.LongType()),
     ])
     state_schema = T.StructType([
@@ -313,6 +329,8 @@ def stream_curation_pipeline(
         T.StructField("nr", T.IntegerType()),
         T.StructField("src", T.StringType()),
         T.StructField("red", T.LongType()),
+        T.StructField("cutn", T.LongType()),
+        T.StructField("kept", T.LongType()),
         T.StructField("n_seen", T.LongType()),
     ])
     return rows.groupBy("doc_id").applyInPandasWithState(

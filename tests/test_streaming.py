@@ -1782,6 +1782,8 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
     )
     from catalyst_spark.streaming.minhash import shard_dedup_static_index
     from catalyst_spark.streaming.scrub import (
+        boiler_hash_index,
+        stream_boilerplate_cut,
         stream_curation_pipeline,
         stream_pii_scrub,
         stream_quality_gate,
@@ -1806,6 +1808,9 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
         "doc_id", "semi")
     want_red = {r["doc_id"]: r["red_delta"]
                 for r in stream_pii_scrub(surv_df).collect()}
+    bh = boiler_hash_index(spark, SF_DIR)
+    want_cut = {r["doc_id"]: (r["n_cut"], r["kept_tokens"])
+                for r in stream_boilerplate_cut(surv_df, bh).collect()}
 
     corpus = docs.where("doc_id % 7 != 0")
     exact_ids = {
@@ -1851,7 +1856,7 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
               .schema("doc_id long, source string, text string")
               .option("maxFilesPerTrigger", 1).json(str(d)))
     q = (stream_curation_pipeline(stream, fp_index, band_index,
-                                  hset_index)
+                                  hset_index, bh)
          .writeStream.outputMode("update").format("memory")
          .queryName("curation_stream").start())
     q.processAllAvailable()
@@ -1868,6 +1873,9 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
     # stage 2: scrub deltas match the stateless twin on the survivors
     for doc_id, r in latest.items():
         assert r["red_delta"] == want_red[doc_id], doc_id
+    # stage 2b: boiler-cut audits match the stateless cut twin
+    for doc_id, r in latest.items():
+        assert (r["boiler_cut"], r["kept_tokens"]) == want_cut[doc_id]
     # stage 3: classes match the batch classification
     for doc_id, r in latest.items():
         assert r["status"] == want_status(doc_id), doc_id
