@@ -57,7 +57,8 @@ def _sf_tag(sf_dir: str) -> str:
 
 
 def _meta_ok(meta_path: Path, fingerprint: list[int],
-             params: dict | None = None) -> bool:
+             params: dict | None = None,
+             fp_of: str = "embeddings") -> bool:
     try:
         meta = json.loads(meta_path.read_text())
     except (OSError, ValueError):
@@ -66,16 +67,25 @@ def _meta_ok(meta_path: Path, fingerprint: list[int],
         meta.get("version") == _FORMAT_VERSION
         and meta.get("fingerprint") == list(fingerprint)
         and meta.get("params") == (params or {})
+        # fp_of names the SOURCE TABLE the fingerprint was computed
+        # over (ADVICE r9: GC with the embeddings fingerprint must not
+        # reap documents-keyed artifacts and vice versa). Metas written
+        # before the field existed are all embeddings-keyed except the
+        # corpus band index, which correctly rebuilds once under the
+        # labelled scheme.
+        and meta.get("fp_of", "embeddings") == fp_of
     )
 
 
 def _write_meta(meta_path: Path, fingerprint: list[int],
-                params: dict | None = None) -> None:
+                params: dict | None = None,
+                fp_of: str = "embeddings") -> None:
     tmp = meta_path.with_suffix(f".tmp-{uuid.uuid4().hex}")
     tmp.write_text(json.dumps({
         "version": _FORMAT_VERSION,
         "fingerprint": list(fingerprint),
         "params": params or {},
+        "fp_of": fp_of,
     }))
     os.replace(tmp, meta_path)
 
@@ -186,27 +196,59 @@ def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids,
                 params or _train_params())
 
 
-def gc_stale_artifacts(sf_dir: str, fingerprint: list[int]) -> int:
+_GC_GRACE_SECONDS = 600.0
+
+
+def gc_stale_artifacts(sf_dir: str, fingerprint: list[int],
+                       fp_of: str = "embeddings") -> int:
     """Reap every artifact under this data dir whose stored fingerprint
     no longer matches the live table (ADVICE r8: a fingerprint-format
     migration — or regenerated testdata — strands artifacts that will
     never load again; without GC they accumulate forever). Matching
     artifacts are untouched regardless of params/tag, so coexisting
     hyperparameter variants (full_k16 / full_k32) survive. Returns the
-    number of artifacts removed. Unreadable metadata counts as stale —
-    a half-written artifact's data files are reaped with it."""
+    number of artifacts removed.
+
+    FAMILY-AWARE (ADVICE r9 high): only artifacts whose `fp_of` matches
+    the family being checked are candidates — a GC pass holding the
+    EMBEDDINGS fingerprint must not judge (and reap) the corpus band
+    index, whose fingerprint covers the DOCUMENTS table and therefore
+    never equals the embeddings one. Metas without the field predate it
+    and are all embeddings-keyed (the lone documents artifact rebuilds
+    once under the labelled scheme). Unreadable metadata counts as
+    stale in EVERY family pass — it can never load — but is shielded by
+    the grace window below.
+
+    RACE GUARD (ADVICE r9 low): save_* writes the data file before the
+    meta, so a concurrent session's GC could observe old-meta+new-data
+    and reap a save in flight. Any candidate whose data OR meta file
+    was modified within the last ~10 minutes is skipped — a genuinely
+    stranded artifact is reaped by the next session instead."""
+    import time
+
     base = model_root() / _sf_tag(sf_dir)
     if not base.is_dir():
         return 0
+    now = time.time()
+
+    def recent(p: Path) -> bool:
+        try:
+            return (now - p.stat().st_mtime) < _GC_GRACE_SECONDS
+        except OSError:
+            return True  # vanished mid-scan: someone is working here
+
     reaped = 0
     for meta in sorted(base.glob("*.json")):
         try:
-            fp = json.loads(meta.read_text()).get("fingerprint")
+            m = json.loads(meta.read_text())
+            fp, family = m.get("fingerprint"), m.get("fp_of", "embeddings")
         except (OSError, ValueError):
-            fp = None
-        if fp == list(fingerprint):
+            fp, family = None, fp_of  # unreadable: candidate in any pass
+        if family != fp_of or fp == list(fingerprint):
             continue
         data = meta.with_suffix(".parquet")
+        if recent(meta) or (data.exists() and recent(data)):
+            continue
         if data.is_dir():
             shutil.rmtree(data, ignore_errors=True)
         elif data.exists():
@@ -221,24 +263,27 @@ def codes_path(sf_dir: str, name: str = "pq_codes") -> Path:
 
 
 def load_codes(spark, sf_dir: str, fingerprint: list[int],
-               name: str = "pq_codes", params: dict | None = None):
+               name: str = "pq_codes", params: dict | None = None,
+               fp_of: str = "embeddings"):
     """Return the stored codes DataFrame if current, else None. `name`
     distinguishes code tables built from different vector spaces (raw
     "pq_codes" vs residual "rpq_codes") or different index kinds (the
     dedup corpus band-pair index). `params` overrides the
     ANN-train-constant staleness check for tables whose shape is
-    governed by other constants (e.g. MinHash banding)."""
+    governed by other constants (e.g. MinHash banding); `fp_of` names
+    the source table the fingerprint covers (see _meta_ok)."""
     path = codes_path(sf_dir, name)
     if not path.exists() or not _meta_ok(
         path.parent / f"{name}.json", fingerprint,
-        params if params is not None else _train_params()
+        params if params is not None else _train_params(), fp_of=fp_of
     ):
         return None
     return spark.read.parquet(str(path))
 
 
 def save_codes(codes_df, sf_dir: str, fingerprint: list[int],
-               name: str = "pq_codes", params: dict | None = None) -> None:
+               name: str = "pq_codes", params: dict | None = None,
+               fp_of: str = "embeddings") -> None:
     path = codes_path(sf_dir, name)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex}")
@@ -247,4 +292,5 @@ def save_codes(codes_df, sf_dir: str, fingerprint: list[int],
         shutil.rmtree(path)
     os.replace(tmp, path)
     _write_meta(path.parent / f"{name}.json", fingerprint,
-                params if params is not None else _train_params())
+                params if params is not None else _train_params(),
+                fp_of=fp_of)

@@ -4958,10 +4958,16 @@ def _corpus_band_index(spark: SparkSession, sf_dir: str,
         corpus_docs.select(F.col("doc_id").alias("vec_id"),
                            F.col("text").alias("e"))
     )
+    # documents-family GC pass (ADVICE r9: the embeddings-fingerprint
+    # GC in _emb_fp is family-scoped and never judges this artifact;
+    # stale DOCUMENTS-keyed artifacts are reaped here, once per session
+    # thanks to the result cache above)
+    model_store.gc_stale_artifacts(sf_dir, fp, fp_of="documents")
     params = {"perms": _MINHASH_PERMS, "bands": _MINHASH_BANDS,
               "rows": _MINHASH_ROWS, "shard_mod": _SHARD_MOD}
     idx = model_store.load_codes(spark, sf_dir, fp,
-                                 name="corpus_band_index", params=params)
+                                 name="corpus_band_index", params=params,
+                                 fp_of="documents")
     if idx is None:
         ob = bands.where(F.col("doc_id") % _SHARD_MOD != 0)
         built = (
@@ -4972,12 +4978,13 @@ def _corpus_band_index(spark: SparkSession, sf_dir: str,
             .distinct()
         )
         model_store.save_codes(built, sf_dir, fp,
-                               name="corpus_band_index", params=params)
+                               name="corpus_band_index", params=params,
+                               fp_of="documents")
         # serve from the store even on the cold path so the op's plan
         # is the production read shape in every session
         idx = model_store.load_codes(spark, sf_dir, fp,
                                      name="corpus_band_index",
-                                     params=params)
+                                     params=params, fp_of="documents")
     _TOPK_RESULT_CACHE[key] = idx
     return idx
 

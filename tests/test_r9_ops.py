@@ -18,10 +18,16 @@ from tests.conftest import SF_DIR
 
 
 def test_gc_stale_artifacts(tmp_path, monkeypatch):
-    """ADVICE r8: artifacts whose stored fingerprint mismatches the
-    live one are reaped (file + dir forms, unreadable meta included);
-    current-fingerprint artifacts survive regardless of tag/params —
-    coexisting hyperparameter variants must not be collected."""
+    """ADVICE r8 + r9: artifacts whose stored fingerprint mismatches
+    the live one are reaped (file + dir forms, unreadable meta
+    included); current-fingerprint artifacts survive regardless of
+    tag/params — coexisting hyperparameter variants must not be
+    collected. FAMILY SCOPE (ADVICE r9 high): an embeddings-fingerprint
+    pass never judges documents-keyed artifacts (the corpus band index
+    would otherwise be reaped every session, defeating its
+    persistence); a documents pass reaps only that family. RACE GUARD
+    (ADVICE r9 low): recently-written candidates are skipped so a
+    concurrent save's data-before-meta window can't be collected."""
     import os
 
     from catalyst_spark import model_store as ms
@@ -32,30 +38,52 @@ def test_gc_stale_artifacts(tmp_path, monkeypatch):
     base.mkdir(parents=True)
     live = [10, 20, 30, 40]
     stale = [1, 2, 3, 4]
+    doc_live = [5, 6, 7, 8]
+    old = 1_000_000_000  # epoch mtime safely past the grace window
 
-    def put(tag, fp, as_dir=False, meta=None):
+    def put(tag, fp, as_dir=False, meta=None, fp_of=None, recent=False):
         data = base / f"{tag}.parquet"
         if as_dir:
             data.mkdir()
             (data / "part-0.parquet").write_bytes(b"x")
         else:
             data.write_bytes(b"x")
-        (base / f"{tag}.json").write_text(
-            meta if meta is not None
-            else json.dumps({"version": 1, "fingerprint": fp, "params": {}})
-        )
+        body = meta
+        if body is None:
+            m = {"version": 1, "fingerprint": fp, "params": {}}
+            if fp_of is not None:
+                m["fp_of"] = fp_of
+            body = json.dumps(m)
+        (base / f"{tag}.json").write_text(body)
+        if not recent:
+            os.utime(data, (old, old))
+            os.utime(base / f"{tag}.json", (old, old))
 
     put("kmeans_full", live)
     put("kmeans_full_k32", live)        # other params, same fp: keep
     put("kmeans_old", stale)
     put("pq_codes", stale, as_dir=True)
     put("kmeans_broken", live, meta="{not json")
+    # documents-family artifacts: live one keeps, stale one is reaped
+    # only by the documents pass — NEVER by the embeddings pass even
+    # though its fingerprint mismatches the embeddings one
+    put("corpus_band_index", doc_live, as_dir=True, fp_of="documents")
+    put("corpus_band_old", stale, as_dir=True, fp_of="documents")
+    # stale but freshly written: a concurrent save in flight — skipped
+    put("kmeans_inflight", stale, recent=True)
     assert ms.gc_stale_artifacts(sf, live) == 3
     names = sorted(p.name for p in base.iterdir())
     assert names == [
+        "corpus_band_index.json", "corpus_band_index.parquet",
+        "corpus_band_old.json", "corpus_band_old.parquet",
         "kmeans_full.json", "kmeans_full.parquet",
         "kmeans_full_k32.json", "kmeans_full_k32.parquet",
+        "kmeans_inflight.json", "kmeans_inflight.parquet",
     ]
+    # documents pass reaps the stale documents artifact, keeps the live
+    assert ms.gc_stale_artifacts(sf, doc_live, fp_of="documents") == 1
+    assert not (base / "corpus_band_old.json").exists()
+    assert (base / "corpus_band_index.json").exists()
     # idempotent; missing dir is a no-op
     assert ms.gc_stale_artifacts(sf, live) == 0
     assert ms.gc_stale_artifacts("/data/absent", live) == 0
@@ -168,6 +196,9 @@ def test_shard_apply_serves_persisted_index(spark):
     m = json.loads(meta.read_text())
     assert m["params"]["bands"] == P._MINHASH_BANDS
     assert m["params"]["shard_mod"] == P._SHARD_MOD
+    # ADVICE r9: the meta is labelled with its fingerprint family so
+    # the embeddings-fingerprint GC pass never reaps this index
+    assert m["fp_of"] == "documents"
 
     key = (spark.sparkContext.applicationId, SF_DIR, "corpus_band_index")
     P._TOPK_RESULT_CACHE.pop(key, None)
