@@ -290,6 +290,66 @@ _R9_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R9_FRONT)
 
+# Round-10 driver window (VERDICT r9 item 1, the prescribed rotation,
+# adjusted for the VERDICT r9 item 6 registry merge): the registry is
+# now 167 entries — the eight vs-brute recall calibration rows
+# (ann_recall_at_5, ann_pq_recall, ann_ivfpq_recall,
+# ann_ivfpq_residual_recall, ann_ivfpq_rerank_recall, ann_sq8_recall,
+# ann_sq8_ivf_recall, ann_sq8_ivf_rek_recall) merged into ONE sweep
+# table `ann_recall_ladder` (rung column; verbatim per-rung SQL UNION
+# ALL on the oracle side, so no checked value is lost). The window:
+#   (a) the 11 new-in-r9 operators (no driver row ever),
+#   (b) ann_recall_ladder (new key, re-fronts immediately per
+#       invariant 3 — it now carries the only driver coverage of the
+#       whole recall family, replacing rows whose keys no longer
+#       exist) plus the 10 SURVIVING r6-stale spill ops (the 13 minus
+#       the three merged-away recall rows),
+#   (c) 28 of the r7-stale set, oldest code first: the r4-block of
+#       _R7_FRONT in order (ann_recall_at_5 skipped — merged away).
+# 11 + 11 + 28 = 50 slots exactly. Spilling to r11, oldest first: the
+# remaining 18 r7-stale ops (q19_above_brand_avg, range_join_events,
+# robust_outliers, session_cooccurrence, sessionize, text_stats,
+# token_counts, ts_rate, user_growth_curve, window_decontaminate,
+# window_selfdup_spans, then the new-in-r7 block phash_dup_pairs,
+# near_dup_pagerank_converged, dedup_edit_distance,
+# ann_ivfpq_rerank_topk, phash_dup_clusters, window_selfdup_cut,
+# lsh_bucket_size_hist, and ann_sq8_ivf_topk), then the r8-stale
+# rotation; any operator added in r10 (registry tail) fronts r11.
+# CADENCE ARITHMETIC at 167 entries / 50 slots: steady-state max
+# staleness stays ceil(167/50) = 4 rounds; the merge bought back most
+# of a round of dilution (174 -> 167) while keeping every checked
+# value — the invariants of the r9 note (zero ever-unchecked after
+# each round, strict oldest-first, changed code re-fronts) all hold.
+_R10_FRONT = [
+    # (a) new in r9 — no driver row ever (judge-swept green in r9)
+    "tokenizer_fertility", "shard_manifest", "embedding_dim_variance",
+    "chunk_overlap_split", "dsir_importance_weights",
+    "hard_negative_mining", "ann_nprobe_sweep", "cdc_chunk_dedup",
+    "ltob_downsample", "embedding_principal_direction",
+    "mmr_diversified_topk",
+    # (b) the merged recall sweep (new key: sole driver coverage of
+    # the recall family) + the 10 surviving r6-stale spill ops
+    "ann_recall_ladder",
+    "ann_ivfpq_topk", "ann_ivfpq_residual_topk", "ann_sq8_topk",
+    "ivf_cell_stats", "bigram_surprisal", "window_overlap_source_matrix",
+    "pq_distortion", "interval_coverage", "semdedup_keep_one",
+    "dedup_threshold_sensitivity",
+    # (c) r7-stale, oldest code first (the r4-block of _R7_FRONT in
+    # order, minus the merged-away ann_recall_at_5)
+    "ann_ivf_topk", "approx_topk_tokens", "boilerplate_spans",
+    "counter_rate", "dedup_keep_best", "dedup_keep_one",
+    "distinct_sketch", "doc_fingerprint", "equi_depth_bins",
+    "ewma_smooth", "histogram_quantile", "hll_distinct_sketch",
+    "holt_linear_smooth", "incremental_rollup_merge", "lag_features",
+    "lang_id_confusion", "near_dup_pagerank", "near_dup_source_matrix",
+    "path_transitions", "percentile_sketch", "q1_filter_project_sort",
+    "q2_time_bucket", "q3_hash_aggregate", "q4_distinct_aggregate",
+    "q5_latest_per_series", "q6_tpch_q1", "q7_broadcast_join",
+    "q8_multi_join",
+]
+
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R10_FRONT)
+
 __all__ = [
     "RELATIONAL_QUERIES",
     "PIPELINE_QUERIES",

@@ -4709,3 +4709,27 @@ def _mmr_diversified_topk_sql() -> str:
 
 
 ORACLE_SQL["mmr_diversified_topk"] = _mmr_diversified_topk_sql()
+
+
+def _recall_ladder_sql() -> str:
+    """Oracle twin of pipeline.ann_recall_ladder (VERDICT r9 item 6):
+    the VERBATIM per-rung oracle SQLs, each wrapped as a subquery with
+    its rung label, UNION ALL'd — nothing re-derived, so merging the
+    eight driver slots into one weakens no oracle. The rung list is
+    read from pipeline._recall_ladder_rungs() (function __name__ ==
+    the old oracle key), so the two sides cannot list different rungs.
+    The per-rung SQLs are POPPED out of ORACLE_SQL here: the ladder is
+    the only registered entry, matching the Spark registry."""
+    from catalyst_spark.queries.pipeline import _recall_ladder_rungs
+
+    parts = []
+    for rung, fn in _recall_ladder_rungs():
+        sql = ORACLE_SQL.pop(fn.__name__)
+        parts.append(
+            f"SELECT '{rung}' AS rung, q_id, hits, recall_at_5\n"
+            f"FROM (\n{sql}\n) AS _rung_{rung}"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY rung, q_id"
+
+
+ORACLE_SQL["ann_recall_ladder"] = _recall_ladder_sql()

@@ -3001,6 +3001,59 @@ def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_ladder_rungs():
+    """(rung_name, recall_fn) for every vs-brute recall calibration row
+    in the ANN ladder — the single source of truth shared by the Spark
+    union below and the oracle UNION ALL in oracles.py (which resolves
+    the same names against its per-rung SQL), so the two sides can
+    never list different rungs."""
+    return [
+        ("ivf", ann_recall_at_5),
+        ("pq", ann_pq_recall),
+        ("ivfpq", ann_ivfpq_recall),
+        ("ivfpq_residual", ann_ivfpq_residual_recall),
+        ("ivfpq_rerank", ann_ivfpq_rerank_recall),
+        ("sq8", ann_sq8_recall),
+        ("sq8_ivf", ann_sq8_ivf_recall),
+        ("sq8_ivf_rek", ann_sq8_ivf_rek_recall),
+    ]
+
+
+def ann_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN calibration ladder as ONE sweep table (VERDICT r9 item
+    6 — slow the driver-window dilution): recall@5 vs the exact
+    brute-force baseline for every approximate rung, keyed by a `rung`
+    config column — (rung, q_id, hits, recall_at_5). Each rung's rows
+    are bit-identical to the formerly-standalone operator's output
+    (ann_recall_at_5, ann_pq_recall, ann_ivfpq_recall,
+    ann_ivfpq_residual_recall, ann_ivfpq_rerank_recall, ann_sq8_recall,
+    ann_sq8_ivf_recall, ann_sq8_ivf_rek_recall — the per-rung functions
+    remain the implementation), and the oracle is the verbatim UNION
+    ALL of the eight per-rung oracle SQLs, so no checked value is lost:
+    one driver slot now re-proves what eight used to.
+
+    Read DOWN the rung column to decompose recall loss into its
+    sources: ivf/multiprobe isolate cell pruning, pq/sq8 isolate code
+    quantization, the combined rungs show their interaction, rerank
+    shows what the R-deep exact rerank buys back, and sq8_ivf_rek shows
+    the re-k schedule's pruning cost — the tuning table a deployment
+    reads when choosing nprobe, M, and k at 100 TB.
+
+    Plan: the rungs share the session-cached brute baseline, coarse
+    models, and topk tables (one build each per session), so the union
+    costs the eight rung joins, not eight index builds. Excluded:
+    ann_multiprobe_recall (different schema: per-query p1/p2 pair) and
+    rank_fusion_recall (overlap vs the exact FUSION, not vs brute —
+    a different baseline, kept standalone)."""
+    out = None
+    for rung, fn in _recall_ladder_rungs():
+        d = fn(spark, sf_dir).select(
+            F.lit(rung).alias("rung"), "q_id", "hits", "recall_at_5"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("rung", "q_id")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -6551,18 +6604,12 @@ PIPELINE_QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
-    "ann_recall_at_5": ann_recall_at_5,
     "ann_multiprobe_recall": ann_multiprobe_recall,
     "ann_pq_adc_topk": ann_pq_adc_topk,
-    "ann_pq_recall": ann_pq_recall,
     "ann_ivfpq_topk": ann_ivfpq_topk,
-    "ann_ivfpq_recall": ann_ivfpq_recall,
     "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
-    "ann_ivfpq_residual_recall": ann_ivfpq_residual_recall,
     "ann_sq8_topk": ann_sq8_topk,
-    "ann_sq8_recall": ann_sq8_recall,
     "ann_sq8_ivf_topk": ann_sq8_ivf_topk,
-    "ann_sq8_ivf_recall": ann_sq8_ivf_recall,
     "ivf_cell_stats": ivf_cell_stats,
     "semdedup_keep_one": semdedup_keep_one,
     "pq_distortion": pq_distortion,
@@ -6574,7 +6621,6 @@ PIPELINE_QUERIES = {
     "phash_dup_pairs": phash_dup_pairs,
     "dedup_edit_distance": dedup_edit_distance,
     "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
-    "ann_ivfpq_rerank_recall": ann_ivfpq_rerank_recall,
     "phash_dup_clusters": phash_dup_clusters,
     "window_selfdup_cut": window_selfdup_cut,
     "lsh_bucket_size_hist": lsh_bucket_size_hist,
@@ -6586,7 +6632,6 @@ PIPELINE_QUERIES = {
     "dup_quality_audit": dup_quality_audit,
     # new in r8
     "ann_sq8_ivf_rek_topk": ann_sq8_ivf_rek_topk,
-    "ann_sq8_ivf_rek_recall": ann_sq8_ivf_rek_recall,
     "rank_fusion_indexed": rank_fusion_indexed,
     "rank_fusion_recall": rank_fusion_recall,
     "incremental_shard_apply": incremental_shard_apply,
@@ -6600,6 +6645,10 @@ PIPELINE_QUERIES = {
     "dup_ngram_coverage": dup_ngram_coverage,
     "temperature_resample": temperature_resample,
     "label_centroid_similarity": label_centroid_similarity,
+    # r10: the eight vs-brute recall calibration rows merged into one
+    # sweep table (VERDICT r9 item 6) — per-rung functions remain the
+    # implementation; this is the only registered/oracle-checked entry
+    "ann_recall_ladder": ann_recall_ladder,
     # new in r9 — registry tail, past the 50-entry driver window by
     # design (see the r10 rotation note in queries/__init__.py)
     "tokenizer_fertility": tokenizer_fertility,

@@ -18,6 +18,12 @@ def plan_of(spark, name: str) -> str:
     return ALL_QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
 
 
+def plan_of_fn(spark, fn) -> str:
+    """Plan of a non-registered per-rung function (the recall rungs
+    merged into ann_recall_ladder keep their plan assertions here)."""
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
 def optimized_of(spark, name: str) -> str:
     df = ALL_QUERIES[name](spark, SF_DIR)
     return df._jdf.queryExecution().optimizedPlan().toString()
@@ -307,8 +313,12 @@ def test_ivfpq_cell_pruned_codes_scan(spark):
     # codes table joins AFTER cell pruning on the n_id hash key, and
     # the 4 per-query LUTs broadcast — no raw vector shuffles after
     # assignment
-    for q in ("ann_ivfpq_topk", "ann_ivfpq_recall"):
-        plan = plan_of(spark, q)
+    from catalyst_spark.queries import pipeline as _p
+
+    for q, get in (("ann_ivfpq_topk", lambda: plan_of(spark, "ann_ivfpq_topk")),
+                   ("ann_ivfpq_recall",
+                    lambda: plan_of_fn(spark, _p.ann_ivfpq_recall))):
+        plan = get()
         assert "CartesianProduct" not in plan, q
         assert "BroadcastHashJoin" in plan, q
     # cache determinism: a second invocation returns the session-cached
@@ -353,8 +363,13 @@ def test_residual_ivfpq_cell_pruned_scan(spark):
     # cell pruning, per-(query, cell) LUTs broadcast, and no raw or
     # residual vector shuffle after assignment (the residual table is
     # a zip_with over a broadcast centroid lookup, recomputed per scan)
-    for q in ("ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall"):
-        plan = plan_of(spark, q)
+    from catalyst_spark.queries import pipeline as _p
+
+    for q, get in (("ann_ivfpq_residual_topk",
+                    lambda: plan_of(spark, "ann_ivfpq_residual_topk")),
+                   ("ann_ivfpq_residual_recall",
+                    lambda: plan_of_fn(spark, _p.ann_ivfpq_residual_recall))):
+        plan = get()
         assert "CartesianProduct" not in plan, q
         assert "BroadcastHashJoin" in plan, q
     a = [tuple(r) for r in
@@ -421,7 +436,8 @@ def test_reset_session_caches_covers_every_module_cache(spark):
     every `_*_CACHE` dict in the pipeline module is empty."""
     from catalyst_spark.queries import pipeline as p
 
-    ALL_QUERIES["ann_pq_recall"](spark, SF_DIR).collect()     # models+topk
+    from catalyst_spark.queries import pipeline as _pq
+    _pq.ann_pq_recall(spark, SF_DIR).collect()                # models+topk
     ALL_QUERIES["dedup_clusters"](spark, SF_DIR).collect()    # pairs+labels
     populated = [
         name for name in dir(p)

@@ -35,42 +35,47 @@ def test_every_query_is_oracle_checked():
 
 def test_driver_window_composition():
     """The driver's CORRECTNESS window is the FIRST 50 registry keys in
-    insertion order; the r9 rotation plan (queries/__init__.py, VERDICT
-    r8 item 1) promises exactly the _R9_FRONT prefix there — the 14
-    never-driver-checked r8 ops first, then 36 of the 49 r6-stale ops
-    (oldest code first) — with the 13-op spill and every new-in-r9
-    addition deliberately PAST the window (named in the r10 rotation
-    note) so max driver staleness stays bounded. Pin both, so a
-    registry edit cannot silently reshuffle the window before the
+    insertion order; the r10 rotation plan (queries/__init__.py, VERDICT
+    r9 items 1+6) promises exactly the _R10_FRONT prefix there — the 11
+    never-driver-checked r9 ops first, then the merged recall sweep
+    (sole driver coverage of the recall family after the r10 merge)
+    plus the 10 surviving r6-stale spill ops, then 28 r7-stale ops
+    (oldest code first) — with the remaining r7-stale spill and every
+    new-in-r10 addition deliberately PAST the window (named in the r11
+    rotation note) so max driver staleness stays bounded. Pin both, so
+    a registry edit cannot silently reshuffle the window before the
     driver runs."""
-    from catalyst_spark.queries import _R9_FRONT
+    from catalyst_spark.queries import _R10_FRONT
 
     names = list(ALL_QUERIES)
-    assert len(_R9_FRONT) == 50
-    assert names[:50] == _R9_FRONT
-    # the hard-signal bar: the 14 never-checked r8 ops lead the window
-    assert names[:14] == [
-        "ann_sq8_ivf_rek_recall", "rank_fusion_indexed",
-        "rank_fusion_recall", "incremental_shard_apply",
-        "window_selfdup_cut_first", "packing_efficiency_curve",
-        "contamination_ngram_sizes", "pii_extract_stats",
-        "boilerplate_line_cut", "curation_funnel", "gopher_quality_rules",
-        "dup_ngram_coverage", "temperature_resample",
-        "label_centroid_similarity",
+    assert len(_R10_FRONT) == 50
+    assert names[:50] == _R10_FRONT
+    # the hard-signal bar: the 11 never-checked r9 ops lead the window,
+    # followed immediately by the merged recall sweep
+    assert names[:12] == [
+        "tokenizer_fertility", "shard_manifest", "embedding_dim_variance",
+        "chunk_overlap_split", "dsir_importance_weights",
+        "hard_negative_mining", "ann_nprobe_sweep", "cdc_chunk_dedup",
+        "ltob_downsample", "embedding_principal_direction",
+        "mmr_diversified_topk", "ann_recall_ladder",
     ]
-    # the r10 front: the 13 r6-stale spill ops and the new-in-r9 tail
-    # sit past the window
-    for late in ("ann_ivfpq_topk", "ann_ivfpq_recall",
-                 "ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall",
-                 "ann_sq8_topk", "ann_sq8_recall", "ivf_cell_stats",
-                 "bigram_surprisal", "window_overlap_source_matrix",
-                 "pq_distortion", "interval_coverage", "semdedup_keep_one",
-                 "dedup_threshold_sensitivity",
-                 "tokenizer_fertility", "shard_manifest",
-                 "embedding_dim_variance", "chunk_overlap_split",
-                 "dsir_importance_weights", "hard_negative_mining",
-                 "ann_nprobe_sweep"):
+    # the r11 front: the remaining r7-stale spill sits past the window
+    for late in ("q19_above_brand_avg", "range_join_events",
+                 "robust_outliers", "session_cooccurrence", "sessionize",
+                 "text_stats", "token_counts", "ts_rate",
+                 "user_growth_curve", "window_decontaminate",
+                 "window_selfdup_spans", "phash_dup_pairs",
+                 "near_dup_pagerank_converged", "dedup_edit_distance",
+                 "ann_ivfpq_rerank_topk", "phash_dup_clusters",
+                 "window_selfdup_cut", "lsh_bucket_size_hist",
+                 "ann_sq8_ivf_topk"):
         assert names.index(late) >= 50, late
+    # the merged-away recall keys are gone from registry and oracles
+    for gone in ("ann_recall_at_5", "ann_pq_recall", "ann_ivfpq_recall",
+                 "ann_ivfpq_residual_recall", "ann_ivfpq_rerank_recall",
+                 "ann_sq8_recall", "ann_sq8_ivf_recall",
+                 "ann_sq8_ivf_rek_recall"):
+        assert gone not in ALL_QUERIES and gone not in ORACLE_SQL, gone
 
 
 def test_entry_smoke(spark):
