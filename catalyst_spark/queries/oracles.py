@@ -4296,14 +4296,18 @@ def _embedding_dim_variance_sql() -> str:
                          FOR i IN range(1, len(embedding) + 1)]) AS u
           FROM embeddings)),
       agg AS (
+        -- DuckDB SUM(BIGINT) accumulates in HUGEINT (128-bit, exact);
+        -- reported as DECIMAL(38,0) to match Spark's decimal
+        -- accumulator (VERDICT r9 item 4 — no ~8M-row BIGINT bound)
         SELECT dim, COUNT(*) AS n,
-               CAST(SUM(q) AS BIGINT) AS sum_fx,
-               CAST(SUM(q * q) AS BIGINT) AS sumsq_fx
+               CAST(SUM(q) AS DECIMAL(38,0)) AS sum_fx,
+               CAST(SUM(q * q) AS DECIMAL(38,0)) AS sumsq_fx
         FROM q GROUP BY dim)
       SELECT dim, n, sum_fx, sumsq_fx,
-             ROUND(sum_fx * 1.0 / n / {_EMB_FX}, 6) AS mean,
-             ROUND((sumsq_fx * 1.0 / n
-                    - (sum_fx * 1.0 / n) * (sum_fx * 1.0 / n))
+             ROUND(CAST(sum_fx AS DOUBLE) / n / {_EMB_FX}, 6) AS mean,
+             ROUND((CAST(sumsq_fx AS DOUBLE) / n
+                    - (CAST(sum_fx AS DOUBLE) / n)
+                    * (CAST(sum_fx AS DOUBLE) / n))
                    / ({float(_EMB_FX)} * {float(_EMB_FX)}), 8) AS variance
       FROM agg ORDER BY dim
     """

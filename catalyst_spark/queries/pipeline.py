@@ -5985,9 +5985,13 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-dim SUM and SUM-OF-SQUARES are order-free exact integers;
     mean and variance are then a handful of IEEE ops on identical
     integers (exact multiply/subtract/divide — no accumulation), so
-    the oracle matches value-level. sumsq_fx tops out around
-    n * 2^40 — fine in a BIGINT through ~8M rows; the 100 TB note is
-    to accumulate in decimal(38,0) exactly as shard_manifest does.
+    the oracle matches value-level. Both sums ACCUMULATE (and report)
+    in decimal(38,0) — the shard_manifest pattern (VERDICT r9 item 4):
+    sumsq terms are ~2^40 each, so a BIGINT accumulator would overflow
+    past ~8M rows; decimal(38,0) holds ~10^38/2^40 ≈ 3e26 rows. The
+    derived mean/variance convert the exact integer to double once
+    (round-to-nearest of an identical integer is engine-free) and then
+    do the same non-accumulating IEEE ops as before.
 
     Plan: one posexplode to (dim, q) — the x64 fan-out every per-dim
     aggregate pays, map-side combined down to 64 rows before the
@@ -6003,17 +6007,19 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("q").cast("bigint").alias("sum_fx"),
-            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sumsq_fx"),
+            F.sum(F.col("q").cast("decimal(38,0)")).cast("decimal(38,0)")
+            .alias("sum_fx"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("sumsq_fx"),
         )
         .select(
             "dim", "n", "sum_fx", "sumsq_fx",
-            F.round(F.col("sum_fx") / F.col("n") / _EMB_FX, 6)
+            F.round(F.col("sum_fx").cast("double") / F.col("n") / _EMB_FX, 6)
             .alias("mean"),
             F.round(
-                (F.col("sumsq_fx") / F.col("n")
-                 - (F.col("sum_fx") / F.col("n"))
-                 * (F.col("sum_fx") / F.col("n")))
+                (F.col("sumsq_fx").cast("double") / F.col("n")
+                 - (F.col("sum_fx").cast("double") / F.col("n"))
+                 * (F.col("sum_fx").cast("double") / F.col("n")))
                 / (float(_EMB_FX) * float(_EMB_FX)), 8
             ).alias("variance"),
         )
