@@ -4737,3 +4737,46 @@ def _recall_ladder_sql() -> str:
 
 
 ORACLE_SQL["ann_recall_ladder"] = _recall_ladder_sql()
+
+
+def _hard_negative_indexed_sql() -> str:
+    """Oracle twin of pipeline.hard_negative_indexed (VERDICT r9 item
+    2): the full IVF-PQ ADC shortlist CTEs (coarse k-means + PQ
+    codebooks + LUT rank) plus the exact-cosine rerank frame `rr` from
+    the fusion vector arm — then the identical [_HN_LO, _HN_HI) band
+    filter and (cos DESC, n_id) top-_HN_K rank the exact form uses."""
+    from catalyst_spark.queries.pipeline import _HN_HI, _HN_K, _HN_LO
+
+    return (
+        _ivfpq_ctes() + "," + _fusion_ivec_ctes() + f"""
+        SELECT q_id, "rank", n_id AS neg_id, ROUND(cos_raw, 2) AS cos
+        FROM (
+          SELECT q_id, n_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_raw DESC, n_id)
+                   AS "rank"
+          FROM rr
+          WHERE cos_raw >= {_HN_LO} AND cos_raw < {_HN_HI}) t
+        WHERE "rank" <= {_HN_K} ORDER BY q_id, "rank"
+    """)
+
+
+ORACLE_SQL["hard_negative_indexed"] = _hard_negative_indexed_sql()
+
+# calibration row: the exact form's negatives LEFT JOINed against the
+# index-served form's — both rungs' full SQL embedded verbatim as
+# subqueries (the ann_recall_ladder convention), so the overlap row can
+# never drift from what the standalone rungs actually compute
+ORACLE_SQL["hard_negative_overlap"] = f"""
+    SELECT e.q_id,
+           COUNT(i.neg_id) AS hits,
+           COUNT(*) AS n_exact,
+           ROUND(COUNT(i.neg_id) * 1.0 / COUNT(*), 2) AS overlap
+    FROM (
+{ORACLE_SQL["hard_negative_mining"]}
+    ) e
+    LEFT JOIN (
+{ORACLE_SQL["hard_negative_indexed"]}
+    ) i ON i.q_id = e.q_id AND i.neg_id = e.neg_id
+    GROUP BY e.q_id ORDER BY e.q_id
+"""

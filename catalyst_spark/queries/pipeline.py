@@ -6534,11 +6534,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the cosine is the brute rung's sequential-fold dot
     product — byte-identical doubles in both engines — so the band
     predicate and the rank order match the oracle exactly; the output
-    rounds for display only. Scale: this exact form is O(Q*N) like
-    ann_brute_topk (the ground-truth ablation partner); the serving
-    path is the same band filter over the IVF-PQ rerank shortlist —
-    the shortlist already carries exact cosines, so production pays
-    zero extra scans on top of retrieval.
+    rounds for display only.
+
+    SCALE ROLE (r10): this exact O(Q*N) form is the GROUND-TRUTH
+    ABLATION PARTNER, not the serving path — like ann_brute_topk for
+    the ANN ladder and rank_fusion_topk for fusion. Production mines
+    negatives with hard_negative_indexed (the identical band filter
+    over the cached IVF-PQ rerank shortlist, zero extra scans), and
+    hard_negative_overlap is the per-query cost-of-the-swap row read
+    next to the latency win.
     """
     emb = load(spark, sf_dir, "embeddings")
     q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
@@ -6553,6 +6557,62 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rank", F.col("n_id").alias("neg_id"),
                 F.round("cos_raw", 2).alias("cos"))
         .orderBy("q_id", "rank")
+    )
+
+
+def hard_negative_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining SERVED OFF THE INDEX (VERDICT r9 item 2 —
+    the production rung the exact form's docstring promised): the same
+    [_HN_LO, _HN_HI) band filter and (cos DESC, n_id) top-_HN_K rank,
+    applied to the cached IVF-PQ exact-rerank shortlist
+    (_ivfpq_rerank_ranked) — which already carries exact cosines for
+    its _RERANK_R candidates per query, so mining negatives costs ZERO
+    extra corpus scans on top of retrieval (the rank_fusion_indexed
+    precedent). Schema matches hard_negative_mining exactly;
+    hard_negative_overlap is the per-query calibration row between the
+    two.
+
+    Scale: the input is the probe-set-sized shortlist (Q x R rows) —
+    index-bounded at any corpus. The trade is visibility: only
+    candidates the index retrieves can be mined, so negatives below
+    the shortlist's cosine floor are invisible; the overlap row
+    measures exactly that loss."""
+    ranked = _ivfpq_rerank_ranked(spark, sf_dir)
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    return (
+        ranked
+        .where((F.col("cos_raw") >= _HN_LO) & (F.col("cos_raw") < _HN_HI))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _HN_K)
+        .select("q_id", "rank", F.col("n_id").alias("neg_id"),
+                F.round("cos_raw", 2).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def hard_negative_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-of-the-swap calibration for hard_negative_indexed (the
+    rank_fusion_recall pattern): per probe query, how many of the
+    EXACT form's mined negatives the index-served form reproduces.
+    The denominator is the exact form's actual row count per query
+    (the band can hold fewer than _HN_K members), so overlap = 1.0
+    means the served rung mined exactly the ground-truth set. Queries
+    whose exact band is empty have nothing to reproduce and emit no
+    row — identically in both engines."""
+    idx = hard_negative_indexed(spark, sf_dir).select(
+        "q_id", "neg_id"
+    ).withColumn("_hit", F.lit(1))
+    exact = hard_negative_mining(spark, sf_dir).select("q_id", "neg_id")
+    return (
+        exact.join(idx, ["q_id", "neg_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.round(F.count("_hit") / F.count(F.lit(1)), 2)
+            .alias("overlap"),
+        )
+        .orderBy("q_id")
     )
 
 
@@ -6667,4 +6727,8 @@ PIPELINE_QUERIES = {
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "embedding_principal_direction": embedding_principal_direction,
     "mmr_diversified_topk": mmr_diversified_topk,
+    # new in r10 — registry tail, past the 50-entry driver window by
+    # design (see the r11 rotation note in queries/__init__.py)
+    "hard_negative_indexed": hard_negative_indexed,
+    "hard_negative_overlap": hard_negative_overlap,
 }

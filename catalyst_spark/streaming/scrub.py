@@ -206,27 +206,35 @@ def stream_curation_pipeline(
     band_index: DataFrame,
     hset_index: DataFrame,
     boiler_hashes: list[int],
+    lw: list[int],
+    norm_bits: int,
 ) -> DataFrame:
     """The ingest-time curation stages COMPOSED as one streaming query
-    (VERDICT r8 item 7, extended r9 with the line-removal stage):
-    quality gate -> PII scrub -> boilerplate cut -> shard-dedup
-    classify over a single arriving corpus — the full funnel production
-    actually runs, not four proofs in isolation. One emission per
-    gate-passing document: its dedup class against the corpus index,
-    its scrub audit delta, its boiler-cut audit (chunks cut + kept
-    tokens), and n_seen for the re-delivery proof; gate-failing
-    documents never reach the scrub, the cut, or the index probes
-    (the filter is upstream of every join, so rejected rows cost one
+    (VERDICT r8 item 7; r9 added the line-removal stage; r10 the DSIR
+    scoring stage — VERDICT r9 item 3): quality gate -> DSIR score ->
+    PII scrub -> boilerplate cut -> shard-dedup classify over a single
+    arriving corpus — the full FIVE-STAGE funnel production actually
+    runs, not five proofs in isolation. One emission per gate-passing
+    document: its dedup class against the corpus index, its DSIR
+    importance weight w_bits (what a resampling ingest admits on), its
+    scrub audit delta, its boiler-cut audit (chunks cut + kept tokens),
+    and n_seen for the re-delivery proof; gate-failing documents never
+    reach the scorer, the scrub, the cut, or the index probes (the
+    filter is upstream of every join, so rejected rows cost one
     projection — the 100 TB ingest shape).
 
-    Stage wiring: the gate and scrub are the stateless twins above
-    (passthrough `keep` carries the raw text to the dedup probe — the
-    corpus index is built over raw text, and the scrubbed payload is
-    what the SINK persists, so probing raw is the correct order);
-    classification evidence is the stream_shard_dedup_classify shape
-    (fingerprint equi-join, band-bucket join + integer-exact Jaccard
-    verify), with the per-doc state extended by the scrub delta so the
-    composed emission carries the whole funnel fate of the document.
+    Stage wiring: the gate, scorer, and scrub are the stateless twins
+    in this module (passthrough `keep` carries the raw text to the
+    dedup probe — the corpus index and the DSIR model are built over
+    raw text, and the scrubbed payload is what the SINK persists, so
+    scoring/probing raw is the correct order); the DSIR stage is ONE
+    projection against the broadcast 4096-bucket model (stream_dsir_
+    gate with the text kept), so composing it costs no state and no
+    shuffle; classification evidence is the
+    stream_shard_dedup_classify shape (fingerprint equi-join,
+    band-bucket join + integer-exact Jaccard verify), with the per-doc
+    state extended by the scrub delta and the weight so the composed
+    emission carries the whole funnel fate of the document.
     """
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -245,28 +253,37 @@ def stream_curation_pipeline(
         .where("passes")
         .select("doc_id", "source", "text")
     )
-    scrubbed = stream_pii_scrub(survivors, keep=("text",))
+    # DSIR scoring: one stateless projection against the broadcast
+    # model, applied once here so every downstream leg carries the
+    # same per-doc weight (gate failures are already filtered out —
+    # they are never scored)
+    scored = stream_dsir_gate(survivors, lw, norm_bits,
+                              keep=("text",)).select(
+        "doc_id", "source", "text", "w_bits"
+    )
+    scrubbed = stream_pii_scrub(scored, keep=("text", "w_bits"))
     cut = stream_boilerplate_cut(scrubbed, boiler_hashes,
-                                 keep=("red_delta",))
+                                 keep=("red_delta", "w_bits"))
     base = cut.select(
         "doc_id", "source", "red_delta", "n_cut",
-        F.col("kept_tokens").alias("kept_tok"),
+        F.col("kept_tokens").alias("kept_tok"), "w_bits",
         F.lit(0).alias("exact"), F.lit(0).alias("near"),
     )
     exact = (
         scrubbed.select(
-            "doc_id", "source",
+            "doc_id", "source", "w_bits",
             F.expr("substring(md5(text), 1, 16)").alias("fp"),
         )
         .join(fp_index, "fp")
         .select("doc_id", "source", F.lit(0).alias("red_delta"),
                 F.lit(0).cast("bigint").alias("n_cut"),
-                F.lit(0).cast("bigint").alias("kept_tok"),
+                F.lit(0).cast("bigint").alias("kept_tok"), "w_bits",
                 F.lit(1).alias("exact"), F.lit(0).alias("near"))
     )
     a_lst, b_lst = _minhash_coeffs()
     enr = _shingled(
-        scrubbed.select("doc_id", "source", "text"), keep=("source",)
+        scrubbed.select("doc_id", "source", "text", "w_bits"),
+        keep=("source", "w_bits"),
     ).withColumn(
         "qh", F.expr(f"transform(shingles, sh -> {_h60('sh')})")
     )
@@ -277,7 +294,7 @@ def stream_curation_pipeline(
         ))
     near = (
         enr.select(
-            "doc_id", "source", "qh",
+            "doc_id", "source", "qh", "w_bits",
             F.explode(_band_buckets_array()).alias("bucket"),
         )
         .join(band_index, "bucket")
@@ -288,7 +305,7 @@ def stream_curation_pipeline(
         )
         .select("doc_id", "source", F.lit(0).alias("red_delta"),
                 F.lit(0).cast("bigint").alias("n_cut"),
-                F.lit(0).cast("bigint").alias("kept_tok"),
+                F.lit(0).cast("bigint").alias("kept_tok"), "w_bits",
                 F.lit(0).alias("exact"), F.lit(1).alias("near"))
     )
     rows = base.unionByName(exact).unionByName(near)
@@ -297,8 +314,8 @@ def stream_curation_pipeline(
         import pandas as pd
 
         (doc_id,) = key
-        ex, nr, src, red, cutn, kept, n_seen = (
-            state.get if state.exists else (0, 0, "", 0, 0, 0, 0))
+        ex, nr, src, red, cutn, kept, w, n_seen = (
+            state.get if state.exists else (0, 0, "", 0, 0, 0, 0, 0))
         cand = pd.concat(list(pdfs), ignore_index=True)
         ex = int(bool(ex or cand["exact"].max()))
         nr = int(bool(nr or cand["near"].max()))
@@ -306,12 +323,16 @@ def stream_curation_pipeline(
         red = max(int(red), int(cand["red_delta"].max()))
         cutn = max(int(cutn), int(cand["n_cut"].max()))
         kept = max(int(kept), int(cand["kept_tok"].max()))
+        # every leg carries the identical per-doc weight (scored once,
+        # upstream of the branch), so any row's value is THE value —
+        # no max() needed, which matters because w_bits can be negative
+        w = int(cand["w_bits"].iloc[0]) if not state.exists else int(w)
         n_seen = int(n_seen) + len(cand)
-        state.update((ex, nr, src, red, cutn, kept, n_seen))
+        state.update((ex, nr, src, red, cutn, kept, w, n_seen))
         status = "exact" if ex else ("near" if nr else "kept")
         yield pd.DataFrame({
             "doc_id": [int(doc_id)], "source": [src], "status": [status],
-            "red_delta": [red], "boiler_cut": [cutn],
+            "w_bits": [w], "red_delta": [red], "boiler_cut": [cutn],
             "kept_tokens": [kept], "n_seen": [n_seen],
         })
 
@@ -319,6 +340,7 @@ def stream_curation_pipeline(
         T.StructField("doc_id", T.LongType()),
         T.StructField("source", T.StringType()),
         T.StructField("status", T.StringType()),
+        T.StructField("w_bits", T.LongType()),
         T.StructField("red_delta", T.LongType()),
         T.StructField("boiler_cut", T.LongType()),
         T.StructField("kept_tokens", T.LongType()),
@@ -331,6 +353,7 @@ def stream_curation_pipeline(
         T.StructField("red", T.LongType()),
         T.StructField("cutn", T.LongType()),
         T.StructField("kept", T.LongType()),
+        T.StructField("w", T.LongType()),
         T.StructField("n_seen", T.LongType()),
     ])
     return rows.groupBy("doc_id").applyInPandasWithState(
@@ -385,7 +408,7 @@ def dsir_weight_index(spark, sf_dir: str):
 
 
 def stream_dsir_gate(doc_stream: DataFrame, lw: list[int],
-                     norm_bits: int) -> DataFrame:
+                     norm_bits: int, keep: tuple = ()) -> DataFrame:
     """Ingest-time DSIR scoring: the streaming face of
     dsir_importance_weights — every arriving document gets its
     importance weight (in bit units) against the broadcast 4096-bucket
@@ -394,7 +417,9 @@ def stream_dsir_gate(doc_stream: DataFrame, lw: list[int],
     in as one array literal, the per-doc sum is a doc-local fold) —
     append mode, no state store, wire-speed inside codegen; the exact
     deployment shape DSIR describes (score with yesterday's hashed LM,
-    admit by weight)."""
+    admit by weight). `keep` names extra input columns passed through
+    untouched (the composed curation pipeline keeps the raw text for
+    the downstream stages)."""
     from catalyst_spark.queries.pipeline import (
         _DSIR_BUCKETS,
         _h60,
@@ -415,5 +440,6 @@ def stream_dsir_gate(doc_stream: DataFrame, lw: list[int],
             (F.expr(per_tok)
              + F.expr(N_TOKENS).cast("bigint") * F.lit(norm_bits))
             .cast("bigint").alias("w_bits"),
+            *[F.col(c) for c in keep],
         )
     )

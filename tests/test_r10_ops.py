@@ -1,0 +1,102 @@
+"""Round-10 invariants: the VERDICT r9 worklist — the merged recall
+ladder, the index-served hard-negative rung + its calibration row, and
+the decimal accumulator in embedding_dim_variance.
+
+Reference parity note: these cover THIS repo's analytical surface; the
+reference (ovh/catalyst) has no analogue — its querying is delegated
+to the TSDB backend (reference README).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def test_recall_ladder_covers_every_rung_verbatim(spark):
+    """VERDICT r9 item 6: the merged sweep must be row-identical to the
+    standalone per-rung outputs (no checked value lost), and the rung
+    set must match _recall_ladder_rungs — the single source of truth
+    the oracle UNION ALL also reads."""
+    from catalyst_spark.queries import ALL_QUERIES
+    from catalyst_spark.queries import pipeline as P
+
+    ladder = ALL_QUERIES["ann_recall_ladder"](spark, SF_DIR).collect()
+    by_rung = {}
+    for r in ladder:
+        by_rung.setdefault(r["rung"], []).append(
+            (r["q_id"], r["hits"], float(r["recall_at_5"]))
+        )
+    rungs = P._recall_ladder_rungs()
+    assert set(by_rung) == {name for name, _ in rungs}
+    for name, fn in rungs:
+        want = [(r["q_id"], r["hits"], float(r["recall_at_5"]))
+                for r in fn(spark, SF_DIR).collect()]
+        assert sorted(by_rung[name]) == sorted(want), name
+
+
+def test_hard_negative_indexed_reads_shortlist_only(spark):
+    """VERDICT r9 item 2: the served rung must consume the cached
+    IVF-PQ rerank shortlist — every mined negative is a shortlist
+    member with its exact shortlist cosine, and the plan has no
+    cartesian product (index-bounded, zero extra corpus scans)."""
+    from catalyst_spark.queries import pipeline as P
+
+    sl = {(r["q_id"], r["n_id"]): r["cos_raw"]
+          for r in P._ivfpq_rerank_ranked(spark, SF_DIR).collect()}
+    got = P.hard_negative_indexed(spark, SF_DIR)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        key = (r["q_id"], r["neg_id"])
+        assert key in sl, key
+        assert P._HN_LO <= sl[key] < P._HN_HI
+        assert round(sl[key], 2) == float(r["cos"])
+        assert 1 <= r["rank"] <= P._HN_K
+
+
+def test_hard_negative_overlap_calibrates_vs_exact(spark):
+    """The calibration row: per query, hits <= n_exact <= _HN_K, the
+    denominator is the exact form's row count, and a hand-computed
+    intersection reproduces the hits column."""
+    from catalyst_spark.queries import pipeline as P
+
+    exact = {}
+    for r in P.hard_negative_mining(spark, SF_DIR).collect():
+        exact.setdefault(r["q_id"], set()).add(r["neg_id"])
+    served = {}
+    for r in P.hard_negative_indexed(spark, SF_DIR).collect():
+        served.setdefault(r["q_id"], set()).add(r["neg_id"])
+    out = {r["q_id"]: r for r in
+           P.hard_negative_overlap(spark, SF_DIR).collect()}
+    assert set(out) == set(exact)  # every query with an exact band row
+    for q_id, negs in exact.items():
+        row = out[q_id]
+        want_hits = len(negs & served.get(q_id, set()))
+        assert row["hits"] == want_hits, q_id
+        assert row["n_exact"] == len(negs) <= P._HN_K
+        assert float(row["overlap"]) == round(want_hits / len(negs), 2)
+
+
+def test_dim_variance_sums_are_decimal(spark):
+    """VERDICT r9 item 4: the accumulators must be decimal(38,0) (no
+    ~8M-row BIGINT bound), with values identical to exact integer
+    sums."""
+    from decimal import Decimal
+
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.tables import load
+
+    df = P.embedding_dim_variance(spark, SF_DIR)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["sum_fx"] == "decimal(38,0)"
+    assert schema["sumsq_fx"] == "decimal(38,0)"
+    rows = {r["dim"]: r for r in df.collect()}
+    emb = [r["embedding"] for r in
+           load(spark, SF_DIR, "embeddings").select("embedding").collect()]
+    import math
+    for dim in (1, len(emb[0])):
+        qs = [math.floor(float(v[dim - 1]) * P._EMB_FX) for v in emb]
+        assert rows[dim]["sum_fx"] == Decimal(sum(qs))
+        assert rows[dim]["sumsq_fx"] == Decimal(sum(x * x for x in qs))

@@ -1764,14 +1764,16 @@ def test_stream_boilerplate_cut_matches_batch(spark, tmp_path):
 
 
 def test_stream_curation_pipeline_composed(spark, tmp_path):
-    """VERDICT r8 item 7: gate -> scrub -> shard-dedup classify run as
-    ONE composed streaming query over one arriving corpus (the shard,
-    one batch RE-DELIVERED). Stage-count asserts: (0) arriving docs,
-    (1) gate survivors (only they are emitted — rejected docs never
-    reach the scrub or the index probes), (2) per-doc scrub deltas
-    equal to the stateless twin on the survivor set, (3) dedup classes
-    equal to the batch classification of the survivors against the
-    corpus index."""
+    """VERDICT r8 item 7 (+ r9 item 3, the DSIR stage): gate -> DSIR
+    score -> scrub -> boiler cut -> shard-dedup classify run as ONE
+    composed streaming query over one arriving corpus (the shard, one
+    batch RE-DELIVERED). Stage-count asserts: (0) arriving docs, (1)
+    gate survivors (only they are emitted — rejected docs never reach
+    the scorer, the scrub, or the index probes), (1b) per-doc w_bits
+    equal to the stateless DSIR twin on the survivor set, (2) per-doc
+    scrub deltas equal to the stateless twin, (2b) boiler-cut audits,
+    (3) dedup classes equal to the batch classification of the
+    survivors against the corpus index."""
     import json
     from collections import Counter
 
@@ -1783,8 +1785,10 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
     from catalyst_spark.streaming.minhash import shard_dedup_static_index
     from catalyst_spark.streaming.scrub import (
         boiler_hash_index,
+        dsir_weight_index,
         stream_boilerplate_cut,
         stream_curation_pipeline,
+        stream_dsir_gate,
         stream_pii_scrub,
         stream_quality_gate,
     )
@@ -1811,6 +1815,9 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
     bh = boiler_hash_index(spark, SF_DIR)
     want_cut = {r["doc_id"]: (r["n_cut"], r["kept_tokens"])
                 for r in stream_boilerplate_cut(surv_df, bh).collect()}
+    lw, norm_bits = dsir_weight_index(spark, SF_DIR)
+    want_w = {r["doc_id"]: r["w_bits"]
+              for r in stream_dsir_gate(surv_df, lw, norm_bits).collect()}
 
     corpus = docs.where("doc_id % 7 != 0")
     exact_ids = {
@@ -1856,7 +1863,7 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
               .schema("doc_id long, source string, text string")
               .option("maxFilesPerTrigger", 1).json(str(d)))
     q = (stream_curation_pipeline(stream, fp_index, band_index,
-                                  hset_index, bh)
+                                  hset_index, bh, lw, norm_bits)
          .writeStream.outputMode("update").format("memory")
          .queryName("curation_stream").start())
     q.processAllAvailable()
@@ -1870,6 +1877,10 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
             latest[r["doc_id"]] = r
     # stage 1: exactly the gate survivors are emitted
     assert set(latest) == gate_pass
+    # stage 1b: DSIR weights match the stateless scoring twin on the
+    # survivors (VERDICT r9 item 3 — the funnel's fifth stage)
+    for doc_id, r in latest.items():
+        assert r["w_bits"] == want_w[doc_id], doc_id
     # stage 2: scrub deltas match the stateless twin on the survivors
     for doc_id, r in latest.items():
         assert r["red_delta"] == want_red[doc_id], doc_id
