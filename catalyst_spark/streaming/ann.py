@@ -716,19 +716,159 @@ def stream_ivfpq_rerank_topk(
     )
 
 
-def _rerank_scored(
+MMR_TOPK_SCHEMA = T.StructType([
+    T.StructField("q_id", T.LongType()),
+    T.StructField("rank", T.LongType()),
+    T.StructField("result_id", T.LongType()),
+    T.StructField("mmr_score", T.DoubleType()),
+    T.StructField("n_seen", T.LongType()),   # monotone: latest = final
+])
+
+MMR_STATE_SCHEMA = T.StructType([
+    T.StructField("d2", T.ArrayType(T.DoubleType())),
+    T.StructField("n_id", T.ArrayType(T.LongType())),
+    T.StructField("cos", T.ArrayType(T.DoubleType())),
+    # shortlist candidate vectors, flattened row-major (<= R * dim
+    # doubles per query — bounded like every other field)
+    T.StructField("vflat", T.ArrayType(T.DoubleType())),
+    T.StructField("n_seen", T.LongType()),
+])
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left-to-right fold — the exact IEEE evaluation order
+    of pipeline._cosine's aggregate() (and _with_norm's), so the
+    greedy's sims are bit-identical to the batch MMR's Spark-side
+    doubles (Python floats ARE IEEE doubles; a numpy dot would use
+    pairwise/SIMD summation and break last-ulp equality)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _mmr_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The rerank twin's bounded shortlist state (top-_RERANK_R by
+    (adc d2 asc, n_id asc), exact cosines attached) extended with the
+    candidate vectors; emission runs the batch MMR greedy over the
+    CURRENT shortlist — <= R candidates, <= R^2 sims, all inside this
+    group — so the final emission equals mmr_diversified_topk's rows
+    exactly. Idempotent under re-delivery (dedup on n_id)."""
+    import math
+
+    from catalyst_spark.queries.pipeline import _MMR_K, _MMR_LAMBDA
+
+    (q_id,) = key
+    ds, ns, cs, vflat, n_seen = (
+        state.get if state.exists else ([], [], [], [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    old_vecs = []
+    if ns:
+        dim = len(vflat) // len(ns)
+        old_vecs = [list(vflat[i * dim:(i + 1) * dim])
+                    for i in range(len(ns))]
+    merged = pd.DataFrame({
+        "d2": list(ds) + cand["d2"].tolist(),
+        "n_id": list(ns) + cand["n_id"].tolist(),
+        "cos": list(cs) + cand["cos"].tolist(),
+        "v": old_vecs + [[float(x) for x in v] for v in cand["vc"]],
+    })
+    merged = (
+        merged.sort_values(["d2", "n_id"], ignore_index=True)
+        .drop_duplicates("n_id", ignore_index=True)
+        .head(_RERANK_R)
+    )
+    n_seen = int(n_seen) + len(cand)
+    state.update((merged["d2"].tolist(), merged["n_id"].tolist(),
+                  merged["cos"].tolist(),
+                  [x for v in merged["v"] for x in v], n_seen))
+    # the batch greedy, verbatim semantics: step 1 takes the relevance
+    # max; later steps take argmax(cos - lambda * max sim(c, selected)),
+    # ties on n_id — same IEEE ops on the same doubles
+    entries = [
+        (int(r.n_id), float(r.cos), list(r.v),
+         math.sqrt(_fold_dot(r.v, r.v)))
+        for r in merged.itertuples()
+    ]
+    entries.sort(key=lambda e: e[0])          # n_id asc = tie order
+    selected: list = []
+    rows = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for n_id, cos, v, nrm in entries:
+            if any(s[0] == n_id for s in selected):
+                continue
+            if step == 1:
+                score = cos
+            else:
+                pen = max(
+                    _fold_dot(v, sv) / (nrm * snrm)
+                    for _, _, sv, snrm in selected
+                )
+                score = cos - _MMR_LAMBDA * pen
+            if best is None or score > best[1]:
+                best = ((n_id, score, v, nrm), score)
+        if best is None:
+            break
+        pick = best[0]
+        selected.append((pick[0], pick[1], pick[2], pick[3]))
+        rows.append((step, pick[0], _round_half_up(pick[1])))
+    yield pd.DataFrame({
+        "q_id": int(q_id),
+        "rank": [r[0] for r in rows],
+        "result_id": [r[1] for r in rows],
+        "mmr_score": [r[2] for r in rows],
+        "n_seen": n_seen,
+    })
+
+
+def stream_mmr_topk(
     vec_stream: DataFrame,
     codes_cells: DataFrame,
     cent_entries: list,
     coarse_entries: list,
     vecs_norm: DataFrame,
 ) -> DataFrame:
+    """Online twin of mmr_diversified_topk (VERDICT r9 item 5 — the
+    last serving-path ANN rung without one): the rerank twin's scored
+    candidate stream (numpy coarse probe, c_id-bounded ADC scoring,
+    eager exact cosine) feeds the same bounded top-_RERANK_R shortlist
+    state — extended with the candidate vectors — and the MMR greedy
+    runs AT EMISSION over that shortlist: <= R candidates and <= R^2
+    sequential-fold sims per query, no driver round-trip, no extra
+    corpus access beyond what retrieval already fetched (exactly the
+    batch op's index-bounded claim, online). Final emission equals the
+    batch rows bit-for-bit (replay test incl. re-delivery); lambda =
+    0.5 is an exponent shift, so scores are the same IEEE doubles."""
+    scored = _rerank_scored(vec_stream, codes_cells, cent_entries,
+                            coarse_entries, vecs_norm, with_vec=True)
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _mmr_update,
+        outputStructType=MMR_TOPK_SCHEMA,
+        stateStructType=MMR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _rerank_scored(
+    vec_stream: DataFrame,
+    codes_cells: DataFrame,
+    cent_entries: list,
+    coarse_entries: list,
+    vecs_norm: DataFrame,
+    with_vec: bool = False,
+) -> DataFrame:
     """The two-stage rerank twin's scored candidate stream, factored
     (r8) so the indexed-fusion twin reuses it as its vector arm: per
     arriving query, (q_id, n_id, d2, cos) over the c_id-bounded
     candidate set — numpy coarse probe (bit-identical to
     `_probe_top2`), LUT ADC distance, eager exact cosine via the
-    static raw-vector store."""
+    static raw-vector store. `with_vec` additionally carries the
+    candidate's raw vector `vc` (the MMR twin needs it for the
+    candidate-candidate sims of the greedy — r10)."""
     spark = vec_stream.sparkSession
     one = spark.createDataFrame(
         [(cent_entries,)],
@@ -774,7 +914,8 @@ def _rerank_scored(
                 F.col("vec_id").alias("n_id"), d2.alias("d2"))
         .join(vecs_norm, "n_id")  # raw-vector store: same c_id-bounded set
         .withColumn("cos", _cosine("vq", "vc"))
-        .select("q_id", "n_id", "d2", "cos")
+        .select("q_id", "n_id", "d2", "cos",
+                *(["vc"] if with_vec else []))
     )
     return scored
 

@@ -1959,3 +1959,60 @@ def test_stream_dsir_gate_matches_batch(spark, tmp_path):
                         key=lambda r: (-r["w_bits"], r["doc_id"]))[:len(top)]
     assert [(r["doc_id"], r["w_bits"]) for r in stream_top] \
         == [(r["doc_id"], r["w_bits"]) for r in top]
+
+
+def test_stream_mmr_topk_matches_batch(spark, tmp_path):
+    """Streaming MMR twin (VERDICT r9 item 5): replaying the probe set
+    as a file stream (one batch fully RE-DELIVERED) against the IVF-PQ
+    static index + raw-vector store must converge to
+    mmr_diversified_topk's diversified top-k exactly — the rerank
+    twin's bounded shortlist state extended with candidate vectors,
+    the greedy run at emission over <= R candidates with
+    sequential-fold sims (bit-identical IEEE order to the batch op)."""
+    import json
+
+    from catalyst_spark.queries.pipeline import mmr_diversified_topk
+    from catalyst_spark.streaming.ann import (
+        rerank_static_index,
+        stream_mmr_topk,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["q_id"], r["rank"]): (r["result_id"], r["mmr_score"])
+            for r in mmr_diversified_topk(spark, SF_DIR).collect()}
+    assert want
+
+    codes_cells, entries, coarse, vecs_norm = rerank_static_index(
+        spark, SF_DIR)
+    probes = (load(spark, SF_DIR, "embeddings")
+              .where("vec_id % 50 = 0")
+              .selectExpr("vec_id", "cast(embedding as array<double>)"
+                          " as embedding").collect())
+    d = tmp_path / "mmr_stream"
+    d.mkdir()
+    half = max(1, len(probes) // 2)
+    batches = [probes[:half], probes[half:], probes[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": list(r["embedding"])})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_mmr_topk(stream, codes_cells, entries, coarse, vecs_norm)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("mmr_stream_topk").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from mmr_stream_topk").collect()
+    latest_seen = {}
+    for r in rows:
+        if (r["q_id"] not in latest_seen
+                or r["n_seen"] > latest_seen[r["q_id"]]):
+            latest_seen[r["q_id"]] = r["n_seen"]
+    got = {(r["q_id"], r["rank"]): (r["result_id"], r["mmr_score"])
+           for r in rows if r["n_seen"] == latest_seen[r["q_id"]]}
+    assert got == want
