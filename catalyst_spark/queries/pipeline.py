@@ -6257,6 +6257,37 @@ def embedding_principal_direction(spark: SparkSession,
 _CDC_MOD = 8
 
 
+def _cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Content-defined chunks of a documents frame: (doc_id, source,
+    n_tok, h) — one row per chunk, h = _h60 of the reassembled chunk
+    text. A token OPENS a new chunk when h60(token) mod _CDC_MOD == 0;
+    tokens before the first boundary form chunk 0. Factored out of
+    cdc_chunk_dedup (r10) so the streaming classifier's corpus-side
+    chunk-hash index is built with the batch operator's own chunking —
+    the two can never disagree on boundaries."""
+    toks = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.expr(TOKENS)).alias("pos", "w"),
+    ).withColumn(
+        "is_b",
+        (F.expr(f"pmod({_h60('w')}, {_CDC_MOD})") == 0).cast("int"),
+    )
+    wc = W.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    return (
+        toks.withColumn("cid", F.sum("is_b").over(wc))
+        .groupBy("doc_id", "source", "cid")
+        .agg(
+            F.expr("concat_ws(' ', transform(array_sort("
+                   "collect_list(struct(pos, w))), x -> x.w))")
+            .alias("chunk"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .select("doc_id", "source", "n_tok",
+                F.expr(_h60("chunk")).alias("h"))
+    )
+
+
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk dedup (the rsync/LBFS trick, Muthitacharoen
     et al. 2001, applied to corpus text): chunk boundaries are chosen
@@ -6278,27 +6309,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass; nothing is all-pairs.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source",
-        F.posexplode(F.expr(TOKENS)).alias("pos", "w"),
-    ).withColumn(
-        "is_b",
-        (F.expr(f"pmod({_h60('w')}, {_CDC_MOD})") == 0).cast("int"),
-    )
-    wc = W.partitionBy("doc_id").orderBy("pos") \
-        .rowsBetween(W.unboundedPreceding, 0)
-    chunks = (
-        toks.withColumn("cid", F.sum("is_b").over(wc))
-        .groupBy("doc_id", "source", "cid")
-        .agg(
-            F.expr("concat_ws(' ', transform(array_sort("
-                   "collect_list(struct(pos, w))), x -> x.w))")
-            .alias("chunk"),
-            F.count(F.lit(1)).alias("n_tok"),
-        )
-        .select("doc_id", "source", "n_tok",
-                F.expr(_h60("chunk")).alias("h"))
-    )
+    chunks = _cdc_chunks(docs)
     dup = (
         chunks.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -204,3 +204,135 @@ def stream_shard_dedup_classify(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_chunk_static_index(spark, sf_dir: str) -> DataFrame:
+    """Corpus-side CDC chunk-hash index for ingest-time re-crawl
+    classification (VERDICT r9 item 8): the DISTINCT content-defined
+    chunk hashes of the already-ingested corpus (doc_id % 7 != 0 — the
+    same corpus/shard split the shard-dedup twin serves), built with
+    the batch operator's own chunker (pipeline._cdc_chunks), so stream
+    and nightly audit can never disagree on boundaries. Data-sized but
+    static — at 100 TB this is a bucketed table on `h` and the
+    stream-static join shuffles only the per-batch chunk rows."""
+    from catalyst_spark.queries.pipeline import _cdc_chunks
+    from catalyst_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        _cdc_chunks(docs.where(F.col("doc_id") % 7 != 0))
+        .select("h").distinct()
+    )
+
+
+def _cdc_classify_update(key, pdfs, state):
+    """Per-arriving-doc CDC audit state: the doc's chunk count + token
+    count (from the base leg), the DISTINCT matched chunk positions
+    (from the match leg — positions, not hashes, so a doc that repeats
+    one boilerplate chunk twice counts both, exactly like the batch
+    audit's per-chunk-row counting), merged idempotently under
+    re-delivery."""
+    import pandas as pd
+
+    (doc_id,) = key
+    src, n_chunks, n_tok, pos, n_seen = (
+        state.get if state.exists else ("", 0, 0, [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    src = src or str(cand["source"].iloc[0])
+    n_chunks = max(int(n_chunks), int(cand["n_chunks"].max()))
+    n_tok = max(int(n_tok), int(cand["n_tok"].max()))
+    matched = sorted(set(int(p) for p in pos)
+                     | set(int(p) for p in cand["pos"] if p >= 0))
+    n_seen = int(n_seen) + len(cand)
+    state.update((src, n_chunks, n_tok, matched, n_seen))
+    yield pd.DataFrame({
+        "doc_id": [int(doc_id)], "source": [src],
+        "n_chunks": [n_chunks], "n_tok": [n_tok],
+        "n_dup_chunks": [len(matched)], "n_seen": [n_seen],
+    })
+
+
+def stream_cdc_classify(
+    doc_stream: DataFrame, chunk_index: DataFrame
+) -> DataFrame:
+    """Ingest-time content-defined chunk classification (VERDICT r9
+    item 8 — the streaming face of cdc_chunk_dedup for the re-crawl
+    case): each arriving document is CDC-chunked INSIDE ITS OWN ROW
+    (boundary positions -> chunk starts -> slice/reassemble/hash, all
+    higher-order array functions — no explode-then-window, no state
+    before the classifier), its chunk hashes are probed against the
+    static corpus chunk-hash index with a stream-static equi-join, and
+    one keyed state per doc merges the evidence: (n_chunks, n_tok,
+    matched chunk positions). A re-crawled page with one edited
+    sentence shows n_dup_chunks = n_chunks - O(1) — the fixed grid
+    would lose every window after the edit — and the classifier sees
+    that at ingest, not at the nightly audit.
+
+    Chunking parity: the in-row expressions reproduce the batch
+    operator's cumulative-boundary semantics exactly (tokens before
+    the first boundary are chunk 0; each boundary token opens a chunk),
+    and the replay test aggregates the per-doc emissions into the
+    per-source audit computed from pipeline._cdc_chunks directly —
+    byte-identical chunk text, same _h60. Emission is idempotent under
+    re-delivery (positions merge as a set; counts are per-doc
+    constants)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from catalyst_spark.queries.pipeline import (
+        _CDC_MOD,
+        _h60,
+        N_TOKENS,
+        TOKENS,
+    )
+
+    bpos = (f"filter(transform({TOKENS}, (w, i) -> CASE WHEN "
+            f"pmod({_h60('w')}, {_CDC_MOD}) = 0 THEN i + 1 ELSE 0 END), "
+            f"p -> p > 0)")
+    starts = f"array_distinct(concat(array(1), {bpos}))"
+    ends = (f"concat(slice({starts}, 2, size({starts}) - 1), "
+            f"array({N_TOKENS} + 1))")
+    chunks = (f"zip_with({starts}, {ends}, "
+              f"(s, e) -> concat_ws(' ', slice({TOKENS}, s, e - s)))")
+    hs = f"transform({chunks}, ch -> {_h60('ch')})"
+    chunked = doc_stream.select(
+        "doc_id", "source",
+        F.expr(N_TOKENS).cast("bigint").alias("n_tok"),
+        F.expr(hs).alias("hs"),
+    ).withColumn("n_chunks", F.size("hs").cast("bigint"))
+    base = chunked.select(
+        "doc_id", "source", "n_chunks", "n_tok",
+        F.lit(-1).cast("bigint").alias("pos"),
+    )
+    match = (
+        chunked.select(
+            "doc_id", "source", "n_chunks", "n_tok",
+            F.posexplode("hs").alias("pos", "h"),
+        )
+        .join(chunk_index, "h")
+        .select("doc_id", "source", "n_chunks", "n_tok",
+                F.col("pos").cast("bigint").alias("pos"))
+    )
+    rows = base.unionByName(match)
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("n_dup_chunks", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("src", T.StringType()),
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("pos", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    return rows.groupBy("doc_id").applyInPandasWithState(
+        _cdc_classify_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
