@@ -688,12 +688,15 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     # soft deadline: a slower machine should degrade to fewer passes,
     # not to a timed-out run with no artifact at all. Sized for the
-    # CURRENT registry: ~195 s/pass at 174 queries (the r8 registry
+    # CURRENT registry: ~195 s/pass at 169 queries (the r8 registry
     # outgrew the original 900 s budget written at ~100 s/pass — that
     # budget silently cut a run to 4 passes, which also suppressed the
     # regression gate via the run-count methodology check; r9 resized
-    # again for its 11 new registry entries — ADVICE r9 corrected this
-    # comment's arithmetic so the next resize starts from 174)
+    # for its 11 new entries; ADVICE r9 corrected this comment's
+    # arithmetic, and r10 lands at 169 = 174 - 8 merged recall rows
+    # + ann_recall_ladder + the 2 hard-negative rungs. The ladder's
+    # one slot costs what the 8 rows did, so the per-pass estimate is
+    # unchanged)
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1600"))
     bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n, _ in ordered}

@@ -314,7 +314,9 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R9_FRONT)
 # near_dup_pagerank_converged, dedup_edit_distance,
 # ann_ivfpq_rerank_topk, phash_dup_clusters, window_selfdup_cut,
 # lsh_bucket_size_hist, and ann_sq8_ivf_topk), then the r8-stale
-# rotation; any operator added in r10 (registry tail) fronts r11.
+# rotation; the operators added in r10 (registry tail, never
+# driver-checked: hard_negative_indexed, hard_negative_overlap,
+# perplexity_buckets) front r11 FIRST, before the r7-stale spill.
 # CADENCE ARITHMETIC at 167 entries / 50 slots: steady-state max
 # staleness stays ceil(167/50) = 4 rounds; the merge bought back most
 # of a round of dilution (174 -> 167) while keeping every checked

@@ -4780,3 +4780,36 @@ ORACLE_SQL["hard_negative_overlap"] = f"""
     ) i ON i.q_id = e.q_id AND i.neg_id = e.neg_id
     GROUP BY e.q_id ORDER BY e.q_id
 """
+
+
+def _perplexity_buckets_sql() -> str:
+    """Oracle twin of pipeline.perplexity_buckets: the verbatim
+    unigram_surprisal per-doc SQL as a subquery (the ladder
+    convention), source join, integer-rank tercile assignment
+    (((rn - 1) * 3) // n — same truncation as Spark's div), and the
+    per-(source, bucket) integer audit."""
+    return f"""
+      WITH per AS (
+        SELECT * FROM (
+{ORACLE_SQL["unigram_surprisal"]}
+        ) _per
+      ),
+      r AS (
+        SELECT p.*, d.source,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY p.mbits_per_token, p.doc_id)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY d.source) AS n_src
+        FROM per p JOIN documents d ON d.doc_id = p.doc_id)
+      SELECT source,
+             CASE ((rn - 1) * 3) // n_src WHEN 0 THEN 'head'
+                  WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST((SUM(total_bits) * 1000) // SUM(n_tokens) AS BIGINT)
+               AS mbits_per_token
+      FROM r GROUP BY 1, 2 ORDER BY source, bucket
+    """
+
+
+ORACLE_SQL["perplexity_buckets"] = _perplexity_buckets_sql()

@@ -4700,6 +4700,52 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3 — the
+    curation move that made CommonCrawl usable: score every document
+    with a reference LM and split each source into head / middle /
+    tail TERCILES; head feeds pretraining, tail is dropped or
+    down-weighted, and the cutoffs adapt per source so a clean source
+    isn't graded on a crawl's curve). The score is unigram_surprisal's
+    exact-integer milli-bits-per-token (lower = more fluent), and the
+    tercile assignment is pure integer rank arithmetic — bucket =
+    ((rank - 1) * 3) div n over the per-source (score, doc_id) order —
+    so bucket membership is deterministic and engine-exact with no
+    percentile-interpolation convention to match. The audit emits, per
+    (source, bucket): doc count, token volume, and the bucket's mean
+    score in milli-bits (integer div of exact sums) — the table a
+    curator reads to set the keep line.
+
+    Plan: per-doc scores are unigram_surprisal's linear pass; the
+    bucketing adds ONE doc-count-sized window keyed by source (8-byte
+    shuffle) and a ~source x 3 aggregate. At 100 TB the window ranks
+    doc-sized rows, never tokens — the same shape as
+    doc_length_quartiles_by_source."""
+    docs = load(spark, sf_dir, "documents")
+    per = unigram_surprisal(spark, sf_dir).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    ws = W.partitionBy("source").orderBy("mbits_per_token", "doc_id")
+    ranked = (
+        per.withColumn("rn", F.row_number().over(ws))
+        .withColumn("n_src", F.count(F.lit(1)).over(W.partitionBy("source")))
+        .withColumn("bucket", F.expr(
+            "CASE ((rn - 1) * 3) div n_src WHEN 0 THEN 'head' "
+            "WHEN 1 THEN 'middle' ELSE 'tail' END"
+        ))
+    )
+    return (
+        ranked.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.expr("(sum(total_bits) * 1000) div sum(n_tokens)")
+            .cast("bigint").alias("mbits_per_token"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) surprisal in the same exact-integer form:
     per-doc mean of bitlen(c(w1·)) - bitlen(c(w1 w2)) over consecutive
@@ -6742,4 +6788,5 @@ PIPELINE_QUERIES = {
     # design (see the r11 rotation note in queries/__init__.py)
     "hard_negative_indexed": hard_negative_indexed,
     "hard_negative_overlap": hard_negative_overlap,
+    "perplexity_buckets": perplexity_buckets,
 }

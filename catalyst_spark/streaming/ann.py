@@ -1220,3 +1220,81 @@ def stream_rank_fusion_indexed(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HN_TOPK_SCHEMA = T.StructType([
+    T.StructField("q_id", T.LongType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("neg_id", T.LongType()),
+    T.StructField("cos", T.DoubleType()),
+    T.StructField("n_seen", T.LongType()),   # monotone: latest = final
+])
+
+
+def _hard_negative_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The rerank twin's bounded shortlist state (identical merge: top
+    _RERANK_R by (adc d2 asc, n_id asc), exact cosines attached);
+    emission applies the hard-negative band filter [_HN_LO, _HN_HI)
+    and the (cos desc, n_id) top-_HN_K rank over the CURRENT
+    shortlist, so the final emission equals hard_negative_indexed's
+    rows exactly. Idempotent under re-delivery (dedup on n_id).
+    Emission can be EMPTY rows for a query whose shortlist has no
+    band member yet — like the batch rung, which emits nothing for
+    such queries."""
+    from catalyst_spark.queries.pipeline import _HN_HI, _HN_K, _HN_LO
+
+    (q_id,) = key
+    ds, ns, cs, n_seen = (state.get if state.exists else ([], [], [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    merged = pd.DataFrame({
+        "d2": list(ds) + cand["d2"].tolist(),
+        "n_id": list(ns) + cand["n_id"].tolist(),
+        "cos": list(cs) + cand["cos"].tolist(),
+    })
+    merged = (
+        merged.sort_values(["d2", "n_id"], ignore_index=True)
+        .drop_duplicates("n_id", ignore_index=True)
+        .head(_RERANK_R)
+    )
+    n_seen = int(n_seen) + len(cand)
+    state.update((merged["d2"].tolist(), merged["n_id"].tolist(),
+                  merged["cos"].tolist(), n_seen))
+    band = merged[(merged["cos"] >= _HN_LO) & (merged["cos"] < _HN_HI)]
+    top = band.sort_values(
+        ["cos", "n_id"], ascending=[False, True], ignore_index=True
+    ).head(_HN_K)
+    yield pd.DataFrame({
+        "q_id": int(q_id),
+        "rank": range(1, len(top) + 1),
+        "neg_id": top["n_id"].astype("int64"),
+        "cos": [_round_half_up(x) for x in top["cos"]],
+        "n_seen": n_seen,
+    })
+
+
+def stream_hard_negative_indexed(
+    vec_stream: DataFrame,
+    codes_cells: DataFrame,
+    cent_entries: list,
+    coarse_entries: list,
+    vecs_norm: DataFrame,
+) -> DataFrame:
+    """Online twin of hard_negative_indexed (r10): hard negatives mined
+    AT INGEST from the same bounded rerank shortlist the retrieval twin
+    already maintains — the band filter and top-_HN_K rank run at
+    emission over <= _RERANK_R in-state candidates, so a training
+    pipeline collects contrastive negatives for every arriving query
+    with zero extra corpus access and zero extra state beyond the
+    shortlist it keeps anyway. Final emission equals the batch rung
+    exactly (replay test incl. re-delivery)."""
+    scored = _rerank_scored(vec_stream, codes_cells, cent_entries,
+                            coarse_entries, vecs_norm)
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _hard_negative_update,
+        outputStructType=HN_TOPK_SCHEMA,
+        stateStructType=RERANK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2106,3 +2106,59 @@ def test_stream_cdc_classify_matches_batch(spark, tmp_path):
         want_src[src_of[doc_id]][1] += nc
         want_src[src_of[doc_id]][2] += nd
     assert dict(got_src) == dict(want_src)
+
+
+def test_stream_hard_negative_indexed_matches_batch(spark, tmp_path):
+    """Streaming hard-negative twin (r10): replaying the probe set
+    (one batch fully RE-DELIVERED) against the IVF-PQ static index +
+    raw-vector store must converge to hard_negative_indexed's mined
+    negatives exactly — same bounded shortlist state as the rerank
+    twin, band filter + top-k applied at emission."""
+    import json
+
+    from catalyst_spark.queries.pipeline import hard_negative_indexed
+    from catalyst_spark.streaming.ann import (
+        rerank_static_index,
+        stream_hard_negative_indexed,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["q_id"], r["rank"]): (r["neg_id"], r["cos"])
+            for r in hard_negative_indexed(spark, SF_DIR).collect()}
+    assert want
+
+    codes_cells, entries, coarse, vecs_norm = rerank_static_index(
+        spark, SF_DIR)
+    probes = (load(spark, SF_DIR, "embeddings")
+              .where("vec_id % 50 = 0")
+              .selectExpr("vec_id", "cast(embedding as array<double>)"
+                          " as embedding").collect())
+    d = tmp_path / "hn_stream"
+    d.mkdir()
+    half = max(1, len(probes) // 2)
+    batches = [probes[:half], probes[half:], probes[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": list(r["embedding"])})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_hard_negative_indexed(stream, codes_cells, entries,
+                                      coarse, vecs_norm)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("hn_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from hn_stream").collect()
+    latest_seen = {}
+    for r in rows:
+        if (r["q_id"] not in latest_seen
+                or r["n_seen"] > latest_seen[r["q_id"]]):
+            latest_seen[r["q_id"]] = r["n_seen"]
+    got = {(r["q_id"], r["rank"]): (r["neg_id"], r["cos"])
+           for r in rows if r["n_seen"] == latest_seen[r["q_id"]]}
+    assert got == want
