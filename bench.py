@@ -207,6 +207,14 @@ _SCALE_QUERIES = (
     "cdc_chunk_dedup",
     "embedding_principal_direction",
     "mmr_diversified_topk",
+    # r10: the SERVED hard-negative rung (VERDICT r9 item 2's "done"
+    # includes its ~1x ratio measured next to the exact form's ~100x —
+    # it reads the bounded rerank shortlist, so 10x corpus means ~10x
+    # only through the probe-set size, i.e. ~index-bounded flat);
+    # perplexity bucketing adds one doc-sized source window on top of
+    # the unigram-surprisal pass (expected ~ unigram_surprisal's ratio)
+    "hard_negative_indexed",
+    "perplexity_buckets",
 )
 
 
