@@ -291,8 +291,8 @@ _R9_FRONT = [
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R9_FRONT)
 
 # Round-10 driver window (VERDICT r9 item 1, the prescribed rotation,
-# adjusted for the VERDICT r9 item 6 registry merge): the registry is
-# now 167 entries — the eight vs-brute recall calibration rows
+# adjusted for the VERDICT r9 item 6 registry merge): the eight
+# vs-brute recall calibration rows
 # (ann_recall_at_5, ann_pq_recall, ann_ivfpq_recall,
 # ann_ivfpq_residual_recall, ann_ivfpq_rerank_recall, ann_sq8_recall,
 # ann_sq8_ivf_recall, ann_sq8_ivf_rek_recall) merged into ONE sweep
@@ -317,11 +317,14 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R9_FRONT)
 # rotation; the operators added in r10 (registry tail, never
 # driver-checked: hard_negative_indexed, hard_negative_overlap,
 # perplexity_buckets) front r11 FIRST, before the r7-stale spill.
-# CADENCE ARITHMETIC at 167 entries / 50 slots: steady-state max
-# staleness stays ceil(167/50) = 4 rounds; the merge bought back most
-# of a round of dilution (174 -> 167) while keeping every checked
-# value — the invariants of the r9 note (zero ever-unchecked after
-# each round, strict oldest-first, changed code re-fronts) all hold.
+# CADENCE ARITHMETIC at the FINAL r10 registry of 170 entries
+# (174 - 8 merged recall rows + ann_recall_ladder + hard_negative_
+# indexed + hard_negative_overlap + perplexity_buckets) over 50
+# slots: steady-state max staleness stays ceil(170/50) = 4 rounds;
+# the merge paid for this round's four additions with three slots to
+# spare (net -4 vs r9) while keeping every checked value — the
+# invariants of the r9 note (zero ever-unchecked after each round,
+# strict oldest-first, changed code re-fronts) all hold.
 _R10_FRONT = [
     # (a) new in r9 — no driver row ever (judge-swept green in r9)
     "tokenizer_fertility", "shard_manifest", "embedding_dim_variance",

@@ -636,6 +636,32 @@ def rerank_static_index(spark: SparkSession, sf_dir: str):
     return codes_cells, entries, coarse, vecs_norm
 
 
+def _merge_adc_shortlist(ds, ns, cs, cand, extra=None):
+    """Shared bounded-shortlist merge for every twin that keeps the
+    ADC-ordered top-_RERANK_R with exact cosines attached (rerank,
+    hard-negative, MMR): in-state triples + arriving candidates, sort
+    by (d2 asc, n_id asc) — the batch rung's exact shortlist order —
+    dedup on n_id (idempotent re-delivery), head(_RERANK_R). `extra`
+    maps a column name to (state_values, cand_values) lists carried
+    through the same reorder (the MMR twin's candidate vectors). One
+    definition so a future change to the merge semantics cannot
+    silently diverge per twin (the replay tests key on this order)."""
+    data = {
+        "d2": list(ds) + cand["d2"].tolist(),
+        "n_id": list(ns) + cand["n_id"].tolist(),
+        "cos": list(cs) + cand["cos"].tolist(),
+    }
+    if extra:
+        for col, (sv, cv) in extra.items():
+            data[col] = list(sv) + list(cv)
+    return (
+        pd.DataFrame(data)
+        .sort_values(["d2", "n_id"], ignore_index=True)
+        .drop_duplicates("n_id", ignore_index=True)
+        .head(_RERANK_R)
+    )
+
+
 def _rerank_update(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -649,16 +675,7 @@ def _rerank_update(
     (q_id,) = key
     ds, ns, cs, n_seen = (state.get if state.exists else ([], [], [], 0))
     cand = pd.concat(list(pdfs), ignore_index=True)
-    merged = pd.DataFrame({
-        "d2": list(ds) + cand["d2"].tolist(),
-        "n_id": list(ns) + cand["n_id"].tolist(),
-        "cos": list(cs) + cand["cos"].tolist(),
-    })
-    merged = (
-        merged.sort_values(["d2", "n_id"], ignore_index=True)
-        .drop_duplicates("n_id", ignore_index=True)
-        .head(_RERANK_R)
-    )
+    merged = _merge_adc_shortlist(ds, ns, cs, cand)
     n_seen = int(n_seen) + len(cand)
     state.update((merged["d2"].tolist(), merged["n_id"].tolist(),
                   merged["cos"].tolist(), n_seen))
@@ -769,16 +786,10 @@ def _mmr_update(
         dim = len(vflat) // len(ns)
         old_vecs = [list(vflat[i * dim:(i + 1) * dim])
                     for i in range(len(ns))]
-    merged = pd.DataFrame({
-        "d2": list(ds) + cand["d2"].tolist(),
-        "n_id": list(ns) + cand["n_id"].tolist(),
-        "cos": list(cs) + cand["cos"].tolist(),
-        "v": old_vecs + [[float(x) for x in v] for v in cand["vc"]],
-    })
-    merged = (
-        merged.sort_values(["d2", "n_id"], ignore_index=True)
-        .drop_duplicates("n_id", ignore_index=True)
-        .head(_RERANK_R)
+    merged = _merge_adc_shortlist(
+        ds, ns, cs, cand,
+        extra={"v": (old_vecs,
+                     [[float(x) for x in v] for v in cand["vc"]])},
     )
     n_seen = int(n_seen) + len(cand)
     state.update((merged["d2"].tolist(), merged["n_id"].tolist(),
@@ -1248,16 +1259,7 @@ def _hard_negative_update(
     (q_id,) = key
     ds, ns, cs, n_seen = (state.get if state.exists else ([], [], [], 0))
     cand = pd.concat(list(pdfs), ignore_index=True)
-    merged = pd.DataFrame({
-        "d2": list(ds) + cand["d2"].tolist(),
-        "n_id": list(ns) + cand["n_id"].tolist(),
-        "cos": list(cs) + cand["cos"].tolist(),
-    })
-    merged = (
-        merged.sort_values(["d2", "n_id"], ignore_index=True)
-        .drop_duplicates("n_id", ignore_index=True)
-        .head(_RERANK_R)
-    )
+    merged = _merge_adc_shortlist(ds, ns, cs, cand)
     n_seen = int(n_seen) + len(cand)
     state.update((merged["d2"].tolist(), merged["n_id"].tolist(),
                   merged["cos"].tolist(), n_seen))

@@ -65,16 +65,19 @@ def shard_dedup_static_index(spark, sf_dir: str):
     and the corpus shingle-hash sets — all built from the persisted
     signature table / documents for the corpus side
     (doc_id % 7 != 0), i.e. what yesterday's pipeline left on disk."""
-    from catalyst_spark.queries.pipeline import _minhash_sig_cand
+    from catalyst_spark.queries.pipeline import (
+        _SHARD_MOD,
+        _minhash_sig_cand,
+    )
     from catalyst_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
-    old = docs.where(F.col("doc_id") % 7 != 0)
+    old = docs.where(F.col("doc_id") % _SHARD_MOD != 0)
     fp_index = old.select(
         F.expr("substring(md5(text), 1, 16)").alias("fp")
     ).distinct()
     sig, _cand = _minhash_sig_cand(spark, sf_dir)
-    old_sig = sig.where(F.col("doc_id") % 7 != 0)
+    old_sig = sig.where(F.col("doc_id") % _SHARD_MOD != 0)
     band_index = old_sig.select(
         F.col("doc_id").alias("old_id"),
         F.explode(_band_buckets_array()).alias("bucket"),
@@ -215,12 +218,12 @@ def cdc_chunk_static_index(spark, sf_dir: str) -> DataFrame:
     and nightly audit can never disagree on boundaries. Data-sized but
     static — at 100 TB this is a bucketed table on `h` and the
     stream-static join shuffles only the per-batch chunk rows."""
-    from catalyst_spark.queries.pipeline import _cdc_chunks
+    from catalyst_spark.queries.pipeline import _SHARD_MOD, _cdc_chunks
     from catalyst_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
     return (
-        _cdc_chunks(docs.where(F.col("doc_id") % 7 != 0))
+        _cdc_chunks(docs.where(F.col("doc_id") % _SHARD_MOD != 0))
         .select("h").distinct()
     )
 
