@@ -701,10 +701,11 @@ def main() -> None:
     # budget silently cut a run to 4 passes, which also suppressed the
     # regression gate via the run-count methodology check; r9 resized
     # for its 11 new entries; ADVICE r9 corrected this comment's
-    # arithmetic, and r10 lands at 170 = 174 - 8 merged recall rows
+    # arithmetic, and r10 lands at 171 = 174 - 8 merged recall rows
     # + ann_recall_ladder + the 2 hard-negative rungs
-    # + perplexity_buckets. The ladder's one slot costs what the 8
-    # rows did, so the per-pass estimate is unchanged)
+    # + perplexity_buckets + contrastive_triplets. The ladder's one
+    # slot costs what the 8 rows did, so the per-pass estimate is
+    # unchanged)
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1600"))
     bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n, _ in ordered}

@@ -316,13 +316,15 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R9_FRONT)
 # lsh_bucket_size_hist, and ann_sq8_ivf_topk), then the r8-stale
 # rotation; the operators added in r10 (registry tail, never
 # driver-checked: hard_negative_indexed, hard_negative_overlap,
-# perplexity_buckets) front r11 FIRST, before the r7-stale spill.
-# CADENCE ARITHMETIC at the FINAL r10 registry of 170 entries
+# perplexity_buckets, contrastive_triplets) front r11 FIRST, before
+# the r7-stale spill.
+# CADENCE ARITHMETIC at the FINAL r10 registry of 171 entries
 # (174 - 8 merged recall rows + ann_recall_ladder + hard_negative_
-# indexed + hard_negative_overlap + perplexity_buckets) over 50
-# slots: steady-state max staleness stays ceil(170/50) = 4 rounds;
-# the merge paid for this round's four additions with three slots to
-# spare (net -4 vs r9) while keeping every checked value — the
+# indexed + hard_negative_overlap + perplexity_buckets +
+# contrastive_triplets) over 50 slots: steady-state max staleness
+# stays ceil(171/50) = 4 rounds; the merge paid for this round's five
+# additions with two slots to spare (net -3 vs r9) while keeping
+# every checked value — the
 # invariants of the r9 note (zero ever-unchecked after each round,
 # strict oldest-first, changed code re-fronts) all hold.
 _R10_FRONT = [

@@ -4813,3 +4813,38 @@ def _perplexity_buckets_sql() -> str:
 
 
 ORACLE_SQL["perplexity_buckets"] = _perplexity_buckets_sql()
+
+
+def _contrastive_triplets_sql() -> str:
+    """Oracle twin of pipeline.contrastive_triplets: the shortlist
+    exact-cosine frame `rr` (fusion vector-arm CTEs), top-1 positive
+    per query by (cos DESC, n_id), negatives ranked over the band with
+    the positive excluded BEFORE the rank, margin on raw doubles."""
+    from catalyst_spark.queries.pipeline import _HN_HI, _HN_K, _HN_LO
+
+    return (
+        _ivfpq_ctes() + "," + _fusion_ivec_ctes() + f""",
+        pos AS (
+          SELECT q_id, n_id AS pos_id, cos_raw AS pos_cos_raw FROM (
+            SELECT q_id, n_id, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, n_id) AS rn
+            FROM rr) t WHERE rn = 1),
+        negs AS (
+          SELECT q_id, pos_id, pos_cos_raw, n_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_raw DESC, n_id)
+                   AS "rank"
+          FROM (
+            SELECT r.q_id, p.pos_id, p.pos_cos_raw, r.n_id, r.cos_raw
+            FROM rr r JOIN pos p ON p.q_id = r.q_id
+            WHERE r.n_id != p.pos_id
+              AND r.cos_raw >= {_HN_LO} AND r.cos_raw < {_HN_HI}) b)
+        SELECT q_id, pos_id, ROUND(pos_cos_raw, 2) AS pos_cos,
+               "rank", n_id AS neg_id, ROUND(cos_raw, 2) AS neg_cos,
+               ROUND(pos_cos_raw - cos_raw, 2) AS margin
+        FROM negs WHERE "rank" <= {_HN_K} ORDER BY q_id, "rank"
+    """)
+
+
+ORACLE_SQL["contrastive_triplets"] = _contrastive_triplets_sql()

@@ -6647,6 +6647,54 @@ def hard_negative_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet export (anchor, positive, hard
+    negatives) — the table a dual-encoder fine-tune actually consumes,
+    assembled end-to-end from the served index with ZERO extra corpus
+    scans: the anchor is each probe query, the pseudo-positive is the
+    rerank shortlist's exact-cosine top-1 (the standard self-supervised
+    choice when no labeled positives exist), and the negatives are the
+    hard-negative band rungs mined from the SAME shortlist — with the
+    positive excluded from negative candidacy BEFORE ranking (a
+    positive mislabeled as a negative poisons the loss; exclusion
+    before the rank keeps three genuine negatives when the band holds
+    them). Emits one row per (anchor, negative) with the positive
+    repeated and the training margin pos_cos - neg_cos (computed on
+    raw doubles, rounded once for display) — the number batch-hardness
+    curricula sort on. Queries whose band holds no negative emit
+    nothing, identically in both engines.
+
+    Scale: input is the probe-set-sized cached shortlist (Q x R rows);
+    every join is on q_id. Index-bounded at any corpus, like
+    hard_negative_indexed."""
+    ranked = _ivfpq_rerank_ranked(spark, sf_dir)
+    wp = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
+    pos = (
+        ranked.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("q_id", F.col("n_id").alias("pos_id"),
+                F.col("cos_raw").alias("pos_cos_raw"))
+    )
+    negs = (
+        ranked.join(pos, "q_id")
+        .where((F.col("n_id") != F.col("pos_id"))
+               & (F.col("cos_raw") >= _HN_LO) & (F.col("cos_raw") < _HN_HI))
+        .withColumn("rank", F.row_number().over(wp))
+        .where(F.col("rank") <= _HN_K)
+    )
+    return (
+        negs.select(
+            "q_id", "pos_id",
+            F.round("pos_cos_raw", 2).alias("pos_cos"),
+            "rank", F.col("n_id").alias("neg_id"),
+            F.round("cos_raw", 2).alias("neg_cos"),
+            F.round(F.col("pos_cos_raw") - F.col("cos_raw"), 2)
+            .alias("margin"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 def hard_negative_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-of-the-swap calibration for hard_negative_indexed (the
     rank_fusion_recall pattern): per probe query, how many of the
@@ -6789,4 +6837,5 @@ PIPELINE_QUERIES = {
     "hard_negative_indexed": hard_negative_indexed,
     "hard_negative_overlap": hard_negative_overlap,
     "perplexity_buckets": perplexity_buckets,
+    "contrastive_triplets": contrastive_triplets,
 }

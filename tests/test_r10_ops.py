@@ -100,3 +100,32 @@ def test_dim_variance_sums_are_decimal(spark):
         qs = [math.floor(float(v[dim - 1]) * P._EMB_FX) for v in emb]
         assert rows[dim]["sum_fx"] == Decimal(sum(qs))
         assert rows[dim]["sumsq_fx"] == Decimal(sum(x * x for x in qs))
+
+
+def test_contrastive_triplets_semantics(spark):
+    """The triplet table's contract: the positive is the shortlist's
+    exact-cosine top-1, it never appears as a negative, negatives lie
+    in the band and are the top-_HN_K AFTER excluding the positive,
+    and the margin is pos_cos - neg_cos on raw doubles (>= 0 by
+    construction since the positive is the shortlist max)."""
+    from catalyst_spark.queries import pipeline as P
+
+    sl = {}
+    for r in P._ivfpq_rerank_ranked(spark, SF_DIR).collect():
+        sl.setdefault(r["q_id"], []).append((r["n_id"], r["cos_raw"]))
+    rows = P.contrastive_triplets(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        cands = sl[r["q_id"]]
+        top1 = min(cands, key=lambda c: (-c[1], c[0]))
+        assert r["pos_id"] == top1[0]
+        assert r["neg_id"] != r["pos_id"]
+        raw = {n: c for n, c in cands}
+        assert P._HN_LO <= raw[r["neg_id"]] < P._HN_HI
+        assert float(r["margin"]) >= 0.0
+        # negatives are the band top-k after positive exclusion
+        band = sorted(
+            ((c, n) for n, c in cands
+             if n != top1[0] and P._HN_LO <= c < P._HN_HI),
+            key=lambda t: (-t[0], t[1]))
+        assert band[r["rank"] - 1][1] == r["neg_id"]
