@@ -1300,3 +1300,79 @@ def stream_hard_negative_indexed(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRIPLET_SCHEMA = T.StructType([
+    T.StructField("q_id", T.LongType()),
+    T.StructField("pos_id", T.LongType()),
+    T.StructField("pos_cos", T.DoubleType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("neg_id", T.LongType()),
+    T.StructField("neg_cos", T.DoubleType()),
+    T.StructField("margin", T.DoubleType()),
+    T.StructField("n_seen", T.LongType()),   # monotone: latest = final
+])
+
+
+def _triplet_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The rerank twin's bounded shortlist state (identical merge);
+    emission assembles the batch contrastive_triplets rows from the
+    CURRENT shortlist: exact-cosine top-1 as the pseudo-positive, the
+    band's top-_HN_K with the positive excluded BEFORE ranking as the
+    negatives, margin on raw doubles. Idempotent under re-delivery."""
+    from catalyst_spark.queries.pipeline import _HN_HI, _HN_K, _HN_LO
+
+    (q_id,) = key
+    ds, ns, cs, n_seen = (state.get if state.exists else ([], [], [], 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    merged = _merge_adc_shortlist(ds, ns, cs, cand)
+    n_seen = int(n_seen) + len(cand)
+    state.update((merged["d2"].tolist(), merged["n_id"].tolist(),
+                  merged["cos"].tolist(), n_seen))
+    by_cos = merged.sort_values(
+        ["cos", "n_id"], ascending=[False, True], ignore_index=True)
+    pos_id = int(by_cos["n_id"].iloc[0])
+    pos_cos = float(by_cos["cos"].iloc[0])
+    band = by_cos[(by_cos["n_id"] != pos_id)
+                  & (by_cos["cos"] >= _HN_LO)
+                  & (by_cos["cos"] < _HN_HI)].head(_HN_K)
+    yield pd.DataFrame({
+        "q_id": int(q_id),
+        "pos_id": pos_id,
+        "pos_cos": _round_half_up(pos_cos),
+        "rank": range(1, len(band) + 1),
+        "neg_id": band["n_id"].astype("int64"),
+        "neg_cos": [_round_half_up(x) for x in band["cos"]],
+        "margin": [_round_half_up(pos_cos - x) for x in band["cos"]],
+        "n_seen": n_seen,
+    })
+
+
+def stream_contrastive_triplets(
+    vec_stream: DataFrame,
+    codes_cells: DataFrame,
+    cent_entries: list,
+    coarse_entries: list,
+    vecs_norm: DataFrame,
+) -> DataFrame:
+    """Online twin of contrastive_triplets (r10): the training-pair
+    export assembled AT INGEST from the same bounded rerank shortlist
+    every other serving twin keeps — pseudo-positive, band-mined
+    negatives with the positive excluded before ranking, and the
+    training margin, all at emission over <= _RERANK_R in-state
+    candidates. A fine-tune pipeline collects its triplet stream as
+    queries arrive, with zero extra corpus access or state; final
+    emission equals the batch rung exactly (replay test incl.
+    re-delivery). A query whose band holds no negative yet emits zero
+    rows, like the batch op."""
+    scored = _rerank_scored(vec_stream, codes_cells, cent_entries,
+                            coarse_entries, vecs_norm)
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _triplet_update,
+        outputStructType=TRIPLET_SCHEMA,
+        stateStructType=RERANK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

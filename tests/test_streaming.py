@@ -2162,3 +2162,63 @@ def test_stream_hard_negative_indexed_matches_batch(spark, tmp_path):
     got = {(r["q_id"], r["rank"]): (r["neg_id"], r["cos"])
            for r in rows if r["n_seen"] == latest_seen[r["q_id"]]}
     assert got == want
+
+
+def test_stream_contrastive_triplets_matches_batch(spark, tmp_path):
+    """Streaming triplet-export twin (r10): replaying the probe set
+    (one batch fully RE-DELIVERED) against the IVF-PQ static index +
+    raw-vector store must converge to contrastive_triplets' rows
+    exactly — shared bounded shortlist state, pseudo-positive + banded
+    negatives + margin assembled at emission."""
+    import json
+
+    from catalyst_spark.queries.pipeline import contrastive_triplets
+    from catalyst_spark.streaming.ann import (
+        rerank_static_index,
+        stream_contrastive_triplets,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["q_id"], r["rank"]):
+            (r["pos_id"], r["pos_cos"], r["neg_id"], r["neg_cos"],
+             r["margin"])
+            for r in contrastive_triplets(spark, SF_DIR).collect()}
+    assert want
+
+    codes_cells, entries, coarse, vecs_norm = rerank_static_index(
+        spark, SF_DIR)
+    probes = (load(spark, SF_DIR, "embeddings")
+              .where("vec_id % 50 = 0")
+              .selectExpr("vec_id", "cast(embedding as array<double>)"
+                          " as embedding").collect())
+    d = tmp_path / "triplet_stream"
+    d.mkdir()
+    half = max(1, len(probes) // 2)
+    batches = [probes[:half], probes[half:], probes[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": list(r["embedding"])})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_contrastive_triplets(stream, codes_cells, entries,
+                                     coarse, vecs_norm)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("triplet_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from triplet_stream").collect()
+    latest_seen = {}
+    for r in rows:
+        if (r["q_id"] not in latest_seen
+                or r["n_seen"] > latest_seen[r["q_id"]]):
+            latest_seen[r["q_id"]] = r["n_seen"]
+    got = {(r["q_id"], r["rank"]):
+           (r["pos_id"], r["pos_cos"], r["neg_id"], r["neg_cos"],
+            r["margin"])
+           for r in rows if r["n_seen"] == latest_seen[r["q_id"]]}
+    assert got == want
