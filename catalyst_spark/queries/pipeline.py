@@ -1132,9 +1132,22 @@ def phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from catalyst_spark.multimodal import image_dup_pairs
 
     docs = load(spark, sf_dir, "documents")
+    return image_dup_pairs(
+        _synthetic_phash(docs), max_hamming=7
+    ).select("a_id", "b_id", "hamming")
+
+
+def _synthetic_phash(docs: DataFrame) -> DataFrame:
+    """Deterministic 64-bit pHash table derived from `documents` (the
+    container has no image corpus): groups of 8 docs share an
+    md5-derived 60-bit base hash with doc_id % 8 deterministic bit
+    flips XORed on — within-group Hamming spans 0..14 (straddling the
+    <= 7 cut from both sides), across groups ~30 bits. Factored out of
+    phash_dup_pairs (r10) so the streaming classifier's corpus index
+    and the replay tests derive the identical table."""
     base = _h60("concat('ph:', cast(doc_id div 8 as string))")
     pos = _h60("concat('fl:', cast(doc_id as string), ':', cast(j as string))")
-    ph = docs.select(
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
             f"{base} ^ (CASE WHEN doc_id % 8 = 0 THEN cast(0 as bigint)"
@@ -1143,7 +1156,6 @@ def phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" cast(0 as bigint), (acc, x) -> acc ^ x) END)"
         ).alias("phash"),
     )
-    return image_dup_pairs(ph, max_hamming=7).select("a_id", "b_id", "hamming")
 
 
 def phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -339,3 +339,119 @@ def stream_cdc_classify(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def phash_band_index(spark, sf_dir: str) -> DataFrame:
+    """Corpus-side pHash band index for ingest-time image near-dup
+    classification (r10): the already-ingested corpus's 64-bit pHashes
+    (doc_id % _SHARD_MOD != 0, the standard corpus/shard split)
+    exploded into the 8 disjoint 8-bit bands image_dup_pairs buckets
+    on, each row carrying the full hash for the exact popcount verify.
+    8 rows per corpus image — data-sized but static; at 100 TB this is
+    a table bucketed on (b, v) and the stream-static join shuffles
+    only the per-batch band rows."""
+    from catalyst_spark.queries.pipeline import _SHARD_MOD, _synthetic_phash
+    from catalyst_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    ph = _synthetic_phash(docs.where(F.col("doc_id") % _SHARD_MOD != 0))
+    return ph.select(
+        F.col("media_id").alias("old_id"),
+        F.col("phash").alias("old_ph"),
+        F.explode(F.expr(
+            "transform(sequence(0, 7), b ->"
+            " named_struct('b', b,"
+            "  'v', (phash div shiftleft(1L, b * 8)) % 256))"
+        )).alias("band"),
+    ).select("old_id", "old_ph", "band.b", "band.v")
+
+
+def _phash_classify_update(key, pdfs, state):
+    """Per-arriving-image state: the DISTINCT matched corpus ids with
+    the minimum verified Hamming distance seen — merged idempotently
+    under re-delivery. Matched-set size is bounded by the image's
+    near-dup cardinality in the corpus (dup-structure-sized, not
+    corpus-sized)."""
+    import pandas as pd
+
+    (media_id,) = key
+    matched, min_h, n_seen = (
+        state.get if state.exists else ([], -1, 0))
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    ids = set(int(i) for i in matched)
+    best = int(min_h)
+    for r in cand.itertuples():
+        if r.old_id >= 0:
+            ids.add(int(r.old_id))
+            best = int(r.hamming) if best < 0 else min(best, int(r.hamming))
+    n_seen = int(n_seen) + len(cand)
+    state.update((sorted(ids), best, n_seen))
+    yield pd.DataFrame({
+        "media_id": [int(media_id)],
+        "status": ["dup" if ids else "kept"],
+        "n_matches": [len(ids)],
+        "min_hamming": [best if ids else None],
+        "n_seen": [n_seen],
+    })
+
+
+def stream_phash_classify(
+    media_stream: DataFrame, band_index: DataFrame,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Ingest-time image near-dup classification (r10 — the multimodal
+    member of the ingest-classification triad next to
+    stream_shard_dedup_classify for whole documents and
+    stream_cdc_classify for content-defined chunks): each arriving
+    (media_id, phash) row explodes its 8 disjoint 8-bit bands INSIDE
+    THE ROW, a stream-static equi-join on (b, v) touches only
+    colliding corpus buckets — complete for Hamming <= 7 by the same
+    pigeonhole as image_dup_pairs — and the exact popcount verify runs
+    per candidate row. One keyed state per image merges the verified
+    matches: (distinct corpus ids, min Hamming). Re-crawled or
+    lightly-recompressed images are flagged at ingest; replay test
+    converges to the batch-computed classification incl. re-delivery."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    bands = media_stream.where(F.col("phash").isNotNull()).select(
+        "media_id", "phash",
+        F.explode(F.expr(
+            "transform(sequence(0, 7), b ->"
+            " named_struct('b', b,"
+            "  'v', (phash div shiftleft(1L, b * 8)) % 256))"
+        )).alias("band"),
+    ).select("media_id", "phash", F.col("band.b").alias("b"),
+             F.col("band.v").alias("v"))
+    base = media_stream.select(
+        "media_id", F.lit(-1).cast("bigint").alias("old_id"),
+        F.lit(99).cast("int").alias("hamming"),
+    )
+    match = (
+        bands.join(band_index, ["b", "v"])
+        .where(F.col("media_id") != F.col("old_id"))
+        .withColumn("hamming",
+                    F.expr("bit_count(phash ^ old_ph)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("media_id", "old_id", "hamming")
+    )
+    rows = base.unionByName(match)
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_matches", T.IntegerType()),
+        T.StructField("min_hamming", T.IntegerType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("matched", T.ArrayType(T.LongType())),
+        T.StructField("min_h", T.IntegerType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    return rows.groupBy("media_id").applyInPandasWithState(
+        _phash_classify_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2222,3 +2222,71 @@ def test_stream_contrastive_triplets_matches_batch(spark, tmp_path):
             r["margin"])
            for r in rows if r["n_seen"] == latest_seen[r["q_id"]]}
     assert got == want
+
+
+def test_stream_phash_classify_matches_batch(spark, tmp_path):
+    """Streaming image near-dup classifier (r10): replaying the shard's
+    pHashes (doc_id % 7 == 0, one batch RE-DELIVERED) against the
+    corpus band index must converge per image to the brute-force
+    classification — matched corpus ids at Hamming <= 7 and the min
+    distance — proving the banded join's pigeonhole completeness holds
+    online exactly as image_dup_pairs proves it batch-side."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.pipeline import _synthetic_phash
+    from catalyst_spark.streaming.minhash import (
+        phash_band_index,
+        stream_phash_classify,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    shard = _synthetic_phash(docs.where("doc_id % 7 = 0")).collect()
+    corpus = _synthetic_phash(docs.where("doc_id % 7 != 0")).collect()
+    assert shard and corpus
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {}
+    for s in shard:
+        hits = {c["media_id"]: ham(s["phash"], c["phash"])
+                for c in corpus
+                if c["media_id"] != s["media_id"]
+                and ham(s["phash"], c["phash"]) <= 7}
+        want[s["media_id"]] = (
+            "dup" if hits else "kept", len(hits),
+            min(hits.values()) if hits else None)
+    assert any(v[0] == "dup" for v in want.values())
+    assert any(v[0] == "kept" for v in want.values())
+
+    idx = phash_band_index(spark, SF_DIR)
+    d = tmp_path / "phash_stream"
+    d.mkdir()
+    half = max(1, len(shard) // 2)
+    batches = [shard[:half], shard[half:], shard[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"media_id": r["media_id"], "phash": r["phash"]})
+            for r in chunk))
+    stream = (spark.readStream.schema("media_id long, phash long")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_phash_classify(stream, idx)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("phash_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from phash_stream").collect()
+    latest = {}
+    for r in rows:
+        if (r["media_id"] not in latest
+                or r["n_seen"] > latest[r["media_id"]]["n_seen"]):
+            latest[r["media_id"]] = r
+    assert set(latest) == set(want)
+    for mid, r in latest.items():
+        assert (r["status"], r["n_matches"], r["min_hamming"]) \
+            == want[mid], mid
