@@ -82,6 +82,43 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_sf1_events(spark, src_dir: str, dst_dir: str) -> None:
+    """Deterministic 10x EVENTS table for the derived corpus (r10 —
+    the TSDB/event-analytics family previously had no 10x evidence):
+    ten replicas with disjoint user populations (user_id + rep * 1e6,
+    event_id + rep * 1e7) and identical per-user timelines, so
+    user-keyed operators (sessionize, funnels, retention, coverage)
+    face 10x independent keys with unchanged per-key volume — the
+    linear shape — while series-keyed operators (counter_rate keys on
+    event_type) face the OTHER axis: fixed key cardinality with 10x
+    rows per key, the longer-retention analog. Own flag so an
+    already-built sf1 dir gains events without a rebuild."""
+    done_flag = os.path.join(dst_dir, "_DONE_EVENTS")
+    if os.path.exists(done_flag):
+        return
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+    reps = "explode(sequence(0, 9))"
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value",
+                  "props", F.expr(reps).alias("rep"))
+        .select(
+            (F.col("event_id") + F.col("rep") * F.lit(10_000_000))
+            .alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * F.lit(1_000_000))
+            .alias("user_id"),
+            "event_type", "value", "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "events.parquet"))
+    )
+    with open(done_flag, "w") as f:
+        f.write("ok\n")
+
+
 _SCALE_QUERIES = (
     "dedup_prefix_filter",
     "dedup_minhash_pairs",
@@ -215,6 +252,17 @@ _SCALE_QUERIES = (
     # the unigram-surprisal pass (expected ~ unigram_surprisal's ratio)
     "hard_negative_indexed",
     "perplexity_buckets",
+    # r10b: the event-analytics family's first 10x rows (derived
+    # events table, _ensure_sf1_events). The user-keyed four scale on
+    # key cardinality (10x users, same per-user volume — expect ~10x
+    # flat); counter_rate keys on event_type, so it scales on the
+    # OTHER axis (fixed keys, 10x rows/key — the longer-retention
+    # shape; per-series window sort is the n log n cost)
+    "sessionize",
+    "funnel_conversion",
+    "retention_cohorts",
+    "interval_coverage",
+    "counter_rate",
 )
 
 
@@ -232,6 +280,7 @@ def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
 
     sf1_dir = str(REPO / "benchdata" / "sf1")
     _ensure_sf1(spark, base_sf_dir, sf1_dir)
+    _ensure_sf1_events(spark, base_sf_dir, sf1_dir)
 
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
     out: dict[str, dict] = {}
@@ -317,7 +366,12 @@ def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
         "(stride-1 windows ~ one row per token): both grow exactly "
         "linearly (10.0x at 10x docs, disjoint token spaces keep "
         "distinct hashes linear too), so the probe joins shuffle O(docs) "
-        "8-byte keys — the substring sweep stays linear at 100 TB."
+        "8-byte keys — the substring sweep stays linear at 100 TB. "
+        "Events (r10): ten disjoint user populations with identical "
+        "per-user timelines — the user-keyed family (sessionize, "
+        "funnel, retention, coverage) scales on key cardinality and "
+        "counter_rate on per-key volume; both axes should stay well "
+        "under 10x wall at these overhead-dominated base slots."
     )
     base, ten = out["sf0.1"], out["sf1"]
     out["time_ratio_10x"] = {
