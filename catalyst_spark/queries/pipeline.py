@@ -6040,16 +6040,27 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic (a dim whose variance craters carries no information;
     an encoder regression often shows up here first). Values are
     quantized to fixed-point BIGINTs at the scan (floor(v * 2^20)), so
-    the per-dim SUM and SUM-OF-SQUARES are order-free exact integers;
-    mean and variance are then a handful of IEEE ops on identical
-    integers (exact multiply/subtract/divide — no accumulation), so
-    the oracle matches value-level. Both sums ACCUMULATE (and report)
-    in decimal(38,0) — the shard_manifest pattern (VERDICT r9 item 4):
-    sumsq terms are ~2^40 each, so a BIGINT accumulator would overflow
-    past ~8M rows; decimal(38,0) holds ~10^38/2^40 ≈ 3e26 rows. The
-    derived mean/variance convert the exact integer to double once
-    (round-to-nearest of an identical integer is engine-free) and then
-    do the same non-accumulating IEEE ops as before.
+    the per-dim SUM and SUM-OF-SQUARES are order-free exact integers.
+    Both sums ACCUMULATE (and report) in decimal(38,0) — the
+    shard_manifest pattern (VERDICT r9 item 4): sumsq terms are ~2^40
+    each, so a BIGINT accumulator would overflow past ~8M rows;
+    decimal(38,0) holds ~10^38/2^40 ≈ 3e26 rows.
+
+    The derived statistics are EXACT INTEGERS, not rounded doubles
+    (VERDICT r10 item 1: the r10 driver run proved that ROUND(double,
+    6/8) of a chained float divide can land 1 ULP apart across engine
+    builds even when locally bit-exact — Spark rounds via BigDecimal
+    on the decimal string, DuckDB via scaled float multiply):
+      mean_ppm = (sum_fx * 1_000_000) div (n * _EMB_FX)
+        — the mean in parts-per-million, truncated toward zero
+          (Spark `div` and DuckDB HUGEINT `//` both truncate toward
+          zero — verified on negatives); all-decimal arithmetic, so
+          both engines compute the identical integer by construction.
+      var_num = n * sumsq_fx − sum_fx * sum_fx
+        — the variance numerator with the denominator (n² · _EMB_FX²)
+          cleared: variance = var_num / (n*n*_EMB_FX*_EMB_FX). Pure
+          decimal multiply/subtract, exact on both engines; the
+          reader divides once, outside the checked columns.
 
     Plan: one posexplode to (dim, q) — the x64 fan-out every per-dim
     aggregate pays, map-side combined down to 64 rows before the
@@ -6072,14 +6083,14 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "dim", "n", "sum_fx", "sumsq_fx",
-            F.round(F.col("sum_fx").cast("double") / F.col("n") / _EMB_FX, 6)
-            .alias("mean"),
-            F.round(
-                (F.col("sumsq_fx").cast("double") / F.col("n")
-                 - (F.col("sum_fx").cast("double") / F.col("n"))
-                 * (F.col("sum_fx").cast("double") / F.col("n")))
-                / (float(_EMB_FX) * float(_EMB_FX)), 8
-            ).alias("variance"),
+            F.expr(
+                f"(sum_fx * 1000000) div "
+                f"(cast(n as decimal(38,0)) * {_EMB_FX})"
+            ).cast("bigint").alias("mean_ppm"),
+            F.expr(
+                "cast(cast(n as decimal(38,0)) * sumsq_fx "
+                "- sum_fx * sum_fx as decimal(38,0))"
+            ).alias("var_num"),
         )
         .orderBy("dim")
     )

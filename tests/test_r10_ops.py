@@ -96,10 +96,21 @@ def test_dim_variance_sums_are_decimal(spark):
     emb = [r["embedding"] for r in
            load(spark, SF_DIR, "embeddings").select("embedding").collect()]
     import math
+    # VERDICT r10 item 1: the derived statistics are exact integers
+    # (trunc-toward-zero div / cleared-denominator numerator), never
+    # ROUND of a chained float divide.
+    assert schema["mean_ppm"] == "bigint"
+    assert schema["var_num"] == "decimal(38,0)"
     for dim in (1, len(emb[0])):
         qs = [math.floor(float(v[dim - 1]) * P._EMB_FX) for v in emb]
-        assert rows[dim]["sum_fx"] == Decimal(sum(qs))
-        assert rows[dim]["sumsq_fx"] == Decimal(sum(x * x for x in qs))
+        n, s, ss = len(qs), sum(qs), sum(x * x for x in qs)
+        assert rows[dim]["sum_fx"] == Decimal(s)
+        assert rows[dim]["sumsq_fx"] == Decimal(ss)
+        # Python's // floors; trunc toward zero matches both engines
+        num, den = s * 1_000_000, n * P._EMB_FX
+        trunc = abs(num) // den * (1 if num >= 0 else -1)
+        assert rows[dim]["mean_ppm"] == trunc
+        assert rows[dim]["var_num"] == Decimal(n * ss - s * s)
 
 
 def test_contrastive_triplets_semantics(spark):
