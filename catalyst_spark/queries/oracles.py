@@ -705,15 +705,31 @@ def _kmeans_sql(k: int | None = None, prefix: str = "",
 
 
 def _kmeans_final_select() -> str:
-    from catalyst_spark.queries.pipeline import _KMEANS_ITERS
+    # r11 rounding audit: checked means are EXACT integer fixed-point
+    # sums over the final nearest-trained-centroid assignment (the
+    # assignment both engines share; the float model stays internal)
+    from catalyst_spark.queries.pipeline import _EMB_FX, _KMEANS_ITERS
 
-    prefix = _kmeans_sql().rstrip()
-    assert prefix.endswith(",")
-    return (
-        prefix.rstrip(",")
-        + f"\nSELECT c_id, d, ROUND(m, 4) + 0.0 AS centroid"
-        f" FROM m{_KMEANS_ITERS} ORDER BY c_id, d"
-    )
+    last_c = f"c{_KMEANS_ITERS}"
+    return _kmeans_sql() + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        assign AS (SELECT vec_id, c_id FROM dist WHERE rn = 1),
+        qd AS (
+          SELECT a.c_id, d,
+                 CAST(floor(v.e[d] * {_EMB_FX}) AS BIGINT) AS q
+          FROM v JOIN assign a USING (vec_id), dims)
+        SELECT c_id, d,
+               ROUND(CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE)
+                     / CAST(COUNT(*) * {_EMB_FX} AS DOUBLE), 4) + 0.0
+                 AS centroid
+        FROM qd GROUP BY c_id, d ORDER BY c_id, d
+    """
 
 
 def _ivf_trained_sql() -> str:
@@ -2171,20 +2187,27 @@ _TSDB = {
         GROUP BY type_a, type_b ORDER BY type_a, type_b
     """,
     "ts_rate": """
-        SELECT event_id, user_id, ROUND(dv / dt, 4) + 0.0 AS rate FROM (
+        -- r11 rounding audit: exact cent deltas, ONE int/int divide
+        SELECT event_id, user_id,
+               ROUND(CAST(dc * 10000 AS DOUBLE) / dt_us, 4) + 0.0 AS rate
+        FROM (
           SELECT event_id, user_id,
-                 value - lag(value) OVER w AS dv,
-                 (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt
-          FROM events
+                 c - lag(c) OVER w AS dc,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+          FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS c
+                FROM events) e
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
-        WHERE dv IS NOT NULL ORDER BY event_id
+        WHERE dc IS NOT NULL ORDER BY event_id
     """,
     "time_weighted_avg": """
+        -- r11 rounding audit: exact cent-µs integer sums, ONE divide
         SELECT user_id,
-               ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twa,
+               ROUND(CAST(SUM(CAST(c AS HUGEINT) * dt_us) AS DOUBLE)
+                     / (CAST(SUM(CAST(dt_us AS HUGEINT)) AS DOUBLE)
+                        * 100.0), 4) AS twa,
                COUNT(*) AS n_intervals
         FROM (
-          SELECT user_id, value,
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id)
                    - epoch_us(ts) AS dt_us
@@ -2193,26 +2216,52 @@ _TSDB = {
         GROUP BY user_id ORDER BY user_id
     """,
     "anomaly_zscore": """
+        -- r11 rounding audit: exact integer moments; z is one exact
+        -- numerator, one int/int divide, one sqrt, one divide — the
+        -- identical deterministic IEEE chain as the Spark side
         SELECT event_id, user_id, ROUND(value, 2) AS value,
-               ROUND(z, 4) AS z
+               ROUND(CAST(n * c - s AS DOUBLE)
+                     / sqrt(CAST(n * (n * ss - s * s) AS DOUBLE)
+                            / (n - 1)), 4) AS z
         FROM (
-          SELECT event_id, user_id, value,
-                 (value - AVG(value) OVER (PARTITION BY user_id))
-                   / stddev_samp(value) OVER (PARTITION BY user_id) AS z
-          FROM events) t
-        WHERE abs(z) > 2 ORDER BY event_id
+          SELECT event_id, user_id, value, CAST(c AS HUGEINT) AS c,
+                 COUNT(*) OVER w AS n,
+                 SUM(CAST(c AS HUGEINT)) OVER w AS s,
+                 SUM(CAST(c AS HUGEINT) * c) OVER w AS ss
+          FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS c
+                FROM events) e
+          WINDOW w AS (PARTITION BY user_id)) t
+        WHERE abs(CAST(n * c - s AS DOUBLE)
+                  / sqrt(CAST(n * (n * ss - s * s) AS DOUBLE)
+                         / (n - 1))) > 2
+        ORDER BY event_id
     """,
     "series_correlation": """
+        -- r11 rounding audit: Pearson from exact integer moments —
+        -- the identical deterministic IEEE chain as the Spark side
         WITH hourly AS (
           SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
-                 event_type, SUM(value) AS sv
-          FROM events GROUP BY 1, 2)
-        SELECT a.event_type AS ta, b.event_type AS tb,
-               ROUND(corr(a.sv, b.sv), 4) AS pearson,
-               COUNT(*) AS n_buckets
-        FROM hourly a JOIN hourly b
-          ON a.h = b.h AND a.event_type < b.event_type
-        GROUP BY 1, 2 ORDER BY ta, tb
+                 event_type,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS sc
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+                 COUNT(*) AS n,
+                 SUM(CAST(a.sc AS HUGEINT)) AS sx,
+                 SUM(CAST(b.sc AS HUGEINT)) AS sy,
+                 SUM(CAST(a.sc AS HUGEINT) * b.sc) AS sxy,
+                 SUM(CAST(a.sc AS HUGEINT) * a.sc) AS sxx,
+                 SUM(CAST(b.sc AS HUGEINT) * b.sc) AS syy
+          FROM hourly a JOIN hourly b
+            ON a.h = b.h AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT ta, tb,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                     4) AS pearson,
+               n AS n_buckets
+        FROM m ORDER BY ta, tb
     """,
     "rolling_window_7d": """
         SELECT event_id, user_id,
@@ -2226,20 +2275,24 @@ _TSDB = {
         ORDER BY event_id
     """,
     "counter_rate": """
+        -- r11 rounding audit: exact integer cent increases; each
+        -- checked double is ONE divide of exact integers
         WITH s AS (
-          SELECT user_id, epoch_us(ts) AS us, value,
-                 lag(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS prev
-          FROM events)
+          SELECT user_id, epoch_us(ts) AS us, c,
+                 lag(c) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+          FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS c
+                FROM events) e)
         SELECT user_id,
-               ROUND(SUM(CASE WHEN value >= prev THEN value - prev
-                              WHEN prev IS NOT NULL THEN value END), 2)
-                 AS total_inc,
-               CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT)
+               ROUND(CAST(SUM(CASE WHEN c >= prev THEN c - prev
+                                   WHEN prev IS NOT NULL THEN c END)
+                          AS BIGINT) / 100.0, 2) AS total_inc,
+               CAST(SUM(CASE WHEN c < prev THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_resets,
-               ROUND(SUM(CASE WHEN value >= prev THEN value - prev
-                              WHEN prev IS NOT NULL THEN value END)
-                     / ((MAX(us) - MIN(us)) / 1000000.0), 4) + 0.0 AS per_sec,
+               ROUND(CAST(CAST(SUM(CASE WHEN c >= prev THEN c - prev
+                                        WHEN prev IS NOT NULL THEN c END)
+                               AS BIGINT) * 10000 AS DOUBLE)
+                     / (MAX(us) - MIN(us)), 4) + 0.0 AS per_sec,
                COUNT(*) AS n_points
         FROM s GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_id
     """,
@@ -2392,11 +2445,36 @@ _TSDB = {
         GROUP BY event_type ORDER BY event_type
     """,
     "value_percentiles": """
+        -- r11 rounding audit: exact rank arithmetic over integer
+        -- cents (pos = (n-1)*k, trunc-div/mod 100), ONE divide
+        WITH ranked AS (
+          SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY c) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM (SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events) e),
+        picks AS (
+          SELECT event_type, k, rem,
+                 MIN(CASE WHEN rn = lo_rank THEN c END) AS c_lo,
+                 MAX(c) AS c_hi
+          FROM (SELECT r.*, k,
+                       ((n - 1) * k) // 100 + 1 AS lo_rank,
+                       ((n - 1) * k) % 100 AS rem
+                FROM ranked r,
+                     (SELECT unnest([50, 95, 99]) AS k) ks) t
+          WHERE rn = lo_rank OR rn = least(lo_rank + 1, n)
+          GROUP BY event_type, k, rem)
         SELECT event_type,
-               ROUND(quantile_cont(value, 0.5), 4) AS p50,
-               ROUND(quantile_cont(value, 0.95), 4) AS p95,
-               ROUND(quantile_cont(value, 0.99), 4) AS p99
-        FROM events GROUP BY event_type ORDER BY event_type
+               MIN(CASE WHEN k = 50 THEN p END) AS p50,
+               MIN(CASE WHEN k = 95 THEN p END) AS p95,
+               MIN(CASE WHEN k = 99 THEN p END) AS p99
+        FROM (SELECT event_type, k,
+                     ROUND(CAST(c_lo * (100 - rem) + c_hi * rem
+                                AS DOUBLE) / 10000.0, 4) AS p
+              FROM picks) f
+        GROUP BY event_type ORDER BY event_type
     """,
     # lag/lead feature matrix in exact cents, one window partitioning
     "lag_features": """
@@ -2547,16 +2625,23 @@ _TSDB = {
                      SUM(n) OVER (PARTITION BY event_type ORDER BY le) AS cum,
                      SUM(n) OVER (PARTITION BY event_type) AS total
               FROM c),
-        x AS (SELECT w.*, q
-              FROM w, (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _HQ_QS)}]) AS q)),
-        p AS (SELECT *, row_number() OVER (PARTITION BY event_type, q
+        -- r11 rounding audit: exact-integer interpolation, ONE divide
+        x AS (SELECT w.*, k
+              FROM w, (SELECT unnest([{", ".join(f"CAST({int(round(q * 100))} AS BIGINT)" for q in _HQ_QS)}]) AS k)),
+        p AS (SELECT *, row_number() OVER (PARTITION BY event_type, k
                                            ORDER BY le) AS pick
-              FROM x WHERE cum >= q * total)
-        SELECT event_type, q,
-               ROUND(CASE WHEN le = CAST('inf' AS DOUBLE) THEN lo
-                          ELSE lo + (le - lo) * (q * total - (cum - n)) / n
-                     END, 4) AS hq
-        FROM p WHERE pick = 1 ORDER BY event_type, q
+              FROM x WHERE 100 * cum >= k * total),
+        f AS (SELECT event_type, k, n, cum, total,
+                     CAST(lo AS BIGINT) AS lo_i,
+                     CASE WHEN le = CAST('inf' AS DOUBLE)
+                          THEN CAST(lo AS BIGINT)
+                          ELSE CAST(le AS BIGINT) END AS le_i
+              FROM p WHERE pick = 1)
+        SELECT event_type, k / 100.0 AS q,
+               ROUND(CAST(lo_i * 100 * n
+                          + (le_i - lo_i) * (k * total - 100 * (cum - n))
+                          AS DOUBLE) / (100 * n), 4) AS hq
+        FROM f ORDER BY event_type, q
     """,
     "dedup_ngram_jaccard": """
         WITH p AS (
@@ -2678,12 +2763,35 @@ _TSDB = {
     # divisions everywhere, so floor (//) matches Spark's div exactly
     "near_dup_pagerank": _pagerank_sql(),
     "doc_length_quartiles_by_source": """
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
-               ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
-               ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
-               ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
-        FROM documents GROUP BY source ORDER BY source
+        -- r11 rounding audit: exact rank arithmetic (pos = (n-1)*k,
+        -- trunc-div/mod 100), ONE divide per percentile
+        WITH ranked AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars)
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM documents),
+        picks AS (
+          SELECT source, k, rem, n,
+                 MIN(CASE WHEN rn = lo_rank THEN v END) AS v_lo,
+                 MAX(v) AS v_hi
+          FROM (SELECT r.*, k,
+                       ((n - 1) * k) // 100 + 1 AS lo_rank,
+                       ((n - 1) * k) % 100 AS rem
+                FROM ranked r,
+                     (SELECT unnest([25, 50, 75, 95]) AS k) ks) t
+          WHERE rn = lo_rank OR rn = least(lo_rank + 1, n)
+          GROUP BY source, k, rem, n)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               MIN(CASE WHEN k = 25 THEN p END) AS p25,
+               MIN(CASE WHEN k = 50 THEN p END) AS p50,
+               MIN(CASE WHEN k = 75 THEN p END) AS p75,
+               MIN(CASE WHEN k = 95 THEN p END) AS p95
+        FROM (SELECT source, n, k,
+                     ROUND(CAST(v_lo * (100 - rem) + v_hi * rem
+                                AS DOUBLE) / 100.0, 4) AS p
+              FROM picks) f
+        GROUP BY source, n ORDER BY source
     """,
     "truncation_stats": """
         WITH toks AS (
@@ -2830,21 +2938,32 @@ _TSDB = {
         GROUP BY d.source ORDER BY d.source
     """,
     # per-label L2-norm outlier screen; norm folded in element order
-    "embedding_norm_outliers": """
+    "embedding_norm_outliers": f"""
+        -- r11 rounding audit: in-order fold (list_reduce seeded with
+        -- 0.0 replicates Spark's aggregate() bit-for-bit), norms
+        -- quantized to fixed point, exact integer moments; the
+        -- 2-sigma test compares squares in exact integers
         WITH v AS (
           SELECT label,
-                 sqrt(list_sum(list_transform(embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 CAST(floor(sqrt(list_reduce(
+                        list_prepend(0.0::DOUBLE,
+                                     CAST(embedding AS DOUBLE[])),
+                        (a, x) -> a + x * x)) * {{fx}}) AS BIGINT) AS fx
           FROM embeddings),
-        s AS (SELECT label, AVG(nrm) AS mu, stddev_pop(nrm) AS sd
-              FROM v GROUP BY label)
-        SELECT v.label, COUNT(*) AS n_vecs,
-               ROUND(AVG(nrm), 4) AS mean_norm,
-               CAST(SUM(CASE WHEN abs(nrm - mu) > 2 * sd THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_outliers
-        FROM v JOIN s USING (label)
-        GROUP BY v.label ORDER BY v.label
-    """,
+        st AS (
+          SELECT label, fx,
+                 COUNT(*) OVER w AS n,
+                 SUM(CAST(fx AS HUGEINT)) OVER w AS s,
+                 SUM(CAST(fx AS HUGEINT) * fx) OVER w AS ss
+          FROM v WINDOW w AS (PARTITION BY label))
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(CAST(MAX(s) AS DOUBLE)
+                     / CAST(MAX(n) * {{fx}} AS DOUBLE), 4) AS mean_norm,
+               CAST(SUM(CASE WHEN (n * fx - s) * (n * fx - s)
+                                  > 4 * (n * ss - s * s)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM st GROUP BY label ORDER BY label
+    """.replace("{fx}", "1048576"),
     "distinctive_terms": """
         WITH toks AS (
           SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -122,18 +122,26 @@ def session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series rate of change (the counter->rate read of every TSDB):
-    (v - lag(v)) / seconds-elapsed over the per-user timeline."""
+    (v - lag(v)) / seconds-elapsed over the per-user timeline.
+
+    VERDICT r11 rounding audit: values are cent-quantized at the scan
+    (exact — the table is 2-decimal by construction), so the delta is
+    an exact integer and the rate is ONE divide of exact integers
+    (dc/100) / (dt_us/1e6) = dc * 10000 / dt_us — no chained-float
+    ROUND input; both engines see the identical IEEE quotient."""
     events = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    dv = F.col("value") - F.lag("value").over(w)
-    dt = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1_000_000.0
+    c = F.round(F.col("value") * 100).cast("long")
+    dc = c - F.lag(c).over(w)
+    dt_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     return (
         events.select(
             "event_id",
             "user_id",
             # + 0.0 normalizes IEEE -0.0 to +0.0 so Spark (BigDecimal round,
             # no -0) and DuckDB (sign-preserving round) hash identically
-            (F.round(dv / dt, 4) + F.lit(0.0)).alias("rate"),
+            (F.round((dc * 10000).cast("double") / dt_us, 4) + F.lit(0.0))
+            .alias("rate"),
         )
         .where(F.col("rate").isNotNull())
         .orderBy("event_id")
@@ -357,19 +365,26 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = seconds until the next point (the last point carries no
     weight). The TWA is what monitoring systems report for unevenly
     sampled gauges — a plain AVG over-weights bursts. One window pass
-    on the series key, then one aggregation; integer-µs dt arithmetic
-    keeps both engines bit-identical."""
+    on the series key, then one aggregation.
+
+    VERDICT r11 rounding audit: the weighted sum accumulates exact
+    integers (cents × µs, in decimal(38,0) — a cent·µs term is ~2^47,
+    so BIGINT would bound the series length) and the TWA is ONE divide
+    of exact integers, never a ROUND of a float accumulation."""
     events = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     dt_us = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    c = F.round(F.col("value") * 100).cast("long")
     return (
-        events.select("user_id", "value", dt_us.alias("dt_us"))
+        events.select("user_id", c.alias("c"), dt_us.alias("dt_us"))
         .where(F.col("dt_us").isNotNull())
         .groupBy("user_id")
         .agg(
             F.round(
-                F.sum(F.col("value") * F.col("dt_us"))
-                / F.sum("dt_us"), 4
+                F.sum((F.col("c") * F.col("dt_us")).cast("decimal(38,0)"))
+                .cast("double")
+                / (F.sum(F.col("dt_us").cast("decimal(38,0)"))
+                   .cast("double") * 100.0), 4
             ).alias("twa"),
             F.count(F.lit(1)).alias("n_intervals"),
         )
@@ -508,16 +523,32 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series anomaly flags: events whose value deviates from the
     series mean by more than 2 sample standard deviations — the
-    simplest online-able outlier screen. Mean/std per user via window
-    (one shuffle on the series key), z computed per row; both engines
-    use the same sample-stddev definition so the oracle is exact."""
+    simplest online-able outlier screen. One shuffle on the series key
+    (window aggregates), z computed per row.
+
+    VERDICT r11 rounding audit: AVG/STDDEV over doubles accumulate in
+    engine-specific order, so their ROUND(…, 4) was in the divergence
+    class. Instead the moments are EXACT integer sums of cents
+    (decimal(38,0) — S² terms outgrow BIGINT on long series) and
+      z = (n·c − S) / sqrt((n · (n·SS − S²)) / (n − 1))
+    — an exact-integer numerator, one divide of exact integers, one
+    sqrt, one divide: every step is deterministic IEEE on identical
+    inputs, so both engines produce the identical double by
+    construction (same sample-stddev definition as before)."""
     events = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id")
-    mean = F.avg("value").over(w)
-    std = F.stddev_samp("value").over(w)
-    z = (F.col("value") - mean) / std
+    c = F.round(F.col("value") * 100).cast("long")
+    base = events.select("event_id", "user_id", "value", c.alias("c"))
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("c").cast("decimal(38,0)")).over(w)
+    ss = F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).over(w)
+    num = (n.cast("decimal(38,0)") * F.col("c") - s).cast("double")
+    var_num = (n.cast("decimal(38,0)") * ss - s * s).cast("decimal(38,0)")
+    z = num / F.sqrt(
+        (n.cast("decimal(38,0)") * var_num).cast("double") / (n - 1)
+    )
     return (
-        events.select(
+        base.select(
             "event_id", "user_id",
             F.round("value", 2).alias("value"),
             F.round(z, 4).alias("z"),
@@ -532,23 +563,53 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sums per (hour, type), self-join on the hour, corr() per
     type pair. The cross-series read behind dashboards' "metric A
     tracks metric B" panels; corr is algebraic, so the plan is two
-    shuffles (bucket agg + pair agg) regardless of scale."""
+    shuffles (bucket agg + pair agg) regardless of scale.
+
+    VERDICT r11 rounding audit: the builtin corr() accumulates doubles
+    in engine-specific order, so ROUND(corr, 4) was in the divergence
+    class. Instead the hourly buckets are exact integer cent sums and
+    Pearson is assembled from exact integer moments
+    (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²))
+    — decimal(38,0) sums, then casts/sqrts/one multiply/one divide:
+    all deterministic IEEE on identical integers in both engines."""
     events = load(spark, sf_dir, "events")
     hourly = events.groupBy(
         (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("h"),
         "event_type",
-    ).agg(F.sum("value").alias("sv"))
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc")
+    )
     a = hourly.select(F.col("h"), F.col("event_type").alias("ta"),
-                      F.col("sv").alias("va"))
+                      F.col("sc").alias("ca"))
     b = hourly.select(F.col("h"), F.col("event_type").alias("tb"),
-                      F.col("sv").alias("vb"))
-    return (
+                      F.col("sc").alias("cb"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    paired = (
         a.join(b, "h")
         .where(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(
-            F.round(F.corr("va", "vb"), 4).alias("pearson"),
-            F.count(F.lit(1)).alias("n_buckets"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("ca"))).alias("sx"),
+            F.sum(dec(F.col("cb"))).alias("sy"),
+            F.sum(dec(F.col("ca") * F.col("cb"))).alias("sxy"),
+            F.sum(dec(F.col("ca") * F.col("ca"))).alias("sxx"),
+            F.sum(dec(F.col("cb") * F.col("cb"))).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    pearson = (
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                  .cast("double"))
+           * F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")))
+    )
+    return (
+        paired.select(
+            "ta", "tb",
+            F.round(pearson, 4).alias("pearson"),
+            F.col("n").alias("n_buckets"),
         )
         .orderBy("ta", "tb")
     )
@@ -624,17 +685,57 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event_type (the p50/p95/p99
-    latency read). Spark's percentile() and DuckDB's quantile_cont use
-    the same linear-interpolation definition, so the oracle match is
-    exact. At 100 TB you'd switch to percentile_approx (t-digest) and
-    accept the epsilon."""
+    latency read). At 100 TB you'd switch to percentile_approx
+    (t-digest) and accept the epsilon — percentile_sketch is that op.
+
+    VERDICT r11 rounding audit: instead of trusting two engines'
+    percentile()/quantile_cont interpolation to produce the identical
+    double, the linear interpolation at q = k/100 over integer cents
+    runs in EXACT RANK ARITHMETIC — pos = (n−1)·k, lo = pos div 100,
+    rem = pos mod 100, p = (c_lo·(100−rem) + c_hi·rem) / 10000 — an
+    exact integer numerator and ONE divide (the perplexity_buckets
+    convention). One sort-shuffle on (event_type, cents), the same
+    work percentile() does; everything after is rank-count-sized."""
     events = load(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
+    c = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("event_type").orderBy("c")
+    ranked = (
+        events.select("event_type", c.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("event_type")))
+    )
+    ks = F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("k")
+    picks = (
+        ranked.select("*", ks)
+        .withColumn("pos", (F.col("n") - 1) * F.col("k"))
+        .withColumn("lo_rank", F.expr("pos div 100") + 1)
+        .withColumn("rem", F.col("pos") % 100)
+        .where(
+            (F.col("rn") == F.col("lo_rank"))
+            | (F.col("rn") == F.least(F.col("lo_rank") + 1, F.col("n")))
+        )
+        .groupBy("event_type", "k", "lo_rank", "rem", "n")
         .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
-            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.min(F.when(F.col("rn") == F.col("lo_rank"), F.col("c")))
+            .alias("c_lo"),
+            # on rem = 0 (or lo_rank = n) the hi pick collapses to lo
+            F.max("c").alias("c_hi"),
+        )
+    )
+    p = (
+        (F.col("c_lo") * (100 - F.col("rem")) + F.col("c_hi") * F.col("rem"))
+        .cast("double") / 10000.0
+    )
+    return (
+        picks.withColumn("p", F.round(p, 4))
+        .groupBy("event_type")
+        .pivot("k", [50, 95, 99])
+        .agg(F.first("p"))
+        .select(
+            "event_type",
+            F.col("50").alias("p50"),
+            F.col("95").alias("p95"),
+            F.col("99").alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -756,28 +857,36 @@ def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     increase for that step is the new value itself, not the negative
     delta. One window pass for the per-step increase, one aggregation
     for total increase / elapsed span — both shuffle only the series
-    key. Integer-µs span math keeps the engines bit-identical; `+ 0.0`
-    normalizes IEEE -0.0 (same lesson as ts_rate)."""
+    key. `+ 0.0` normalizes IEEE -0.0 (same lesson as ts_rate).
+
+    VERDICT r11 rounding audit: increases accumulate as exact integer
+    cents (a SUM over double deltas is engine-order-dependent), so
+    total_inc and per_sec are each ONE divide of exact integers —
+    (sum_c/100) and (sum_c/100)/(span_us/1e6) = sum_c·10⁴/span_us."""
     events = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("value").over(w)
+    c = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("us"),
+        c.alias("c"),
+    )
+    prev = F.lag("c").over(w)
     inc = (
-        F.when(F.col("value") >= prev, F.col("value") - prev)
-        .when(prev.isNotNull(), F.col("value"))
+        F.when(F.col("c") >= prev, F.col("c") - prev)
+        .when(prev.isNotNull(), F.col("c"))
     )
-    stepped = events.select(
-        "user_id",
-        F.unix_micros("ts").alias("us"),
-        inc.alias("inc"),
-        F.when(F.col("value") < prev, 1).otherwise(0).alias("is_reset"),
+    stepped = base.select(
+        "user_id", "us", inc.alias("inc_c"),
+        F.when(F.col("c") < prev, 1).otherwise(0).alias("is_reset"),
     )
-    span_s = (F.max("us") - F.min("us")) / 1_000_000.0
+    span_us = F.max("us") - F.min("us")
     return (
         stepped.groupBy("user_id")
         .agg(
-            F.round(F.sum("inc"), 2).alias("total_inc"),
+            F.round(F.sum("inc_c") / 100.0, 2).alias("total_inc"),
             F.sum("is_reset").cast("long").alias("n_resets"),
-            (F.round(F.sum("inc") / span_s, 4) + F.lit(0.0)).alias("per_sec"),
+            (F.round((F.sum("inc_c") * 10000).cast("double") / span_us, 4)
+             + F.lit(0.0)).alias("per_sec"),
             F.count(F.lit(1)).alias("n_points"),
         )
         .where(F.col("n_points") >= 2)
@@ -970,29 +1079,39 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.withColumn("cum", F.sum("n").over(wcum))
         .withColumn("total", F.sum("n").over(wtot))
     )
-    qs = F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q")
+    # VERDICT r11 rounding audit: with q = k/100 and integer bucket
+    # bounds, the interpolation clears denominators to exact BIGINTs —
+    # hq = (lo·100·n + (le−lo)·(k·total − 100·cumprev)) / (100·n) is
+    # ONE divide of exact integers (the rank-selection predicate is
+    # the exact integer comparison 100·cum >= k·total); the +Inf
+    # bucket clamps to lo before any cast touches the infinity.
+    ks = F.explode(
+        F.array(*[F.lit(int(round(q * 100))) for q in _HQ_QS])
+    ).alias("k")
     ranked = (
-        cum.select("*", qs)
-        .where(F.col("cum") >= F.col("q") * F.col("total"))
+        cum.select("*", ks)
+        .where(100 * F.col("cum") >= F.col("k") * F.col("total"))
         .withColumn(
             "pick",
             F.row_number().over(
-                W.partitionBy("event_type", "q").orderBy("le")
+                W.partitionBy("event_type", "k").orderBy("le")
             ),
         )
         .where(F.col("pick") == 1)
     )
-    hq = (
-        F.when(F.col("le") == float("inf"), F.col("lo"))
-        .otherwise(
-            F.col("lo")
-            + (F.col("le") - F.col("lo"))
-            * (F.col("q") * F.col("total") - (F.col("cum") - F.col("n")))
-            / F.col("n")
-        )
+    lo_i = F.col("lo").cast("long")
+    le_i = F.when(F.col("le") == float("inf"), lo_i).otherwise(
+        F.col("le").cast("long")
+    )
+    num = (
+        lo_i * 100 * F.col("n")
+        + (le_i - lo_i)
+        * (F.col("k") * F.col("total") - 100 * (F.col("cum") - F.col("n")))
     )
     return ranked.select(
-        "event_type", "q", F.round(hq, 4).alias("hq")
+        "event_type",
+        (F.col("k") / 100.0).alias("q"),
+        F.round(num.cast("double") / (100 * F.col("n")), 4).alias("hq"),
     ).orderBy("event_type", "q")
 
 
