@@ -208,20 +208,26 @@ def stream_curation_pipeline(
     boiler_hashes: list[int],
     lw: list[int],
     norm_bits: int,
+    ppl_model: tuple | None = None,
 ) -> DataFrame:
     """The ingest-time curation stages COMPOSED as one streaming query
     (VERDICT r8 item 7; r9 added the line-removal stage; r10 the DSIR
-    scoring stage — VERDICT r9 item 3): quality gate -> DSIR score ->
-    PII scrub -> boilerplate cut -> shard-dedup classify over a single
-    arriving corpus — the full FIVE-STAGE funnel production actually
-    runs, not five proofs in isolation. One emission per gate-passing
-    document: its dedup class against the corpus index, its DSIR
-    importance weight w_bits (what a resampling ingest admits on), its
-    scrub audit delta, its boiler-cut audit (chunks cut + kept tokens),
-    and n_seen for the re-delivery proof; gate-failing documents never
-    reach the scorer, the scrub, the cut, or the index probes (the
-    filter is upstream of every join, so rejected rows cost one
-    projection — the 100 TB ingest shape).
+    scoring stage — VERDICT r9 item 3; r11 the perplexity keep-line —
+    VERDICT r10 item 5): quality gate -> DSIR score -> perplexity
+    bucket -> PII scrub -> boilerplate cut -> shard-dedup classify
+    over a single arriving corpus — the full SIX-STAGE funnel
+    production actually runs, not six proofs in isolation. One
+    emission per gate-passing document: its dedup class against the
+    corpus index, its DSIR importance weight w_bits (what a resampling
+    ingest admits on), its CCNet tercile ppl_bucket (the keep-line a
+    perplexity-filtered ingest drops 'tail' on), its scrub audit
+    delta, its boiler-cut audit (chunks cut + kept tokens), and n_seen
+    for the re-delivery proof; gate-failing documents never reach the
+    scorer, the scrub, the cut, or the index probes (the filter is
+    upstream of every join, so rejected rows cost one projection — the
+    100 TB ingest shape). `ppl_model` is perplexity_cutoff_index's
+    (cm, n_total, cutoffs); None skips the stage (ppl_bucket emitted
+    as 'unscored').
 
     Stage wiring: the gate, scorer, and scrub are the stateless twins
     in this module (passthrough `keep` carries the raw text to the
@@ -230,11 +236,14 @@ def stream_curation_pipeline(
     scoring/probing raw is the correct order); the DSIR stage is ONE
     projection against the broadcast 4096-bucket model (stream_dsir_
     gate with the text kept), so composing it costs no state and no
-    shuffle; classification evidence is the
-    stream_shard_dedup_classify shape (fingerprint equi-join,
-    band-bucket join + integer-exact Jaccard verify), with the per-doc
-    state extended by the scrub delta and the weight so the composed
-    emission carries the whole funnel fate of the document.
+    shuffle; the perplexity stage is the same shape against the
+    broadcast unigram table + per-source boundary tuples
+    (stream_perplexity_gate), another stateless projection;
+    classification evidence is the stream_shard_dedup_classify shape
+    (fingerprint equi-join, band-bucket join + integer-exact Jaccard
+    verify), with the per-doc state extended by the scrub delta, the
+    weight, and the bucket so the composed emission carries the whole
+    funnel fate of the document.
     """
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -261,29 +270,44 @@ def stream_curation_pipeline(
                               keep=("text",)).select(
         "doc_id", "source", "text", "w_bits"
     )
-    scrubbed = stream_pii_scrub(scored, keep=("text", "w_bits"))
+    # perplexity keep-line (stage 6 wiring, scored on raw text like
+    # DSIR — the cutoff model is built over the raw corpus): one more
+    # stateless broadcast projection, or a constant column when no
+    # model is supplied
+    if ppl_model is not None:
+        cm, n_total, cutoffs = ppl_model
+        scored = stream_perplexity_gate(
+            scored, cm, n_total, cutoffs, keep=("text", "w_bits"),
+        ).select("doc_id", "source", "text", "w_bits", "ppl_bucket")
+    else:
+        scored = scored.withColumn("ppl_bucket", F.lit("unscored"))
+    scrubbed = stream_pii_scrub(scored,
+                                keep=("text", "w_bits", "ppl_bucket"))
     cut = stream_boilerplate_cut(scrubbed, boiler_hashes,
-                                 keep=("red_delta", "w_bits"))
+                                 keep=("red_delta", "w_bits",
+                                       "ppl_bucket"))
     base = cut.select(
         "doc_id", "source", "red_delta", "n_cut",
-        F.col("kept_tokens").alias("kept_tok"), "w_bits",
+        F.col("kept_tokens").alias("kept_tok"), "w_bits", "ppl_bucket",
         F.lit(0).alias("exact"), F.lit(0).alias("near"),
     )
     exact = (
         scrubbed.select(
-            "doc_id", "source", "w_bits",
+            "doc_id", "source", "w_bits", "ppl_bucket",
             F.expr("substring(md5(text), 1, 16)").alias("fp"),
         )
         .join(fp_index, "fp")
         .select("doc_id", "source", F.lit(0).alias("red_delta"),
                 F.lit(0).cast("bigint").alias("n_cut"),
                 F.lit(0).cast("bigint").alias("kept_tok"), "w_bits",
+                "ppl_bucket",
                 F.lit(1).alias("exact"), F.lit(0).alias("near"))
     )
     a_lst, b_lst = _minhash_coeffs()
     enr = _shingled(
-        scrubbed.select("doc_id", "source", "text", "w_bits"),
-        keep=("source", "w_bits"),
+        scrubbed.select("doc_id", "source", "text", "w_bits",
+                        "ppl_bucket"),
+        keep=("source", "w_bits", "ppl_bucket"),
     ).withColumn(
         "qh", F.expr(f"transform(shingles, sh -> {_h60('sh')})")
     )
@@ -294,7 +318,7 @@ def stream_curation_pipeline(
         ))
     near = (
         enr.select(
-            "doc_id", "source", "qh", "w_bits",
+            "doc_id", "source", "qh", "w_bits", "ppl_bucket",
             F.explode(_band_buckets_array()).alias("bucket"),
         )
         .join(band_index, "bucket")
@@ -306,6 +330,7 @@ def stream_curation_pipeline(
         .select("doc_id", "source", F.lit(0).alias("red_delta"),
                 F.lit(0).cast("bigint").alias("n_cut"),
                 F.lit(0).cast("bigint").alias("kept_tok"), "w_bits",
+                "ppl_bucket",
                 F.lit(0).alias("exact"), F.lit(1).alias("near"))
     )
     rows = base.unionByName(exact).unionByName(near)
@@ -314,8 +339,8 @@ def stream_curation_pipeline(
         import pandas as pd
 
         (doc_id,) = key
-        ex, nr, src, red, cutn, kept, w, n_seen = (
-            state.get if state.exists else (0, 0, "", 0, 0, 0, 0, 0))
+        ex, nr, src, red, cutn, kept, w, pb, n_seen = (
+            state.get if state.exists else (0, 0, "", 0, 0, 0, 0, "", 0))
         cand = pd.concat(list(pdfs), ignore_index=True)
         ex = int(bool(ex or cand["exact"].max()))
         nr = int(bool(nr or cand["near"].max()))
@@ -323,17 +348,21 @@ def stream_curation_pipeline(
         red = max(int(red), int(cand["red_delta"].max()))
         cutn = max(int(cutn), int(cand["n_cut"].max()))
         kept = max(int(kept), int(cand["kept_tok"].max()))
-        # every leg carries the identical per-doc weight (scored once,
-        # upstream of the branch), so any row's value is THE value —
-        # no max() needed, which matters because w_bits can be negative
+        # every leg carries the identical per-doc weight and bucket
+        # (scored once, upstream of the branch), so any row's value is
+        # THE value — no max() needed, which matters because w_bits
+        # can be negative
         w = int(cand["w_bits"].iloc[0]) if not state.exists else int(w)
+        pb = (str(cand["ppl_bucket"].iloc[0])
+              if not state.exists else str(pb))
         n_seen = int(n_seen) + len(cand)
-        state.update((ex, nr, src, red, cutn, kept, w, n_seen))
+        state.update((ex, nr, src, red, cutn, kept, w, pb, n_seen))
         status = "exact" if ex else ("near" if nr else "kept")
         yield pd.DataFrame({
             "doc_id": [int(doc_id)], "source": [src], "status": [status],
-            "w_bits": [w], "red_delta": [red], "boiler_cut": [cutn],
-            "kept_tokens": [kept], "n_seen": [n_seen],
+            "w_bits": [w], "ppl_bucket": [pb], "red_delta": [red],
+            "boiler_cut": [cutn], "kept_tokens": [kept],
+            "n_seen": [n_seen],
         })
 
     out_schema = T.StructType([
@@ -341,6 +370,7 @@ def stream_curation_pipeline(
         T.StructField("source", T.StringType()),
         T.StructField("status", T.StringType()),
         T.StructField("w_bits", T.LongType()),
+        T.StructField("ppl_bucket", T.StringType()),
         T.StructField("red_delta", T.LongType()),
         T.StructField("boiler_cut", T.LongType()),
         T.StructField("kept_tokens", T.LongType()),
@@ -354,6 +384,7 @@ def stream_curation_pipeline(
         T.StructField("cutn", T.LongType()),
         T.StructField("kept", T.LongType()),
         T.StructField("w", T.LongType()),
+        T.StructField("pb", T.StringType()),
         T.StructField("n_seen", T.LongType()),
     ])
     return rows.groupBy("doc_id").applyInPandasWithState(
@@ -440,6 +471,127 @@ def stream_dsir_gate(doc_stream: DataFrame, lw: list[int],
             (F.expr(per_tok)
              + F.expr(N_TOKENS).cast("bigint") * F.lit(norm_bits))
             .cast("bigint").alias("w_bits"),
+            *[F.col(c) for c in keep],
+        )
+    )
+
+
+def perplexity_cutoff_index(spark, sf_dir: str):
+    """Batch-side build of the perplexity keep-line model (the static
+    index stream_perplexity_gate broadcasts) — VERDICT r10 item 5:
+    serve perplexity_buckets' CCNet terciles at ingest.
+
+    Three pieces, all broadcast-sized:
+      * the unigram count table cm[w] (the scoring LM: surprisal per
+        token = bitlen(n_total) − bitlen(cm[w]), the exact integer
+        form of unigram_surprisal). Vocabulary-sized — at 100 TB this
+        is the standard broadcast LM table (top-V counts, a few tens
+        of MB); a token outside the table scores the maximal rung
+        (c = 0 → bitlen 1), which is exactly where a truncated tail
+        token belongs.
+      * n_total, the corpus token count.
+      * per-source tercile BOUNDARY TUPLES: the (mbits_per_token,
+        doc_id) of the LAST head doc and the LAST middle doc in the
+        batch ranking. Because the batch order is (mbits, doc_id), a
+        lexicographic compare against these tuples reproduces the
+        rank-based bucket of every corpus doc EXACTLY — ties at the
+        tercile line included, which a score-only cutoff would
+        misassign. A source whose middle tercile is empty degenerates
+        b2 to b1 (nothing can land strictly between them).
+
+    Returns (cm: dict[str, int], n_total: int,
+             cutoffs: list[(source, b1m, b1d, b2m, b2d)])."""
+    from catalyst_spark.queries.pipeline import (
+        TOKENS,
+        _perplexity_doc_buckets,
+    )
+    from catalyst_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(TOKENS)).alias("w"))
+    cm = {r["w"]: int(r["c"])
+          for r in toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+          .collect()}
+    n_total = sum(cm.values())
+    ranked = _perplexity_doc_buckets(spark, sf_dir)
+    b = (
+        ranked.groupBy("source")
+        .agg(
+            F.max(F.when(F.col("bucket") == "head",
+                         F.struct("mbits_per_token", "doc_id")))
+            .alias("b1"),
+            F.max(F.when(F.col("bucket") != "tail",
+                         F.struct("mbits_per_token", "doc_id")))
+            .alias("b2"),
+        )
+        .collect()
+    )
+    cutoffs = [
+        (r["source"],
+         int(r["b1"]["mbits_per_token"]), int(r["b1"]["doc_id"]),
+         int(r["b2"]["mbits_per_token"]), int(r["b2"]["doc_id"]))
+        for r in b
+    ]
+    return cm, n_total, cutoffs
+
+
+def stream_perplexity_gate(doc_stream: DataFrame, cm: dict,
+                           n_total: int, cutoffs: list,
+                           keep: tuple = ()) -> DataFrame:
+    """Ingest-time perplexity keep-line (VERDICT r10 item 5): every
+    arriving document is scored against the broadcast unigram count
+    table — the same exact-integer milli-bits-per-token as
+    unigram_surprisal — and assigned its CCNet tercile by comparing
+    (mbits_per_token, doc_id) lexicographically against the broadcast
+    per-source boundary tuples from perplexity_cutoff_index. The
+    stream_dsir_gate shape: ONE stateless projection (model rides in
+    as broadcast literals), append mode, no state store, no shuffle —
+    replaying the corpus reproduces perplexity_buckets' bucket for
+    every doc, re-delivery included (pure function of the row).
+
+    A document from a source with no cutoff row gets bucket
+    'unscored' (a new source has no curve yet — CCNet's per-source
+    grading is the point); an out-of-vocabulary token scores the
+    maximal surprisal rung (count 0 → bitlen 1)."""
+    from catalyst_spark.queries.pipeline import N_TOKENS, TOKENS
+
+    spark = doc_stream.sparkSession
+    cm_row = spark.createDataFrame([(cm,)], "cm map<string,bigint>")
+    cut_df = spark.createDataFrame(
+        cutoffs, "source string, b1m long, b1d long, b2m long, b2d long"
+    )
+    n_bits = int(n_total).bit_length()
+    per_tok = (
+        f"aggregate({TOKENS}, cast(0 as bigint), (acc, w) -> "
+        f"acc + {n_bits} - length(bin(coalesce(element_at(cm, w), 0))))"
+    )
+    scored = (
+        doc_stream.crossJoin(F.broadcast(cm_row))
+        .select(
+            "doc_id", "source",
+            F.expr(N_TOKENS).cast("bigint").alias("n_tok"),
+            F.expr(per_tok).cast("bigint").alias("total_bits"),
+            *[F.col(c) for c in keep],
+        )
+        .withColumn(
+            "mbits_per_token",
+            F.expr("(total_bits * 1000) div n_tok").cast("bigint"),
+        )
+    )
+    before = lambda m, d, bm, bd: (  # noqa: E731  lexicographic <=
+        (F.col(m) < F.col(bm))
+        | ((F.col(m) == F.col(bm)) & (F.col(d) <= F.col(bd)))
+    )
+    return (
+        scored.join(F.broadcast(cut_df), "source", "left")
+        .select(
+            "doc_id", "source", "n_tok", "mbits_per_token",
+            F.when(F.col("b1m").isNull(), F.lit("unscored"))
+            .when(before("mbits_per_token", "doc_id", "b1m", "b1d"),
+                  F.lit("head"))
+            .when(before("mbits_per_token", "doc_id", "b2m", "b2d"),
+                  F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("ppl_bucket"),
             *[F.col(c) for c in keep],
         )
     )

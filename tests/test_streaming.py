@@ -1764,16 +1764,19 @@ def test_stream_boilerplate_cut_matches_batch(spark, tmp_path):
 
 
 def test_stream_curation_pipeline_composed(spark, tmp_path):
-    """VERDICT r8 item 7 (+ r9 item 3, the DSIR stage): gate -> DSIR
-    score -> scrub -> boiler cut -> shard-dedup classify run as ONE
-    composed streaming query over one arriving corpus (the shard, one
-    batch RE-DELIVERED). Stage-count asserts: (0) arriving docs, (1)
-    gate survivors (only they are emitted — rejected docs never reach
-    the scorer, the scrub, or the index probes), (1b) per-doc w_bits
-    equal to the stateless DSIR twin on the survivor set, (2) per-doc
-    scrub deltas equal to the stateless twin, (2b) boiler-cut audits,
-    (3) dedup classes equal to the batch classification of the
-    survivors against the corpus index."""
+    """VERDICT r8 item 7 (+ r9 item 3, the DSIR stage; + r10 item 5,
+    the perplexity keep-line): gate -> DSIR score -> perplexity bucket
+    -> scrub -> boiler cut -> shard-dedup classify run as ONE composed
+    streaming query over one arriving corpus (the shard, one batch
+    RE-DELIVERED). Stage-count asserts: (0) arriving docs, (1) gate
+    survivors (only they are emitted — rejected docs never reach the
+    scorer, the scrub, or the index probes), (1b) per-doc w_bits equal
+    to the stateless DSIR twin on the survivor set, (1c) per-doc
+    ppl_bucket equal to the BATCH tercile assignment of
+    _perplexity_doc_buckets, (2) per-doc scrub deltas equal to the
+    stateless twin, (2b) boiler-cut audits, (3) dedup classes equal to
+    the batch classification of the survivors against the corpus
+    index."""
     import json
     from collections import Counter
 
@@ -1781,11 +1784,13 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
 
     from catalyst_spark.queries.pipeline import (
         _minhash_sig_cand,
+        _perplexity_doc_buckets,
     )
     from catalyst_spark.streaming.minhash import shard_dedup_static_index
     from catalyst_spark.streaming.scrub import (
         boiler_hash_index,
         dsir_weight_index,
+        perplexity_cutoff_index,
         stream_boilerplate_cut,
         stream_curation_pipeline,
         stream_dsir_gate,
@@ -1818,6 +1823,10 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
     lw, norm_bits = dsir_weight_index(spark, SF_DIR)
     want_w = {r["doc_id"]: r["w_bits"]
               for r in stream_dsir_gate(surv_df, lw, norm_bits).collect()}
+    ppl_model = perplexity_cutoff_index(spark, SF_DIR)
+    want_pb = {r["doc_id"]: r["bucket"]
+               for r in _perplexity_doc_buckets(spark, SF_DIR)
+               .select("doc_id", "bucket").collect()}
 
     corpus = docs.where("doc_id % 7 != 0")
     exact_ids = {
@@ -1863,7 +1872,8 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
               .schema("doc_id long, source string, text string")
               .option("maxFilesPerTrigger", 1).json(str(d)))
     q = (stream_curation_pipeline(stream, fp_index, band_index,
-                                  hset_index, bh, lw, norm_bits)
+                                  hset_index, bh, lw, norm_bits,
+                                  ppl_model=ppl_model)
          .writeStream.outputMode("update").format("memory")
          .queryName("curation_stream").start())
     q.processAllAvailable()
@@ -1881,6 +1891,14 @@ def test_stream_curation_pipeline_composed(spark, tmp_path):
     # survivors (VERDICT r9 item 3 — the funnel's fifth stage)
     for doc_id, r in latest.items():
         assert r["w_bits"] == want_w[doc_id], doc_id
+    # stage 1c: perplexity buckets match the BATCH tercile assignment
+    # (VERDICT r10 item 5 — the keep-line served at ingest): replayed
+    # corpus members land in exactly their batch bucket, boundary-tie
+    # docs included (the (mbits, doc_id) tuple compare)
+    for doc_id, r in latest.items():
+        assert r["ppl_bucket"] == want_pb[doc_id], doc_id
+    assert {r["ppl_bucket"] for r in latest.values()} <= {
+        "head", "middle", "tail"}
     # stage 2: scrub deltas match the stateless twin on the survivors
     for doc_id, r in latest.items():
         assert r["red_delta"] == want_red[doc_id], doc_id
@@ -1959,6 +1977,68 @@ def test_stream_dsir_gate_matches_batch(spark, tmp_path):
                         key=lambda r: (-r["w_bits"], r["doc_id"]))[:len(top)]
     assert [(r["doc_id"], r["w_bits"]) for r in stream_top] \
         == [(r["doc_id"], r["w_bits"]) for r in top]
+
+
+def test_stream_perplexity_gate_matches_batch(spark, tmp_path):
+    """Ingest-time perplexity keep-line (VERDICT r10 item 5):
+    replaying the corpus as a file stream (one batch RE-DELIVERED)
+    against the broadcast unigram table + per-source tercile boundary
+    tuples must reproduce _perplexity_doc_buckets' bucket AND
+    mbits_per_token for every doc — boundary ties included (the
+    (mbits, doc_id) lexicographic compare, which a score-only cutoff
+    would misassign)."""
+    import json
+
+    from catalyst_spark.queries.pipeline import _perplexity_doc_buckets
+    from catalyst_spark.streaming.scrub import (
+        perplexity_cutoff_index,
+        stream_perplexity_gate,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {r["doc_id"]: (r["mbits_per_token"], r["bucket"])
+            for r in _perplexity_doc_buckets(spark, SF_DIR).collect()}
+    assert want
+    cm, n_total, cutoffs = perplexity_cutoff_index(spark, SF_DIR)
+
+    docs = (load(spark, SF_DIR, "documents")
+            .select("doc_id", "source", "text").collect())
+    d = tmp_path / "ppl_stream"
+    d.mkdir()
+    half = max(1, len(docs) // 2)
+    batches = [docs[:half], docs[half:], docs[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "source": r["source"],
+                        "text": r["text"]})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_perplexity_gate(stream, cm, n_total, cutoffs)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("ppl_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from ppl_stream").collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r["doc_id"])
+        if prev is not None:
+            assert tuple(prev) == tuple(r), r["doc_id"]  # idempotent
+        latest[r["doc_id"]] = r
+    assert len(latest) == len(docs)
+    for doc_id, (mbits, bucket) in want.items():
+        got = latest[doc_id]
+        assert (got["mbits_per_token"], got["ppl_bucket"]) \
+            == (mbits, bucket), doc_id
+    # every batch tercile is non-empty per source and reproduced online
+    per_src = {}
+    for r in latest.values():
+        per_src.setdefault(r["source"], set()).add(r["ppl_bucket"])
+    assert all("head" in b for b in per_src.values())
 
 
 def test_stream_mmr_topk_matches_batch(spark, tmp_path):
