@@ -47,6 +47,15 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
     os.makedirs(dst_dir, exist_ok=True)
     reps = "explode(sequence(0, 9))"
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    emb0 = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    # ADVICE r10: the replica offsets assume the base ids fit under
+    # them — colliding ids would silently corrupt every 10x measurement
+    md = docs.selectExpr("max(doc_id) AS m").collect()[0]["m"]
+    mv = emb0.selectExpr("max(vec_id) AS m").collect()[0]["m"]
+    assert md < 1_000_000 and mv < 1_000_000, (
+        f"replica offset too small for base ids: max doc_id={md},"
+        f" max vec_id={mv} (offset 1_000_000)"
+    )
     (
         docs.select("doc_id", "text", "lang", "source",
                     F.expr(reps).alias("rep"))
@@ -99,6 +108,16 @@ def _ensure_sf1_events(spark, src_dir: str, dst_dir: str) -> None:
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+    # ADVICE r10: the replica offsets assume the base ids fit under
+    # them — a larger base corpus would silently produce colliding ids
+    # across replicas and corrupt every 10x measurement
+    mx = ev.selectExpr(
+        "max(event_id) AS me", "max(user_id) AS mu"
+    ).collect()[0]
+    assert mx["me"] < 10_000_000 and mx["mu"] < 1_000_000, (
+        f"replica offsets too small for base ids: max event_id={mx['me']}"
+        f" (offset 10_000_000), max user_id={mx['mu']} (offset 1_000_000)"
+    )
     reps = "explode(sequence(0, 9))"
     (
         ev.select("event_id", "ts", "user_id", "event_type", "value",
@@ -410,8 +429,14 @@ def _ensure_vec100k(spark, src_dir: str, dst_dir: str) -> None:
         return
     shutil.rmtree(dst_dir, ignore_errors=True)
     os.makedirs(dst_dir, exist_ok=True)
-    reps = "explode(sequence(0, 49))"
     emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    # ADVICE r10: same collision guard as _ensure_sf1_events
+    mv = emb.selectExpr("max(vec_id) AS m").collect()[0]["m"]
+    assert mv < 1_000_000, (
+        f"replica offset too small for base ids: max vec_id={mv}"
+        " (offset 1_000_000)"
+    )
+    reps = "explode(sequence(0, 49))"
     (
         emb.select("vec_id", "embedding", "label", F.expr(reps).alias("rep"))
         .select(

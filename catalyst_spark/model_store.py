@@ -196,7 +196,14 @@ def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids,
                 params or _train_params())
 
 
-_GC_GRACE_SECONDS = 600.0
+# ADVICE r10: configurable so tests/CI can shrink the race-guard
+# window without monkeypatching (mtime-based: artifacts restored with
+# preserved old mtimes get no protection; fresh-but-stale ones wait
+# for a later session — acceptable for a cache whose misses only
+# re-fit)
+_GC_GRACE_SECONDS = float(
+    os.environ.get("CATALYST_GC_GRACE_SECONDS", "600")
+)
 
 
 def gc_stale_artifacts(sf_dir: str, fingerprint: list[int],

@@ -414,6 +414,15 @@ def stream_phash_classify(
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # ADVICE r10: the 8-band join is pigeonhole-complete ONLY for
+    # Hamming <= 7 (8 disjoint bands, > 7 flipped bits can dodge every
+    # band); a larger threshold would silently under-generate candidates
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 7: the 8-band index is only "
+            "pigeonhole-complete for Hamming <= 7"
+        )
+
     bands = media_stream.where(F.col("phash").isNotNull()).select(
         "media_id", "phash",
         F.explode(F.expr(
