@@ -1959,26 +1959,6 @@ _HASH_ORACLES = {
         JOIN sig b ON b.doc_id = c.b_id
         ORDER BY a_id, b_id
     """,
-    # banded-LSH recall against the complete >= 0.5 pair set (both from
-    # the shared signature CTE; exact side is brute-force over hsets)
-    "lsh_recall_vs_exact": f"""
-        WITH {_MINHASH_SIG},
-        exact AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.hset, b.hset)) * 1.0
-                / len(list_distinct(list_concat(a.hset, b.hset))) >= 0.5),
-        bands AS (
-          SELECT doc_id, unnest([{{buckets}}]) AS bucket FROM sig),
-        cand AS (
-          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-          FROM bands l JOIN bands r
-            ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
-        SELECT COUNT(*) AS n_exact, COUNT(c.a_id) AS n_found,
-               ROUND(COUNT(c.a_id) * 1.0 / COUNT(*), 4) AS recall
-        FROM exact e LEFT JOIN cand c
-          ON e.a_id = c.a_id AND e.b_id = c.b_id
-    """.replace("{buckets}", _MINHASH_BUCKETS),
     # merged per-source signatures (min-of-mins) vs exact source Jaccard
     "source_minhash_similarity": f"""
         WITH {_MINHASH_SIG},
@@ -3680,62 +3660,6 @@ ORACLE_SQL["rank_fusion_indexed"] = (
     + _FUSION_TAIL
 )
 
-# fusion-calibration: the index-served fusion's top-5 graded against
-# the exact-arm fusion's top-5 (shared lexical arm, so the delta is
-# purely the vector arm's pruning)
-def _fusion_recall_tail() -> str:
-    from catalyst_spark.queries.pipeline import _FUSION_MISS, _FUSION_R
-
-    return f"""
-    xvec AS (
-      SELECT q_id, id, vrank FROM (
-        SELECT q.vec_id AS q_id, c.vec_id AS id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
-                          c.vec_id) AS vrank
-        FROM nv q JOIN nv c ON q.vec_id != c.vec_id
-        WHERE q.vec_id % 50 = 0) t
-      WHERE vrank <= {_FUSION_R}),
-    ifused AS (
-      SELECT COALESCE(v.q_id, l.q_id) AS q_id,
-             COALESCE(v.id, l.id) AS id,
-             COALESCE(v.vrank, {_FUSION_MISS})
-               + COALESCE(l.lrank, {_FUSION_MISS}) AS fused
-      FROM ivec v FULL JOIN lex l ON v.q_id = l.q_id AND v.id = l.id),
-    xfused AS (
-      SELECT COALESCE(v.q_id, l.q_id) AS q_id,
-             COALESCE(v.id, l.id) AS id,
-             COALESCE(v.vrank, {_FUSION_MISS})
-               + COALESCE(l.lrank, {_FUSION_MISS}) AS fused
-      FROM xvec v FULL JOIN lex l ON v.q_id = l.q_id AND v.id = l.id),
-    itop AS (
-      SELECT q_id, id FROM (
-        SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
-                                            ORDER BY fused, id) AS rnk
-        FROM ifused) t
-      WHERE rnk <= 5),
-    xtop AS (
-      SELECT q_id, id FROM (
-        SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
-                                            ORDER BY fused, id) AS rnk
-        FROM xfused) t
-      WHERE rnk <= 5)
-    SELECT x.q_id,
-           COUNT(i.id) AS hits,
-           ROUND(COUNT(i.id) / 5.0, 2) AS overlap_at_5
-    FROM xtop x LEFT JOIN itop i ON i.q_id = x.q_id AND i.id = x.id
-    GROUP BY x.q_id ORDER BY x.q_id
-"""
-
-
-ORACLE_SQL["rank_fusion_recall"] = (
-    _ivfpq_ctes() + ",\n    " + _MINHASH_SIG + ","
-    + _FUSION_LEX_CTES + "," + _fusion_ivec_ctes() + ","
-    + _fusion_recall_tail()
-)
-
-
 def _shard_apply_sql() -> str:
     """Oracle twin of pipeline.incremental_shard_apply: the FULL
     band-candidate pair set (identical to the operator's index + delta
@@ -4887,22 +4811,38 @@ def _hard_negative_indexed_sql() -> str:
 
 ORACLE_SQL["hard_negative_indexed"] = _hard_negative_indexed_sql()
 
-# calibration row: the exact form's negatives LEFT JOINed against the
-# index-served form's — both rungs' full SQL embedded verbatim as
-# subqueries (the ann_recall_ladder convention), so the overlap row can
-# never drift from what the standalone rungs actually compute
-ORACLE_SQL["hard_negative_overlap"] = f"""
-    SELECT e.q_id,
-           COUNT(i.neg_id) AS hits,
-           COUNT(*) AS n_exact,
-           ROUND(COUNT(i.neg_id) * 1.0 / COUNT(*), 2) AS overlap
-    FROM (
+# serving-overlap sweep (VERDICT r10 item 6 — the merged
+# cost-of-the-swap table): per family, the exact form's rows LEFT
+# JOINed against the index-served form's — every constituent's full
+# SQL embedded verbatim as a subquery (the ann_recall_ladder
+# convention), so the overlap rows can never drift from what the
+# standalone rungs actually compute
+ORACLE_SQL["serving_overlap"] = f"""
+    SELECT * FROM (
+      SELECT 'fusion' AS family, e.q_id,
+             COUNT(i.result_id) AS hits,
+             COUNT(*) AS n_exact,
+             ROUND(COUNT(i.result_id) * 1.0 / COUNT(*), 2) AS overlap
+      FROM (
+{ORACLE_SQL["rank_fusion_topk"]}
+      ) e
+      LEFT JOIN (
+{ORACLE_SQL["rank_fusion_indexed"]}
+      ) i ON i.q_id = e.q_id AND i.result_id = e.result_id
+      GROUP BY e.q_id
+      UNION ALL
+      SELECT 'hard_negative' AS family, e.q_id,
+             COUNT(i.neg_id) AS hits,
+             COUNT(*) AS n_exact,
+             ROUND(COUNT(i.neg_id) * 1.0 / COUNT(*), 2) AS overlap
+      FROM (
 {ORACLE_SQL["hard_negative_mining"]}
-    ) e
-    LEFT JOIN (
+      ) e
+      LEFT JOIN (
 {ORACLE_SQL["hard_negative_indexed"]}
-    ) i ON i.q_id = e.q_id AND i.neg_id = e.neg_id
-    GROUP BY e.q_id ORDER BY e.q_id
+      ) i ON i.q_id = e.q_id AND i.neg_id = e.neg_id
+      GROUP BY e.q_id
+    ) u ORDER BY family, q_id
 """
 
 

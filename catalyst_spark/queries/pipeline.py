@@ -442,7 +442,7 @@ def reset_session_caches(spark: SparkSession) -> None:
     spark.catalog.clearCache()
 
 # (applicationId, sf_dir) -> persisted verified pair table. Four
-# consumers (the query itself, lsh_recall_vs_exact, the cluster chain,
+# consumers (the query itself, lsh_band_recall_curve, the cluster chain,
 # near_dup_source_matrix) share one build; the table is tiny (verified
 # pairs only) but its build walks the corpus.
 _PREFIX_PAIRS_CACHE: dict = {}
@@ -617,30 +617,6 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("a_id", "b_id")
 
 
-def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall of MinHash-LSH banding against COMPLETE ground
-    truth: the prefix-filter join (provably finds every pair with
-    Jaccard >= 0.5) is the denominator, the banded candidate set the
-    numerator. This is the number that justifies trusting the sketch
-    path at 100 TB, measured rather than quoted from the (1-(1-s^r)^b)
-    curve — and it is deterministic here because both sides are.
-
-    Cost shape: both inputs are the already-bucketed plans (band
-    equi-join, prefix equi-join); the final comparison joins two tiny
-    pair sets.
-    """
-    _sig, cand = _minhash_sig_cand(spark, sf_dir)
-    exact = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
-    return exact.join(
-        cand.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
-    ).agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count("hit").alias("n_found"),
-        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
-    )
-
-
-
 _BAND_CONFIGS = ((4, 8), (8, 4), (16, 2))  # (bands, rows): b*r == 32
 
 
@@ -654,33 +630,45 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the actual curve an operator tunes against at 100 TB instead
     of quoting 1-(1-s^r)^b.
 
+    The 8x4 rung IS the production path's recall row (VERDICT r10
+    item 6 — lsh_recall_vs_exact folded in as a rung): its candidate
+    pairs come from the SAME session-cached _minhash_sig_cand table
+    every dedup operator probes, not a re-derived banding, so the row
+    measures the pipeline that actually serves.
+
     Cost shape: the signature table is the shared persisted index; each
     config adds one band equi-join over (doc, band-bucket) rows and two
     tiny count aggregates. Nothing rescans text.
     """
     from functools import reduce
 
-    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    sig, prod_cand = _minhash_sig_cand(spark, sf_dir)
     exact = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
     outs = []
     for nb, nr in _BAND_CONFIGS:
-        buckets = F.array(*[
-            F.expr(_h60(
-                "concat_ws(',', "
-                + ", ".join([str(b)] + [f"m{nr * b + r}" for r in range(nr)])
-                + ")"
-            ))
-            for b in range(nb)
-        ])
-        bands = sig.select("doc_id", F.explode(buckets).alias("bucket"))
-        cand = (
-            bands.alias("l")
-            .join(bands.alias("r"), (F.col("l.bucket") == F.col("r.bucket"))
-                  & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("a_id"),
-                    F.col("r.doc_id").alias("b_id"))
-            .distinct()
-        )
+        if (nb, nr) == (_MINHASH_BANDS, _MINHASH_ROWS):
+            # the production config: grade the served candidate table
+            cand = prod_cand.select("a_id", "b_id")
+        else:
+            buckets = F.array(*[
+                F.expr(_h60(
+                    "concat_ws(',', "
+                    + ", ".join([str(b)]
+                                + [f"m{nr * b + r}" for r in range(nr)])
+                    + ")"
+                ))
+                for b in range(nb)
+            ])
+            bands = sig.select("doc_id", F.explode(buckets).alias("bucket"))
+            cand = (
+                bands.alias("l")
+                .join(bands.alias("r"),
+                      (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+                .select(F.col("l.doc_id").alias("a_id"),
+                        F.col("r.doc_id").alias("b_id"))
+                .distinct()
+            )
         n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
         rec = exact.join(
             cand.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
@@ -2111,7 +2099,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@5 of the PQ-ADC scan against the exact
     brute-force baseline, per query — the calibration row every
-    approximate method here ships with (lsh_recall_vs_exact for
+    approximate method here ships with (lsh_band_recall_curve for
     banding, ann_recall_at_5 for IVF, ann_multiprobe_recall for
     nprobe). PQ trades recall for 16x compression; this emits the
     evidence instead of quoting it. Exact-side tie-break (cos DESC,
@@ -3077,7 +3065,7 @@ def ann_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     models, and topk tables (one build each per session), so the union
     costs the eight rung joins, not eight index builds. Excluded:
     ann_multiprobe_recall (different schema: per-query p1/p2 pair) and
-    rank_fusion_recall (overlap vs the exact FUSION, not vs brute —
+    serving_overlap's fusion family (overlap vs the exact FUSION, not vs brute —
     a different baseline, kept standalone)."""
     out = None
     for rung, fn in _recall_ladder_rungs():
@@ -5295,7 +5283,7 @@ def rank_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     served off the IVF-PQ rerank shortlist — the fusion join itself
     stays bounded at queries x 2R and is scale-free, so this exact-arm
     variant remains as the ground-truth ablation partner
-    (rank_fusion_recall measures the swap's cost).
+    (serving_overlap's fusion family measures the swap's cost).
     """
     emb = load(spark, sf_dir, "embeddings")
     q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
@@ -5316,7 +5304,7 @@ def _fusion_lex_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-shingle Jaccard, top-_FUSION_R per query as (q_id, id, lrank).
 
     Session-cached (VERDICT r8 item 4): rank_fusion_topk,
-    rank_fusion_indexed, and rank_fusion_recall (which runs both
+    rank_fusion_indexed, and serving_overlap (which runs both
     pipelines) all consume this arm — without the cache the shingle
     explode + equi-join + two-window build ran up to four times per
     bench session; with it the arm is one probe-set-x-R persisted
@@ -5397,7 +5385,7 @@ def rank_fusion_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe * N / k code rows per query and fetches exactly R raw
     vectors — the fusion join stays bounded at queries x 2R either
     way, so the whole query is now index-bounded end to end (the
-    production serving shape; rank_fusion_recall measures what the
+    production serving shape; serving_overlap measures what the
     swap costs in fused-rank agreement). The reranked shortlist is
     the session-cached build ann_ivfpq_rerank_topk already serves —
     zero extra passes when both run.
@@ -5409,27 +5397,49 @@ def rank_fusion_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuse_arms(spark, sf_dir, vec)
 
 
-def rank_fusion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fusion-calibration row (VERDICT r7 item 3): per query, how many
-    of the exact-arm fusion's top-5 the index-served fusion reproduces
-    — overlap@5 between rank_fusion_indexed and rank_fusion_topk. The
-    two pipelines share the lexical arm, so every disagreement is the
-    vector arm's pruning (cell probe + shortlist depth), making this
-    the direct cost-of-the-swap number a deployment reads next to the
-    latency win."""
-    idx = rank_fusion_indexed(spark, sf_dir).select(
-        "q_id", "result_id"
-    ).withColumn("_hit", F.lit(1))
-    exact = rank_fusion_topk(spark, sf_dir).select("q_id", "result_id")
-    return (
-        exact.join(idx, ["q_id", "result_id"], "left")
-        .groupBy("q_id")
-        .agg(
-            F.count("_hit").alias("hits"),
-            F.round(F.count("_hit") / 5.0, 2).alias("overlap_at_5"),
+def serving_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-of-the-swap calibration SWEEP (VERDICT r10 item 6 —
+    the ann_recall_ladder pattern applied to the overlap rows): every
+    index-served pipeline graded per query against its exact partner
+    in ONE table keyed by `family`, so the driver window spends one
+    slot on the whole serving-overlap story:
+
+      * family='fusion' — how many of the exact-arm fusion's top-5 the
+        index-served fusion reproduces (rank_fusion_indexed vs
+        rank_fusion_topk; shared lexical arm, so every disagreement is
+        the vector arm's pruning). Formerly rank_fusion_recall; the
+        denominator is now the exact form's actual per-query row count
+        (n_exact, = 5 whenever the exact top-5 is full), so no checked
+        value is lost — hits and n_exact are both emitted.
+      * family='hard_negative' — how many of the exact form's mined
+        negatives the shortlist-served rung reproduces
+        (hard_negative_indexed vs hard_negative_mining). Formerly
+        hard_negative_overlap, unchanged.
+
+    Queries whose exact partner emits no row have nothing to reproduce
+    and are absent — identically in both engines."""
+    def _family(tag: str, exact: DataFrame, idx: DataFrame,
+                key: str) -> DataFrame:
+        idx = idx.select("q_id", key).withColumn("_hit", F.lit(1))
+        return (
+            exact.select("q_id", key)
+            .join(idx, ["q_id", key], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count("_hit").alias("hits"),
+                F.count(F.lit(1)).alias("n_exact"),
+                F.round(F.count("_hit") / F.count(F.lit(1)), 2)
+                .alias("overlap"),
+            )
+            .select(F.lit(tag).alias("family"), "q_id", "hits",
+                    "n_exact", "overlap")
         )
-        .orderBy("q_id")
-    )
+
+    fus = _family("fusion", rank_fusion_topk(spark, sf_dir),
+                  rank_fusion_indexed(spark, sf_dir), "result_id")
+    hn = _family("hard_negative", hard_negative_mining(spark, sf_dir),
+                 hard_negative_indexed(spark, sf_dir), "neg_id")
+    return fus.unionByName(hn).orderBy("family", "q_id")
 
 
 def dup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6704,7 +6714,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN ladder and rank_fusion_topk for fusion. Production mines
     negatives with hard_negative_indexed (the identical band filter
     over the cached IVF-PQ rerank shortlist, zero extra scans), and
-    hard_negative_overlap is the per-query cost-of-the-swap row read
+    serving_overlap's hard_negative family is the per-query cost-of-the-swap row read
     next to the latency win.
     """
     emb = load(spark, sf_dir, "embeddings")
@@ -6732,7 +6742,7 @@ def hard_negative_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     its _RERANK_R candidates per query, so mining negatives costs ZERO
     extra corpus scans on top of retrieval (the rank_fusion_indexed
     precedent). Schema matches hard_negative_mining exactly;
-    hard_negative_overlap is the per-query calibration row between the
+    serving_overlap's hard_negative family is the per-query calibration row between the
     two.
 
     Scale: the input is the probe-set-sized shortlist (Q x R rows) —
@@ -6801,32 +6811,6 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hard_negative_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cost-of-the-swap calibration for hard_negative_indexed (the
-    rank_fusion_recall pattern): per probe query, how many of the
-    EXACT form's mined negatives the index-served form reproduces.
-    The denominator is the exact form's actual row count per query
-    (the band can hold fewer than _HN_K members), so overlap = 1.0
-    means the served rung mined exactly the ground-truth set. Queries
-    whose exact band is empty have nothing to reproduce and emit no
-    row — identically in both engines."""
-    idx = hard_negative_indexed(spark, sf_dir).select(
-        "q_id", "neg_id"
-    ).withColumn("_hit", F.lit(1))
-    exact = hard_negative_mining(spark, sf_dir).select("q_id", "neg_id")
-    return (
-        exact.join(idx, ["q_id", "neg_id"], "left")
-        .groupBy("q_id")
-        .agg(
-            F.count("_hit").alias("hits"),
-            F.count(F.lit(1)).alias("n_exact"),
-            F.round(F.count("_hit") / F.count(F.lit(1)), 2)
-            .alias("overlap"),
-        )
-        .orderBy("q_id")
-    )
-
-
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -6835,7 +6819,6 @@ PIPELINE_QUERIES = {
     "source_minhash_similarity": source_minhash_similarity,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_prefix_filter": dedup_prefix_filter,
-    "lsh_recall_vs_exact": lsh_recall_vs_exact,
     "lsh_band_recall_curve": lsh_band_recall_curve,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_one": dedup_keep_one,
@@ -6910,7 +6893,7 @@ PIPELINE_QUERIES = {
     # new in r8
     "ann_sq8_ivf_rek_topk": ann_sq8_ivf_rek_topk,
     "rank_fusion_indexed": rank_fusion_indexed,
-    "rank_fusion_recall": rank_fusion_recall,
+    "serving_overlap": serving_overlap,
     "incremental_shard_apply": incremental_shard_apply,
     "window_selfdup_cut_first": window_selfdup_cut_first,
     "packing_efficiency_curve": packing_efficiency_curve,
@@ -6941,7 +6924,6 @@ PIPELINE_QUERIES = {
     # new in r10 — registry tail, past the 50-entry driver window by
     # design (see the r11 rotation note in queries/__init__.py)
     "hard_negative_indexed": hard_negative_indexed,
-    "hard_negative_overlap": hard_negative_overlap,
     "perplexity_buckets": perplexity_buckets,
     "contrastive_triplets": contrastive_triplets,
 }

@@ -56,27 +56,44 @@ def test_hard_negative_indexed_reads_shortlist_only(spark):
         assert 1 <= r["rank"] <= P._HN_K
 
 
-def test_hard_negative_overlap_calibrates_vs_exact(spark):
-    """The calibration row: per query, hits <= n_exact <= _HN_K, the
-    denominator is the exact form's row count, and a hand-computed
-    intersection reproduces the hits column."""
+def test_serving_overlap_calibrates_vs_exact(spark):
+    """The merged calibration sweep (VERDICT r10 item 6): per family
+    and query, hits <= n_exact, the denominator is the exact form's
+    row count, and a hand-computed intersection reproduces the hits
+    column for BOTH families."""
     from catalyst_spark.queries import pipeline as P
 
-    exact = {}
-    for r in P.hard_negative_mining(spark, SF_DIR).collect():
-        exact.setdefault(r["q_id"], set()).add(r["neg_id"])
-    served = {}
-    for r in P.hard_negative_indexed(spark, SF_DIR).collect():
-        served.setdefault(r["q_id"], set()).add(r["neg_id"])
-    out = {r["q_id"]: r for r in
-           P.hard_negative_overlap(spark, SF_DIR).collect()}
-    assert set(out) == set(exact)  # every query with an exact band row
-    for q_id, negs in exact.items():
-        row = out[q_id]
-        want_hits = len(negs & served.get(q_id, set()))
-        assert row["hits"] == want_hits, q_id
-        assert row["n_exact"] == len(negs) <= P._HN_K
-        assert float(row["overlap"]) == round(want_hits / len(negs), 2)
+    rows = P.serving_overlap(spark, SF_DIR).collect()
+    by_family = {}
+    for r in rows:
+        by_family.setdefault(r["family"], {})[r["q_id"]] = r
+    assert set(by_family) == {"fusion", "hard_negative"}
+
+    cases = {
+        "hard_negative": (P.hard_negative_mining,
+                          P.hard_negative_indexed, "neg_id"),
+        "fusion": (P.rank_fusion_topk, P.rank_fusion_indexed,
+                   "result_id"),
+    }
+    for family, (exact_fn, idx_fn, key) in cases.items():
+        exact = {}
+        for r in exact_fn(spark, SF_DIR).collect():
+            exact.setdefault(r["q_id"], set()).add(r[key])
+        served = {}
+        for r in idx_fn(spark, SF_DIR).collect():
+            served.setdefault(r["q_id"], set()).add(r[key])
+        out = by_family[family]
+        assert set(out) == set(exact), family
+        for q_id, members in exact.items():
+            row = out[q_id]
+            want_hits = len(members & served.get(q_id, set()))
+            assert row["hits"] == want_hits, (family, q_id)
+            assert row["n_exact"] == len(members)
+            assert float(row["overlap"]) == round(
+                want_hits / len(members), 2)
+    # the hard-negative band never exceeds _HN_K members
+    for q_id, row in by_family["hard_negative"].items():
+        assert row["n_exact"] <= P._HN_K
 
 
 def test_dim_variance_sums_are_decimal(spark):
