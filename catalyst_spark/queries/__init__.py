@@ -357,6 +357,71 @@ _R10_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R10_FRONT)
 
+# Round-11 driver window (VERDICT r10 items 1-3 + the item-6 merges,
+# the prescribed rotation, adjusted for this round's registry changes:
+# rank_fusion_recall + hard_negative_overlap merged into ONE
+# serving_overlap sweep (family column; verbatim constituent SQL on the
+# oracle side) and lsh_recall_vs_exact folded into
+# lsh_band_recall_curve's production 8x4 rung — registry 171 -> 169,
+# no checked value lost). The window:
+#   (a) the never-driver-checked operators: the three surviving
+#       new-in-r10 ops (hard_negative_indexed, contrastive_triplets,
+#       perplexity_buckets) plus serving_overlap (new key — it now
+#       carries the ONLY driver coverage of both merged calibration
+#       rows, re-fronts immediately per invariant 3);
+#   (b) the 12 operators whose CODE changed this round (invariant 3):
+#       embedding_dim_variance (the r10 driver-red cell, now exact
+#       integer outputs) and the r11 rounding-audit conversions
+#       (ts_rate, time_weighted_avg, anomaly_zscore,
+#       series_correlation, counter_rate, histogram_quantile,
+#       value_percentiles, doc_length_quartiles_by_source,
+#       embedding_norm_outliers, ivf_train) plus lsh_band_recall_curve
+#       (absorbed the production rung);
+#   (c) the 18 surviving r7-stale ops, oldest code first (ts_rate
+#       moved to (b) — its code changed);
+#   (d) 16 of the r8-stale set in _R8_FRONT order (anomaly_zscore,
+#       doc_length_quartiles_by_source, value_percentiles and
+#       lsh_band_recall_curve are already in (b)).
+# 4 + 12 + 18 + 16 = 50 slots exactly. After this window: zero
+# ever-unchecked operators, no operator staler than r8, and every
+# changed-code op re-proven by the hard signal. Spilling to r12,
+# oldest first: the remaining 28 r8-stale ops (the _R8_FRONT tail from
+# dedup_embedding_cosine onward, minus the deregistered
+# lsh_recall_vs_exact), then the r9-stale rotation.
+# CADENCE ARITHMETIC at the r11 registry of 169 entries over 50
+# slots: steady-state max staleness stays ceil(169/50) = 4 rounds; the
+# two merges paid back two window slots while keeping every checked
+# value; the three invariants of the r9 note (zero ever-unchecked
+# after each round, strict oldest-first, changed code re-fronts) all
+# hold.
+_R11_FRONT = [
+    # (a) never driver-checked
+    "hard_negative_indexed", "contrastive_triplets",
+    "perplexity_buckets", "serving_overlap",
+    # (b) changed code this round — re-front per invariant 3
+    "embedding_dim_variance", "ts_rate", "time_weighted_avg",
+    "anomaly_zscore", "series_correlation", "counter_rate",
+    "histogram_quantile", "value_percentiles",
+    "doc_length_quartiles_by_source", "embedding_norm_outliers",
+    "ivf_train", "lsh_band_recall_curve",
+    # (c) r7-stale, oldest code first
+    "q19_above_brand_avg", "range_join_events", "robust_outliers",
+    "session_cooccurrence", "sessionize", "text_stats", "token_counts",
+    "user_growth_curve", "window_decontaminate", "window_selfdup_spans",
+    "phash_dup_pairs", "near_dup_pagerank_converged",
+    "dedup_edit_distance", "ann_ivfpq_rerank_topk", "phash_dup_clusters",
+    "window_selfdup_cut", "lsh_bucket_size_hist", "ann_sq8_ivf_topk",
+    # (d) r8-stale, _R8_FRONT order
+    "bpe_merge_stats", "token_coverage_curve", "incremental_shard_dedup",
+    "rank_fusion_topk", "ivf_rek_cell_stats", "dup_quality_audit",
+    "unigram_surprisal", "ann_brute_topk", "asof_nearest_join",
+    "asof_prior_click", "bloom_decontaminate", "burn_rate_windows",
+    "chunk_dedup", "contamination_overlap", "cube_event_counts",
+    "dedup_cluster_size_hist",
+]
+
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R11_FRONT)
+
 __all__ = [
     "RELATIONAL_QUERIES",
     "PIPELINE_QUERIES",

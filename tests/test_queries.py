@@ -35,46 +35,38 @@ def test_every_query_is_oracle_checked():
 
 def test_driver_window_composition():
     """The driver's CORRECTNESS window is the FIRST 50 registry keys in
-    insertion order; the r10 rotation plan (queries/__init__.py, VERDICT
-    r9 items 1+6) promises exactly the _R10_FRONT prefix there — the 11
-    never-driver-checked r9 ops first, then the merged recall sweep
-    (sole driver coverage of the recall family after the r10 merge)
-    plus the 10 surviving r6-stale spill ops, then 28 r7-stale ops
-    (oldest code first) — with the remaining r7-stale spill and every
-    new-in-r10 addition deliberately PAST the window (named in the r11
-    rotation note) so max driver staleness stays bounded. Pin both, so
-    a registry edit cannot silently reshuffle the window before the
-    driver runs."""
-    from catalyst_spark.queries import _R10_FRONT
+    insertion order; the r11 rotation plan (queries/__init__.py, VERDICT
+    r10 items 1-3 + 6) promises exactly the _R11_FRONT prefix there —
+    the 4 never-driver-checked ops first (three surviving r10 additions
+    plus the new serving_overlap merge key), then the 12 changed-code
+    re-fronts (the dim-variance fix and the rounding-audit
+    conversions), then the 18 surviving r7-stale ops oldest-first,
+    then 16 r8-stale ops — with the remaining r8-stale spill
+    deliberately PAST the window (named in the r12 rotation note) so
+    max driver staleness stays bounded. Pin both, so a registry edit
+    cannot silently reshuffle the window before the driver runs."""
+    from catalyst_spark.queries import _R11_FRONT
 
     names = list(ALL_QUERIES)
-    assert len(_R10_FRONT) == 50
-    assert names[:50] == _R10_FRONT
-    # the hard-signal bar: the 11 never-checked r9 ops lead the window,
-    # followed immediately by the merged recall sweep
-    assert names[:12] == [
-        "tokenizer_fertility", "shard_manifest", "embedding_dim_variance",
-        "chunk_overlap_split", "dsir_importance_weights",
-        "hard_negative_mining", "ann_nprobe_sweep", "cdc_chunk_dedup",
-        "ltob_downsample", "embedding_principal_direction",
-        "mmr_diversified_topk", "ann_recall_ladder",
+    assert len(_R11_FRONT) == 50
+    assert names[:50] == _R11_FRONT
+    # the hard-signal bar: the never-checked ops lead the window,
+    # followed immediately by the changed-code re-fronts
+    assert names[:5] == [
+        "hard_negative_indexed", "contrastive_triplets",
+        "perplexity_buckets", "serving_overlap", "embedding_dim_variance",
     ]
-    # the r11 front: the remaining r7-stale spill sits past the window
-    for late in ("q19_above_brand_avg", "range_join_events",
-                 "robust_outliers", "session_cooccurrence", "sessionize",
-                 "text_stats", "token_counts", "ts_rate",
-                 "user_growth_curve", "window_decontaminate",
-                 "window_selfdup_spans", "phash_dup_pairs",
-                 "near_dup_pagerank_converged", "dedup_edit_distance",
-                 "ann_ivfpq_rerank_topk", "phash_dup_clusters",
-                 "window_selfdup_cut", "lsh_bucket_size_hist",
-                 "ann_sq8_ivf_topk"):
+    # the r12 front: the r8-stale spill sits past the window
+    for late in ("dedup_embedding_cosine", "dedup_embedding_lsh",
+                 "dedup_minhash_pairs", "text_simhash", "vocab_stats",
+                 "ann_sq8_ivf_rek_topk"):
         assert names.index(late) >= 50, late
-    # the merged-away recall keys are gone from registry and oracles
+    # the merged-away keys are gone from registry and oracles
     for gone in ("ann_recall_at_5", "ann_pq_recall", "ann_ivfpq_recall",
                  "ann_ivfpq_residual_recall", "ann_ivfpq_rerank_recall",
                  "ann_sq8_recall", "ann_sq8_ivf_recall",
-                 "ann_sq8_ivf_rek_recall"):
+                 "ann_sq8_ivf_rek_recall", "rank_fusion_recall",
+                 "hard_negative_overlap", "lsh_recall_vs_exact"):
         assert gone not in ALL_QUERIES and gone not in ORACLE_SQL, gone
 
 
