@@ -282,6 +282,18 @@ _SCALE_QUERIES = (
     "retention_cohorts",
     "interval_coverage",
     "counter_rate",
+    # r11 (VERDICT r10 item 4): the recall ladder is 8 rungs sharing
+    # the session-cached brute baseline / models / top-k tables — its
+    # 10x cost is those builds' 10x (each rung's join is probe-set x
+    # k-sized); the triplet export and the merged overlap sweep both
+    # ride the bounded rerank shortlist (index-bounded like
+    # hard_negative_indexed's 1.05) except serving_overlap's fusion
+    # family, which grades the exact fusion arm (O(Q*N) BY DESIGN —
+    # the ablation partner, expected ~100x-shaped like
+    # hard_negative_mining / rank_fusion_topk above)
+    "ann_recall_ladder",
+    "contrastive_triplets",
+    "serving_overlap",
 )
 
 
@@ -359,6 +371,34 @@ def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
             "rows_per_query_rek": round(rek_cand / n_queries, 1),
             "scan_reduction": (round(fixed_cand / rek_cand, 2)
                                if rek_cand else None),
+        }
+        # triplet-yield curriculum evidence (VERDICT r10 item 7): does
+        # the hard-negative band stay populated as the corpus grows?
+        # One collect of the probe-set-sized triplet table per scale;
+        # margins are the already-rounded display column (2 decimals).
+        trip_rows = ALL_QUERIES["contrastive_triplets"](
+            spark, d).collect()
+        by_q: dict[int, int] = {}
+        margins: list[float] = []
+        for r in trip_rows:
+            by_q[r["q_id"]] = by_q.get(r["q_id"], 0) + 1
+            margins.append(float(r["margin"]))
+        negs = sorted(by_q.values())
+        margins.sort()
+
+        def _med(xs):
+            return xs[len(xs) // 2] if xs else None
+
+        sec["triplet_yield"] = {
+            "n_probe_queries": n_queries,
+            "queries_with_triplets": len(by_q),
+            "n_triplets": len(trip_rows),
+            "negs_per_query_min": negs[0] if negs else 0,
+            "negs_per_query_med": _med(negs) or 0,
+            "negs_per_query_max": negs[-1] if negs else 0,
+            "margin_min": margins[0] if margins else None,
+            "margin_med": _med(margins),
+            "margin_max": margins[-1] if margins else None,
         }
         all_doc = n_docs * (n_docs - 1) // 2
         all_vec = n_vecs * (n_vecs - 1) // 2

@@ -595,3 +595,89 @@ def stream_perplexity_gate(doc_stream: DataFrame, cm: dict,
             *[F.col(c) for c in keep],
         )
     )
+
+
+def stream_pack_sequences(doc_stream: DataFrame) -> DataFrame:
+    """Ingest-time sequence packing (VERDICT r10 item 8 — the last
+    batch-only pipeline op with a natural streaming face): the greedy
+    next-fit packer run AS THE DOCS ARRIVE, one open bin per
+    (source, shard) key in keyed state. Each arriving document is
+    appended to the shard's open bin if it fits, else the bin closes
+    and a new one opens — exactly the batch packer's next-fit rule
+    (queries.pipeline.pack_sequences), so replaying a corpus delivered
+    in doc_id order per shard converges to the batch bins bit-for-bit.
+
+    State per key is THREE integers (open bin id, open bin fill, max
+    doc_id seen) — bounded regardless of corpus size; a re-delivered
+    document (doc_id <= max seen) is skipped, so emission is
+    exactly-once per doc and the first assignment stands. Delivery is
+    assumed in doc_id order WITHIN a shard — the production reality
+    next-fit packing encodes (a shard-file is read sequentially; the
+    batch operator's shard slicing exists for the same reason), and
+    shards are independent so cross-shard arrival order is free.
+
+    Emits one row per newly packed doc: (source, shard, doc_id, tok,
+    bin) — the batch packer's pre-aggregation table; the per-bin audit
+    is one groupBy downstream."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from catalyst_spark.queries.pipeline import (
+        _PACK_CAPACITY,
+        _PACK_SHARD,
+        N_TOKENS,
+    )
+
+    d = doc_stream.select(
+        "source",
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
+        "doc_id",
+        F.expr(N_TOKENS).cast("int").alias("tok"),
+    )
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        source, shard = key
+        bin_id, fill, max_seen = (
+            state.get if state.exists else (0, 0, -1))
+        out = {"source": [], "shard": [], "doc_id": [], "tok": [],
+               "bin": []}
+        cand = pd.concat(list(pdfs), ignore_index=True)
+        cand = cand.sort_values("doc_id")
+        for doc_id, tok in zip(cand["doc_id"], cand["tok"]):
+            doc_id, tok = int(doc_id), int(tok)
+            if doc_id <= max_seen:
+                continue  # re-delivery: the first assignment stands
+            if fill + tok > _PACK_CAPACITY and fill > 0:
+                bin_id += 1
+                fill = 0
+            fill += tok
+            max_seen = doc_id
+            out["source"].append(str(source))
+            out["shard"].append(int(shard))
+            out["doc_id"].append(doc_id)
+            out["tok"].append(tok)
+            out["bin"].append(int(bin_id))
+        state.update((int(bin_id), int(fill), int(max_seen)))
+        yield pd.DataFrame(out)
+
+    out_schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tok", T.IntegerType()),
+        T.StructField("bin", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("fill", T.LongType()),
+        T.StructField("max_seen", T.LongType()),
+    ])
+    return d.groupBy("source", "shard").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2370,3 +2370,76 @@ def test_stream_phash_classify_matches_batch(spark, tmp_path):
     for mid, r in latest.items():
         assert (r["status"], r["n_matches"], r["min_hamming"]) \
             == want[mid], mid
+
+
+def test_stream_pack_sequences_matches_batch(spark, tmp_path):
+    """Ingest-time next-fit packing (VERDICT r10 item 8): replaying the
+    corpus as a file stream in doc_id order (one batch RE-DELIVERED)
+    with one open bin per (source, shard) in keyed state must converge
+    to the batch packer's bins — per-doc assignments replicated in
+    plain python next-fit, and the per-bin audit equal to
+    pack_sequences' output row-for-row."""
+    import json
+
+    from catalyst_spark.queries.pipeline import (
+        _PACK_CAPACITY,
+        _PACK_SHARD,
+        pack_sequences,
+    )
+    from catalyst_spark.streaming.scrub import stream_pack_sequences
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = sorted(
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # plain-python next-fit per (source, shard), docs in doc_id order
+    want: dict[int, tuple] = {}
+    state: dict[tuple, list] = {}
+    for r in docs:
+        tok = len(r["text"].split(" "))
+        key = (r["source"], r["doc_id"] // _PACK_SHARD)
+        bin_id, fill = state.get(key, [0, 0])
+        if fill + tok > _PACK_CAPACITY and fill > 0:
+            bin_id, fill = bin_id + 1, 0
+        fill += tok
+        state[key] = [bin_id, fill]
+        want[r["doc_id"]] = (key[0], key[1], tok, bin_id)
+
+    d = tmp_path / "pack_stream"
+    d.mkdir()
+    half = max(1, len(docs) // 2)
+    batches = [docs[:half], docs[half:], docs[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "source": r["source"],
+                        "text": r["text"]})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_pack_sequences(stream)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("pack_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from pack_stream").collect()
+    got = {}
+    for r in rows:
+        assert r["doc_id"] not in got, r["doc_id"]  # exactly-once emission
+        got[r["doc_id"]] = (r["source"], r["shard"], r["tok"], r["bin"])
+    assert got == want
+    # and the per-bin audit equals the batch operator's rows
+    batch_bins = {
+        (r["source"], r["shard"], r["bin"]): (r["n_docs"], r["total_tok"])
+        for r in pack_sequences(spark, SF_DIR).collect()
+    }
+    stream_bins: dict[tuple, list] = {}
+    for doc_id, (src, shard, tok, b) in got.items():
+        k = (src, shard, b)
+        n, t = stream_bins.get(k, (0, 0))
+        stream_bins[k] = (n + 1, t + tok)
+    assert stream_bins == batch_bins
