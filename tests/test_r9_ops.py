@@ -124,7 +124,9 @@ def test_fusion_oracle_constants_interpolated():
     assert f"lrank <= {_FUSION_R}" in lex
     tail = oracles._fusion_tail()
     assert f"COALESCE(v.vrank, {_FUSION_MISS})" in tail
-    rec = oracles._fusion_recall_tail()
+    # the recall row now lives in serving_overlap, which embeds both
+    # fusion rungs' full SQL verbatim — the constants ride along
+    rec = oracles.ORACLE_SQL["serving_overlap"]
     assert f"vrank <= {_FUSION_R}" in rec
     assert f"COALESCE(l.lrank, {_FUSION_MISS})" in rec
 
