@@ -384,8 +384,10 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R10_FRONT)
 #       lsh_band_recall_curve are already in (b)).
 # 4 + 12 + 18 + 16 = 50 slots exactly. After this window: zero
 # ever-unchecked operators, no operator staler than r8, and every
-# changed-code op re-proven by the hard signal. Spilling to r12,
-# oldest first: the remaining 28 r8-stale ops (the _R8_FRONT tail from
+# changed-code op re-proven by the hard signal. Spilling to r12:
+# FIRST the new-in-r11 operator embedding_quantile_clip (registry
+# tail, never driver-checked — invariant 1), then oldest first the
+# remaining 28 r8-stale ops (the _R8_FRONT tail from
 # dedup_embedding_cosine onward, minus the deregistered
 # lsh_recall_vs_exact), then the r9-stale rotation.
 # CADENCE ARITHMETIC at the r11 registry of 169 entries over 50

@@ -4364,6 +4364,51 @@ def _embedding_dim_variance_sql() -> str:
 ORACLE_SQL["embedding_dim_variance"] = _embedding_dim_variance_sql()
 
 
+def _embedding_quantile_clip_sql() -> str:
+    # r11: exact order statistics by rank (trunc-div, same as Spark's
+    # div), exact integer clip mass and permille — no float anywhere
+    from catalyst_spark.queries.pipeline import (
+        _CLIP_HI_K,
+        _CLIP_LO_K,
+        _EMB_FX,
+    )
+
+    return f"""
+      WITH q AS (
+        SELECT u.dim, u.q
+        FROM (
+          SELECT unnest([{{'dim': i,
+                           'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                           * {_EMB_FX}) AS BIGINT)}}
+                         FOR i IN range(1, len(embedding) + 1)]) AS u
+          FROM embeddings)),
+      ranked AS (
+        SELECT dim, q,
+               row_number() OVER (PARTITION BY dim ORDER BY q) AS rn,
+               COUNT(*) OVER (PARTITION BY dim) AS n
+        FROM q),
+      bounds AS (
+        SELECT dim, n, MIN(q) AS min_fx, MAX(q) AS max_fx,
+               MIN(CASE WHEN rn = ((n - 1) * {_CLIP_LO_K}) // 100 + 1
+                        THEN q END) AS lo_fx,
+               MIN(CASE WHEN rn = ((n - 1) * {_CLIP_HI_K}) // 100 + 1
+                        THEN q END) AS hi_fx
+        FROM ranked GROUP BY dim, n)
+      SELECT q.dim, n, min_fx, lo_fx, hi_fx, max_fx,
+             CAST(SUM(CASE WHEN q.q < lo_fx OR q.q > hi_fx
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+             CASE WHEN max_fx > min_fx
+                  THEN CAST(((hi_fx - lo_fx) * 1000)
+                            // (max_fx - min_fx) AS BIGINT)
+                  ELSE 1000 END AS range_permille
+      FROM q JOIN bounds b ON q.dim = b.dim
+      GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY q.dim
+    """
+
+
+ORACLE_SQL["embedding_quantile_clip"] = _embedding_quantile_clip_sql()
+
+
 def _chunk_overlap_split_sql() -> str:
     from catalyst_spark.queries.pipeline import _RAG_CHUNK, _RAG_STRIDE
 

@@ -6194,6 +6194,81 @@ _RAG_CHUNK = 32
 _RAG_STRIDE = 24
 
 
+# winsorization audit ranks: p1 / p99 (percent, exact rank arithmetic)
+_CLIP_LO_K = 1
+_CLIP_HI_K = 99
+
+
+def embedding_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension winsorization audit — the pre-quantization pass
+    of the SQ8 family: a single outlier stretches a dimension's
+    min/max range, and SQ8's per-dim linear byte map then spends most
+    of its 256 codes on empty range. This op reports, per dimension,
+    the exact-rank p1/p99 clip bounds next to min/max, the clip mass
+    (values outside the bounds), and the integer-permille range
+    compression the clip would buy — the table an operator reads
+    before retraining SQ8 on clipped ranges.
+
+    Everything is EXACT INTEGERS (the r11 rounding doctrine): values
+    quantize to fixed point at the scan (floor(v·2^20)); the bounds
+    are ORDER STATISTICS picked by rank — lo at rank ((n−1)·1) div 100
+    + 1, hi at ((n−1)·99) div 100 + 1, the perplexity_buckets/
+    value_percentiles convention, no interpolation — and the permille
+    is one integer division. No ROUND of any float anywhere.
+
+    Plan: the x64 posexplode every per-dim statistic pays, one
+    sort-shuffle on (dim, q) for the ranks (the same work an exact
+    percentile does — at 100 TB swap in percentile_approx and accept
+    the t-digest epsilon), then the 64-row bounds table broadcasts
+    back for the clip-mass count. Nothing vector-sized ever sits on
+    the driver."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(F.expr(
+            f"transform(cast(embedding as array<double>), "
+            f"v -> cast(floor(v * {_EMB_FX}) as bigint))"
+        )).alias("d0", "q")
+    ).select((F.col("d0") + 1).alias("dim"), "q")
+    w = W.partitionBy("dim").orderBy("q")
+    ranked = (
+        q.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("dim")))
+    )
+    bounds = (
+        ranked.groupBy("dim", "n")
+        .agg(
+            F.min("q").alias("min_fx"),
+            F.max("q").alias("max_fx"),
+            F.min(F.when(
+                F.col("rn") == F.expr(
+                    f"((n - 1) * {_CLIP_LO_K}) div 100") + 1, F.col("q")
+            )).alias("lo_fx"),
+            F.min(F.when(
+                F.col("rn") == F.expr(
+                    f"((n - 1) * {_CLIP_HI_K}) div 100") + 1, F.col("q")
+            )).alias("hi_fx"),
+        )
+    )
+    return (
+        q.join(F.broadcast(bounds), "dim")
+        .groupBy("dim", "n", "min_fx", "lo_fx", "hi_fx", "max_fx")
+        .agg(
+            F.sum(
+                F.when((F.col("q") < F.col("lo_fx"))
+                       | (F.col("q") > F.col("hi_fx")), 1).otherwise(0)
+            ).cast("bigint").alias("n_clipped"),
+        )
+        .select(
+            "dim", "n", "min_fx", "lo_fx", "hi_fx", "max_fx", "n_clipped",
+            F.when(
+                F.col("max_fx") > F.col("min_fx"),
+                F.expr("((hi_fx - lo_fx) * 1000) div (max_fx - min_fx)"),
+            ).otherwise(F.lit(1000)).cast("bigint").alias("range_permille"),
+        )
+        .orderBy("dim")
+    )
+
+
 def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking audit (the RAG-ingest pre-pass): every
     document is split into _RAG_CHUNK-token windows on a _RAG_STRIDE
@@ -6914,6 +6989,7 @@ PIPELINE_QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "shard_manifest": shard_manifest,
     "embedding_dim_variance": embedding_dim_variance,
+    "embedding_quantile_clip": embedding_quantile_clip,
     "chunk_overlap_split": chunk_overlap_split,
     "dsir_importance_weights": dsir_importance_weights,
     "hard_negative_mining": hard_negative_mining,

@@ -157,3 +157,31 @@ def test_contrastive_triplets_semantics(spark):
              if n != top1[0] and P._HN_LO <= c < P._HN_HI),
             key=lambda t: (-t[0], t[1]))
         assert band[r["rank"] - 1][1] == r["neg_id"]
+
+
+def test_embedding_quantile_clip_order_statistics(spark):
+    """r11: the clip bounds are TRUE order statistics at the exact
+    ranks (python replication over the quantized values), the clip
+    mass counts exactly the values outside [lo, hi], and the permille
+    is the integer compression ratio."""
+    import math
+
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.tables import load
+
+    rows = {r["dim"]: r for r in
+            P.embedding_quantile_clip(spark, SF_DIR).collect()}
+    emb = [r["embedding"] for r in
+           load(spark, SF_DIR, "embeddings").select("embedding").collect()]
+    assert set(rows) == set(range(1, len(emb[0]) + 1))
+    for dim in (1, 7, len(emb[0])):
+        qs = sorted(math.floor(float(v[dim - 1]) * P._EMB_FX) for v in emb)
+        n = len(qs)
+        lo = qs[(n - 1) * P._CLIP_LO_K // 100]
+        hi = qs[(n - 1) * P._CLIP_HI_K // 100]
+        r = rows[dim]
+        assert (r["n"], r["min_fx"], r["max_fx"]) == (n, qs[0], qs[-1])
+        assert (r["lo_fx"], r["hi_fx"]) == (lo, hi)
+        assert r["n_clipped"] == sum(1 for x in qs if x < lo or x > hi)
+        assert r["range_permille"] == (hi - lo) * 1000 // (qs[-1] - qs[0])
+        assert r["n_clipped"] <= max(2, (n * 2 * P._CLIP_LO_K) // 100 + 2)
