@@ -1376,3 +1376,61 @@ def stream_contrastive_triplets(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def embedding_clip_index(spark, sf_dir: str):
+    """Batch-side build of the per-dimension clip bounds
+    (embedding_quantile_clip's lo/hi order statistics) in broadcast
+    form: two 64-element arrays indexed by dimension. Model-sized by
+    construction — one BIGINT pair per dimension regardless of corpus
+    size. Returns (lo: list[int], hi: list[int])."""
+    from catalyst_spark.queries.pipeline import embedding_quantile_clip
+
+    rows = sorted(
+        embedding_quantile_clip(spark, sf_dir).collect(),
+        key=lambda r: r["dim"],
+    )
+    return ([int(r["lo_fx"]) for r in rows],
+            [int(r["hi_fx"]) for r in rows])
+
+
+def stream_embedding_clip_gate(vec_stream: DataFrame, lo: list[int],
+                               hi: list[int],
+                               keep: tuple = ()) -> DataFrame:
+    """Ingest-time encoder-health screen (r11, the stream_dsir_gate
+    shape): every arriving vector is checked against the broadcast
+    per-dimension clip bounds from embedding_quantile_clip — how many
+    of its dimensions fall outside the corpus's [p1, p99] band, and
+    whether the vector is an outlier (any clipped dimension). The
+    vector-level face of the batch per-dim audit: a failed or
+    truncated encoder output shows up as a burst of clipped dims at
+    ingest, BEFORE the vector poisons an SQ8 range or an ANN index.
+
+    One stateless projection: bounds ride in as two array literals,
+    the count is a doc-local zip_with fold over fixed-point integers
+    (exact — same quantization as the batch audit), append mode, no
+    state store, no shuffle. Re-delivered vectors re-emit identical
+    rows (pure function of the row)."""
+    from catalyst_spark.queries.pipeline import _EMB_FX
+
+    spark = vec_stream.sparkSession
+    idx_row = spark.createDataFrame(
+        [(lo, hi)], "clo array<bigint>, chi array<bigint>"
+    )
+    qarr = (f"transform(cast(embedding as array<double>), "
+            f"v -> cast(floor(v * {_EMB_FX}) as bigint))")
+    n_clip = (
+        f"aggregate(zip_with({qarr}, clo, (q, l) -> "
+        f"CASE WHEN q < l THEN 1 ELSE 0 END), 0, (a, x) -> a + x) + "
+        f"aggregate(zip_with({qarr}, chi, (q, h) -> "
+        f"CASE WHEN q > h THEN 1 ELSE 0 END), 0, (a, x) -> a + x)"
+    )
+    return (
+        vec_stream.crossJoin(F.broadcast(idx_row))
+        .select(
+            "vec_id",
+            F.expr(n_clip).cast("bigint").alias("n_dims_clipped"),
+            *[F.col(c) for c in keep],
+        )
+        .withColumn("is_outlier", F.col("n_dims_clipped") > 0)
+    )

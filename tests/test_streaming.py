@@ -2443,3 +2443,70 @@ def test_stream_pack_sequences_matches_batch(spark, tmp_path):
         n, t = stream_bins.get(k, (0, 0))
         stream_bins[k] = (n + 1, t + tok)
     assert stream_bins == batch_bins
+
+
+def test_stream_embedding_clip_gate_matches_batch(spark, tmp_path):
+    """r11 encoder-health twin: replaying the embeddings as a file
+    stream (one batch RE-DELIVERED) against the broadcast clip bounds
+    must reproduce a python replication of the per-vector clipped-dim
+    count over the batch audit's exact bounds — and the per-dim totals
+    of the emitted counts must sum to the batch audit's n_clipped."""
+    import json
+    import math
+
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.streaming.ann import (
+        embedding_clip_index,
+        stream_embedding_clip_gate,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    lo, hi = embedding_clip_index(spark, SF_DIR)
+    vecs = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding").collect()
+    want = {}
+    total = 0
+    for r in vecs:
+        n = 0
+        for d, v in enumerate(r["embedding"]):
+            q = math.floor(float(v) * P._EMB_FX)
+            if q < lo[d] or q > hi[d]:
+                n += 1
+        want[r["vec_id"]] = n
+        total += n
+
+    d = tmp_path / "clip_stream"
+    d.mkdir()
+    half = max(1, len(vecs) // 2)
+    batches = [vecs[:half], vecs[half:], vecs[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": [float(x) for x in r["embedding"]]})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_embedding_clip_gate(stream, lo, hi)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("clip_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from clip_stream").collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r["vec_id"])
+        if prev is not None:
+            assert tuple(prev) == tuple(r), r["vec_id"]  # idempotent
+        latest[r["vec_id"]] = r
+    assert len(latest) == len(vecs)
+    for vec_id, n in want.items():
+        got = latest[vec_id]
+        assert got["n_dims_clipped"] == n, vec_id
+        assert got["is_outlier"] == (n > 0)
+    # per-corpus mass agrees with the batch audit's n_clipped total
+    batch_total = sum(r["n_clipped"] for r in
+                      P.embedding_quantile_clip(spark, SF_DIR).collect())
+    assert sum(want.values()) == batch_total == total
