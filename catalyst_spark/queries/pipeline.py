@@ -3322,17 +3322,19 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.floor(norm * _EMB_FX).cast("long").alias("fx"),
     )
-    w = W.partitionBy("label")
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
-    st = (
-        v.withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn("s", F.sum(dec(F.col("fx"))).over(w))
-        .withColumn("ss", F.sum(dec(F.col("fx") * F.col("fx"))).over(w))
+    # map-side-combinable groupBy for the moments (not a window — no
+    # partial aggregation there), broadcast-joined back label-sized
+    stats = v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("fx"))).alias("s"),
+        F.sum(dec(F.col("fx") * F.col("fx"))).alias("ss"),
     )
     dev = dec(F.col("n")) * F.col("fx") - F.col("s")
     var_num = dec(F.col("n")) * F.col("ss") - F.col("s") * F.col("s")
     return (
-        st.groupBy("label")
+        v.join(F.broadcast(stats), "label")
+        .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(

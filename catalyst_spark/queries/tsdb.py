@@ -523,8 +523,7 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series anomaly flags: events whose value deviates from the
     series mean by more than 2 sample standard deviations — the
-    simplest online-able outlier screen. One shuffle on the series key
-    (window aggregates), z computed per row.
+    simplest online-able outlier screen.
 
     VERDICT r11 rounding audit: AVG/STDDEV over doubles accumulate in
     engine-specific order, so their ROUND(…, 4) was in the divergence
@@ -534,21 +533,30 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     — an exact-integer numerator, one divide of exact integers, one
     sqrt, one divide: every step is deterministic IEEE on identical
     inputs, so both engines produce the identical double by
-    construction (same sample-stddev definition as before)."""
+    construction (same sample-stddev definition as before).
+
+    Plan: the moments come from a map-side-combinable groupBy (a
+    whole-partition window aggregate gets no partial aggregation and
+    shipped every row's decimal triplet through the shuffle — measured
+    1.5x slower at sf0.1), broadcast-joined back as the series-count-
+    sized stats table."""
     events = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id")
     c = F.round(F.col("value") * 100).cast("long")
     base = events.select("event_id", "user_id", "value", c.alias("c"))
-    n = F.count(F.lit(1)).over(w)
-    s = F.sum(F.col("c").cast("decimal(38,0)")).over(w)
-    ss = F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).over(w)
-    num = (n.cast("decimal(38,0)") * F.col("c") - s).cast("double")
-    var_num = (n.cast("decimal(38,0)") * ss - s * s).cast("decimal(38,0)")
+    stats = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("ss"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("c") - F.col("s")).cast("double")
+    var_num = (nd * F.col("ss") - F.col("s") * F.col("s"))
     z = num / F.sqrt(
-        (n.cast("decimal(38,0)") * var_num).cast("double") / (n - 1)
+        (nd * var_num).cast("double") / (F.col("n") - 1)
     )
     return (
-        base.select(
+        base.join(F.broadcast(stats), "user_id")
+        .select(
             "event_id", "user_id",
             F.round("value", 2).alias("value"),
             F.round(z, 4).alias("z"),
