@@ -294,6 +294,10 @@ _SCALE_QUERIES = (
     "ann_recall_ladder",
     "contrastive_triplets",
     "serving_overlap",
+    # r11b: the winsorization audit's cost is the x64 explode plus ONE
+    # (dim, q) sort-shuffle — n log n per dim at 10x rows (the exact-
+    # percentile shape; production swaps in percentile_approx)
+    "embedding_quantile_clip",
 )
 
 
