@@ -564,3 +564,32 @@ def test_fusion_state_matches_bruteforce_reference(data):
     want = sorted(fused.items(), key=lambda t: (t[1], t[0]))[:5]
     got = list(zip(out["result_id"], out["fused_rank_sum"]))
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                  min_size=1, max_size=200),
+    k=st.sampled_from([1, 25, 50, 75, 95, 99]),
+)
+@settings(max_examples=200, deadline=None)
+def test_exact_rank_percentile_is_linear_interpolation(vals, k):
+    """The r11 rank-arithmetic convention (value_percentiles /
+    doc_length_quartiles / histogram picks): pos = (n-1)*k,
+    lo = pos div 100, rem = pos mod 100,
+    p = (v_lo*(100-rem) + v_hi*rem) / 100 — must equal the standard
+    linear-interpolation percentile definition ((n-1)*q fractional
+    rank, the numpy/quantile_cont convention) up to float error, for
+    ANY integer inputs and supported k. This pins the convention the
+    Spark ops and DuckDB oracles both implement in exact integers."""
+    qs = sorted(vals)
+    n = len(qs)
+    pos = (n - 1) * k
+    lo_i, rem = pos // 100, pos % 100
+    hi_i = min(lo_i + 1, n - 1)
+    p_exact_num = qs[lo_i] * (100 - rem) + qs[hi_i] * rem  # exact int
+    # the reference definition in floats
+    frac = (n - 1) * (k / 100.0)
+    f_lo = int(frac)
+    ref = qs[f_lo] + (frac - f_lo) * (qs[min(f_lo + 1, n - 1)] - qs[f_lo])
+    assert f_lo == lo_i
+    assert abs(p_exact_num / 100.0 - ref) < 1e-6 * max(1.0, abs(ref))
