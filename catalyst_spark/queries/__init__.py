@@ -369,30 +369,39 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R10_FRONT)
 #       perplexity_buckets) plus serving_overlap (new key — it now
 #       carries the ONLY driver coverage of both merged calibration
 #       rows, re-fronts immediately per invariant 3);
-#   (b) the 12 operators whose CODE changed this round (invariant 3):
+#   (b) the 14 operators whose CODE changed this round (invariant 3):
 #       embedding_dim_variance (the r10 driver-red cell, now exact
-#       integer outputs) and the r11 rounding-audit conversions
+#       integer outputs), the r11 rounding-audit conversions
 #       (ts_rate, time_weighted_avg, anomaly_zscore,
 #       series_correlation, counter_rate, histogram_quantile,
 #       value_percentiles, doc_length_quartiles_by_source,
-#       embedding_norm_outliers, ivf_train) plus lsh_band_recall_curve
-#       (absorbed the production rung);
+#       embedding_norm_outliers, ivf_train), lsh_band_recall_curve
+#       (absorbed the production rung), and the two fold-variant
+#       merges cusum_changepoints / holt_linear_smooth (each key now
+#       runs whole-series AND chunked shapes as one variant-keyed
+#       table — the former cusum_chunked / holt_chunked keys are
+#       absorbed, two more slots returned);
 #   (c) the 18 surviving r7-stale ops, oldest code first (ts_rate
 #       moved to (b) — its code changed);
-#   (d) 16 of the r8-stale set in _R8_FRONT order (anomaly_zscore,
+#   (d) 14 of the r8-stale set in _R8_FRONT order (anomaly_zscore,
 #       doc_length_quartiles_by_source, value_percentiles and
 #       lsh_band_recall_curve are already in (b)).
-# 4 + 12 + 18 + 16 = 50 slots exactly. After this window: zero
+# 4 + 14 + 18 + 14 = 50 slots exactly. After this window: zero
 # ever-unchecked operators, no operator staler than r8, and every
 # changed-code op re-proven by the hard signal. Spilling to r12:
 # FIRST the new-in-r11 operator embedding_quantile_clip (registry
 # tail, never driver-checked — invariant 1), then oldest first the
-# remaining 28 r8-stale ops (the _R8_FRONT tail from
-# dedup_embedding_cosine onward, minus the deregistered
-# lsh_recall_vs_exact), then the r9-stale rotation.
-# CADENCE ARITHMETIC at the r11 registry of 169 entries over 50
-# slots: steady-state max staleness stays ceil(169/50) = 4 rounds; the
-# two merges paid back two window slots while keeping every checked
+# remaining 30 r8-stale ops (cube_event_counts, dedup_cluster_size_
+# hist, then the _R8_FRONT tail from dedup_embedding_cosine onward,
+# minus the deregistered lsh_recall_vs_exact), then the r9-stale
+# rotation.
+# CADENCE ARITHMETIC at the final r11 registry of 168 entries (r10's
+# 171, minus rank_fusion_recall + hard_negative_overlap merged into
+# serving_overlap, minus lsh_recall_vs_exact folded into the curve,
+# minus cusum_chunked + holt_chunked absorbed into their variant
+# tables, plus the new embedding_quantile_clip past the window) over
+# 50 slots: steady-state max staleness stays ceil(168/50) = 4 rounds;
+# the merges paid back four window slots while keeping every checked
 # value; the three invariants of the r9 note (zero ever-unchecked
 # after each round, strict oldest-first, changed code re-fronts) all
 # hold.
@@ -406,6 +415,7 @@ _R11_FRONT = [
     "histogram_quantile", "value_percentiles",
     "doc_length_quartiles_by_source", "embedding_norm_outliers",
     "ivf_train", "lsh_band_recall_curve",
+    "cusum_changepoints", "holt_linear_smooth",
     # (c) r7-stale, oldest code first
     "q19_above_brand_avg", "range_join_events", "robust_outliers",
     "session_cooccurrence", "sessionize", "text_stats", "token_counts",
@@ -418,8 +428,7 @@ _R11_FRONT = [
     "rank_fusion_topk", "ivf_rek_cell_stats", "dup_quality_audit",
     "unigram_surprisal", "ann_brute_topk", "asof_nearest_join",
     "asof_prior_click", "bloom_decontaminate", "burn_rate_windows",
-    "chunk_dedup", "contamination_overlap", "cube_event_counts",
-    "dedup_cluster_size_hist",
+    "chunk_dedup", "contamination_overlap",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R11_FRONT)

@@ -3297,14 +3297,29 @@ def _quality_curve_sql() -> str:
 
 ORACLE_SQL: dict[str, str] = {**_RELATIONAL, **_PIPELINE, **_HASH_ORACLES, **_TSDB}
 
-# the chunked fold variants are output-identical to their whole-series
-# twins by construction, so they share the recursive-CTE oracles — the
-# value being verified is precisely that chunking changes nothing
-ORACLE_SQL["cusum_chunked"] = ORACLE_SQL["cusum_changepoints"]
+# r11 merge: each fold key runs BOTH execution shapes (whole-series +
+# chunked) as one variant-keyed table; the chunked rows are
+# output-identical by construction, so the oracle is the ONE
+# recursive-CTE SQL duplicated per variant label — every row of both
+# variants stays hash-checked, and the merged table IS the proof that
+# chunking changes nothing
+def _variant_union(sql: str) -> str:
+    return f"""
+    SELECT * FROM (
+      SELECT 'whole_series' AS variant, * FROM ({sql}) w
+      UNION ALL
+      SELECT 'chunked' AS variant, * FROM ({sql}) c
+    ) u ORDER BY variant, event_id
+    """
+
+
+ORACLE_SQL["cusum_changepoints"] = _variant_union(
+    ORACLE_SQL["cusum_changepoints"])
+ORACLE_SQL["holt_linear_smooth"] = _variant_union(
+    ORACLE_SQL["holt_linear_smooth"])
 ORACLE_SQL["lsh_band_recall_curve"] = _band_curve_sql()
 ORACLE_SQL["dedup_threshold_sensitivity"] = _threshold_sensitivity_sql()
 ORACLE_SQL["quality_survival_curve"] = _quality_curve_sql()
-ORACLE_SQL["holt_chunked"] = ORACLE_SQL["holt_linear_smooth"]
 ORACLE_SQL["near_dup_pagerank_converged"] = _pagerank_converged_sql()
 ORACLE_SQL["phash_dup_pairs"] = _phash_pairs_sql()
 ORACLE_SQL["dedup_edit_distance"] = _edit_distance_sql()

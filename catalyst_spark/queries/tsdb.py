@@ -1496,6 +1496,45 @@ def holt_chunked(
     ).orderBy("event_id")
 
 
+def cusum_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM detector, BOTH execution shapes in one checked table
+    (r11, the ann_recall_ladder merge pattern applied to the fold
+    family): variant='whole_series' is the per-series aggregate() fold
+    (cusum_changepoints), variant='chunked' the bounded-row max-plus
+    decomposition (cusum_chunked) — bit-identical rows by construction
+    (test_chunked_folds proves it to 100k points), so ONE driver slot
+    value-checks both the simple plan and the 100 TB-safe plan against
+    the same oracle SQL, duplicated per variant. No oracle weakened:
+    every row of both variants is still hash-checked."""
+    whole = cusum_changepoints(spark, sf_dir).withColumn(
+        "variant", F.lit("whole_series"))
+    chunked = cusum_chunked(spark, sf_dir).withColumn(
+        "variant", F.lit("chunked"))
+    return (
+        whole.unionByName(chunked)
+        .select("variant", "event_id", "user_id", "cusum_cents", "alarm")
+        .orderBy("variant", "event_id")
+    )
+
+
+def holt_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt smoothing, BOTH execution shapes in one checked table (the
+    cusum_variants pattern): variant='whole_series' is the per-series
+    aggregate() fold (holt_linear_smooth), variant='chunked' the
+    bounded-row carry-chain decomposition (holt_chunked, sequential
+    carries because floor-affine maps don't compose). Bit-identical by
+    construction and by test; one slot checks both plans."""
+    whole = holt_linear_smooth(spark, sf_dir).withColumn(
+        "variant", F.lit("whole_series"))
+    chunked = holt_chunked(spark, sf_dir).withColumn(
+        "variant", F.lit("chunked"))
+    return (
+        whole.unionByName(chunked)
+        .select("variant", "event_id", "user_id", "level", "trend")
+        .orderBy("variant", "event_id")
+    )
+
+
 def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-path matrix: per user timeline ordered by
     (ts, event_id), count every consecutive (from_type -> to_type)
@@ -1841,10 +1880,11 @@ TSDB_QUERIES = {
     "value_histogram": value_histogram,
     "histogram_quantile": histogram_quantile,
     "path_transitions": path_transitions,
-    "holt_linear_smooth": holt_linear_smooth,
-    "cusum_changepoints": cusum_changepoints,
-    "cusum_chunked": cusum_chunked,
-    "holt_chunked": holt_chunked,
+    # r11 merge: each key runs BOTH execution shapes (whole-series
+    # fold + bounded-row chunked decomposition) as one variant-keyed
+    # table — two driver slots returned, nothing unchecked
+    "holt_linear_smooth": holt_variants,
+    "cusum_changepoints": cusum_variants,
     "seasonal_hourly_profile": seasonal_hourly_profile,
     # new in r9 — registry tail (r10 rotation note in __init__.py)
     "ltob_downsample": ltob_downsample,
