@@ -257,9 +257,9 @@ _SCALE_QUERIES = (
     # aggregates — the chunk_dedup surface plus the cid window); the
     # power iteration is _POW_ITERS corpus passes with 64-row traffic;
     # MMR is bounded at queries x R^2 once the shared rerank build
-    # exists. (ltob_downsample reads EVENTS, which the derived 10x
-    # corpus does not carry — its scale story is the one-aggregate
-    # downsample shape ts_downsample already pins.)
+    # exists. (The old ltob exclusion is obsolete: _ensure_sf1_events
+    # derives the 10x events table since r10b — ltob joins the r11
+    # event block below.)
     "cdc_chunk_dedup",
     "embedding_principal_direction",
     "mmr_diversified_topk",
@@ -298,6 +298,23 @@ _SCALE_QUERIES = (
     # (dim, q) sort-shuffle — n log n per dim at 10x rows (the exact-
     # percentile shape; production swaps in percentile_approx)
     "embedding_quantile_clip",
+    # r11c: the rounding-audit conversions measured at 10x — the
+    # exact-integer-moment plans must keep the family's linear shapes.
+    # anomaly_zscore / time_weighted_avg / ts_rate are one groupBy-or-
+    # window on the series key; series_correlation is two aggregates
+    # (hourly buckets, then pairs); value_percentiles and
+    # histogram_quantile are the sort-vs-bucket percentile pair (the
+    # sort pays n log n per key, the bucketed estimator stays one
+    # aggregate — the documented 100 TB trade measured side by side);
+    # ltob and ewma are window passes with in-row integer math
+    "anomaly_zscore",
+    "series_correlation",
+    "value_percentiles",
+    "histogram_quantile",
+    "ts_rate",
+    "time_weighted_avg",
+    "ltob_downsample",
+    "ewma_smooth",
 )
 
 
