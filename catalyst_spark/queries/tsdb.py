@@ -1052,21 +1052,12 @@ _HQ_BOUNDS = (25.0, 50.0, 100.0, 200.0, 400.0)
 _HQ_QS = (0.5, 0.9, 0.99)
 
 
-def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prometheus histogram_quantile() over cumulative le-buckets: the
-    estimator every metrics stack runs against pre-bucketed counters —
-    linear interpolation inside the first bucket whose cumulative count
-    reaches rank q*total, the +Inf bucket clamping to the highest
-    finite bound (public promql bucketQuantile semantics).
-
-    The bucket table is what a scraped histogram would store (one row
-    per (series, le)); the quantile read touches only that tiny
-    aggregate — the whole point of histogram storage at 100 TB: the
-    raw observations are never re-sorted. Interpolation arithmetic is
-    written identically in the oracle, so values match bit-for-bit.
-    """
-    events = load(spark, sf_dir, "events")
-    lo_le = F.expr(
+def _hq_lo_le_expr():
+    """The bucket-assignment CASE shared by the batch operator and the
+    ingest-time counter twin (streaming.aggregate.
+    stream_histogram_buckets) — one (lo, le) struct per observation,
+    +Inf bucket last."""
+    return F.expr(
         "CASE "
         + " ".join(
             f"WHEN value <= {le} THEN struct(cast({lo} as double) as lo,"
@@ -1076,11 +1067,14 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f" ELSE struct(cast({_HQ_BOUNDS[-1]} as double) as lo,"
         " cast('inf' as double) as le) END"
     )
-    buckets = (
-        events.select("event_type", lo_le.alias("b"))
-        .groupBy("event_type", "b.lo", "b.le")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+
+
+def _hq_read(buckets: DataFrame) -> DataFrame:
+    """The quantile READ over a scraped bucket-counter table
+    (event_type, lo, le, n) — promql bucketQuantile over cumulative
+    le-buckets, shared verbatim by the batch operator and the
+    streaming twin's test so the online counters serve the identical
+    estimator. Exact-integer interpolation (r11 rounding audit)."""
     wcum = W.partitionBy("event_type").orderBy("le")
     wtot = W.partitionBy("event_type")
     cum = (
@@ -1121,6 +1115,29 @@ def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") / 100.0).alias("q"),
         F.round(num.cast("double") / (100 * F.col("n")), 4).alias("hq"),
     ).orderBy("event_type", "q")
+
+
+def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus histogram_quantile() over cumulative le-buckets: the
+    estimator every metrics stack runs against pre-bucketed counters —
+    linear interpolation inside the first bucket whose cumulative count
+    reaches rank q*total, the +Inf bucket clamping to the highest
+    finite bound (public promql bucketQuantile semantics).
+
+    The bucket table is what a scraped histogram would store (one row
+    per (series, le)); the quantile read (_hq_read, shared with the
+    streaming counter twin) touches only that tiny aggregate — the
+    whole point of histogram storage at 100 TB: the raw observations
+    are never re-sorted. Interpolation arithmetic is written
+    identically in the oracle, so values match bit-for-bit.
+    """
+    events = load(spark, sf_dir, "events")
+    buckets = (
+        events.select("event_type", _hq_lo_le_expr().alias("b"))
+        .groupBy("event_type", "b.lo", "b.le")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _hq_read(buckets)
 
 
 def holt_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,3 +148,47 @@ def stream_downsample(
             "max_l",
         )
     )
+
+
+def stream_histogram_buckets(
+    event_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-time histogram bucket counters (r11): the write path of
+    histogram_quantile — every arriving observation increments its
+    (event_type, le-bucket) counter, which is ALL a metrics backend
+    stores (one row per series/bucket/window; the raw observations are
+    never kept, never re-sorted). The quantile read is then
+    queries.tsdb._hq_read over the counter table — the SAME exact-
+    integer promql interpolation the batch operator runs, so the
+    online counters serve the identical estimator (replay test).
+
+    At-least-once delivery is handled the production way: an upstream
+    dropDuplicatesWithinWatermark on the observation id feeds the
+    windowed count — the officially supported dedup -> windowed-agg
+    stateful chain, append mode, both states watermark-bounded (dedup
+    state one entry per observation inside the horizon, counter state
+    one row per open (window, type, bucket)). A re-delivered
+    observation inside the horizon increments nothing twice."""
+    from catalyst_spark.queries.tsdb import _hq_lo_le_expr
+
+    deduped = (
+        event_stream.withColumn("event_time", F.col("ts"))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return (
+        deduped.select(
+            "event_time", "event_type", _hq_lo_le_expr().alias("b")
+        )
+        .groupBy(
+            F.window("event_time", window).alias("w"),
+            "event_type", "b.lo", "b.le",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "lo", "le", "n",
+        )
+    )

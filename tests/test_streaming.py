@@ -2510,3 +2510,93 @@ def test_stream_embedding_clip_gate_matches_batch(spark, tmp_path):
     batch_total = sum(r["n_clipped"] for r in
                       P.embedding_quantile_clip(spark, SF_DIR).collect())
     assert sum(want.values()) == batch_total == total
+
+
+def test_stream_histogram_buckets_matches_batch(spark, tmp_path):
+    """r11 scraped-histogram twin: the events replayed as a file
+    stream IN TIME ORDER, then an entire re-delivered batch of old
+    observations, then a watermark-advancing sentinel — the dedup ->
+    windowed-counter chain (append mode, both states bounded by a
+    10-minute watermark) must emit counters whose per-(type, bucket)
+    totals equal the batch bucket table EXACTLY (the re-delivered
+    batch increments nothing: inside the horizon the id-dedup eats
+    it, past the horizon the watermark drops it — either way the
+    counter stays exactly-once), and _hq_read over those totals must
+    equal histogram_quantile row-for-row."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.tsdb import (
+        _hq_lo_le_expr,
+        _hq_read,
+        histogram_quantile,
+    )
+    from catalyst_spark.streaming.aggregate import stream_histogram_buckets
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    events = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "event_type", "value")
+    rows = sorted(events.collect(), key=lambda r: r["ts"])
+    want_buckets = {
+        (r["event_type"], r["lo"], r["le"]): r["n"]
+        for r in events.select("event_type", _hq_lo_le_expr().alias("b"))
+        .groupBy("event_type", "b.lo", "b.le")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    def _enc(rs):
+        return "\n".join(
+            json.dumps({"event_id": r["event_id"],
+                        "ts": r["ts"].isoformat(),
+                        "event_type": r["event_type"],
+                        "value": r["value"]})
+            for r in rs)
+
+    d = tmp_path / "hq_stream"
+    d.mkdir()
+    half = max(1, len(rows) // 2)
+    (d / "b0.json").write_text(_enc(rows))
+    (d / "b1.json").write_text(_enc(rows[:half]))  # re-delivery, old ids
+    # the sentinel: two hours past the corpus, so every corpus window
+    # closes; its own window stays open and is never emitted
+    import datetime
+    sentinel = {"event_id": 10**12,
+                "ts": (rows[-1]["ts"]
+                       + datetime.timedelta(hours=2)).isoformat(),
+                "event_type": rows[-1]["event_type"], "value": 1.0}
+    (d / "b2.json").write_text(json.dumps(sentinel))
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, event_type string,"
+                      " value double")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_histogram_buckets(stream, window="1 hour",
+                                  watermark="10 minutes")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("hq_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("select * from hq_stream").collect()
+    assert got
+    totals: dict[tuple, int] = {}
+    for r in got:
+        k = (r["event_type"], r["lo"], r["le"])
+        totals[k] = totals.get(k, 0) + r["n"]
+    # exactly-once: the re-delivered batch changed nothing, every
+    # corpus window closed, the sentinel's window never emitted
+    assert totals == want_buckets
+    # the quantile read over the ONLINE counters equals the batch
+    # operator bit-for-bit — the scraped histogram serves the same
+    # exact-integer estimator
+    counters = spark.createDataFrame(
+        [(t, lo, le, n) for (t, lo, le), n in totals.items()],
+        "event_type string, lo double, le double, n long",
+    )
+    got_hq = [(r["event_type"], r["q"], r["hq"])
+              for r in _hq_read(counters).collect()]
+    want_hq = [(r["event_type"], r["q"], r["hq"])
+               for r in histogram_quantile(spark, SF_DIR).collect()]
+    assert got_hq == want_hq
