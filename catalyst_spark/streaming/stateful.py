@@ -416,3 +416,122 @@ def stream_domain_cap(doc_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Online reset-aware counter rate (streaming twin of
+# queries.tsdb.counter_rate — the Prometheus rate() semantic AT
+# INGEST). State per series: seven integers (last cents, cumulative
+# cent increase, reset count, point count, span min/max µs, and the
+# max (ts_us, event_id) seen for re-delivery skipping) — bounded
+# however long the series runs. Each update emits the series' CURRENT
+# rate row, so the consumer's per-series latest equals the batch sweep
+# (which is exactly how a monitoring backend serves rate()).
+
+COUNTER_RATE_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("total_inc", T.DoubleType()),
+    T.StructField("n_resets", T.LongType()),
+    T.StructField("per_sec", T.DoubleType()),
+    T.StructField("n_points", T.LongType()),
+])
+
+COUNTER_RATE_STATE_SCHEMA = T.StructType([
+    T.StructField("prev_c", T.LongType()),
+    T.StructField("sum_inc", T.LongType()),
+    T.StructField("n_resets", T.LongType()),
+    T.StructField("n_points", T.LongType()),
+    T.StructField("min_us", T.LongType()),
+    T.StructField("max_us", T.LongType()),
+    T.StructField("seen_us", T.LongType()),
+    T.StructField("seen_eid", T.LongType()),
+])
+
+
+def _counter_rate_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        (prev_c, sum_inc, n_resets, n_points,
+         min_us, max_us, seen_us, seen_eid) = (int(x) for x in state.get)
+        have = True
+    else:
+        prev_c = sum_inc = n_resets = n_points = 0
+        min_us = max_us = 0
+        seen_us, seen_eid = -1, -1
+        have = False
+    parts = [p[["event_id", "ts_us", "cents"]] for p in pdfs]
+    pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        columns=["event_id", "ts_us", "cents"])
+    pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+    for eid, us, c in zip(pdf["event_id"].astype("int64"),
+                          pdf["ts_us"].astype("int64"),
+                          pdf["cents"].astype("int64")):
+        eid, us, c = int(eid), int(us), int(c)
+        if (us, eid) <= (seen_us, seen_eid):
+            continue  # re-delivery: the first pass already counted it
+        seen_us, seen_eid = us, eid
+        if not have:
+            prev_c, min_us, max_us, n_points, have = c, us, us, 1, True
+            continue
+        if c >= prev_c:
+            sum_inc += c - prev_c
+        else:
+            n_resets += 1
+            sum_inc += c
+        prev_c = c
+        n_points += 1
+        min_us, max_us = min(min_us, us), max(max_us, us)
+    state.update((prev_c, sum_inc, n_resets, n_points,
+                  min_us, max_us, seen_us, seen_eid))
+    if n_points < 2 or max_us <= min_us:
+        # the batch sweep emits nothing for single-point series
+        yield pd.DataFrame({
+            "user_id": [], "total_inc": [], "n_resets": [],
+            "per_sec": [], "n_points": [],
+        }).astype({"user_id": "int64", "n_resets": "int64",
+                   "n_points": "int64"})
+        return
+    # the batch operator's own exact-integer emission: each checked
+    # double is ONE divide of exact integers (r11 rounding audit),
+    # rounded HALF_UP on the shortest decimal repr — Spark's
+    # round(double, n) semantics, NOT python's banker's round()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _spark_round(x: float, nd: int) -> float:
+        return float(Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+    yield pd.DataFrame({
+        "user_id": [int(user_id)],
+        "total_inc": [_spark_round(sum_inc / 100.0, 2)],
+        "n_resets": [int(n_resets)],
+        "per_sec": [_spark_round(
+            (sum_inc * 10000) / (max_us - min_us), 4)],
+        "n_points": [int(n_points)],
+    })
+
+
+def stream_counter_rate(event_stream: DataFrame) -> DataFrame:
+    """(event_id, ts_us, user_id, cents) stream -> the series' CURRENT
+    reset-aware rate row after every update — the Prometheus rate()
+    read served at ingest, the streaming twin of
+    queries.tsdb.counter_rate. Delivery is assumed time-ordered per
+    series (the scrape reality); a re-delivered prefix is skipped via
+    the max-(ts, id) watermark in state, so the counters stay
+    exactly-once (replay test incl. re-delivery). The per-series
+    latest emission equals the batch sweep row exactly: the increase
+    accumulates in integer cents and each emitted double is one divide
+    of exact integers — the identical arithmetic as the batch
+    operator."""
+    return (
+        event_stream.select("event_id", "ts_us", "user_id", "cents")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _counter_rate_update,
+            outputStructType=COUNTER_RATE_OUTPUT_SCHEMA,
+            stateStructType=COUNTER_RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -2600,3 +2600,63 @@ def test_stream_histogram_buckets_matches_batch(spark, tmp_path):
     want_hq = [(r["event_type"], r["q"], r["hq"])
                for r in histogram_quantile(spark, SF_DIR).collect()]
     assert got_hq == want_hq
+
+
+def test_stream_counter_rate_matches_batch(spark, tmp_path):
+    """r11 Prometheus-rate twin: the events replayed per series in
+    time order (one batch RE-DELIVERED) must leave every series'
+    LATEST emission equal to the batch counter_rate row — the integer
+    cent increases, reset counts and the two single-divide doubles all
+    identical; single-point series emit nothing, like the batch
+    sweep's n_points >= 2 filter."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.tsdb import counter_rate
+    from catalyst_spark.streaming.stateful import stream_counter_rate
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {r["user_id"]: (r["total_inc"], r["n_resets"], r["per_sec"],
+                           r["n_points"])
+            for r in counter_rate(spark, SF_DIR).collect()}
+    assert want
+
+    rows = sorted(
+        load(spark, SF_DIR, "events").select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        ).collect(),
+        key=lambda r: (r["ts_us"], r["event_id"]),
+    )
+    d = tmp_path / "rate_stream"
+    d.mkdir()
+    half = max(1, len(rows) // 2)
+    batches = [rows[:half], rows[:half], rows[half:]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"event_id": r["event_id"], "ts_us": r["ts_us"],
+                        "user_id": r["user_id"], "cents": r["cents"]})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("event_id long, ts_us long, user_id long,"
+                      " cents long")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_counter_rate(stream)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("rate_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("select * from rate_stream").collect()
+    latest = {}
+    for r in got:
+        if (r["user_id"] not in latest
+                or r["n_points"] >= latest[r["user_id"]]["n_points"]):
+            latest[r["user_id"]] = r
+    assert set(latest) == set(want)
+    for uid, (ti, nr, ps, np_) in want.items():
+        g = latest[uid]
+        assert (g["total_inc"], g["n_resets"], g["per_sec"],
+                g["n_points"]) == (ti, nr, ps, np_), uid
