@@ -44,3 +44,32 @@ def test_integer_division_truncates_on_both_engines(spark):
     assert list(got_spark) == list(got_duck)
     # and the truncation (not floor) semantics explicitly:
     assert list(got_duck) == [-3, -3, 3, 3, 0, 0]
+
+
+def test_decimal_and_hugeint_division_parity(spark):
+    """r11 rounding doctrine pins: (1) Spark `div` on decimal(38,0)
+    truncates toward zero exactly like DuckDB HUGEINT `//` — the
+    mean_ppm / rank-arithmetic oracles rely on it for negative sums;
+    (2) DuckDB `//` on DECIMAL is NOT integer division (it returns a
+    fractional quotient), so every oracle must CAST to HUGEINT first —
+    pin the trap itself so a fix upstream gets noticed."""
+    import duckdb
+
+    cases = [(-7, 2), (7, -2), (-7, -2), (-1000001, 1000000)]
+    got_spark = spark.sql(
+        "SELECT " + ", ".join(
+            f"cast({a} as decimal(38,0)) div cast({b} as decimal(38,0))"
+            for a, b in cases)
+    ).first()
+    got_duck = duckdb.sql(
+        "SELECT " + ", ".join(
+            f"CAST({a} AS HUGEINT) // CAST({b} AS HUGEINT)"
+            for a, b in cases)
+    ).fetchone()
+    assert [int(x) for x in got_spark] == [int(x) for x in got_duck] \
+        == [-3, -3, 3, -1]
+    # the DECIMAL // trap: fractional, not integral
+    frac = duckdb.sql(
+        "SELECT CAST(-7 AS DECIMAL(38,0)) // CAST(2 AS DECIMAL(38,0))"
+    ).fetchone()[0]
+    assert float(frac) == -3.5
