@@ -306,7 +306,14 @@ _SCALE_QUERIES = (
     # histogram_quantile are the sort-vs-bucket percentile pair (the
     # sort pays n log n per key, the bucketed estimator stays one
     # aggregate — the documented 100 TB trade measured side by side);
-    # ltob and ewma are window passes with in-row integer math
+    # ewma is a row-bounded window pass with in-row integer math.
+    # ltob rides the FIXED-cardinality axis twice over (5 event types,
+    # unchanged bucket grid, so 10x rows land in the same
+    # series x bucket windows): the per-window rank sort pays n log n
+    # on 10x-deep windows with parallelism capped at series x buckets
+    # — the measured ~5x. At 100 TB the series cardinality is the
+    # parallelism (millions of real series, not 5), and a
+    # longer-retention series re-keys the window by (series, day)
     "anomaly_zscore",
     "series_correlation",
     "value_percentiles",
