@@ -322,6 +322,17 @@ _SCALE_QUERIES = (
     "time_weighted_avg",
     "ltob_downsample",
     "ewma_smooth",
+    # r11b: the cluster-balanced sampler joins the cached assignment
+    # to model-sized broadcast tables and ranks within k cells — its
+    # 10x cost is the assignment scan's (expected ~linear; the window
+    # parallelism is k here, the two-phase top-k rewrite at scale);
+    # the dim-truncation sweep is 4 brute slice-scans over the probe
+    # set BY DESIGN (the exact ablation class — Q x N like
+    # hard_negative_mining, expected ~100x-shaped; production serves
+    # truncated dims through the IVF path, this row prices the
+    # truncation itself)
+    "cluster_balanced_sample",
+    "dim_truncation_recall",
 )
 
 

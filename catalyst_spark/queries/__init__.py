@@ -389,18 +389,20 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R10_FRONT)
 # 4 + 14 + 18 + 14 = 50 slots exactly. After this window: zero
 # ever-unchecked operators, no operator staler than r8, and every
 # changed-code op re-proven by the hard signal. Spilling to r12:
-# FIRST the new-in-r11 operator embedding_quantile_clip (registry
-# tail, never driver-checked — invariant 1), then oldest first the
-# remaining 30 r8-stale ops (cube_event_counts, dedup_cluster_size_
-# hist, then the _R8_FRONT tail from dedup_embedding_cosine onward,
-# minus the deregistered lsh_recall_vs_exact), then the r9-stale
-# rotation.
-# CADENCE ARITHMETIC at the final r11 registry of 168 entries (r10's
+# FIRST the new-in-r11 operators (registry tail, never
+# driver-checked — invariant 1): embedding_quantile_clip, then the
+# r11b additions cluster_balanced_sample and dim_truncation_recall;
+# then oldest first the remaining 30 r8-stale ops (cube_event_counts,
+# dedup_cluster_size_hist, then the _R8_FRONT tail from
+# dedup_embedding_cosine onward, minus the deregistered
+# lsh_recall_vs_exact), then the r9-stale rotation.
+# CADENCE ARITHMETIC at the final r11 registry of 170 entries (r10's
 # 171, minus rank_fusion_recall + hard_negative_overlap merged into
 # serving_overlap, minus lsh_recall_vs_exact folded into the curve,
 # minus cusum_chunked + holt_chunked absorbed into their variant
-# tables, plus the new embedding_quantile_clip past the window) over
-# 50 slots: steady-state max staleness stays ceil(168/50) = 4 rounds;
+# tables, plus the new embedding_quantile_clip, cluster_balanced_
+# sample and dim_truncation_recall past the window) over 50 slots:
+# steady-state max staleness stays ceil(170/50) = 4 rounds;
 # the merges paid back four window slots while keeping every checked
 # value; the three invariants of the r9 note (zero ever-unchecked
 # after each round, strict oldest-first, changed code re-fronts) all

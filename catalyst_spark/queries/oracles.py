@@ -4972,3 +4972,98 @@ def _contrastive_triplets_sql() -> str:
 
 
 ORACLE_SQL["contrastive_triplets"] = _contrastive_triplets_sql()
+
+
+def _cluster_balanced_sample_sql() -> str:
+    """Oracle twin of pipeline.cluster_balanced_sample: unrolled
+    k-means (_kmeans_sql) + the same nearest-trained-centroid
+    assignment, per-cell floor(sqrt(n)) quotas, and the (d2 DESC,
+    vec_id) keep rank — d2 via the identical |x|^2 - 2x.c + |c|^2
+    sequential-fold decomposition."""
+    from catalyst_spark.queries.pipeline import _KMEANS_ITERS
+
+    last_c = f"c{_KMEANS_ITERS}"
+    return _kmeans_sql() + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        assign AS (SELECT vec_id, c_id FROM dist WHERE rn = 1),
+        qd AS (
+          SELECT a.vec_id, a.c_id,
+                 list_dot_product(v.e, v.e)
+                 - 2 * list_dot_product(v.e, c.ce)
+                 + list_dot_product(c.ce, c.ce) AS d2_raw
+          FROM v JOIN assign a USING (vec_id)
+               JOIN {last_c} c USING (c_id)),
+        sz AS (
+          SELECT c_id, COUNT(*) AS n_vecs,
+                 CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+                   AS quota
+          FROM assign GROUP BY 1),
+        rk AS (
+          SELECT c_id, vec_id, d2_raw,
+                 row_number() OVER (PARTITION BY c_id
+                                    ORDER BY d2_raw DESC, vec_id) AS rk
+          FROM qd)
+        SELECT r.c_id, r.rk, r.vec_id, s.n_vecs, s.quota,
+               ROUND(r.d2_raw, 2) AS d2
+        FROM rk r JOIN sz s USING (c_id)
+        WHERE r.rk <= s.quota
+        ORDER BY r.c_id, r.rk
+    """
+
+
+ORACLE_SQL["cluster_balanced_sample"] = _cluster_balanced_sample_sql()
+
+
+def _dim_truncation_recall_sql() -> str:
+    """Oracle twin of pipeline.dim_truncation_recall: per-d brute
+    top-5 over the first-d-dims slice (e[1:d]; d=64 IS the exact
+    baseline), same (cos DESC, neighbor_id) tie order, then the
+    integer hit count per rung. hits uses COUNT(column), never
+    SUM(int), so the type stays BIGINT (the HUGEINT // trap)."""
+    from catalyst_spark.queries.pipeline import _MRL_DIMS
+
+    parts = ["WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e"
+             " FROM embeddings),"]
+    for d in _MRL_DIMS:
+        parts.append(
+            f"nv{d} AS (SELECT vec_id, e[1:{d}] AS s,"
+            f" sqrt(list_dot_product(e[1:{d}], e[1:{d}])) AS nrm"
+            " FROM v),"
+        )
+        parts.append(
+            f"t{d} AS (SELECT q_id, neighbor_id FROM ("
+            " SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,"
+            " row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            " list_dot_product(q.s, c.s) / (q.nrm * c.nrm) DESC,"
+            " c.vec_id) AS rnk"
+            f" FROM nv{d} q JOIN nv{d} c ON q.vec_id != c.vec_id"
+            " WHERE q.vec_id % 50 = 0) x WHERE rnk <= 5),"
+        )
+    last = _MRL_DIMS[-1]
+    hits_union = " UNION ALL ".join(
+        f"SELECT {d} AS dim_prefix, q_id, neighbor_id FROM t{d}"
+        for d in _MRL_DIMS
+    )
+    dims_values = ", ".join(f"({d})" for d in _MRL_DIMS)
+    parts.append(
+        f"base AS (SELECT d.dim_prefix, b.q_id, b.neighbor_id"
+        f" FROM (VALUES {dims_values}) d(dim_prefix), t{last} b),"
+    )
+    parts.append(f"h AS ({hits_union})")
+    parts.append(
+        "SELECT b.dim_prefix, COUNT(h.q_id) AS hits,"
+        " COUNT(*) AS n_pairs,"
+        " (COUNT(h.q_id) * 1000) // COUNT(*) AS recall_permille"
+        " FROM base b LEFT JOIN h USING (dim_prefix, q_id, neighbor_id)"
+        " GROUP BY 1 ORDER BY 1"
+    )
+    return "\n".join(parts)
+
+
+ORACLE_SQL["dim_truncation_recall"] = _dim_truncation_recall_sql()

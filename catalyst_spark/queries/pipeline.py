@@ -6888,6 +6888,195 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data pruning (r11b — the SSL-prototypes /
+    D4-style sampler, cf. Sorscher et al. 2022): assign every vector
+    to its trained IVF cell, give each cell an integer quota of
+    floor(sqrt(cell_size)) — concave, so dominant clusters are pruned
+    hardest while singleton clusters always survive — and keep the
+    quota's LEAST prototypical members (largest squared distance to
+    the cell centroid; abundant-data regime, where hard examples are
+    worth the most and the redundant cluster core is what dedup
+    missed). This is the embedding-space counterpart of
+    domain_cap_sample's per-source cap: that op balances the mix by
+    METADATA, this one by learned geometry.
+
+    Determinism: the assignment and centroids are the shared cached
+    quantizer (_coarse_assign — identical to the unrolled-k-means
+    oracle); d2 uses the same |x|^2 - 2x.c + |c|^2 sequential-fold
+    decomposition both engines evaluate in the same order; ranking
+    ties break by vec_id; quotas are exact integers (IEEE sqrt of a
+    bigint-valued double is correctly rounded in both engines, and
+    floor of it is exact for n far below 2^52).
+
+    Plan: the assignment table joins the model-sized centroid /
+    quota tables broadcast; one window rank per cell. The window
+    partitions by c_id (k partitions) — at 100 TB the drop-in rewrite
+    is the same two-phase top-k as domain_cap_sample: each map
+    partition pre-prunes to its local quota-largest before the global
+    rank, valid because row_number <= quota only needs each
+    partition's quota largest."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assign = _coarse_assign(spark, sf_dir, v)
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cids, C)],
+        "c_id long, ce array<double>",
+    )
+    quota = F.broadcast(
+        assign.groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .withColumn("quota", F.expr(
+            "cast(floor(sqrt(cast(n_vecs as double))) as bigint)"))
+    )
+    d2 = (
+        "aggregate(e, cast(0 as double), (s, x) -> s + x * x)"
+        " - 2 * aggregate(zip_with(e, ce, (x, y) -> x * y),"
+        " cast(0 as double), (s, x) -> s + x)"
+        " + aggregate(ce, cast(0 as double), (s, x) -> s + x * x)"
+    )
+    w = W.partitionBy("c_id").orderBy(F.col("d2_raw").desc(), "vec_id")
+    return (
+        v.join(assign, "vec_id")
+        .join(F.broadcast(cent), "c_id")
+        .withColumn("d2_raw", F.expr(d2))
+        .withColumn("rk", F.row_number().over(w))
+        .join(quota, "c_id")
+        .where(F.col("rk") <= F.col("quota"))
+        .select(
+            "c_id", F.col("rk").cast("bigint").alias("rk"), "vec_id",
+            "n_vecs", "quota", F.round("d2_raw", 2).alias("d2"),
+        )
+        .orderBy("c_id", "rk")
+    )
+
+
+def _cluster_keep_cutoffs(spark: SparkSession, sf_dir: str) -> list:
+    """Per-cell keep boundary for the ingest twin: the quota-th kept
+    row's (raw d2, vec_id) under the batch sampler's (d2 DESC, vec_id)
+    order. Broadcast-sized (k rows); a vector is batch-kept iff it
+    sorts at-or-before this boundary in its cell."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assign = _coarse_assign(spark, sf_dir, v)
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cids, C)],
+        "c_id long, ce array<double>",
+    )
+    quota = (
+        assign.groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .withColumn("quota", F.expr(
+            "cast(floor(sqrt(cast(n_vecs as double))) as bigint)"))
+        .select("c_id", "quota")
+    )
+    d2 = (
+        "aggregate(e, cast(0 as double), (s, x) -> s + x * x)"
+        " - 2 * aggregate(zip_with(e, ce, (x, y) -> x * y),"
+        " cast(0 as double), (s, x) -> s + x)"
+        " + aggregate(ce, cast(0 as double), (s, x) -> s + x * x)"
+    )
+    w = W.partitionBy("c_id").orderBy(F.col("d2_raw").desc(), "vec_id")
+    return (
+        v.join(assign, "vec_id")
+        .join(F.broadcast(cent), "c_id")
+        .withColumn("d2_raw", F.expr(d2))
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(quota), "c_id")
+        .where(F.col("rk") == F.col("quota"))
+        .select("c_id", F.col("d2_raw").alias("cut_d2"),
+                F.col("vec_id").alias("cut_vid"))
+        .collect()
+    )
+
+
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation recall sweep (r11b, cf.
+    Kusupati et al. 2022): recall@5 of brute-force cosine search over
+    only the FIRST d dimensions (d = 8/16/32/64) against the full-dim
+    exact baseline — the table that prices the 100 TB serving trade
+    every MRL deployment makes (a d-dim scan moves d/64 of the bytes
+    and flops of the full scan; this measures what recall that buys
+    on THIS corpus). The d=64 rung is the baseline scanned against
+    itself and must read 1000 permille — a built-in self-check that
+    the sweep's join/rank plumbing is sound.
+
+    One calibration row per d: hits (top-5 overlap with the exact
+    baseline over all probes), n_pairs = 5 * |probes|, and
+    recall_permille as an integer division — exact integers
+    everywhere; the float cosine ranking follows the ANN family's
+    (cos DESC, neighbor_id) tie order on both engines.
+
+    Scale/cost: each rung is an exact brute scan over the probe set
+    BY DESIGN (the ablation-partner shape — rank_fusion_topk /
+    hard_negative_mining's class, expected ~Q x N growth); production
+    serves truncated dims through the IVF path, this row prices the
+    truncation itself. The probe side broadcasts; the baseline is the
+    session-cached brute table, so 4 rungs cost 4 scans, not 5."""
+    emb = load(spark, sf_dir, "embeddings")
+    brute = ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+
+    def _sliced(ida: str, va: str, d: int) -> DataFrame:
+        return emb.select(
+            F.col("vec_id").alias(ida),
+            F.expr(
+                f"slice(cast(embedding as array<double>), 1, {d})"
+            ).alias(va),
+        ).withColumn(
+            f"{va}_norm",
+            F.sqrt(F.expr(
+                f"aggregate({va}, cast(0 as double), (s, x) -> s + x * x)"
+            )),
+        )
+
+    parts = []
+    for d in _MRL_DIMS:
+        q = _sliced("q_id", "vq", d).where(F.col("q_id") % 50 == 0)
+        c = _sliced("n_id", "vc", d)
+        w = W.partitionBy("q_id").orderBy(
+            F.col("cos_raw").desc(), F.col("n_id"))
+        topk = (
+            c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+            .withColumn("cos_raw", _cosine("vq", "vc"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select(F.lit(d).alias("dim_prefix"), "q_id",
+                    F.col("n_id").alias("neighbor_id"))
+        )
+        parts.append(topk)
+    trunc = parts[0]
+    for p in parts[1:]:
+        trunc = trunc.unionByName(p)
+    dims = spark.createDataFrame(
+        [(d,) for d in _MRL_DIMS], "dim_prefix int")
+    # 4 x (5Q) baseline rows; the 4-row dims side broadcasts so the
+    # fan-out plans as BroadcastNestedLoopJoin, never CartesianProduct
+    base = brute.crossJoin(F.broadcast(dims))
+    hit = trunc.withColumn("_hit", F.lit(1))
+    return (
+        base.join(hit, ["dim_prefix", "q_id", "neighbor_id"], "left")
+        .groupBy("dim_prefix")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .select(
+            "dim_prefix", "hits", "n_pairs",
+            F.expr("(hits * 1000) div n_pairs").alias("recall_permille"),
+        )
+        .orderBy("dim_prefix")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -7004,4 +7193,9 @@ PIPELINE_QUERIES = {
     "hard_negative_indexed": hard_negative_indexed,
     "perplexity_buckets": perplexity_buckets,
     "contrastive_triplets": contrastive_triplets,
+    # new in r11b — registry tail, past the pinned r11 driver window
+    # by design (they front the r12 spill; see the rotation note in
+    # queries/__init__.py)
+    "cluster_balanced_sample": cluster_balanced_sample,
+    "dim_truncation_recall": dim_truncation_recall,
 }

@@ -1434,3 +1434,83 @@ def stream_embedding_clip_gate(vec_stream: DataFrame, lo: list[int],
         )
         .withColumn("is_outlier", F.col("n_dims_clipped") > 0)
     )
+
+
+def prototype_gate_index(spark, sf_dir: str):
+    """Batch-side build of the cluster-balanced keep model in
+    broadcast form: one entry per trained IVF cell carrying its
+    centroid and the batch sampler's keep boundary — the quota-th
+    kept row's (raw d2, vec_id) under cluster_balanced_sample's
+    (d2 DESC, vec_id) order. Model-sized by construction (k entries,
+    each one 64-double centroid + two scalars). Returns the list of
+    (c_id, ce, cut_d2, cut_vid) tuples the gate broadcasts."""
+    from catalyst_spark.queries.pipeline import (
+        _cached_kmeans,
+        _cluster_keep_cutoffs,
+        load,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    cuts = {r["c_id"]: (float(r["cut_d2"]), int(r["cut_vid"]))
+            for r in _cluster_keep_cutoffs(spark, sf_dir)}
+    return [
+        (int(c), [float(x) for x in row], cuts[int(c)][0], cuts[int(c)][1])
+        for c, row in zip(cids, C)
+    ]
+
+
+def stream_prototype_gate(vec_stream: DataFrame,
+                          cells: list) -> DataFrame:
+    """Ingest-time cluster-balanced keep decision (r11b — the
+    stream_dsir_gate shape, serving cluster_balanced_sample online):
+    every arriving vector is assigned to its nearest broadcast
+    centroid IN THE ROW (a transform over the k-entry model array +
+    array_min on (d2, c_id) structs — the batch tie order), then
+    compared against that cell's keep boundary: kept iff it sorts
+    at-or-before the quota-th batch row under (d2 DESC, vec_id).
+    A resampling ingest drops the redundant cluster core at arrival
+    instead of re-ranking the corpus.
+
+    One stateless projection: the model rides in as one broadcast
+    array-of-structs literal; d2 uses the identical
+    |x|^2 - 2x.c + |c|^2 sequential-fold decomposition the batch
+    sampler ranks on, so for corpus vectors the decision is
+    bit-equal to batch membership. Append mode, no state store, no
+    shuffle. Re-delivered vectors re-emit identical rows (pure
+    function of the row)."""
+    spark = vec_stream.sparkSession
+    model_row = spark.createDataFrame(
+        [([{"c_id": c, "ce": ce, "cut_d2": cd, "cut_vid": cv}
+           for c, ce, cd, cv in cells],)],
+        "cells array<struct<c_id: bigint, ce: array<double>,"
+        " cut_d2: double, cut_vid: bigint>>",
+    )
+    e = "cast(embedding as array<double>)"
+    d2 = (
+        f"aggregate({e}, cast(0 as double), (s, x) -> s + x * x)"
+        f" - 2 * aggregate(zip_with({e}, c.ce, (x, y) -> x * y),"
+        " cast(0 as double), (s, x) -> s + x)"
+        " + aggregate(c.ce, cast(0 as double), (s, x) -> s + x * x)"
+    )
+    best = (
+        f"array_min(transform(cells, c -> struct({d2} AS d2,"
+        " c.c_id AS c_id, c.cut_d2 AS cut_d2, c.cut_vid AS cut_vid)))"
+    )
+    return (
+        vec_stream.crossJoin(F.broadcast(model_row))
+        .withColumn("_best", F.expr(best))
+        .select(
+            "vec_id",
+            F.col("_best.c_id").alias("c_id"),
+            (
+                (F.col("_best.d2") > F.col("_best.cut_d2"))
+                | ((F.col("_best.d2") == F.col("_best.cut_d2"))
+                   & (F.col("vec_id") <= F.col("_best.cut_vid")))
+            ).alias("kept"),
+        )
+    )

@@ -2660,3 +2660,76 @@ def test_stream_counter_rate_matches_batch(spark, tmp_path):
         g = latest[uid]
         assert (g["total_inc"], g["n_resets"], g["per_sec"],
                 g["n_points"]) == (ti, nr, ps, np_), uid
+
+
+def test_stream_prototype_gate_matches_batch(spark, tmp_path):
+    """r11b cluster-balanced-sampling twin: replaying the embeddings
+    as a file stream (one batch RE-DELIVERED) through the broadcast
+    keep model must (a) assign every corpus vector to the same cell
+    as the batch _coarse_assign, (b) mark kept=True for EXACTLY the
+    vec_ids cluster_balanced_sample emits, and (c) re-emit identical
+    rows on re-delivery (pure function of the row)."""
+    import json
+
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.streaming.ann import (
+        prototype_gate_index,
+        stream_prototype_gate,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    cells = prototype_gate_index(spark, SF_DIR)
+    kept_want = {
+        r["vec_id"]
+        for r in P.cluster_balanced_sample(spark, SF_DIR).collect()
+    }
+    assign_want = {
+        r["vec_id"]: r["c_id"]
+        for r in P._coarse_assign(
+            spark, SF_DIR,
+            load(spark, SF_DIR, "embeddings").selectExpr(
+                "vec_id", "cast(embedding as array<double>) AS e"),
+        ).collect()
+    }
+    vecs = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding").collect()
+
+    d = tmp_path / "proto_stream"
+    d.mkdir()
+    half = max(1, len(vecs) // 2)
+    batches = [vecs[:half], vecs[half:], vecs[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": [float(x) for x in r["embedding"]]})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_prototype_gate(stream, cells)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("proto_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from proto_stream").collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r["vec_id"])
+        if prev is not None:
+            assert tuple(prev) == tuple(r), r["vec_id"]  # idempotent
+        latest[r["vec_id"]] = r
+    assert len(latest) == len(vecs)
+    for vec_id, row in latest.items():
+        assert row["c_id"] == assign_want[vec_id], vec_id
+        assert row["kept"] == (vec_id in kept_want), vec_id
+    # the batch sampler's quota arithmetic: kept mass = sum of
+    # floor(sqrt(cell size)) over cells
+    import math
+
+    sizes = {}
+    for c in assign_want.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert len(kept_want) == sum(
+        int(math.floor(math.sqrt(n))) for n in sizes.values())
