@@ -333,6 +333,65 @@ _SCALE_QUERIES = (
     # truncation itself)
     "cluster_balanced_sample",
     "dim_truncation_recall",
+    # r11c (VERDICT r10 trajectory: keep growing the measured-at-10x
+    # set): the dedup family's remaining granularities — exact is ONE
+    # hash groupBy (the flattest dedup shape), simhash is the 4x15-bit
+    # banded join, ngram-jaccard is prefix-blocked, keep_one adds the
+    # CC labels + anti-join on top of the shared pair set, and the
+    # converged pagerank iterates over the pair-sized edge graph
+    # (per-iteration overhead x fixed iterations, volume in the edges)
+    "dedup_exact",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_keep_one",
+    "near_dup_pagerank_converged",
+    # text-analysis tail: repetition pays two token-stream shuffles,
+    # novelty is a first-seen window over shingle hashes, hapax ratio
+    # joins the corpus type table back to docs, top_ngrams is the
+    # bigram fan-out + TakeOrdered
+    "repetition_ratio",
+    "ngram_novelty",
+    "rare_token_ratio",
+    "top_ngrams",
+    # sampling / curation tail: the domain cap is one source-keyed
+    # window (the hot-domain skew shape the docstring's two-phase
+    # rewrite addresses), stratified sampling is a deterministic
+    # hash filter (expected ~flat), bloom is the constant-memory
+    # probe (32 KB literal however big the corpus), chunk_dedup is
+    # the non-overlapping-chunk hash aggregate
+    "domain_cap_sample",
+    "stratified_sample",
+    "bloom_decontaminate",
+    "chunk_dedup",
+    # TSDB tail at 10x events: as-of joins shuffle both sides on the
+    # series key (backward-nearest via one window), the bucketized
+    # range join must stay an equi-join on bucket ids (never a nested
+    # loop), gap_fill generates the per-series grid (output-sized),
+    # the 7d RANGE frame sorts per user, robust outliers pay the
+    # median/MAD exact-rank sorts per series
+    "asof_nearest_join",
+    "range_join_events",
+    "gap_fill",
+    "rolling_window_7d",
+    "robust_outliers",
+    # event-analytics tail: transitions and co-occurrence are
+    # user/session-keyed (the 10x-users axis, same per-key volume);
+    # the growth curve is one first-seen aggregate + running total
+    "path_transitions",
+    "session_cooccurrence",
+    "user_growth_curve",
+    # ANN tail: the PQ-ADC scan is Q x N over 4-byte codes BY DESIGN
+    # (the compressed full-scan rung — its cell-pruned fix is the
+    # IVFPQ row above), ivf_train is _KMEANS_ITERS corpus passes with
+    # model-sized traffic, norm outliers is one fixed-point aggregate
+    # + broadcast-back compare
+    "ann_pq_adc_topk",
+    "ivf_train",
+    "embedding_norm_outliers",
+    # r11c: the drift scalar is one token pass + vocabulary-sized
+    # joins (the unigram_surprisal shape — Heaps-sublinear aggregates
+    # over a corpus-sized explode)
+    "source_token_tvd",
 )
 
 

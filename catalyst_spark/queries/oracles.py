@@ -5067,3 +5067,42 @@ def _dim_truncation_recall_sql() -> str:
 
 
 ORACLE_SQL["dim_truncation_recall"] = _dim_truncation_recall_sql()
+
+
+def _source_token_tvd_sql() -> str:
+    """Oracle twin of pipeline.source_token_tvd: same cleared-
+    denominator integer arithmetic — present-token |c_s*N - c*n_s|
+    mass plus the folded absent-token term (N - cov_s)*n_s over
+    2*N*n_s, HUGEINT accumulators, one truncating `//` at the end
+    (CAST to HUGEINT first: DuckDB `//` on DECIMAL is plain
+    division)."""
+    return """
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      st AS (SELECT source, t, COUNT(*) AS c_s FROM tok GROUP BY 1, 2),
+      ct AS (SELECT t, CAST(SUM(c_s) AS BIGINT) AS c FROM st GROUP BY 1),
+      ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s
+             FROM st GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ct),
+      per AS (
+        SELECT s.source, MAX(ns.n_s) AS n_tokens,
+               COUNT(*) AS n_types,
+               SUM(abs(CAST(s.c_s AS HUGEINT) * tot.n
+                       - CAST(ct.c AS HUGEINT) * ns.n_s)) AS pre,
+               SUM(CAST(ct.c AS HUGEINT)) AS cov
+        FROM st s
+             JOIN ct USING (t)
+             JOIN ns USING (source), tot
+        GROUP BY 1)
+      SELECT per.source, per.n_tokens, per.n_types,
+             CAST(((per.pre + (CAST(tot.n AS HUGEINT) - per.cov)
+                    * CAST(per.n_tokens AS HUGEINT)) * 1000)
+                  // (2 * CAST(tot.n AS HUGEINT)
+                      * CAST(per.n_tokens AS HUGEINT)) AS BIGINT)
+               AS tvd_permille
+      FROM per, tot ORDER BY per.source
+    """
+
+
+ORACLE_SQL["source_token_tvd"] = _source_token_tvd_sql()

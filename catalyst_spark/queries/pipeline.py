@@ -7077,6 +7077,69 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram drift from the corpus: the total-variation
+    distance TV(p_source, p_corpus) = 1/2 * sum_t |p_s(t) - p(t)| in
+    integer permille — the mixing diagnostic that flags a domain whose
+    token distribution has drifted from the blend (a new crawl snapshot,
+    a scraper regression, a language shift) BEFORE it moves the trained
+    model. distinctive_terms ranks individual tokens; this is the
+    one-scalar-per-source summary a mixture dashboard tracks.
+
+    Exact integers end to end: with cleared denominators,
+    |c_s(t)*N - c(t)*n_s| summed over the source's PRESENT tokens, plus
+    (N - cov_s)*n_s for the tokens the source never emits (their |0 -
+    p(t)| mass, folded into one term via sum-of-corpus-counts-covered
+    cov_s), all over the constant denominator 2*N*n_s. Accumulators are
+    decimal(38,0) (the shard_manifest/dim_variance doctrine: c*N terms
+    are ~1e21 at 100 TB — past BIGINT); the checked column is ONE
+    truncating integer division both engines compute identically.
+
+    Plan: one explode -> (source, token) counts with map-side combine;
+    the corpus count table derives from the SAME aggregate (one token
+    pass total); totals broadcast back. Shuffles carry (token, count)
+    pairs, never documents — vocabulary-sized, Heaps-sublinear in the
+    corpus."""
+    documents = load(spark, sf_dir, "documents")
+    toks = documents.select(
+        "source", F.explode(F.expr(TOKENS)).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c_s"))
+    ct = st.groupBy("tok").agg(F.sum("c_s").cast("bigint").alias("c"))
+    ns = st.groupBy("source").agg(
+        F.sum("c_s").cast("bigint").alias("n_s"))
+    n_total = int(
+        ct.agg(F.sum("c").alias("n")).collect()[0]["n"])  # one scalar
+    per = (
+        st.join(ct, "tok")
+        .join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.abs(
+                F.col("c_s").cast("decimal(38,0)") * F.lit(n_total)
+                - F.col("c").cast("decimal(38,0)")
+                * F.col("n_s").cast("decimal(38,0)")
+            )).alias("_pre"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("cov"),
+        )
+    )
+    return (
+        per.select(
+            "source", "n_tokens", "n_types",
+            F.expr(
+                f"cast(((_pre + (cast({n_total} as decimal(38,0)) - cov)"
+                " * cast(n_tokens as decimal(38,0))) * 1000)"
+                f" div (2 * cast({n_total} as decimal(38,0))"
+                " * cast(n_tokens as decimal(38,0))) as bigint)"
+            ).alias("tvd_permille"),
+        )
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_set": dedup_token_set,
@@ -7198,4 +7261,5 @@ PIPELINE_QUERIES = {
     # queries/__init__.py)
     "cluster_balanced_sample": cluster_balanced_sample,
     "dim_truncation_recall": dim_truncation_recall,
+    "source_token_tvd": source_token_tvd,
 }

@@ -1,6 +1,6 @@
 """Round-11b invariants: the cluster-balanced data-pruning sampler
-(SSL-prototypes/D4 shape) and the Matryoshka dimension-truncation
-recall sweep.
+(SSL-prototypes/D4 shape), the Matryoshka dimension-truncation
+recall sweep, and the per-source total-variation drift scalar.
 
 Reference parity note: these cover THIS repo's analytical surface; the
 reference (ovh/catalyst) has no analogue — its querying is delegated
@@ -114,9 +114,46 @@ def test_new_ops_have_oracles_and_clean_plans(spark):
     CartesianProduct and no row-at-a-time Python (BatchEvalPython)."""
     from catalyst_spark.queries import ALL_QUERIES, ORACLE_SQL
 
-    for name in ("cluster_balanced_sample", "dim_truncation_recall"):
+    for name in ("cluster_balanced_sample", "dim_truncation_recall",
+                 "source_token_tvd"):
         assert name in ALL_QUERIES and name in ORACLE_SQL
         plan = (ALL_QUERIES[name](spark, SF_DIR)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_source_token_tvd_matches_python_recompute(spark):
+    """The drift scalar is a true total-variation distance: bounded in
+    [0, 1000] permille, and equal to an independent pure-python
+    recomputation of 1/2 * sum_t |p_s(t) - p(t)| (cleared-denominator
+    integer arithmetic) over the raw corpus."""
+    from collections import Counter
+
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "source", "text").collect()
+    corpus = Counter()
+    per_src: dict[str, Counter] = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        corpus.update(toks)
+        per_src.setdefault(r["source"], Counter()).update(toks)
+    n = sum(corpus.values())
+
+    got = {r["source"]: r for r in
+           P.source_token_tvd(spark, SF_DIR).collect()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        pre = sum(abs(c_s * n - corpus[t] * n_s)
+                  for t, c_s in cnt.items())
+        cov = sum(corpus[t] for t in cnt)
+        want = ((pre + (n - cov) * n_s) * 1000) // (2 * n * n_s)
+        row = got[src]
+        assert row["n_tokens"] == n_s, src
+        assert row["n_types"] == len(cnt), src
+        assert row["tvd_permille"] == want, src
+        assert 0 <= row["tvd_permille"] <= 1000, src
