@@ -5075,8 +5075,13 @@ def _source_token_tvd_sql() -> str:
     mass plus the folded absent-token term (N - cov_s)*n_s over
     2*N*n_s, HUGEINT accumulators, one truncating `//` at the end
     (CAST to HUGEINT first: DuckDB `//` on DECIMAL is plain
-    division)."""
-    return """
+    division) — once over raw tokens (exact) and once over the
+    pmod(h60, _DSIR_BUCKETS) hashed-bucket distributions (the
+    bounded-state online form; a certified lower bound)."""
+    from catalyst_spark.queries.pipeline import _DSIR_BUCKETS
+
+    h = _h60_duck("t")
+    return f"""
       WITH tok AS (
         SELECT source, unnest(string_split(text, ' ')) AS t
         FROM documents),
@@ -5094,14 +5099,33 @@ def _source_token_tvd_sql() -> str:
         FROM st s
              JOIN ct USING (t)
              JOIN ns USING (source), tot
+        GROUP BY 1),
+      sb AS (SELECT source, {h} % {_DSIR_BUCKETS} AS b,
+                    CAST(SUM(c_s) AS BIGINT) AS c_s
+             FROM st GROUP BY 1, 2),
+      cb AS (SELECT b, CAST(SUM(c_s) AS BIGINT) AS c FROM sb GROUP BY 1),
+      perh AS (
+        SELECT s.source,
+               SUM(abs(CAST(s.c_s AS HUGEINT) * tot.n
+                       - CAST(cb.c AS HUGEINT) * ns.n_s)) AS pre,
+               SUM(CAST(cb.c AS HUGEINT)) AS cov,
+               MAX(ns.n_s) AS n_s
+        FROM sb s
+             JOIN cb USING (b)
+             JOIN ns USING (source), tot
         GROUP BY 1)
       SELECT per.source, per.n_tokens, per.n_types,
              CAST(((per.pre + (CAST(tot.n AS HUGEINT) - per.cov)
                     * CAST(per.n_tokens AS HUGEINT)) * 1000)
                   // (2 * CAST(tot.n AS HUGEINT)
                       * CAST(per.n_tokens AS HUGEINT)) AS BIGINT)
-               AS tvd_permille
-      FROM per, tot ORDER BY per.source
+               AS tvd_permille,
+             CAST(((perh.pre + (CAST(tot.n AS HUGEINT) - perh.cov)
+                    * CAST(perh.n_s AS HUGEINT)) * 1000)
+                  // (2 * CAST(tot.n AS HUGEINT)
+                      * CAST(perh.n_s AS HUGEINT)) AS BIGINT)
+               AS tvd_hash_permille
+      FROM per JOIN perh USING (source), tot ORDER BY per.source
     """
 
 

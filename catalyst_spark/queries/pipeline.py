@@ -7095,11 +7095,20 @@ def source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ~1e21 at 100 TB — past BIGINT); the checked column is ONE
     truncating integer division both engines compute identically.
 
+    Next to the exact scalar, `tvd_hash_permille` computes the SAME
+    statistic over the _DSIR_BUCKETS hashed-bucket distributions (the
+    DSIR trick: pmod(h60(token), 4096)) — the bounded-memory form an
+    online monitor can maintain with 4096 integers of state per source
+    (see streaming.scrub.stream_source_drift). Merging bins can only
+    cancel opposite-signed deviations, so tvd_hash <= tvd exactly
+    (data-processing inequality for TV distance) — the hashed column
+    is a certified LOWER bound on the true drift.
+
     Plan: one explode -> (source, token) counts with map-side combine;
-    the corpus count table derives from the SAME aggregate (one token
-    pass total); totals broadcast back. Shuffles carry (token, count)
-    pairs, never documents — vocabulary-sized, Heaps-sublinear in the
-    corpus."""
+    the corpus count table AND both bucketed tables derive from the
+    SAME aggregate (one token pass total); totals broadcast back.
+    Shuffles carry (token, count) pairs, never documents —
+    vocabulary-sized, Heaps-sublinear in the corpus."""
     documents = load(spark, sf_dir, "documents")
     toks = documents.select(
         "source", F.explode(F.expr(TOKENS)).alias("tok")
@@ -7111,31 +7120,51 @@ def source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_s").cast("bigint").alias("n_s"))
     n_total = int(
         ct.agg(F.sum("c").alias("n")).collect()[0]["n"])  # one scalar
-    per = (
-        st.join(ct, "tok")
-        .join(F.broadcast(ns), "source")
-        .groupBy("source")
-        .agg(
-            F.max("n_s").alias("n_tokens"),
-            F.count(F.lit(1)).cast("bigint").alias("n_types"),
-            F.sum(F.abs(
-                F.col("c_s").cast("decimal(38,0)") * F.lit(n_total)
-                - F.col("c").cast("decimal(38,0)")
-                * F.col("n_s").cast("decimal(38,0)")
-            )).alias("_pre"),
-            F.sum(F.col("c").cast("decimal(38,0)")).alias("cov"),
+
+    def _drift(counts, key, pre_name, cov_name, *extra):
+        tot = counts.groupBy(key).agg(
+            F.sum("c_s").cast("bigint").alias("c"))
+        return (
+            counts.join(tot, key)
+            .join(F.broadcast(ns), "source")
+            .groupBy("source")
+            .agg(
+                F.max("n_s").alias("n_tokens"),
+                F.sum(F.abs(
+                    F.col("c_s").cast("decimal(38,0)") * F.lit(n_total)
+                    - F.col("c").cast("decimal(38,0)")
+                    * F.col("n_s").cast("decimal(38,0)")
+                )).alias(pre_name),
+                F.sum(F.col("c").cast("decimal(38,0)")).alias(cov_name),
+                *extra,
+            )
         )
+
+    tvd_expr = (
+        "cast((({pre} + (cast({n} as decimal(38,0)) - {cov})"
+        " * cast(n_tokens as decimal(38,0))) * 1000)"
+        " div (2 * cast({n} as decimal(38,0))"
+        " * cast(n_tokens as decimal(38,0))) as bigint)"
+    )
+    exact = _drift(
+        st, "tok", "_pre", "cov",
+        F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    sb = st.groupBy(
+        "source",
+        F.expr(f"pmod({_h60('tok')}, {_DSIR_BUCKETS})").alias("b"),
+    ).agg(F.sum("c_s").cast("bigint").alias("c_s"))
+    hashed = _drift(sb, "b", "_preh", "covh").select(
+        "source",
+        F.expr(tvd_expr.format(pre="_preh", cov="covh", n=n_total))
+        .alias("tvd_hash_permille"),
     )
     return (
-        per.select(
+        exact.select(
             "source", "n_tokens", "n_types",
-            F.expr(
-                f"cast(((_pre + (cast({n_total} as decimal(38,0)) - cov)"
-                " * cast(n_tokens as decimal(38,0))) * 1000)"
-                f" div (2 * cast({n_total} as decimal(38,0))"
-                " * cast(n_tokens as decimal(38,0))) as bigint)"
-            ).alias("tvd_permille"),
+            F.expr(tvd_expr.format(pre="_pre", cov="cov", n=n_total))
+            .alias("tvd_permille"),
         )
+        .join(hashed, "source")
         .orderBy("source")
     )
 

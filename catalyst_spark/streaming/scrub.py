@@ -681,3 +681,115 @@ def stream_pack_sequences(doc_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def source_drift_index(spark, sf_dir: str):
+    """Batch-side build of the corpus hashed-bucket unigram model the
+    online drift monitor compares against: the pmod(h60(token),
+    _DSIR_BUCKETS) bucket counts over the whole corpus, plus the total
+    token count. Model-sized by construction (_DSIR_BUCKETS longs).
+    Returns (bucket_counts: list[int], n_total: int)."""
+    from catalyst_spark.queries.pipeline import (
+        _DSIR_BUCKETS,
+        _h60,
+        TOKENS,
+    )
+    from catalyst_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    rows = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("tok"))
+        .groupBy(F.expr(f"pmod({_h60('tok')}, {_DSIR_BUCKETS})").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cb = [0] * _DSIR_BUCKETS
+    for r in rows:
+        cb[int(r["b"])] = int(r["c"])
+    return cb, sum(cb)
+
+
+def stream_source_drift(doc_stream: DataFrame, cb: list,
+                        n_total: int) -> DataFrame:
+    """Ingest-time distribution-drift monitor (r11b — the online face
+    of source_token_tvd's hashed column): every arriving document's
+    tokens bucket into the _DSIR_BUCKETS hashed features IN THE ROW
+    (pmod(h60(token), B), the DSIR trick), and per-source keyed state
+    accumulates the bucket counts — B integers per source however
+    large the corpus, the bounded-memory form the batch docstring
+    promises. After each update the source's CURRENT total-variation
+    distance from the broadcast corpus model is emitted in integer
+    permille (python ints are arbitrary-precision, so the arithmetic
+    is the batch op's cleared-denominator form exactly); a scraper
+    regression or language shift in one domain shows up as a rising
+    tvd_hash_permille at ingest, batches before a batch sweep would
+    catch it.
+
+    Delivery is assumed in doc_id order WITHIN a source (the
+    stream_pack_sequences convention); a re-delivered doc (doc_id <=
+    max seen) is skipped, so the counts stay exactly-once and the
+    final emission replay-equals batch tvd_hash_permille."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from catalyst_spark.queries.pipeline import _DSIR_BUCKETS, _h60, TOKENS
+
+    d = doc_stream.select(
+        "source", "doc_id",
+        F.expr(
+            f"transform({TOKENS}, t -> pmod({_h60('t')}, {_DSIR_BUCKETS}))"
+        ).alias("bs"),
+    )
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        (source,) = key
+        if state.exists:
+            counts, max_seen = list(state.get[0]), int(state.get[1])
+        else:
+            counts, max_seen = [0] * _DSIR_BUCKETS, -1
+        cand = pd.concat(list(pdfs), ignore_index=True)
+        cand = cand.sort_values("doc_id")
+        for doc_id, bs in zip(cand["doc_id"], cand["bs"]):
+            doc_id = int(doc_id)
+            if doc_id <= max_seen:
+                continue  # re-delivery: counts stay exactly-once
+            for b in bs:
+                counts[int(b)] += 1
+            max_seen = doc_id
+        state.update((list(counts), int(max_seen)))
+        n_s = sum(counts)
+        if n_s == 0:
+            yield pd.DataFrame({"source": [], "n_tokens": [],
+                                "tvd_hash_permille": []})
+            return
+        pre = cov = 0
+        for b, c_s in enumerate(counts):
+            if c_s:
+                pre += abs(c_s * n_total - cb[b] * n_s)
+                cov += cb[b]
+        tvd = ((pre + (n_total - cov) * n_s) * 1000) // (
+            2 * n_total * n_s)
+        yield pd.DataFrame({
+            "source": [str(source)],
+            "n_tokens": [n_s],
+            "tvd_hash_permille": [tvd],
+        })
+
+    out_schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("tvd_hash_permille", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("max_seen", T.LongType()),
+    ])
+    return d.groupBy("source").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2733,3 +2733,61 @@ def test_stream_prototype_gate_matches_batch(spark, tmp_path):
         sizes[c] = sizes.get(c, 0) + 1
     assert len(kept_want) == sum(
         int(math.floor(math.sqrt(n))) for n in sizes.values())
+
+
+def test_stream_source_drift_matches_batch(spark, tmp_path):
+    """r11b drift-monitor twin: the documents replayed as a file
+    stream in doc_id order per source, then one entire RE-DELIVERED
+    batch — each source's LATEST emitted tvd_hash_permille must equal
+    batch source_token_tvd's hashed column exactly (the re-delivered
+    batch increments nothing: the max-seen watermark skips it), and
+    the hashed scalar never exceeds the exact one (merging bins only
+    cancels deviations)."""
+    import json
+
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.streaming.scrub import (
+        source_drift_index,
+        stream_source_drift,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    cb, n_total = source_drift_index(spark, SF_DIR)
+    batch = {r["source"]: r for r in
+             P.source_token_tvd(spark, SF_DIR).collect()}
+    for r in batch.values():
+        assert r["tvd_hash_permille"] <= r["tvd_permille"], r["source"]
+
+    docs = sorted(
+        load(spark, SF_DIR, "documents").select(
+            "source", "doc_id", "text").collect(),
+        key=lambda r: r["doc_id"])
+    d = tmp_path / "drift_stream"
+    d.mkdir()
+    half = max(1, len(docs) // 2)
+    batches = [docs[:half], docs[half:], docs[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"source": r["source"], "doc_id": r["doc_id"],
+                        "text": r["text"]})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("source string, doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_source_drift(stream, cb, n_total)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("drift_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(
+        "select * from drift_stream").collect()
+    latest = {}
+    for r in rows:  # memory sink appends update-mode emissions in order
+        latest[r["source"]] = r
+    assert set(latest) == set(batch)
+    for src, r in latest.items():
+        assert r["n_tokens"] == batch[src]["n_tokens"], src
+        assert (r["tvd_hash_permille"]
+                == batch[src]["tvd_hash_permille"]), src
