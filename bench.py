@@ -91,6 +91,60 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_sf1_tpch(spark, src_dir: str, dst_dir: str) -> None:
+    """Deterministic 10x TPC-H tier for the derived corpus (r11d — the
+    relational surface q1-q21 previously had no 10x evidence): facts
+    and mid-size dims replicate 10x with key offsets, nation/region
+    copy verbatim (true broadcast dims). The customer offset equals
+    the events user offset (1e6), so the fact-to-dim key space of the
+    salted skew join stays joinable across replicas; orders reference
+    the same-replica customers (o_custkey offset 1e6) and lineitem the
+    same-replica orders (l_orderkey offset 1e7), so every declared
+    join faces 10x rows on BOTH sides with per-replica 1:1 linkage —
+    the linear-keys axis. Own flag so an already-built sf1 dir gains
+    the tier without a rebuild."""
+    done_flag = os.path.join(dst_dir, "_DONE_TPCH")
+    if os.path.exists(done_flag):
+        return
+    from pyspark.sql import functions as F
+
+    reps = "explode(sequence(0, 9))"
+    specs = {
+        "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+        "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000,
+                     "l_suppkey": 1_000_000},
+        "customer": {"c_custkey": 1_000_000},
+        "supplier": {"s_suppkey": 1_000_000},
+        "part": {"p_partkey": 1_000_000},
+    }
+    for t, offs in specs.items():
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        # ADVICE r10: assert the base ids fit under their offsets — a
+        # larger base corpus would silently collide across replicas
+        mx = df.selectExpr(
+            *[f"max({c}) AS {c}" for c in offs]).collect()[0]
+        for c, off in offs.items():
+            assert mx[c] < off, (t, c, mx[c], off)
+        cols = df.columns
+        out = df.select("*", F.expr(reps).alias("rep"))
+        for c, off in offs.items():
+            out = out.withColumn(c, F.col(c) + F.col("rep") * F.lit(off))
+        (
+            out.select(*cols)
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst_dir, f"{t}.parquet"))
+        )
+    for t in ("nation", "region"):
+        (
+            spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst_dir, f"{t}.parquet"))
+        )
+    with open(done_flag, "w") as f:
+        f.write("ok\n")
+
+
 def _ensure_sf1_events(spark, src_dir: str, dst_dir: str) -> None:
     """Deterministic 10x EVENTS table for the derived corpus (r10 —
     the TSDB/event-analytics family previously had no 10x evidence):
@@ -390,9 +444,89 @@ _SCALE_QUERIES = (
     "embedding_norm_outliers",
     # r11c: the drift scalar is one token pass + vocabulary-sized
     # joins (the unigram_surprisal shape — Heaps-sublinear aggregates
-    # over a corpus-sized explode)
+    # over a corpus-sized explode); measured 1.42 at 10x
     "source_token_tvd",
 )
+# r11c measured notes (local min-of-3, full sweep green at sf1): the
+# 27 newly covered ops land 1.03-3.2x except dim_truncation_recall
+# (4.79 — the Q x N exact-scan class BY DESIGN, next to
+# hard_negative_mining's 3.98 and ann_sq8_topk's 3.15; its production
+# path is the IVF tier, this row prices the truncation itself).
+# Above 2x with causes: gap_fill 3.16 and anomaly_zscore 3.19 ride the
+# events table's FIXED-cardinality series axis (5 event types, so 10x
+# rows mean 10x-deeper per-series windows/grids with parallelism
+# capped at the series count — the ltob_downsample explanation; real
+# retention keys the window by (series, day) and real corpora have
+# millions of series), session_cooccurrence 2.59 / repetition_ratio
+# 2.59 / range_join_events 2.53 / user_growth_curve 2.49 /
+# stratified_sample 2.38 sit on 0.2-1.0 s base slots where fixed
+# overhead is half the measurement — their work terms (per-session
+# pair fan-out, two token-stream shuffles, bucketized equi-join, one
+# first-seen aggregate, a hash filter) are all linear-by-plan.
+# cluster_balanced_sample measures 1.36 (assignment-scan bound, as
+# predicted above).
+_SCALE_QUERIES = _SCALE_QUERIES + (
+    # r11d: COMPLETE the sweep — every registry key now has a measured
+    # 10x row. The relational tier q1-q21 runs against the
+    # _ensure_sf1_tpch replicas (10x facts with per-replica 1:1 FK
+    # linkage, verbatim nation/region broadcast dims — joins face 10x
+    # on both sides, dims stay broadcast-sized); the q-family is
+    # deliberately the flattest shapes in the suite (scan + aggregate /
+    # broadcast join / window), so any superlinear ratio here is a
+    # plan bug, not a volume effect.
+    "q1_filter_project_sort", "q2_time_bucket", "q3_hash_aggregate",
+    "q4_distinct_aggregate", "q5_latest_per_series", "q6_tpch_q1",
+    "q7_broadcast_join", "q8_multi_join", "q9_semi_join",
+    "q10_anti_join", "q11_top_k", "q12_set_op", "q13_string_functions",
+    "q14_case_cascade", "q15_union_dedup", "q16_text_group",
+    "q17_exact_dedup_counts", "q18_running_total", "q19_above_brand_avg",
+    "q20_customer_deciles", "q21_salted_skew_join",
+    # TSDB tail: the smoothers/changepoints are per-series in-row
+    # integer folds (fixed series cardinality — the longer-retention
+    # axis like ltob/counter_rate), the downsamples and profiles are
+    # bucket-keyed aggregates, lag/rolling pay per-key window sorts,
+    # the sketches are fixed-size state however large the input
+    "cusum_changepoints", "holt_linear_smooth", "ohlc_downsample",
+    "ts_downsample", "seasonal_hourly_profile", "lag_features",
+    "burn_rate_windows", "value_histogram", "equi_depth_bins",
+    "distinct_sketch", "hll_distinct_sketch", "percentile_sketch",
+    "asof_prior_click", "incremental_rollup_merge", "json_props_stats",
+    "pivot_event_counts", "cube_event_counts", "top3_per_group",
+    # documents/text tail: scans + vocabulary-sized aggregates
+    # (Heaps-sublinear), plus the remaining dedup materializations
+    # over the shared pair/label builds
+    "text_stats", "token_counts", "lang_id_confusion", "vocab_stats",
+    "heavy_hitters", "distinctive_terms", "truncation_stats",
+    "quality_filter", "quality_survival_curve", "mixture_weights",
+    "doc_fingerprint", "train_val_test_split", "rollup_doc_counts",
+    "approx_topk_tokens", "boilerplate_spans", "contamination_overlap",
+    "doc_length_quartiles_by_source", "text_simhash",
+    "dedup_token_set", "dedup_keep_best", "dedup_rate_by_source",
+    "dedup_cluster_size_hist", "dedup_threshold_sensitivity",
+    "dedup_embedding_cosine", "minhash_jaccard_estimate",
+    "source_minhash_similarity", "near_dup_pagerank",
+    "near_dup_source_matrix", "lsh_band_recall_curve",
+    "lsh_bucket_size_hist", "pack_sequences",
+    # ANN tail: brute/IVF/multiprobe ride the session-cached builds
+    # (their 10x cost is the builds'), cell stats and distortion are
+    # model-sized reports over the persisted assignment/codes
+    "ann_brute_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
+    "ann_multiprobe_recall", "ivf_cell_stats", "pq_distortion",
+)
+# r11d measured notes (local min-of-3, ALL 171 green at sf1; section
+# wall ~38 min incl. the one-time TPC-H build): worst ratio 5.9
+# (ann_sq8_ivf_topk) and every ratio > 2 falls in one of three known
+# classes — (1) by-design exact-scan ablation rungs (dim_truncation
+# 4.9, hard_negative_mining 3.7, sq8 3.6, multiprobe/trained-IVF
+# recall rows riding Q x N arms), (2) fixed-series-cardinality event
+# windows (ltob 5.0, gap_fill 3.0 — 10x-deep windows, parallelism
+# capped at 5 event types; real corpora key by (series, day)), and
+# (3) overhead-dominated sub-second slots where fixed cost is half
+# the measurement (the whole q-family: worst q4_distinct_aggregate
+# 3.46 on a 0.28 s base — one distinct-shuffle growing linearly on
+# 32 cores; q16/q7/q12 at 1.3-1.5 show the same plans with slightly
+# bigger bases). Nothing superlinear-by-plan anywhere: the 10x corpus
+# moves every family < 6x wall at 10x rows.
 
 
 def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
@@ -410,15 +544,27 @@ def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
     sf1_dir = str(REPO / "benchdata" / "sf1")
     _ensure_sf1(spark, base_sf_dir, sf1_dir)
     _ensure_sf1_events(spark, base_sf_dir, sf1_dir)
+    _ensure_sf1_tpch(spark, base_sf_dir, sf1_dir)
 
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    # soft deadline over the whole section (r11d, the main-pass
+    # deadline philosophy): now that the sweep covers the ENTIRE
+    # registry, a slower machine should degrade to fewer cold trials
+    # per scale — never to a timed-out run with no scale artifact.
+    # First trial of each scale always completes (the ratios need at
+    # least one sample on both sides).
+    sec_deadline = float(
+        os.environ.get("SPARK_GRAFT_SCALE_DEADLINE", "3000"))
+    sec_t0 = time.perf_counter()
     out: dict[str, dict] = {}
     for tag, d in (("sf0.1", base_sf_dir), ("sf1", sf1_dir)):
         sec: dict = {"queries": {}, "output_rows": {}}
         # min over cold trials: the noise-resistant scaling estimator
         # (one-shot numbers here swung 5x with JVM warmup / GC phase)
         samples: dict[str, list[float]] = {n: [] for n in _SCALE_QUERIES}
-        for _ in range(trials):
+        for t_i in range(trials):
+            if t_i and time.perf_counter() - sec_t0 > sec_deadline:
+                break
             reset_caches()
             for name in _SCALE_QUERIES:
                 t0 = time.perf_counter()
@@ -428,6 +574,8 @@ def _scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
         for name in _SCALE_QUERIES:
             sec["queries"][name] = round(min(samples[name]), 3)
             sec["output_rows"][name] = ALL_QUERIES[name](spark, d).count()
+        # no silent caps: record how many cold trials the deadline left
+        sec["trials_used"] = len(samples[_SCALE_QUERIES[0]])
         n_docs = spark.read.parquet(
             os.path.join(d, "documents.parquet")).count()
         n_vecs = spark.read.parquet(
