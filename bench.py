@@ -512,6 +512,10 @@ _SCALE_QUERIES = _SCALE_QUERIES + (
     # model-sized reports over the persisted assignment/codes
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
     "ann_multiprobe_recall", "ivf_cell_stats", "pq_distortion",
+    # the truncated-dim serving rung: stage-1 scans only the probed
+    # cells' 16-dim slices, stage-2 is Q x R point lookups — the
+    # ivfpq_rerank shape with the ADC stage swapped for the MRL slice
+    "ann_mrl_rerank_topk",
 )
 # r11d measured notes (local min-of-3, ALL 171 green at sf1; section
 # wall ~38 min incl. the one-time TPC-H build): worst ratio 5.9

@@ -396,14 +396,14 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R10_FRONT)
 # dedup_cluster_size_hist, then the _R8_FRONT tail from
 # dedup_embedding_cosine onward, minus the deregistered
 # lsh_recall_vs_exact), then the r9-stale rotation.
-# CADENCE ARITHMETIC at the final r11 registry of 171 entries (r10's
+# CADENCE ARITHMETIC at the final r11 registry of 172 entries (r10's
 # 171, minus rank_fusion_recall + hard_negative_overlap merged into
 # serving_overlap, minus lsh_recall_vs_exact folded into the curve,
 # minus cusum_chunked + holt_chunked absorbed into their variant
 # tables, plus the new embedding_quantile_clip, cluster_balanced_
-# sample, dim_truncation_recall and source_token_tvd past the
-# window) over 50 slots: steady-state max staleness stays
-# ceil(171/50) = 4 rounds;
+# sample, dim_truncation_recall, source_token_tvd and
+# ann_mrl_rerank_topk past the window) over 50 slots: steady-state
+# max staleness stays ceil(172/50) = 4 rounds;
 # the merges paid back four window slots while keeping every checked
 # value; the three invariants of the r9 note (zero ever-unchecked
 # after each round, strict oldest-first, changed code re-fronts) all

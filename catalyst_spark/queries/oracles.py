@@ -5130,3 +5130,64 @@ def _source_token_tvd_sql() -> str:
 
 
 ORACLE_SQL["source_token_tvd"] = _source_token_tvd_sql()
+
+
+def _ann_mrl_rerank_sql() -> str:
+    """Oracle twin of pipeline.ann_mrl_rerank_topk: unrolled k-means +
+    top-2 cell probes (the multiprobe CTEs), stage-1 rank by the
+    truncated e[1:d] cosine (cos16 DESC, n_id) down to _RERANK_R,
+    stage-2 exact full-dim rerank of only the shortlist."""
+    from catalyst_spark.queries.pipeline import (
+        _KMEANS_ITERS,
+        _MRL_SERVE_DIM,
+        _RERANK_R,
+    )
+
+    last_c = f"c{_KMEANS_ITERS}"
+    d = _MRL_SERVE_DIM
+    return _kmeans_sql() + f"""
+        dist AS (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_dot_product(v.e, v.e)
+                   - 2 * list_dot_product(v.e, c.ce)
+                   + list_dot_product(c.ce, c.ce), c.c_id) AS rn
+          FROM v, {last_c} c),
+        members AS (SELECT vec_id AS n_id, c_id FROM dist WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, c_id
+          FROM dist WHERE rn <= 2 AND vec_id % 50 = 0),
+        nv16 AS (
+          SELECT vec_id, e[1:{d}] AS s,
+                 sqrt(list_dot_product(e[1:{d}], e[1:{d}])) AS nrm
+          FROM v),
+        nv AS (
+          SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        cand AS (
+          SELECT p.q_id, m.n_id
+          FROM probes p JOIN members m USING (c_id)
+          WHERE m.n_id != p.q_id),
+        short AS (
+          SELECT q_id, n_id FROM (
+            SELECT c.q_id, c.n_id,
+                   row_number() OVER (PARTITION BY c.q_id ORDER BY
+                     list_dot_product(q.s, n.s) / (q.nrm * n.nrm) DESC,
+                     c.n_id) AS srank
+            FROM cand c
+            JOIN nv16 q ON q.vec_id = c.q_id
+            JOIN nv16 n ON n.vec_id = c.n_id) t
+          WHERE srank <= {_RERANK_R})
+        SELECT q_id, "rank", neighbor_id, ROUND(cos_raw, 2) AS cos FROM (
+          SELECT s.q_id, s.n_id AS neighbor_id,
+                 list_dot_product(q.e, n.e) / (q.nrm * n.nrm) AS cos_raw,
+                 row_number() OVER (PARTITION BY s.q_id ORDER BY
+                   list_dot_product(q.e, n.e) / (q.nrm * n.nrm) DESC,
+                   s.n_id) AS "rank"
+          FROM short s
+          JOIN nv q ON q.vec_id = s.q_id
+          JOIN nv n ON n.vec_id = s.n_id) t
+        WHERE "rank" <= 5 ORDER BY q_id, "rank"
+    """
+
+
+ORACLE_SQL["ann_mrl_rerank_topk"] = _ann_mrl_rerank_sql()

@@ -7077,6 +7077,81 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_SERVE_DIM = 16
+
+
+def ann_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The truncated-dimension SERVING rung (r11b — the deployment
+    shape dim_truncation_recall prices): probe nprobe=2 coarse cells
+    (the shared trained quantizer), rank the probed cells' members by
+    cosine over only the FIRST _MRL_SERVE_DIM dims — the Matryoshka
+    scan, moving d/64 of the bytes and flops of a full-dim scan —
+    keep the top-_RERANK_R shortlist, then rerank ONLY the shortlist
+    with the exact full-dim cosine. Full-precision reads stay bounded
+    at queries x R regardless of corpus size (the ivfpq_rerank
+    serving contract), while the scan-side index stores d doubles per
+    vector instead of 64 — the MRL alternative to PQ codes, trading
+    code compactness for zero quantization training.
+
+    Engine parity: stage-1 ranks by (cos16 DESC, n_id) with the
+    sequential-fold cosine over identical slices in both engines;
+    stage-2 is the brute rung's fold and (cos DESC, n_id) ties.
+    Output schema matches ann_brute_topk, so the recall delta vs the
+    pure truncated scan (dim_truncation_recall's d=16 rung) is
+    exactly what the R-deep exact rerank buys back."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    members = _coarse_assign(spark, sf_dir, v).select(
+        F.col("vec_id").alias("n_id"), "c_id"
+    )
+    probes = _probe_top2(spark, sf_dir, v)
+    d = _MRL_SERVE_DIM
+
+    def _sliced16(ida: str, va: str) -> DataFrame:
+        return emb.select(
+            F.col("vec_id").alias(ida),
+            F.expr(
+                f"slice(cast(embedding as array<double>), 1, {d})"
+            ).alias(va),
+        ).withColumn(
+            f"{va}_norm",
+            F.sqrt(F.expr(
+                f"aggregate({va}, cast(0 as double), (s, x) -> s + x * x)"
+            )),
+        )
+
+    q16 = _sliced16("q_id", "vq16").where(F.col("q_id") % 50 == 0)
+    c16 = _sliced16("n_id", "vc16")
+    w1 = W.partitionBy("q_id").orderBy(
+        F.col("cos16_raw").desc(), F.col("n_id"))
+    short = (
+        probes.join(members, "c_id")
+        .where(F.col("n_id") != F.col("q_id"))
+        .join(F.broadcast(q16), "q_id")
+        .join(c16, "n_id")
+        .withColumn("cos16_raw", _cosine("vq16", "vc16"))
+        .withColumn("srank", F.row_number().over(w1))
+        .where(F.col("srank") <= _RERANK_R)
+        .select("q_id", "n_id")
+    )
+    qn = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
+    cn = _with_norm(emb, "n_id", "vc")
+    w2 = W.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("n_id"))
+    return (
+        short.join(F.broadcast(qn), "q_id")
+        .join(cn, "n_id")
+        .withColumn("cos_raw", _cosine("vq", "vc"))
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
+                F.round("cos_raw", 2).alias("cos"))
+        .orderBy("q_id", "rank")
+    )
+
+
 def source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram drift from the corpus: the total-variation
     distance TV(p_source, p_corpus) = 1/2 * sum_t |p_s(t) - p(t)| in
@@ -7291,4 +7366,5 @@ PIPELINE_QUERIES = {
     "cluster_balanced_sample": cluster_balanced_sample,
     "dim_truncation_recall": dim_truncation_recall,
     "source_token_tvd": source_token_tvd,
+    "ann_mrl_rerank_topk": ann_mrl_rerank_topk,
 }

@@ -1514,3 +1514,97 @@ def stream_prototype_gate(vec_stream: DataFrame,
             ).alias("kept"),
         )
     )
+
+
+def mrl_static_index(spark: SparkSession, sf_dir: str):
+    """Serving artifacts for the truncated-dim rerank twin: the
+    truncated-vector store with cell ids (n_id, c_id, vc16, vc16_norm
+    — d doubles per vector instead of 64, the MRL scan-side index),
+    the coarse centroid entries (model-sized), and the full raw-vector
+    store with norms for the exact rerank stage (built by the batch
+    rung's own _with_norm so the exact-metric operands are
+    bit-identical)."""
+    from catalyst_spark.queries.pipeline import (
+        _MRL_SERVE_DIM,
+        _cached_kmeans,
+        _coarse_assign,
+        _with_norm,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    d = _MRL_SERVE_DIM
+    trunc_cells = (
+        emb.select(
+            F.col("vec_id").alias("n_id"),
+            F.expr(
+                f"slice(cast(embedding as array<double>), 1, {d})"
+            ).alias("vc16"),
+        )
+        .withColumn("vc16_norm", F.sqrt(F.expr(
+            "aggregate(vc16, cast(0 as double), (s, x) -> s + x * x)"
+        )))
+        .join(_coarse_assign(spark, sf_dir, v)
+              .select(F.col("vec_id").alias("n_id"), "c_id"), "n_id")
+    )
+    C, cids = _cached_kmeans(spark, sf_dir, v, "full")
+    coarse = [(int(cids[i]), [float(x) for x in C[i]])
+              for i in range(len(cids))]
+    vecs_norm = _with_norm(emb, "n_id", "vc").drop("n_id_label")
+    return trunc_cells, coarse, vecs_norm
+
+
+def stream_mrl_rerank_topk(
+    vec_stream: DataFrame,
+    trunc_cells: DataFrame,
+    coarse_entries: list,
+    vecs_norm: DataFrame,
+) -> DataFrame:
+    """Online twin of the truncated-dim serving rung
+    (ann_mrl_rerank_topk): each arriving query probes its nprobe=2
+    coarse cells through the batch assigner's own numpy pass (probe
+    set bit-identical to _probe_top2), scores the probed cells'
+    TRUNCATED vectors with the batch stage-1 fold (cosine over the
+    first d dims), and eagerly grades the same c_id-bounded candidate
+    set with the exact full-dim cosine (the rerank twin's one-stateful-
+    operator shape). Bounded state keeps the top-_RERANK_R shortlist
+    under the batch stage-1 order — stored as d2 = -cos16, so the
+    shared (d2 asc, n_id asc) merge IS (cos16 DESC, n_id) exactly
+    (negation is exact IEEE) — and emission reranks by (cos DESC,
+    n_id), equal to the batch rung's rows by replay test incl.
+    re-delivery. State per query: _RERANK_R (d2, n_id, cos) triples,
+    the RERANK schemas verbatim."""
+    from catalyst_spark.queries.pipeline import _MRL_SERVE_DIM, _cosine
+
+    s = (
+        _stream_probe_top2(vec_stream, coarse_entries)
+        .withColumn("c_id", F.explode("cells"))
+        .withColumn("vq", F.col("e"))
+        .withColumn("vq_norm", F.sqrt(F.expr(
+            "aggregate(vq, cast(0 as double), (s, x) -> s + x * x)"
+        )))
+        .withColumn("vq16", F.expr(f"slice(vq, 1, {_MRL_SERVE_DIM})"))
+        .withColumn("vq16_norm", F.sqrt(F.expr(
+            "aggregate(vq16, cast(0 as double), (s, x) -> s + x * x)"
+        )))
+        .drop("e", "cells")
+    )
+    scored = (
+        s.join(trunc_cells, "c_id")  # stream-static: probed cells only
+        .where(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos16", _cosine("vq16", "vc16"))
+        .select("q_id", "vq", "vq_norm", "n_id",
+                (-F.col("cos16")).alias("d2"))
+        .join(vecs_norm, "n_id")  # exact stage: same c_id-bounded set
+        .withColumn("cos", _cosine("vq", "vc"))
+        .select("q_id", "n_id", "d2", "cos")
+    )
+    return scored.groupBy("q_id").applyInPandasWithState(
+        _rerank_update,
+        outputStructType=RERANK_TOPK_SCHEMA,
+        stateStructType=RERANK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

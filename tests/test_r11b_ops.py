@@ -115,7 +115,7 @@ def test_new_ops_have_oracles_and_clean_plans(spark):
     from catalyst_spark.queries import ALL_QUERIES, ORACLE_SQL
 
     for name in ("cluster_balanced_sample", "dim_truncation_recall",
-                 "source_token_tvd"):
+                 "source_token_tvd", "ann_mrl_rerank_topk"):
         assert name in ALL_QUERIES and name in ORACLE_SQL
         plan = (ALL_QUERIES[name](spark, SF_DIR)
                 ._jdf.queryExecution().executedPlan().toString())
@@ -157,3 +157,51 @@ def test_source_token_tvd_matches_python_recompute(spark):
         assert row["n_types"] == len(cnt), src
         assert row["tvd_permille"] == want, src
         assert 0 <= row["tvd_permille"] <= 1000, src
+
+
+def test_ann_mrl_rerank_serves_from_probed_cells_only(spark):
+    """The truncated-dim serving rung's contract: every returned
+    neighbor is a member of one of the query's nprobe=2 probed cells
+    (the index path never touches the rest of the corpus), ranks run
+    1..5 per query under exact-cosine order, and the emitted cos is
+    the true full-dim cosine (independently recomputed)."""
+    import math
+
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.tables import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF_DIR, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    assign = {r["vec_id"]: r["c_id"]
+              for r in P._coarse_assign(spark, SF_DIR, v).collect()}
+    probed = {}
+    for r in P._probe_top2(spark, SF_DIR, v).collect():
+        probed.setdefault(r["q_id"], set()).add(r["c_id"])
+    vecs = {r["vec_id"]: list(r["e"]) for r in v.collect()}
+
+    def _cos(a, b):
+        s = na = nb = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return s / (math.sqrt(na) * math.sqrt(nb))
+
+    rows = P.ann_mrl_rerank_topk(spark, SF_DIR).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+        assert assign[r["neighbor_id"]] in probed[r["q_id"]], r
+        want = round(_cos(vecs[r["q_id"]], vecs[r["neighbor_id"]]), 2)
+        assert abs(float(r["cos"]) - want) <= 0.01, r
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), q
+        by_rank = sorted(rs, key=lambda r: r["rank"])
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert a["cos"] >= b["cos"] - 1e-9, q

@@ -2791,3 +2791,58 @@ def test_stream_source_drift_matches_batch(spark, tmp_path):
         assert r["n_tokens"] == batch[src]["n_tokens"], src
         assert (r["tvd_hash_permille"]
                 == batch[src]["tvd_hash_permille"]), src
+
+
+def test_stream_mrl_rerank_topk_matches_batch(spark, tmp_path):
+    """r11b truncated-dim serving twin: replaying the probe set as a
+    file stream (one batch fully RE-DELIVERED) against the truncated
+    store + raw-vector store must converge to ann_mrl_rerank_topk's
+    top-5 exactly — numpy coarse probe (bit-identical to the batch
+    assigner), c_id-bounded truncated-cosine stage-1 stored as
+    d2 = -cos16 so the shared shortlist merge IS the batch (cos16
+    DESC, n_id) order, eager exact grading, rerank at emission."""
+    import json
+
+    from catalyst_spark.queries.pipeline import ann_mrl_rerank_topk
+    from catalyst_spark.streaming.ann import (
+        mrl_static_index,
+        stream_mrl_rerank_topk,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    want = {(r["q_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+            for r in ann_mrl_rerank_topk(spark, SF_DIR).collect()}
+    assert want
+
+    trunc_cells, coarse, vecs_norm = mrl_static_index(spark, SF_DIR)
+    probes = (load(spark, SF_DIR, "embeddings")
+              .where("vec_id % 50 = 0")
+              .selectExpr("vec_id", "cast(embedding as array<double>)"
+                          " as embedding").collect())
+    d = tmp_path / "mrl_stream"
+    d.mkdir()
+    half = max(1, len(probes) // 2)
+    batches = [probes[:half], probes[half:], probes[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"vec_id": r["vec_id"],
+                        "embedding": list(r["embedding"])})
+            for r in chunk))
+
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_mrl_rerank_topk(stream, trunc_cells, coarse, vecs_norm)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("mrl_stream_topk").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from mrl_stream_topk").collect()
+    latest = {}
+    for r in rows:
+        k = (r["q_id"], r["rank"])
+        if k not in latest or r["n_seen"] > latest[k][0]:
+            latest[k] = (r["n_seen"], r["neighbor_id"], r["cos"])
+    got = {k: (v[1], v[2]) for k, v in latest.items()}
+    assert got == want
