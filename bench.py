@@ -145,6 +145,129 @@ def _ensure_sf1_tpch(spark, src_dir: str, dst_dir: str) -> None:
         f.write("ok\n")
 
 
+def _ensure_sf5(spark, src_dir: str, dst_dir: str) -> None:
+    """Deterministic 50x documents + events corpus (r11e — the third
+    point on the scaling curve next to the 10x tier and the rek64
+    50x-vectors tier): fifty families with disjoint token spaces
+    (token suffix _<rep>, the sf1 recipe) and fifty disjoint user
+    populations with identical per-user timelines. Same offset-guard
+    discipline as the 10x builders."""
+    done_flag = os.path.join(dst_dir, "_DONE_SF5")
+    if os.path.exists(done_flag):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    md = docs.selectExpr("max(doc_id) AS m").collect()[0]["m"]
+    assert md < 1_000_000, md
+    reps = "explode(sequence(0, 49))"
+    (
+        docs.select("doc_id", "text", "lang", "source",
+                    F.expr(reps).alias("rep"))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(1_000_000))
+            .alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.expr(
+                "array_join(transform(split(text, ' '),"
+                " t -> concat(t, '_', rep)), ' ')"
+            )).alias("text"),
+            "lang", "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "documents.parquet"))
+    )
+    ev = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+    mx = ev.selectExpr(
+        "max(event_id) AS me", "max(user_id) AS mu").collect()[0]
+    assert mx["me"] < 10_000_000 and mx["mu"] < 1_000_000, mx
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value",
+                  "props", F.expr(reps).alias("rep"))
+        .select(
+            (F.col("event_id") + F.col("rep") * F.lit(10_000_000))
+            .alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * F.lit(1_000_000))
+            .alias("user_id"),
+            "event_type", "value", "props",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "events.parquet"))
+    )
+    with open(done_flag, "w") as f:
+        f.write("ok\n")
+
+
+# the 50x flagship set: the highest-volume document surface (prefix
+# pairs, MinHash bands, the stride-1 window probe), the token-stream
+# LM pass, and both event-analytics axes (10x/50x users for
+# sessionize; fixed series x 50x depth for counter_rate)
+_SF5_QUERIES = (
+    "dedup_prefix_filter",
+    "dedup_minhash_pairs",
+    "window_decontaminate",
+    "unigram_surprisal",
+    "sessionize",
+    "counter_rate",
+)
+
+
+def _sf5_section(spark, base_sf_dir: str, reset_caches) -> dict:
+    """Three-point scaling curve (1x / 10x / 50x) for the flagship
+    document/event operators — the extrapolation evidence a single
+    10x ratio can't give: if wall grows ~linearly from 10x to 50x the
+    sub-quadratic claim holds on the measured trend, not an assumed
+    one. Embeddings get their 50x point from the rek64 section's
+    100k-vector tier. Gated by SPARK_GRAFT_SF5_BENCH (default off —
+    builder-measured into the committed snapshot; per-round driver
+    runs keep the 10x sweep only)."""
+    from catalyst_spark.queries import ALL_QUERIES
+
+    sf1_dir = str(REPO / "benchdata" / "sf1")
+    sf5_dir = str(REPO / "benchdata" / "sf5")
+    _ensure_sf1(spark, base_sf_dir, sf1_dir)
+    _ensure_sf1_events(spark, base_sf_dir, sf1_dir)
+    _ensure_sf5(spark, base_sf_dir, sf5_dir)
+
+    trials = int(os.environ.get("SPARK_GRAFT_SF5_TRIALS", "2"))
+    out: dict = {}
+    for tag, d in (("sf0.1", base_sf_dir), ("sf1", sf1_dir),
+                   ("sf5", sf5_dir)):
+        samples: dict[str, list[float]] = {n: [] for n in _SF5_QUERIES}
+        for _ in range(trials):
+            reset_caches()
+            for name in _SF5_QUERIES:
+                t0 = time.perf_counter()
+                ALL_QUERIES[name](spark, d).write.format(
+                    "noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+        out[tag] = {n: round(min(ts), 3) for n, ts in samples.items()}
+    out["ratio_10x"] = {
+        n: round(out["sf1"][n] / out["sf0.1"][n], 2)
+        for n in _SF5_QUERIES if out["sf0.1"][n] > 0
+    }
+    out["ratio_50x"] = {
+        n: round(out["sf5"][n] / out["sf0.1"][n], 2)
+        for n in _SF5_QUERIES if out["sf0.1"][n] > 0
+    }
+    out["ratio_50x_over_10x"] = {
+        n: round(out["sf5"][n] / out["sf1"][n], 2)
+        for n in _SF5_QUERIES if out["sf1"][n] > 0
+    }
+    out["note"] = (
+        "Linear wall would put ratio_50x_over_10x at ~5; parallel "
+        "headroom and fixed overhead put it below that on flat "
+        "shapes. A value well ABOVE 5 would flag superlinearity the "
+        "10x point alone cannot see."
+    )
+    return out
+
+
 def _ensure_sf1_events(spark, src_dir: str, dst_dir: str) -> None:
     """Deterministic 10x EVENTS table for the derived corpus (r10 —
     the TSDB/event-analytics family previously had no 10x evidence):
@@ -1054,6 +1177,14 @@ def main() -> None:
         rek64 = _rek64_section(spark, sf_dir, _reset_session_caches)
         _reset_session_caches()
 
+    # --- 50x tier (r11e): three-point scaling curve for the flagship
+    # document/event operators. Default OFF (builder-measured into the
+    # committed snapshot; the per-round driver run keeps 10x only). ---
+    sf5 = None
+    if os.environ.get("SPARK_GRAFT_SF5_BENCH", "0") != "0":
+        sf5 = _sf5_section(spark, sf_dir, _reset_session_caches)
+        _reset_session_caches()
+
     # median-of-n per query: one timing per pass, each pass fully cold, so
     # sub-second ambient noise can't masquerade as a regression while
     # build-owner attribution stays identical in every pass
@@ -1397,6 +1528,8 @@ def main() -> None:
         payload["scale"] = scale
     if rek64 is not None:
         payload["rek64"] = rek64
+    if sf5 is not None:
+        payload["sf5"] = sf5
 
     # machine-checked regression tracking: ratio vs the previous run's
     # committed summary (only at the same sf — cross-sf ratios are noise)
