@@ -630,18 +630,23 @@ _SCALE_QUERIES = _SCALE_QUERIES + (
     "source_minhash_similarity", "near_dup_pagerank",
     "near_dup_source_matrix", "lsh_band_recall_curve",
     "lsh_bucket_size_hist", "pack_sequences",
-    # ANN tail: brute/IVF/multiprobe ride the session-cached builds
-    # (their 10x cost is the builds'), cell stats and distortion are
-    # model-sized reports over the persisted assignment/codes
+    # ANN tail: brute/IVF ride the session-cached builds (their 10x
+    # cost is the builds'), cell stats and distortion are model-sized
+    # reports over the persisted assignment/codes. (ann_multiprobe_
+    # recall was absorbed into ann_nprobe_sweep's probe_exact section
+    # in r12 — its scale cost now rides that row above.)
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
-    "ann_multiprobe_recall", "ivf_cell_stats", "pq_distortion",
+    "ivf_cell_stats", "pq_distortion",
     # the truncated-dim serving rung: stage-1 scans only the probed
     # cells' 16-dim slices, stage-2 is Q x R point lookups — the
     # ivfpq_rerank shape with the ADC stage swapped for the MRL slice
     "ann_mrl_rerank_topk",
 )
-# r11d measured notes (local min-of-3, ALL 171 green at sf1; section
-# wall ~38 min incl. the one-time TPC-H build): worst ratio 5.9
+# r11d measured notes (local min-of-3, all 171 queries then registered
+# green at sf1 — ann_mrl_rerank_topk joined the tuple later in r11e and
+# ann_multiprobe_recall left it in the r12 merge, so the tuple tracks
+# the live registry, currently 171 again; section wall ~38 min incl.
+# the one-time TPC-H build): worst ratio 5.9
 # (ann_sq8_ivf_topk) and every ratio > 2 falls in one of three known
 # classes — (1) by-design exact-scan ablation rungs (dim_truncation
 # 4.9, hard_negative_mining 3.7, sq8 3.6, multiprobe/trained-IVF

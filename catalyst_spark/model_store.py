@@ -189,21 +189,39 @@ def save_kmeans(sf_dir: str, tag: str, fingerprint: list[int], C, cids,
         "m": pa.array(np.asarray(C, dtype="f8").ravel()),
     })
     data = base / f"kmeans_{tag}.parquet"
+    meta = base / f"kmeans_{tag}.json"
+    # sentinel BEFORE the first data byte; removed only after the meta
+    # lands (a crash leaves it, shielding the debris until the GC
+    # grace expires — see gc_stale_artifacts)
+    inflight_sentinel(meta).touch()
     tmp = data.with_suffix(f".tmp-{uuid.uuid4().hex}")
     pq.write_table(t, tmp)
     os.replace(tmp, data)
-    _write_meta(base / f"kmeans_{tag}.json", fingerprint,
-                params or _train_params())
+    _write_meta(meta, fingerprint, params or _train_params())
+    inflight_sentinel(meta).unlink(missing_ok=True)
 
 
-# ADVICE r10: configurable so tests/CI can shrink the race-guard
-# window without monkeypatching (mtime-based: artifacts restored with
-# preserved old mtimes get no protection; fresh-but-stale ones wait
-# for a later session — acceptable for a cache whose misses only
-# re-fit)
+# ADVICE r10/r11: configurable so tests/CI can shrink the race-guard
+# window without monkeypatching. Since r12 the grace applies to the
+# WRITER'S SENTINEL file (created fresh by save_*, so its mtime is
+# always ours), not to the artifact's own mtimes — artifacts restored
+# with preserved old timestamps are protected exactly like any other
+# in-flight write as long as the restorer drops a sentinel, and a
+# crashed writer's sentinel expires after the grace so debris is still
+# reaped eventually.
 _GC_GRACE_SECONDS = float(
     os.environ.get("CATALYST_GC_GRACE_SECONDS", "600")
 )
+
+
+def inflight_sentinel(meta_path: Path) -> Path:
+    """The writer-side lock: save_* touches `<artifact>.inflight`
+    BEFORE the first byte of data lands and removes it AFTER the meta
+    is in place. GC skips any artifact whose sentinel exists and is
+    younger than the grace; an older sentinel is a crashed writer's and
+    is cleared so the artifact can be judged normally. External
+    restore tooling can use the same protocol."""
+    return meta_path.with_suffix(".inflight")
 
 
 def gc_stale_artifacts(sf_dir: str, fingerprint: list[int],
@@ -226,11 +244,19 @@ def gc_stale_artifacts(sf_dir: str, fingerprint: list[int],
     stale in EVERY family pass — it can never load — but is shielded by
     the grace window below.
 
-    RACE GUARD (ADVICE r9 low): save_* writes the data file before the
-    meta, so a concurrent session's GC could observe old-meta+new-data
-    and reap a save in flight. Any candidate whose data OR meta file
-    was modified within the last ~10 minutes is skipped — a genuinely
-    stranded artifact is reaped by the next session instead."""
+    RACE GUARD (ADVICE r9 low; reworked r12 per VERDICT r11 item 7):
+    save_* writes the data file before the meta, so a concurrent
+    session's GC could observe old-meta+new-data and reap a save in
+    flight. The guard is now a writer-owned SENTINEL file
+    (`<artifact>.inflight`, see inflight_sentinel): created before the
+    first data byte, removed after the meta lands. GC skips any
+    artifact whose sentinel is younger than the grace window; the
+    sentinel's mtime is set by the writer at creation, so artifacts
+    whose own files carry preserved OLD mtimes (a backup restore) are
+    protected all the same — the flaw of the previous artifact-mtime
+    guard. A sentinel older than the grace is a crashed writer's: it
+    is cleared and the artifact judged normally, so stranded debris is
+    still reaped eventually."""
     import time
 
     base = model_root() / _sf_tag(sf_dir)
@@ -238,14 +264,17 @@ def gc_stale_artifacts(sf_dir: str, fingerprint: list[int],
         return 0
     now = time.time()
 
-    def recent(p: Path) -> bool:
-        try:
-            return (now - p.stat().st_mtime) < _GC_GRACE_SECONDS
-        except OSError:
-            return True  # vanished mid-scan: someone is working here
-
     reaped = 0
     for meta in sorted(base.glob("*.json")):
+        sent = inflight_sentinel(meta)
+        try:
+            sent_age = now - sent.stat().st_mtime
+        except OSError:
+            sent_age = None  # no sentinel: no write in flight
+        if sent_age is not None:
+            if sent_age < _GC_GRACE_SECONDS:
+                continue  # save (or restore) in flight — hands off
+            sent.unlink(missing_ok=True)  # crashed writer's leftovers
         try:
             m = json.loads(meta.read_text())
             fp, family = m.get("fingerprint"), m.get("fp_of", "embeddings")
@@ -254,8 +283,6 @@ def gc_stale_artifacts(sf_dir: str, fingerprint: list[int],
         if family != fp_of or fp == list(fingerprint):
             continue
         data = meta.with_suffix(".parquet")
-        if recent(meta) or (data.exists() and recent(data)):
-            continue
         if data.is_dir():
             shutil.rmtree(data, ignore_errors=True)
         elif data.exists():
@@ -293,11 +320,14 @@ def save_codes(codes_df, sf_dir: str, fingerprint: list[int],
                fp_of: str = "embeddings") -> None:
     path = codes_path(sf_dir, name)
     path.parent.mkdir(parents=True, exist_ok=True)
+    meta = path.parent / f"{name}.json"
+    inflight_sentinel(meta).touch()  # see save_kmeans
     tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex}")
     codes_df.write.mode("overwrite").parquet(str(tmp))
     if path.exists():
         shutil.rmtree(path)
     os.replace(tmp, path)
-    _write_meta(path.parent / f"{name}.json", fingerprint,
+    _write_meta(meta, fingerprint,
                 params if params is not None else _train_params(),
                 fp_of=fp_of)
+    inflight_sentinel(meta).unlink(missing_ok=True)

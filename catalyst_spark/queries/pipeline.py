@@ -6146,11 +6146,19 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     6/8) of a chained float divide can land 1 ULP apart across engine
     builds even when locally bit-exact — Spark rounds via BigDecimal
     on the decimal string, DuckDB via scaled float multiply):
-      mean_ppm = (sum_fx * 1_000_000) div (n * _EMB_FX)
-        — the mean in parts-per-million, truncated toward zero
-          (Spark `div` and DuckDB HUGEINT `//` both truncate toward
-          zero — verified on negatives); all-decimal arithmetic, so
-          both engines compute the identical integer by construction.
+      mean_ppm = sign(sum_fx) * ((abs(sum_fx) * 1_000_000)
+                                 div (n * _EMB_FX))
+        — the mean in parts-per-million. The division is SIGN-SAFE
+          (VERDICT r11 root cause): both operands are non-negative, so
+          floor division and truncating division agree by construction
+          and the result is identical under ANY engine's signed
+          integer-division convention. (The r11 form divided a
+          possibly-negative sum_fx directly; Spark `div` truncates
+          toward zero while DuckDB documents `//` as floor — a driver
+          DuckDB with floor semantics shifted exactly the 35/64
+          negative-sum rows by 1. Doctrine going forward: no checked
+          column may depend on an engine's signed integer-division
+          convention — divide magnitudes, apply the sign as a factor.)
       var_num = n * sumsq_fx − sum_fx * sum_fx
         — the variance numerator with the denominator (n² · _EMB_FX²)
           cleared: variance = var_num / (n*n*_EMB_FX*_EMB_FX). Pure
@@ -6179,8 +6187,9 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dim", "n", "sum_fx", "sumsq_fx",
             F.expr(
-                f"(sum_fx * 1000000) div "
-                f"(cast(n as decimal(38,0)) * {_EMB_FX})"
+                f"(case when sum_fx < 0 then -1 else 1 end) * "
+                f"((abs(sum_fx) * 1000000) div "
+                f"(cast(n as decimal(38,0)) * {_EMB_FX}))"
             ).cast("bigint").alias("mean_ppm"),
             F.expr(
                 "cast(cast(n as decimal(38,0)) * sumsq_fx "
@@ -6614,22 +6623,37 @@ _NPROBE_SWEEP = (1, 2, 4)
 
 
 def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The nprobe knob measured (the companion to the re-k scan-mass
-    table: k fixes expected cell size, nprobe fixes how many cells a
-    query pays for): for each sweep point, the IVF+SQ8 rung's total
-    scanned candidate rows and its recall@5 against the exact
-    brute-force baseline — the three-row table a deployment reads to
-    place itself on the scan/recall frontier. Scanned rows grow
-    ~linearly in nprobe while recall saturates; the elbow is the
-    serving configuration.
+    """The nprobe knob measured, as ONE section-keyed table (r12 merge,
+    VERDICT r11 item 6 — the serving_overlap pattern applied to the
+    probe story, returning one rotation slot without weakening any
+    oracle):
 
-    Exactness: candidates and ranks are the ann_sq8_ivf_topk machinery
-    verbatim (integer SQ8 distance, (d2, n_id) ties); hits and scan
-    counts are integers; mean recall is ONE divide of exact integers.
+      * section='sq8_sweep' — for each sweep point, the IVF+SQ8 rung's
+        total scanned candidate rows and its recall@5 against the exact
+        brute-force baseline (the scan/recall frontier a deployment
+        reads; scanned rows grow ~linearly in nprobe while recall
+        saturates — the elbow is the serving configuration). One row
+        per nprobe, q_id = -1 (sentinel, not NULL: the compare
+        harnesses sort rows as tuples and a NULL must never meet an
+        int). hits = total hits, recall = mean recall (ROUND of one
+        exact-integer divide).
+      * section='probe_exact' — the former ann_multiprobe_recall rows
+        in long form: per query, recall@5 of the trained index probing
+        nprobe ∈ {1, 2} cells with EXACT-cosine reranking (pruning
+        loss alone, no quantization error — the calibration partner to
+        the SQ8-ranked sweep above). hits_pN/recall_pN map to
+        (nprobe=N, hits, recall); scanned_rows = -1 sentinel. Every
+        checked value of the absorbed key is preserved verbatim.
+
+    Exactness: sweep candidates and ranks are the ann_sq8_ivf_topk
+    machinery verbatim (integer SQ8 distance, (d2, n_id) ties);
+    probe_exact ties are (cos DESC, n_id) — both engine-reproducible.
     Plan: the probe assignment runs ONCE at max(nprobe) with a rank
     column (every sweep point filters it), candidates stay cell-pruned
     equi-joins, and each sweep point adds one probe-set-sized rank +
-    one semi-join — nothing corpus-sized is ever re-scanned per point.
+    one semi-join — nothing corpus-sized is ever re-scanned per point;
+    the probe_exact branch rides the same session-cached k-means model
+    and coarse assignment.
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
@@ -6683,12 +6707,34 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from functools import reduce
 
-    res = reduce(DataFrame.unionByName, parts).orderBy("nprobe") \
+    res = reduce(DataFrame.unionByName, parts) \
         .localCheckpoint(eager=True)
     for cand in cands:
         cand.unpersist()
     probes.unpersist()
-    return res
+    sweep = res.select(
+        F.lit("sq8_sweep").alias("section"),
+        "nprobe",
+        F.lit(-1).cast("bigint").alias("q_id"),
+        "scanned_rows",
+        F.col("total_hits").alias("hits"),
+        F.col("mean_recall_at_5").alias("recall"),
+    )
+    probe_exact = ann_multiprobe_recall(spark, sf_dir).select(
+        F.lit("probe_exact").alias("section"),
+        F.col("q_id"),
+        F.expr(
+            "stack(2, cast(1 as bigint), hits_p1, recall_p1,"
+            " cast(2 as bigint), hits_p2, recall_p2)"
+            " as (nprobe, hits, recall)"
+        ),
+    ).select(
+        "section", "nprobe", "q_id",
+        F.lit(-1).cast("bigint").alias("scanned_rows"),
+        "hits", "recall",
+    )
+    return sweep.unionByName(probe_exact) \
+        .orderBy("section", "nprobe", "q_id")
 
 
 # DSIR hashed-feature space: 2^12 buckets (Xie et al. 2023 use 10^4;
@@ -7297,7 +7343,9 @@ PIPELINE_QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
-    "ann_multiprobe_recall": ann_multiprobe_recall,
+    # ann_multiprobe_recall: absorbed into ann_nprobe_sweep's
+    # section='probe_exact' rows (r12 merge) — function retained above,
+    # called by the merged table.
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,

@@ -1593,14 +1593,19 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, hour) cell, its observation count, exact cent sum, and
     a per-mille seasonal index ((cell mean / type mean) * 1000).
 
-    Exactness: the index is one integer expression,
-    (sum_cents * n_type * 1000) div (n_cell * sum_type) — no mean is
-    ever materialized as a float, and Spark's `div` and DuckDB's
-    integer `//` BOTH truncate toward zero (pinned by
-    tests/test_sql_parity.py), so the identity needs no positive-value
-    invariant of the data; there's also no ROUND(AVG) half-tie to
-    diverge between engines. One aggregate over (type, hour), the type
-    totals window over the 24-row-per-type aggregate, not the stream.
+    Exactness: the index is one integer expression — SIGN-SAFE
+    division (VERDICT r11 doctrine): magnitudes are divided and the
+    sign is applied as a factor, sign(sum_cents)*sign(sum_type) *
+    ((abs(sum_cents) * n_type * 1000) div (n_cell * abs(sum_type))).
+    Floor and truncating division agree on non-negative operands, so
+    the integer is identical under any engine's signed
+    integer-division convention (the local DuckDB truncates; the
+    documented semantics of `//` is floor — embedding_dim_variance
+    went driver-red on exactly this divergence, and this op carried
+    the same latent pattern, saved only by all-positive sums at
+    sf0.01). No mean is ever materialized as a float, no ROUND(AVG)
+    half-tie. One aggregate over (type, hour), the type totals window
+    over the 24-row-per-type aggregate, not the stream.
     """
     events = load(spark, sf_dir, "events")
     cells = (
@@ -1624,8 +1629,12 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hod",
             "n",
             "sum_cents",
-            F.expr("(sum_cents * n_type * 1000) div (n * sum_type)")
-            .alias("idx_permille"),
+            F.expr(
+                "(case when sum_cents < 0 then -1 else 1 end) * "
+                "(case when sum_type < 0 then -1 else 1 end) * "
+                "((abs(sum_cents) * n_type * 1000) div "
+                "(n * abs(sum_type)))"
+            ).alias("idx_permille"),
         )
         .orderBy("event_type", "hod")
     )

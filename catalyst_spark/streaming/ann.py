@@ -1443,7 +1443,15 @@ def prototype_gate_index(spark, sf_dir: str):
     kept row's (raw d2, vec_id) under cluster_balanced_sample's
     (d2 DESC, vec_id) order. Model-sized by construction (k entries,
     each one 64-double centroid + two scalars). Returns the list of
-    (c_id, ce, cut_d2, cut_vid) tuples the gate broadcasts."""
+    (c_id, ce, cut_d2, cut_vid) tuples the gate broadcasts.
+
+    A trained centroid can end up with ZERO assigned corpus vectors
+    (_kmeans_fit returns post-update centroids while the sampler's
+    cutoffs come from the assignment): such a cell has no batch
+    boundary, and its quota is unfilled — a stream vector landing
+    there is the cell's first occupant and must be KEPT, so the cell
+    gets the keep-everything sentinel (cut_d2 = -1 < any real squared
+    distance) rather than a KeyError (ADVICE r11)."""
     from catalyst_spark.queries.pipeline import (
         _cached_kmeans,
         _cluster_keep_cutoffs,
@@ -1458,8 +1466,9 @@ def prototype_gate_index(spark, sf_dir: str):
     C, cids = _cached_kmeans(spark, sf_dir, v, "full")
     cuts = {r["c_id"]: (float(r["cut_d2"]), int(r["cut_vid"]))
             for r in _cluster_keep_cutoffs(spark, sf_dir)}
+    keep_all = (-1.0, -1)  # empty cell: quota unfilled, keep everything
     return [
-        (int(c), [float(x) for x in row], cuts[int(c)][0], cuts[int(c)][1])
+        (int(c), [float(x) for x in row], *cuts.get(int(c), keep_all))
         for c, row in zip(cids, C)
     ]
 
@@ -1477,12 +1486,19 @@ def stream_prototype_gate(vec_stream: DataFrame,
     instead of re-ranking the corpus.
 
     One stateless projection: the model rides in as one broadcast
-    array-of-structs literal; d2 uses the identical
-    |x|^2 - 2x.c + |c|^2 sequential-fold decomposition the batch
-    sampler ranks on, so for corpus vectors the decision is
-    bit-equal to batch membership. Append mode, no state store, no
-    shuffle. Re-delivered vectors re-emit identical rows (pure
-    function of the row)."""
+    array-of-structs literal; d2 uses the same |x|^2 - 2x.c + |c|^2
+    decomposition the batch sampler ranks on, evaluated as a SQL
+    sequential fold. NOTE on parity (ADVICE r11): the batch COARSE
+    ASSIGNMENT computes its distances via numpy BLAS matrix ops, whose
+    pairwise-SIMD summation can differ from the sequential fold in the
+    last ulp — a vector near-equidistant between two centroids could
+    therefore assign to a different cell than batch did. Agreement
+    with batch membership is replay-TESTED on this corpus (empirical,
+    like the oracle-parity claims elsewhere), not guaranteed
+    bit-for-bit; within a cell, the keep decision against the
+    boundary IS exact (the boundary tuple is carried verbatim).
+    Append mode, no state store, no shuffle. Re-delivered vectors
+    re-emit identical rows (pure function of the row)."""
     spark = vec_stream.sparkSession
     model_row = spark.createDataFrame(
         [([{"c_id": c, "ce": ce, "cut_d2": cd, "cut_vid": cv}

@@ -726,9 +726,16 @@ def stream_source_drift(doc_stream: DataFrame, cb: list,
     catch it.
 
     Delivery is assumed in doc_id order WITHIN a source (the
-    stream_pack_sequences convention); a re-delivered doc (doc_id <=
-    max seen) is skipped, so the counts stay exactly-once and the
-    final emission replay-equals batch tvd_hash_permille."""
+    stream_pack_sequences convention); a doc with doc_id <= max seen
+    is skipped, so the counts stay exactly-once and the final emission
+    replay-equals batch tvd_hash_permille. The watermark cannot
+    distinguish a RE-DELIVERY from a genuinely late out-of-order NEW
+    document — under the ordering assumption the latter doesn't
+    exist, but if an upstream violates it the skip would silently
+    bias the counts, so every skipped row increments the emitted
+    cumulative `n_late_dropped` (ADVICE r11): a monitor seeing it
+    rise faster than the replayer's known re-delivery volume has
+    caught an ordering violation, not guessed at one."""
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -747,22 +754,28 @@ def stream_source_drift(doc_stream: DataFrame, cb: list,
         (source,) = key
         if state.exists:
             counts, max_seen = list(state.get[0]), int(state.get[1])
+            n_dropped = int(state.get[2])
         else:
-            counts, max_seen = [0] * _DSIR_BUCKETS, -1
+            counts, max_seen, n_dropped = [0] * _DSIR_BUCKETS, -1, 0
         cand = pd.concat(list(pdfs), ignore_index=True)
         cand = cand.sort_values("doc_id")
         for doc_id, bs in zip(cand["doc_id"], cand["bs"]):
             doc_id = int(doc_id)
             if doc_id <= max_seen:
-                continue  # re-delivery: counts stay exactly-once
+                # re-delivery (or an ordering violation — observable
+                # via the emitted cumulative counter, ADVICE r11):
+                # counts stay exactly-once
+                n_dropped += 1
+                continue
             for b in bs:
                 counts[int(b)] += 1
             max_seen = doc_id
-        state.update((list(counts), int(max_seen)))
+        state.update((list(counts), int(max_seen), int(n_dropped)))
         n_s = sum(counts)
         if n_s == 0:
             yield pd.DataFrame({"source": [], "n_tokens": [],
-                                "tvd_hash_permille": []})
+                                "tvd_hash_permille": [],
+                                "n_late_dropped": []})
             return
         pre = cov = 0
         for b, c_s in enumerate(counts):
@@ -775,16 +788,19 @@ def stream_source_drift(doc_stream: DataFrame, cb: list,
             "source": [str(source)],
             "n_tokens": [n_s],
             "tvd_hash_permille": [tvd],
+            "n_late_dropped": [n_dropped],
         })
 
     out_schema = T.StructType([
         T.StructField("source", T.StringType()),
         T.StructField("n_tokens", T.LongType()),
         T.StructField("tvd_hash_permille", T.LongType()),
+        T.StructField("n_late_dropped", T.LongType()),
     ])
     state_schema = T.StructType([
         T.StructField("counts", T.ArrayType(T.LongType())),
         T.StructField("max_seen", T.LongType()),
+        T.StructField("n_dropped", T.LongType()),
     ])
     return d.groupBy("source").applyInPandasWithState(
         _update,

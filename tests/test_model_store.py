@@ -123,3 +123,6 @@ def test_kmeans_parquet_roundtrip_exact(tmp_path, monkeypatch):
     C2, cids2 = got
     assert C2.shape == C.shape and (C2 == C).all()  # float64 bit-exact
     assert (cids2 == cids).all()
+    # r12 GC race guard: a completed save leaves no in-flight sentinel
+    assert not list((tmp_path / model_store._sf_tag("/some/sf"))
+                    .glob("*.inflight"))

@@ -26,8 +26,13 @@ def test_gc_stale_artifacts(tmp_path, monkeypatch):
     pass never judges documents-keyed artifacts (the corpus band index
     would otherwise be reaped every session, defeating its
     persistence); a documents pass reaps only that family. RACE GUARD
-    (ADVICE r9 low): recently-written candidates are skipped so a
-    concurrent save's data-before-meta window can't be collected."""
+    (reworked r12, VERDICT r11 item 7): an in-flight save/restore is
+    signalled by the writer's fresh `.inflight` SENTINEL — which
+    protects even artifacts whose own files carry preserved OLD mtimes
+    (a backup restore; the previous artifact-mtime guard left exactly
+    those exposed) — while an EXPIRED sentinel (crashed writer) is
+    cleared and the artifact judged normally, and fresh mtimes alone
+    no longer shield anything (writers always hold a sentinel now)."""
     import os
 
     from catalyst_spark import model_store as ms
@@ -69,15 +74,29 @@ def test_gc_stale_artifacts(tmp_path, monkeypatch):
     # though its fingerprint mismatches the embeddings one
     put("corpus_band_index", doc_live, as_dir=True, fp_of="documents")
     put("corpus_band_old", stale, as_dir=True, fp_of="documents")
-    # stale but freshly written: a concurrent save in flight — skipped
-    put("kmeans_inflight", stale, recent=True)
-    assert ms.gc_stale_artifacts(sf, live) == 3
+    # stale fp, PRESERVED OLD MTIMES on data+meta (a backup restore in
+    # flight), but a fresh writer sentinel: must survive — the exact
+    # case the old artifact-mtime guard got wrong
+    put("kmeans_inflight", stale)
+    ms.inflight_sentinel(base / "kmeans_inflight.json").touch()
+    # stale fp with fresh mtimes but NO sentinel: writers always hold a
+    # sentinel now, so fresh mtimes alone shield nothing — reaped
+    put("kmeans_fresh_nosent", stale, recent=True)
+    # stale fp whose sentinel EXPIRED (crashed writer): sentinel is
+    # cleared and the artifact reaped
+    put("kmeans_crashed", stale)
+    crashed_sent = ms.inflight_sentinel(base / "kmeans_crashed.json")
+    crashed_sent.touch()
+    os.utime(crashed_sent, (old, old))
+    assert ms.gc_stale_artifacts(sf, live) == 5
+    assert not crashed_sent.exists()
     names = sorted(p.name for p in base.iterdir())
     assert names == [
         "corpus_band_index.json", "corpus_band_index.parquet",
         "corpus_band_old.json", "corpus_band_old.parquet",
         "kmeans_full.json", "kmeans_full.parquet",
         "kmeans_full_k32.json", "kmeans_full_k32.parquet",
+        "kmeans_inflight.inflight",
         "kmeans_inflight.json", "kmeans_inflight.parquet",
     ]
     # documents pass reaps the stale documents artifact, keeps the live

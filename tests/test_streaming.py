@@ -2742,7 +2742,10 @@ def test_stream_source_drift_matches_batch(spark, tmp_path):
     batch source_token_tvd's hashed column exactly (the re-delivered
     batch increments nothing: the max-seen watermark skips it), and
     the hashed scalar never exceeds the exact one (merging bins only
-    cancels deviations)."""
+    cancels deviations). ADVICE r11: the skip must be OBSERVABLE —
+    the cumulative n_late_dropped column must equal exactly the
+    per-source size of the re-delivered batch (zero silent loss
+    accounting)."""
     import json
 
     from catalyst_spark.queries import pipeline as P
@@ -2787,10 +2790,16 @@ def test_stream_source_drift_matches_batch(spark, tmp_path):
     for r in rows:  # memory sink appends update-mode emissions in order
         latest[r["source"]] = r
     assert set(latest) == set(batch)
+    redelivered = {}
+    for r in batches[2]:  # the re-delivered chunk, per source
+        redelivered[r["source"]] = redelivered.get(r["source"], 0) + 1
     for src, r in latest.items():
         assert r["n_tokens"] == batch[src]["n_tokens"], src
         assert (r["tvd_hash_permille"]
                 == batch[src]["tvd_hash_permille"]), src
+        # every re-delivered row is dropped AND accounted for; sources
+        # absent from the re-delivered chunk report 0
+        assert r["n_late_dropped"] == redelivered.get(src, 0), src
 
 
 def test_stream_mrl_rerank_topk_matches_batch(spark, tmp_path):
