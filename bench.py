@@ -146,14 +146,20 @@ def _ensure_sf1_tpch(spark, src_dir: str, dst_dir: str) -> None:
 
 
 def _ensure_sf5(spark, src_dir: str, dst_dir: str) -> None:
-    """Deterministic 50x documents + events corpus (r11e — the third
-    point on the scaling curve next to the 10x tier and the rek64
-    50x-vectors tier): fifty families with disjoint token spaces
-    (token suffix _<rep>, the sf1 recipe) and fifty disjoint user
-    populations with identical per-user timelines. Same offset-guard
+    """Deterministic 50x documents + events + embeddings corpus (r11e;
+    embeddings added r12 per VERDICT item 4 — the third point on the
+    scaling curve next to the 10x tier and the rek64 50x-vectors
+    tier): fifty families with disjoint token spaces (token suffix
+    _<rep>, the sf1 recipe), fifty disjoint user populations with
+    identical per-user timelines, and fifty sign-flip embedding
+    families (dot(s.a, s.b) = dot(a, b): within-family cosine
+    structure preserved exactly, cross-family similarity destroyed
+    w.h.p. — the _ensure_sf1 recipe at 50 reps). Same offset-guard
     discipline as the 10x builders."""
     done_flag = os.path.join(dst_dir, "_DONE_SF5")
+    emb_flag = os.path.join(dst_dir, "_DONE_SF5_EMB")
     if os.path.exists(done_flag):
+        _ensure_sf5_embeddings(spark, src_dir, dst_dir, emb_flag)
         return
     os.makedirs(dst_dir, exist_ok=True)
     from pyspark.sql import functions as F
@@ -201,12 +207,50 @@ def _ensure_sf5(spark, src_dir: str, dst_dir: str) -> None:
     )
     with open(done_flag, "w") as f:
         f.write("ok\n")
+    _ensure_sf5_embeddings(spark, src_dir, dst_dir, emb_flag)
+
+
+def _ensure_sf5_embeddings(spark, src_dir: str, dst_dir: str,
+                           emb_flag: str) -> None:
+    """50x embeddings for the ANN-serving 50x point (r12): own flag so
+    an already-built r11 sf5 dir gains the table without a rebuild."""
+    if os.path.exists(emb_flag):
+        return
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    mv = emb.selectExpr("max(vec_id) AS m").collect()[0]["m"]
+    assert mv < 1_000_000, mv
+    reps = "explode(sequence(0, 49))"
+    (
+        emb.select("vec_id", "embedding", "label", F.expr(reps).alias("rep"))
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(1_000_000))
+            .alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x"
+                " ELSE cast(x * (1 - 2 * pmod(hash(rep, i), 2)) as float)"
+                " END)"
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "embeddings.parquet"))
+    )
+    with open(emb_flag, "w") as f:
+        f.write("ok\n")
 
 
 # the 50x flagship set: the highest-volume document surface (prefix
 # pairs, MinHash bands, the stride-1 window probe), the token-stream
-# LM pass, and both event-analytics axes (10x/50x users for
-# sessionize; fixed series x 50x depth for counter_rate)
+# LM pass, both event-analytics axes (10x/50x users for sessionize;
+# fixed series x 50x depth for counter_rate), and — r12, VERDICT item
+# 4 — a served index rung (ann_sq8_ivf_rek_topk: sqrt(N)-scheduled k,
+# cell-pruned SQ8 scoring) and the iterative dedup graph
+# (dedup_clusters: banded-LSH pair graph + min-label propagation), so
+# the three-point curve covers serving and graph shapes, not only
+# scans/windows
 _SF5_QUERIES = (
     "dedup_prefix_filter",
     "dedup_minhash_pairs",
@@ -214,6 +258,8 @@ _SF5_QUERIES = (
     "unigram_surprisal",
     "sessionize",
     "counter_rate",
+    "ann_sq8_ivf_rek_topk",
+    "dedup_clusters",
 )
 
 
@@ -385,6 +431,8 @@ _SCALE_QUERIES = (
     "dup_quality_audit",
     "phash_dup_pairs",
     "phash_dup_clusters",
+    # r12: the audio member of the near-dup triad — same banded join
+    "audio_fp_dup_pairs",
     # r8: the incremental apply adds CC labeling on top of the shard
     # audit's band joins — measured so the merge step's cost is pinned
     "incremental_shard_apply",

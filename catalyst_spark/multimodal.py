@@ -821,6 +821,74 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, AUDIO_SCHEMA)
 
 
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("afp", T.LongType()),
+])
+
+# energy-contour fingerprint geometry: 64 windows -> 63 comparison bits
+_AFP_WINDOWS = 64
+
+
+def _audio_fp64(mono: list[int]) -> int | None:
+    """63-bit energy-contour fingerprint from decoded integer PCM (the
+    Haitsma-Kalker robust-hash shape reduced to one band): split the
+    mono stream into 64 equal windows, compute each window's EXACT
+    integer energy (sum of squared per-frame channel sums — python
+    ints, no overflow, no float), and emit bit i = 1 iff
+    E[i+1] > E[i]. Monotone comparisons of energies make the bits
+    invariant to uniform gain (every energy scales by the same c^2),
+    the audio analogue of pHash's median-thresholding brightness
+    invariance; re-encodes and volume normalization keep a small
+    Hamming distance while different material lands ~32 bits apart.
+    Returns None for streams shorter than the window count (no
+    non-degenerate contour exists). Always fits a signed long."""
+    n = len(mono)
+    if n < _AFP_WINDOWS:
+        return None
+    bounds = [(k * n) // _AFP_WINDOWS for k in range(_AFP_WINDOWS + 1)]
+    e = [
+        sum(v * v for v in mono[bounds[k]: bounds[k + 1]])
+        for k in range(_AFP_WINDOWS)
+    ]
+    bits = 0
+    for i in range(_AFP_WINDOWS - 1):
+        if e[i + 1] > e[i]:
+            bits |= 1 << i
+    return bits
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """audio payloads -> 63-bit energy-contour fingerprint
+    (media_id, afp) — the audio near-dup primitive completing the
+    text/image/audio triad (r12): decode rides the same pure-stdlib
+    WAV PCM path as audio_features; undecodable or too-short payloads
+    get an honest null, never a fabricated hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                afp = None
+                try:
+                    _, _, _, mono = _wav_decode_pcm(bytes(raw))
+                    afp = _audio_fp64(mono)
+                except Exception:
+                    afp = None
+                out.append({"media_id": mid, "afp": afp})
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    return df.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def audio_dup_pairs(fp_df: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Banded near-dup join over audio fingerprints — the audio
+    instance of _hamming_band_pairs (pigeonhole-complete for
+    Hamming <= 7), the third member of the near-dup triad next to
+    dedup_simhash_pairs (text) and image_dup_pairs (images)."""
+    return _hamming_band_pairs(fp_df, "afp", max_hamming)
+
+
 def _pil_features(payload: bytes) -> list[float]:
     """Real decode path: 4x4 grayscale thumbnail, pixels scaled to
     [-1, 1] — FEATURE_DIM (16) floats. Runs only when PIL is present."""
@@ -960,26 +1028,33 @@ def image_phash(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, PHASH_SCHEMA)
 
 
-def image_dup_pairs(phash_df: DataFrame, max_hamming: int = 7) -> DataFrame:
-    """Banded near-dup join over pHashes: split the 64-bit hash into 8
-    disjoint 8-bit bands, bucket-join on (band index, band value), and
-    verify candidates with an exact popcount — COMPLETE for Hamming
-    distance <= 7 by pigeonhole (8 bands, at most 7 differing bits
-    leave one band untouched), the same guarantee structure as
-    dedup_simhash_pairs on text. Never an all-pairs scan: candidates
-    are equi-join buckets, the verify is bit arithmetic on two longs.
-    """
+def _hamming_band_pairs(hash_df: DataFrame, hash_col: str,
+                        max_hamming: int = 7) -> DataFrame:
+    """Shared banded Hamming join over any (media_id, <hash_col>)
+    64-bit hash table (r12 — factored out of image_dup_pairs so the
+    audio fingerprint rung rides the identical, plan-asserted
+    machinery): split the hash into 8 disjoint 8-bit bands,
+    bucket-join on (band index, band value), verify candidates with an
+    exact popcount — COMPLETE for Hamming <= 7 by pigeonhole (8 bands,
+    at most 7 differing bits leave one band untouched). Never an
+    all-pairs scan: candidates are equi-join buckets, the verify is
+    bit arithmetic on two longs."""
     from pyspark.sql import functions as F
 
-    h = phash_df.where(F.col("phash").isNotNull())
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 7: the 8-band join is only "
+            "pigeonhole-complete for Hamming <= 7"
+        )
+    h = hash_df.where(F.col(hash_col).isNotNull())
     bands = h.select(
-        "media_id", "phash",
+        "media_id", F.col(hash_col).alias("_h"),
         F.explode(F.expr(
-            "transform(sequence(0, 7), b ->"
-            " named_struct('b', b,"
-            "  'v', (phash div shiftleft(1L, b * 8)) % 256))"
+            f"transform(sequence(0, 7), b ->"
+            f" named_struct('b', b,"
+            f"  'v', ({hash_col} div shiftleft(1L, b * 8)) % 256))"
         )).alias("band"),
-    ).select("media_id", "phash", "band.b", "band.v")
+    ).select("media_id", "_h", "band.b", "band.v")
     cand = (
         bands.alias("l")
         .join(
@@ -990,20 +1065,28 @@ def image_dup_pairs(phash_df: DataFrame, max_hamming: int = 7) -> DataFrame:
         .select(
             F.col("l.media_id").alias("a_id"),
             F.col("r.media_id").alias("b_id"),
-            F.col("l.phash").alias("ph_a"),
-            F.col("r.phash").alias("ph_b"),
+            F.col("l._h").alias("h_a"),
+            F.col("r._h").alias("h_b"),
         )
         .distinct()
     )
     return (
         cand.withColumn(
             "hamming",
-            F.expr("bit_count(ph_a ^ ph_b)").cast("int"),
+            F.expr("bit_count(h_a ^ h_b)").cast("int"),
         )
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
         .orderBy("a_id", "b_id")
     )
+
+
+def image_dup_pairs(phash_df: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Banded near-dup join over pHashes — the image instance of
+    _hamming_band_pairs (see there for the pigeonhole completeness
+    argument), the same guarantee structure as dedup_simhash_pairs on
+    text."""
+    return _hamming_band_pairs(phash_df, "phash", max_hamming)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:

@@ -922,6 +922,46 @@ def _phash_table_cte() -> str:
           FROM documents d LEFT JOIN fl f ON d.doc_id = f.doc_id)"""
 
 
+def _audio_fp_table_cte() -> str:
+    """The audio-fingerprint twin of _phash_table_cte (trailing 'afp'
+    table): groups of 6, 'au:'/'af:' md5 strings — string-identical to
+    pipeline._synthetic_audio_fp's, so the hashes agree
+    bit-for-bit."""
+    base = _h60_duck("concat('au:', CAST(d.doc_id // 6 AS VARCHAR))")
+    pos = _h60_duck(
+        "concat('af:', CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))"
+    )
+    return f"""afl AS (
+          SELECT doc_id,
+                 BIT_XOR(CAST(1 AS BIGINT) << CAST({pos} % 60 AS INT)) AS mask
+          FROM (SELECT doc_id,
+                       UNNEST(range(1, CAST(doc_id % 6 AS INT) + 1)) AS j
+                FROM documents)
+          GROUP BY doc_id),
+        afp AS (
+          SELECT d.doc_id AS media_id,
+                 xor({base}, COALESCE(f.mask, 0)) AS afp
+          FROM documents d LEFT JOIN afl f ON d.doc_id = f.doc_id)"""
+
+
+def _audio_fp_pairs_sql() -> str:
+    """Brute-force ground truth for pipeline.audio_fp_dup_pairs (r12):
+    ALL id-ordered pairs with bit_count(xor()) <= 7 over the same
+    deterministic fingerprint table. The Spark side runs the shared
+    8-band bucket join + popcount verify (multimodal.audio_dup_pairs);
+    any banded-join miss or phantom shows up as a value-hash mismatch
+    — the pigeonhole completeness argument, value-proven on the audio
+    rung's own dup structure (groups of 6, Hamming 0..10)."""
+    return f"""
+        WITH {_audio_fp_table_cte()}
+        SELECT a.media_id AS a_id, b.media_id AS b_id,
+               CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+        FROM afp a JOIN afp b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= 7
+        ORDER BY a_id, b_id
+    """
+
+
 def _phash_clusters_sql() -> str:
     """Min-reachable-id connected components over the brute-force
     Hamming<=7 pHash pair set — oracle twin of
@@ -3326,6 +3366,7 @@ ORACLE_SQL["dedup_threshold_sensitivity"] = _threshold_sensitivity_sql()
 ORACLE_SQL["quality_survival_curve"] = _quality_curve_sql()
 ORACLE_SQL["near_dup_pagerank_converged"] = _pagerank_converged_sql()
 ORACLE_SQL["phash_dup_pairs"] = _phash_pairs_sql()
+ORACLE_SQL["audio_fp_dup_pairs"] = _audio_fp_pairs_sql()
 ORACLE_SQL["dedup_edit_distance"] = _edit_distance_sql()
 ORACLE_SQL["phash_dup_clusters"] = _phash_clusters_sql()
 ORACLE_SQL["window_selfdup_cut"] = _selfdup_cut_sql()

@@ -1146,6 +1146,55 @@ def _synthetic_phash(docs: DataFrame) -> DataFrame:
     )
 
 
+def audio_fp_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio near-dup join's hard CORRECTNESS row (r12, VERDICT
+    r11 item 8 — completes the text/image/audio near-dup triad):
+    multimodal.audio_dup_pairs — the shared 8x8-bit banded bucket join
+    + exact popcount verify, COMPLETE for Hamming <= 7 by pigeonhole —
+    run on a deterministic 63-bit fingerprint table both engines
+    derive from `documents`, and value-checked against a DuckDB
+    BRUTE-FORCE bit_count(xor) over ALL pairs: any pair the banded
+    join missed (or invented) is a hash mismatch, so the completeness
+    guarantee is value-proven (the phash_dup_pairs argument). The
+    REAL PCM fingerprint (multimodal.audio_fingerprint: stdlib WAV
+    decode -> 64-window integer energy contour -> 63 comparison bits)
+    stays pytest-verified on synthesized WAVs — no audio codec exists
+    in DuckDB, by nature.
+
+    The synthetic table plants its own near-dup structure, distinct
+    from the pHash table's: docs in groups of 6 share an md5-derived
+    60-bit base with doc_id % 6 planted single-bit flips XORed on —
+    within-group Hamming spans 0..10 (straddling the <= 7 cut from
+    both sides), across groups ~30 bits."""
+    from catalyst_spark.multimodal import audio_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return audio_dup_pairs(
+        _synthetic_audio_fp(docs), max_hamming=7
+    ).select("a_id", "b_id", "hamming")
+
+
+def _synthetic_audio_fp(docs: DataFrame) -> DataFrame:
+    """Deterministic 63-bit audio-fingerprint table derived from
+    `documents` (the container has no audio corpus): the
+    _synthetic_phash recipe with its own constants — groups of 6
+    ('au:' base strings), doc_id % 6 single-bit flips ('af:' strings)
+    — so the audio rung's dup structure is not a copy of the image
+    rung's. Shared by the batch pair join, the streaming classifier's
+    corpus index, and the replay tests."""
+    base = _h60("concat('au:', cast(doc_id div 6 as string))")
+    pos = _h60("concat('af:', cast(doc_id as string), ':', cast(j as string))")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"{base} ^ (CASE WHEN doc_id % 6 = 0 THEN cast(0 as bigint)"
+            f" ELSE aggregate(transform(sequence(1, cast(doc_id % 6 as int)),"
+            f" j -> shiftleft(cast(1 as bigint), cast({pos} % 60 as int))),"
+            f" cast(0 as bigint), (acc, x) -> acc ^ x) END)"
+        ).alias("afp"),
+    )
+
+
 def phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup MATERIALIZATION: connected components over the
     banded pHash pair set — (media_id, cluster_id = min reachable
@@ -7360,6 +7409,7 @@ PIPELINE_QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "near_dup_pagerank_converged": near_dup_pagerank_converged,
     "phash_dup_pairs": phash_dup_pairs,
+    "audio_fp_dup_pairs": audio_fp_dup_pairs,
     "dedup_edit_distance": dedup_edit_distance,
     "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
     "phash_dup_clusters": phash_dup_clusters,

@@ -464,3 +464,50 @@ def stream_phash_classify(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def audio_fp_band_index(spark, sf_dir: str) -> DataFrame:
+    """Corpus-side audio-fingerprint band index for ingest-time audio
+    near-dup classification (r12 — the audio member of the ingest
+    triad, completing it alongside the image and document
+    classifiers): the already-ingested corpus's 63-bit fingerprints
+    (doc_id % _SHARD_MOD != 0, the standard corpus/shard split)
+    exploded into the 8 disjoint 8-bit bands audio_dup_pairs buckets
+    on, each row carrying the full fingerprint for the exact popcount
+    verify. Same scale story as phash_band_index: static, bucketed on
+    (b, v) at 100 TB."""
+    from catalyst_spark.queries.pipeline import (
+        _SHARD_MOD,
+        _synthetic_audio_fp,
+    )
+    from catalyst_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    fp = _synthetic_audio_fp(docs.where(F.col("doc_id") % _SHARD_MOD != 0))
+    return fp.select(
+        F.col("media_id").alias("old_id"),
+        F.col("afp").alias("old_ph"),
+        F.explode(F.expr(
+            "transform(sequence(0, 7), b ->"
+            " named_struct('b', b,"
+            "  'v', (afp div shiftleft(1L, b * 8)) % 256))"
+        )).alias("band"),
+    ).select("old_id", "old_ph", "band.b", "band.v")
+
+
+def stream_audio_fp_classify(
+    media_stream: DataFrame, band_index: DataFrame,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Ingest-time audio near-dup classification (r12): an arriving
+    (media_id, afp) row rides EXACTLY the stream_phash_classify
+    machinery — the banded candidate join, popcount verify, and the
+    idempotent matched-set state are hash-agnostic, so the audio twin
+    is the same query over the renamed fingerprint column against the
+    audio corpus index. Re-encoded or re-normalized audio is flagged
+    at ingest; the replay test converges to batch audio_fp_dup_pairs'
+    verdicts incl. re-delivery."""
+    return stream_phash_classify(
+        media_stream.withColumnRenamed("afp", "phash"),
+        band_index, max_hamming,
+    )

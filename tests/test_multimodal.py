@@ -326,6 +326,84 @@ def test_audio_features_stereo_and_fallbacks(spark):
 
 
 # ---------------------------------------------------------------------------
+# Audio energy-contour fingerprint + banded near-dup (r12)
+# ---------------------------------------------------------------------------
+
+def _contour_samples(seed_mul: int, seed_add: int, n: int = 6400):
+    """Deterministic pseudo-audio with a non-trivial energy contour;
+    every sample is a multiple of 4 so exact quarter-gain copies exist
+    in integer PCM."""
+    return [(((i * seed_mul + seed_add) % 211) - 105) * 4
+            for i in range(n)]
+
+
+def test_audio_fp64_gain_invariance_and_discrimination():
+    from catalyst_spark.multimodal import _AFP_WINDOWS, _audio_fp64
+
+    base = _contour_samples(37, 0)
+    fp = _audio_fp64(base)
+    assert fp is not None and 0 <= fp < (1 << (_AFP_WINDOWS - 1))
+    # exact quarter gain: every energy scales by exactly 1/16, so every
+    # strict comparison — and therefore every bit — is preserved
+    assert _audio_fp64([v // 4 for v in base]) == fp
+    # different material lands far away (deterministic inputs)
+    other = _audio_fp64(_contour_samples(53, 17))
+    assert bin(fp ^ other).count("1") > 10
+    # too short for a 64-window contour -> honest None
+    assert _audio_fp64([1] * (_AFP_WINDOWS - 1)) is None
+
+
+def test_audio_fingerprint_dataframe_and_null_policy(spark):
+    """The DataFrame op decodes REAL WAV bytes through the stdlib PCM
+    path and must agree with the direct python fingerprint; broken or
+    non-audio payloads get an honest null."""
+    from catalyst_spark.multimodal import _audio_fp64, audio_fingerprint
+
+    samples = _contour_samples(37, 0)
+    rows = [
+        Row(media_id=1, kind="audio",
+            payload=bytearray(wav_pcm_bytes(samples, bits=16))),
+        Row(media_id=2, kind="audio", payload=bytearray(b"not a wav")),
+        Row(media_id=3, kind="image", payload=bytearray(png_bytes())),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert got[1] == _audio_fp64(samples)
+    assert got[2] is None and got[3] is None
+
+
+def test_audio_dup_pairs_banded_equals_brute(spark):
+    """The shared 8-band join on audio fingerprints must reproduce the
+    brute-force Hamming <= 7 pair set exactly (pigeonhole
+    completeness on the audio rung; the registry op value-proves the
+    same claim against DuckDB at driver scale)."""
+    from catalyst_spark.multimodal import audio_dup_pairs
+
+    import itertools
+
+    fps = [(i, (0x0F0F0F0F0F0F0F0 ^ (i * 0x9E3779B97F4A7C1)) & ((1 << 63) - 1))
+           for i in range(40)]
+    # plant near dups: ids 100.. flip k contiguous bits of id 0's hash
+    # (k = 0..9 straddles the <= 7 cut from both sides)
+    base = fps[0][1]
+    for k in range(10):
+        fps.append((100 + k, base ^ (((1 << k) - 1) << (3 * k % 50))))
+    fps.append((200, base ^ 0b11))  # Hamming 2 of id 0
+    df = spark.createDataFrame(
+        [Row(media_id=i, afp=h) for i, h in fps], "media_id long, afp long")
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in audio_dup_pairs(df).collect()}
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(fps, 2):
+        a, b = (ia, ib) if ia < ib else (ib, ia)
+        d = bin(ha ^ hb).count("1")
+        if d <= 7:
+            want[(a, b)] = d
+    assert got == want and (0, 200) in got and got[(0, 200)] == 2
+
+
+# ---------------------------------------------------------------------------
 # Baseline JPEG: DC-plane decode (pure stdlib, full Huffman entropy pass)
 # ---------------------------------------------------------------------------
 
