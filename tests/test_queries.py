@@ -35,38 +35,42 @@ def test_every_query_is_oracle_checked():
 
 def test_driver_window_composition():
     """The driver's CORRECTNESS window is the FIRST 50 registry keys in
-    insertion order; the r11 rotation plan (queries/__init__.py, VERDICT
-    r10 items 1-3 + 6) promises exactly the _R11_FRONT prefix there —
-    the 4 never-driver-checked ops first (three surviving r10 additions
-    plus the new serving_overlap merge key), then the 12 changed-code
-    re-fronts (the dim-variance fix and the rounding-audit
-    conversions), then the 18 surviving r7-stale ops oldest-first,
-    then 16 r8-stale ops — with the remaining r8-stale spill
-    deliberately PAST the window (named in the r12 rotation note) so
-    max driver staleness stays bounded. Pin both, so a registry edit
-    cannot silently reshuffle the window before the driver runs."""
-    from catalyst_spark.queries import _R11_FRONT
+    insertion order; the r12 rotation plan (queries/__init__.py,
+    VERDICT r11 items 1 + 3) promises exactly the _R12_FRONT prefix
+    there — the 6 never-driver-checked ops first (the five r11
+    additions the spill note fronts plus the new audio rung), then the
+    3 changed-code re-fronts (the sign-safe division fixes and the
+    nprobe-sweep merge), then all 31 r8-stale ops, then the 10 oldest
+    r9-stale — with the remaining r9-stale spill deliberately PAST the
+    window (named in the r13 rotation note) so max driver staleness
+    stays bounded. Pin both, so a registry edit cannot silently
+    reshuffle the window before the driver runs."""
+    from catalyst_spark.queries import _R12_FRONT
 
     names = list(ALL_QUERIES)
-    assert len(_R11_FRONT) == 50
-    assert names[:50] == _R11_FRONT
+    assert len(_R12_FRONT) == 50
+    assert names[:50] == _R12_FRONT
     # the hard-signal bar: the never-checked ops lead the window,
     # followed immediately by the changed-code re-fronts
-    assert names[:5] == [
-        "hard_negative_indexed", "contrastive_triplets",
-        "perplexity_buckets", "serving_overlap", "embedding_dim_variance",
+    assert names[:9] == [
+        "embedding_quantile_clip", "cluster_balanced_sample",
+        "dim_truncation_recall", "source_token_tvd",
+        "ann_mrl_rerank_topk", "audio_fp_dup_pairs",
+        "embedding_dim_variance", "seasonal_hourly_profile",
+        "ann_nprobe_sweep",
     ]
-    # the r12 front: the r8-stale spill sits past the window
-    for late in ("dedup_embedding_cosine", "dedup_embedding_lsh",
-                 "dedup_minhash_pairs", "text_simhash", "vocab_stats",
-                 "ann_sq8_ivf_rek_topk"):
+    # the r13 spill: the remaining r9-stale ops sit past the window
+    for late in ("temperature_resample", "label_centroid_similarity",
+                 "dedup_exact", "q9_semi_join", "dedup_clusters",
+                 "ann_pq_adc_topk"):
         assert names.index(late) >= 50, late
     # the merged-away keys are gone from registry and oracles
     for gone in ("ann_recall_at_5", "ann_pq_recall", "ann_ivfpq_recall",
                  "ann_ivfpq_residual_recall", "ann_ivfpq_rerank_recall",
                  "ann_sq8_recall", "ann_sq8_ivf_recall",
                  "ann_sq8_ivf_rek_recall", "rank_fusion_recall",
-                 "hard_negative_overlap", "lsh_recall_vs_exact"):
+                 "hard_negative_overlap", "lsh_recall_vs_exact",
+                 "ann_multiprobe_recall"):
         assert gone not in ALL_QUERIES and gone not in ORACLE_SQL, gone
 
 
