@@ -261,6 +261,13 @@ _SF5_QUERIES = (
     "ann_sq8_ivf_rek_topk",
     "dedup_clusters",
 )
+# r12 measured (committed snapshot): 50x/10x wall ratios 1.11-2.69 on
+# all eight ops against the linear-trend mark of ~5 — sub-linear on
+# the measured curve including the two new shapes: the served index
+# rung ann_sq8_ivf_rek_topk at 1.99 (the sqrt(N) re-k schedule holding
+# at 100k vectors) and the iterative dedup graph dedup_clusters at
+# 1.15 (pair-graph-sized label propagation; candidate growth stays
+# ~linear under the banded join, so the 50x corpus barely moves it).
 
 
 def _sf5_section(spark, base_sf_dir: str, reset_caches) -> dict:
