@@ -449,3 +449,16 @@ def test_reset_session_caches_covers_every_module_cache(spark):
     for name in dir(p):
         if name.endswith("_CACHE") and isinstance(getattr(p, name), dict):
             assert not getattr(p, name), name
+
+
+def test_hamming_band_joins_are_equi_joins(spark):
+    """The shared banded Hamming machinery (r12: image pHash + audio
+    fingerprint ride multimodal._hamming_band_pairs) must plan as a
+    bucket equi-join with JVM-only expressions — never a cartesian /
+    nested-loop pair scan, never a Python eval in the hot path."""
+    for name in ("phash_dup_pairs", "audio_fp_dup_pairs"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
