@@ -438,8 +438,10 @@ _SCALE_QUERIES = (
     "dup_quality_audit",
     "phash_dup_pairs",
     "phash_dup_clusters",
-    # r12: the audio member of the near-dup triad — same banded join
+    # r12: the audio member of the near-dup family (same banded join)
+    # and the video member (frame-hash equi-join + exact Jaccard)
     "audio_fp_dup_pairs",
+    "video_frame_dup_pairs",
     # r8: the incremental apply adds CC labeling on top of the shard
     # audit's band joins — measured so the merge step's cost is pinned
     "incremental_shard_apply",

@@ -1136,6 +1136,76 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> Data
     return df.mapInPandas(run, FRAMES_SCHEMA)
 
 
+VIDEO_FH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_hashes", T.ArrayType(T.StringType())),
+])
+
+
+def video_frame_hashes(df: DataFrame, every_n: int = 10,
+                       max_frames: int = 4) -> DataFrame:
+    """video payloads -> sampled-frame CONTENT-hash set (media_id,
+    sorted distinct md5 hex of each sampled frame's bytes) — the video
+    near-dup primitive (r12): a re-muxed or re-containerized video
+    carries the identical codec sample payloads at different offsets,
+    so its sampled-frame hash set overlaps the original's even though
+    the container bytes (and any whole-file hash) differ completely.
+    Pure composition: the existing sample_frames fan-out (real BMFF
+    sample table for MP4s, deterministic slicing otherwise) + one
+    JVM-side md5 + one collect_set — no new decode path, no new
+    Python."""
+    frames = sample_frames(df, every_n=every_n, max_frames=max_frames)
+    from pyspark.sql import functions as F
+
+    return frames.groupBy("media_id").agg(
+        F.sort_array(F.collect_set(F.md5("frame"))).alias("frame_hashes")
+    )
+
+
+def video_dup_pairs(fh_df: DataFrame) -> DataFrame:
+    """Near-dup join over sampled-frame hash sets: candidates share at
+    least one frame hash (an equi self-join on the exploded hash —
+    COMPLETE for any pair with non-empty intersection, trivially, and
+    never an all-pairs scan), verified with the exact integer Jaccard
+    >= 0.5 test 2·|I| >= |U| (the incremental_shard_dedup convention).
+    Emits (a_id, b_id, n_shared, n_union, jaccard_permille) — all
+    non-negative integers, the permille one truncating divide of exact
+    integers (sign-safe by domain)."""
+    from pyspark.sql import functions as F
+
+    ex = fh_df.select("media_id", F.explode("frame_hashes").alias("h"))
+    sizes = fh_df.select("media_id", F.size("frame_hashes").alias("n"))
+    cand = (
+        ex.alias("l")
+        .join(
+            ex.alias("r"),
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .groupBy(
+            F.col("l.media_id").alias("a_id"),
+            F.col("r.media_id").alias("b_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        cand.join(sizes.withColumnRenamed("media_id", "a_id")
+                  .withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("media_id", "b_id")
+              .withColumnRenamed("n", "nb"), "b_id")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_shared"))
+        .where(2 * F.col("n_shared") >= F.col("n_union"))
+        .select(
+            "a_id", "b_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_union").cast("bigint").alias("n_union"),
+            F.expr("(n_shared * 1000) div n_union").cast("bigint")
+            .alias("jaccard_permille"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 def balance_by_size(df: DataFrame, partitions: int, payload_col: str = "payload") -> DataFrame:
     """Repartition media rows so decode work (∝ payload bytes) spreads
     evenly: round-robin stripe in descending size order — partition i

@@ -438,12 +438,13 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R11_FRONT)
 
 # r12 rotation (VERDICT r11 items 1 + 3; the r11 spill note executed
 # verbatim, plus this round's code changes re-fronted per invariant 3):
-#   (a) the SIX never-driver-checked ops — the five r11 additions the
-#       spill note fronts (embedding_quantile_clip, then the r11b
+#   (a) the SEVEN never-driver-checked ops — the five r11 additions
+#       the spill note fronts (embedding_quantile_clip, then the r11b
 #       additions cluster_balanced_sample and dim_truncation_recall,
 #       then source_token_tvd and ann_mrl_rerank_topk from the cadence
-#       paragraph) plus the new-in-r12 audio_fp_dup_pairs (invariant
-#       1: no operator may reach a second round unchecked);
+#       paragraph) plus the new-in-r12 audio_fp_dup_pairs and
+#       video_frame_dup_pairs (invariant 1: no operator may reach a
+#       second round unchecked);
 #   (b) changed code this round: embedding_dim_variance (the
 #       sign-safe mean_ppm division — the r11 driver-red root cause,
 #       VERDICT item 1, re-fronted per invariant 3),
@@ -455,27 +456,28 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R11_FRONT)
 #   (c) all 31 r8-stale ops, CORRECTNESS_r08 window order
 #       (cube_event_counts .. ann_sq8_ivf_rek_topk) — after this
 #       window nothing is staler than r9;
-#   (d) the 10 oldest r9-stale ops in CORRECTNESS_r09 window order
-#       (rank_fusion_indexed .. dup_ngram_coverage).
-# 6 + 3 + 31 + 10 = 50 slots exactly.
-# CADENCE ARITHMETIC at the r12 registry of 172 entries (r11's 172,
+#   (d) the 9 oldest r9-stale ops in CORRECTNESS_r09 window order
+#       (rank_fusion_indexed .. gopher_quality_rules).
+# 7 + 3 + 31 + 9 = 50 slots exactly.
+# CADENCE ARITHMETIC at the r12 registry of 173 entries (r11's 172,
 # minus ann_multiprobe_recall merged into ann_nprobe_sweep, plus
-# audio_fp_dup_pairs): steady-state max staleness stays
-# ceil(172/50) = 4 rounds. Spilling to r13: the remaining 28 r9-stale
-# ops oldest-first (temperature_resample, label_centroid_similarity,
-# dedup_exact, dedup_token_set, the q9-q17 relational block,
-# dedup_rate_by_source, ngram_novelty, rare_token_ratio,
-# funnel_conversion, retention_cohorts, gap_fill, ohlc_downsample,
-# ts_downsample, dedup_clusters, rolling_window_7d,
-# dedup_prefix_filter, source_minhash_similarity, semdedup_ivf,
-# ann_ivf_trained_topk, ann_pq_adc_topk), then the r10-stale rotation
-# oldest-first. The three invariants hold: zero ever-unchecked after
-# each round, strict oldest-first, changed code re-fronts.
+# audio_fp_dup_pairs and video_frame_dup_pairs): steady-state max
+# staleness stays ceil(173/50) = 4 rounds. Spilling to r13: the
+# remaining 29 r9-stale ops oldest-first (dup_ngram_coverage,
+# temperature_resample, label_centroid_similarity, dedup_exact,
+# dedup_token_set, the q9-q17 relational block, dedup_rate_by_source,
+# ngram_novelty, rare_token_ratio, funnel_conversion,
+# retention_cohorts, gap_fill, ohlc_downsample, ts_downsample,
+# dedup_clusters, rolling_window_7d, dedup_prefix_filter,
+# source_minhash_similarity, semdedup_ivf, ann_ivf_trained_topk,
+# ann_pq_adc_topk), then the r10-stale rotation oldest-first. The
+# three invariants hold: zero ever-unchecked after each round, strict
+# oldest-first, changed code re-fronts.
 _R12_FRONT = [
     # (a) never driver-checked
     "embedding_quantile_clip", "cluster_balanced_sample",
     "dim_truncation_recall", "source_token_tvd", "ann_mrl_rerank_topk",
-    "audio_fp_dup_pairs",
+    "audio_fp_dup_pairs", "video_frame_dup_pairs",
     # (b) changed code this round — re-front per invariant 3
     "embedding_dim_variance", "seasonal_hourly_profile",
     "ann_nprobe_sweep",
@@ -496,7 +498,6 @@ _R12_FRONT = [
     "window_selfdup_cut_first", "packing_efficiency_curve",
     "contamination_ngram_sizes", "pii_extract_stats",
     "boilerplate_line_cut", "curation_funnel", "gopher_quality_rules",
-    "dup_ngram_coverage",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R12_FRONT)

@@ -944,6 +944,38 @@ def _audio_fp_table_cte() -> str:
           FROM documents d LEFT JOIN afl f ON d.doc_id = f.doc_id)"""
 
 
+def _video_frame_pairs_sql() -> str:
+    """Brute-force ground truth for pipeline.video_frame_dup_pairs
+    (r12): ALL id-ordered pairs with exact list_intersect over the
+    same deterministic frame-hash sets (string-identical md5 inputs),
+    kept iff 2|I| >= |U| — any candidate the equi-join missed or the
+    verify mis-scored shows up as a value-hash mismatch. The permille
+    divide is of non-negative integers (sign-safe by domain)."""
+    return """
+        WITH fs AS (
+          SELECT doc_id AS media_id,
+                 [md5(concat('vf:', CAST(doc_id // 4 AS VARCHAR), ':',
+                             CAST(k AS VARCHAR)))
+                  FOR k IN range(
+                    ([1, 2, 7, 10])[CAST(doc_id % 4 AS INT) + 1],
+                    ([1, 2, 7, 10])[CAST(doc_id % 4 AS INT) + 1] + 4)]
+                   AS fh
+          FROM documents),
+        p AS (
+          SELECT a.media_id AS a_id, b.media_id AS b_id,
+                 len(list_intersect(a.fh, b.fh)) AS i,
+                 len(a.fh) + len(b.fh) - len(list_intersect(a.fh, b.fh))
+                   AS u
+          FROM fs a JOIN fs b ON a.media_id < b.media_id)
+        SELECT a_id, b_id,
+               CAST(i AS BIGINT) AS n_shared,
+               CAST(u AS BIGINT) AS n_union,
+               CAST((i * 1000) // u AS BIGINT) AS jaccard_permille
+        FROM p WHERE 2 * i >= u
+        ORDER BY a_id, b_id
+    """
+
+
 def _audio_fp_pairs_sql() -> str:
     """Brute-force ground truth for pipeline.audio_fp_dup_pairs (r12):
     ALL id-ordered pairs with bit_count(xor()) <= 7 over the same
@@ -3367,6 +3399,7 @@ ORACLE_SQL["quality_survival_curve"] = _quality_curve_sql()
 ORACLE_SQL["near_dup_pagerank_converged"] = _pagerank_converged_sql()
 ORACLE_SQL["phash_dup_pairs"] = _phash_pairs_sql()
 ORACLE_SQL["audio_fp_dup_pairs"] = _audio_fp_pairs_sql()
+ORACLE_SQL["video_frame_dup_pairs"] = _video_frame_pairs_sql()
 ORACLE_SQL["dedup_edit_distance"] = _edit_distance_sql()
 ORACLE_SQL["phash_dup_clusters"] = _phash_clusters_sql()
 ORACLE_SQL["window_selfdup_cut"] = _selfdup_cut_sql()

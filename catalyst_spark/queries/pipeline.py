@@ -1195,6 +1195,52 @@ def _synthetic_audio_fp(docs: DataFrame) -> DataFrame:
     )
 
 
+def video_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video near-dup join's hard CORRECTNESS row (r12 — extends
+    the near-dup family to its fourth modality: text shingles, image
+    pHash, audio energy contour, and now video sampled-frame content
+    hashes): multimodal.video_dup_pairs — equi self-join on the
+    exploded frame hash (candidates = any shared frame, never
+    all-pairs) + the exact integer Jaccard >= 0.5 verify 2|I| >= |U| —
+    run on a deterministic frame-hash-set table both engines derive
+    from `documents`, value-checked against a DuckDB BRUTE-FORCE
+    list_intersect over ALL id-ordered pairs. The REAL frame pipeline
+    (multimodal.video_frame_hashes: sample_frames' BMFF sample-table
+    reads -> per-frame md5 -> set) stays pytest-verified on
+    constructed MP4s, DuckDB having no container parser by nature.
+
+    The synthetic table plants straddling overlap: docs in groups of 4
+    draw 4-frame windows from a shared 13-frame pool at offsets
+    (1, 2, 7, 10) keyed by doc_id % 4 — members 0/1 overlap 3 of 5
+    (Jaccard 0.6, a dup), members 2/3 overlap 1 of 7 (0.14, a
+    candidate the verify must REJECT), every other pair shares nothing
+    (never a candidate) — so the equi-join candidate set and the
+    >= 0.5 verify are each exercised on both sides of their line."""
+    from catalyst_spark.multimodal import video_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return video_dup_pairs(_synthetic_frame_sets(docs))
+
+
+def _synthetic_frame_sets(docs: DataFrame) -> DataFrame:
+    """Deterministic sampled-frame hash sets derived from `documents`
+    (the container has no video corpus): group g = doc_id div 4 owns a
+    13-hash pool md5('vf:<g>:<k>'), member m = doc_id % 4 takes the
+    4-frame window starting at offset (1, 2, 7, 10)[m] — the straddle
+    structure the op docstring derives. String-identical md5 inputs on
+    both engines. Shared by the batch pair join, the streaming
+    classifier's corpus index, and the replay tests."""
+    off = "element_at(array(1, 2, 7, 10), cast(doc_id % 4 as int) + 1)"
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            f"transform(sequence({off}, {off} + 3),"
+            " k -> md5(concat('vf:', cast(doc_id div 4 as string), ':',"
+            " cast(k as string))))"
+        ).alias("frame_hashes"),
+    )
+
+
 def phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup MATERIALIZATION: connected components over the
     banded pHash pair set — (media_id, cluster_id = min reachable
@@ -7410,6 +7456,7 @@ PIPELINE_QUERIES = {
     "near_dup_pagerank_converged": near_dup_pagerank_converged,
     "phash_dup_pairs": phash_dup_pairs,
     "audio_fp_dup_pairs": audio_fp_dup_pairs,
+    "video_frame_dup_pairs": video_frame_dup_pairs,
     "dedup_edit_distance": dedup_edit_distance,
     "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
     "phash_dup_clusters": phash_dup_clusters,

@@ -495,6 +495,125 @@ def audio_fp_band_index(spark, sf_dir: str) -> DataFrame:
     ).select("old_id", "old_ph", "band.b", "band.v")
 
 
+def video_frame_index(spark, sf_dir: str) -> DataFrame:
+    """Corpus-side sampled-frame hash index for ingest-time video
+    near-dup classification (r12 — the fourth modality of the ingest
+    classification family): the already-ingested corpus's frame-hash
+    sets (doc_id % _SHARD_MOD != 0) exploded to one row per (video,
+    frame hash), each row carrying the corpus video's set size for the
+    exact Jaccard verify. Static and hash-bucketable at 100 TB like
+    the band indexes."""
+    from catalyst_spark.queries.pipeline import (
+        _SHARD_MOD,
+        _synthetic_frame_sets,
+    )
+    from catalyst_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    fs = _synthetic_frame_sets(docs.where(F.col("doc_id") % _SHARD_MOD != 0))
+    return fs.select(
+        F.col("media_id").alias("old_id"),
+        F.size("frame_hashes").alias("old_n"),
+        F.explode("frame_hashes").alias("h"),
+    )
+
+
+def _video_classify_update(key, pdfs, state):
+    """Per-arriving-video state: the DISTINCT matched (corpus id,
+    frame hash) pairs — merged idempotently under re-delivery — plus
+    the arriving set's size. Emission re-derives per-corpus-video
+    intersection counts from the merged pairs and applies the exact
+    integer Jaccard >= 0.5 verdict 2|I| >= |U|."""
+    import pandas as pd
+
+    (media_id,) = key
+    matched, n_new, n_seen = (
+        state.get if state.exists else ([], 0, 0))
+    pairs = set(matched)
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    for r in cand.itertuples():
+        if r.old_id >= 0:
+            pairs.add(f"{int(r.old_id)}|{int(r.old_n)}|{r.h}")
+        n_new = max(int(n_new), int(r.n_new))
+    n_seen = int(n_seen) + len(cand)
+    state.update((sorted(pairs), int(n_new), int(n_seen)))
+    inter: dict[tuple[int, int], int] = {}
+    for p in pairs:
+        oid, on, _ = p.split("|", 2)
+        k2 = (int(oid), int(on))
+        inter[k2] = inter.get(k2, 0) + 1
+    best = -1
+    n_dup = 0
+    for (oid, on), i in inter.items():
+        u = n_new + on - i
+        if 2 * i >= u:
+            n_dup += 1
+            best = max(best, (i * 1000) // u)
+    yield pd.DataFrame({
+        "media_id": [int(media_id)],
+        "status": ["dup" if n_dup else "kept"],
+        "n_matches": [n_dup],
+        "best_jaccard_permille": [best if n_dup else None],
+        "n_seen": [n_seen],
+    })
+
+
+def stream_video_dup_classify(
+    media_stream: DataFrame, frame_index: DataFrame,
+) -> DataFrame:
+    """Ingest-time video near-dup classification (r12): each arriving
+    (media_id, frame_hashes) row explodes its sampled-frame hashes
+    INSIDE THE ROW, a stream-static equi-join on the hash touches only
+    corpus videos sharing at least one frame (complete for any
+    non-empty intersection, trivially), and keyed state merges the
+    distinct matched (corpus id, hash) pairs so the exact integer
+    Jaccard >= 0.5 verdict 2|I| >= |U| is re-derived per emission —
+    idempotent under re-delivery. A re-muxed upload is flagged at
+    ingest by frame content, not container bytes; replay test
+    converges to batch video_frame_dup_pairs' verdicts."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ex = media_stream.select(
+        "media_id",
+        F.size("frame_hashes").alias("n_new"),
+        F.explode("frame_hashes").alias("h"),
+    )
+    match = (
+        ex.join(frame_index, "h")
+        .where(F.col("media_id") != F.col("old_id"))
+        .select("media_id", "n_new", "old_id", "old_n", "h")
+    )
+    base = media_stream.select(
+        "media_id",
+        F.size("frame_hashes").alias("n_new"),
+        F.lit(-1).cast("bigint").alias("old_id"),
+        F.lit(-1).cast("int").alias("old_n"),
+        F.lit("").alias("h"),
+    )
+    rows = base.unionByName(match.select(
+        "media_id", "n_new", "old_id", F.col("old_n").cast("int"), "h"))
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_matches", T.IntegerType()),
+        T.StructField("best_jaccard_permille", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("matched", T.ArrayType(T.StringType())),
+        T.StructField("n_new", T.IntegerType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    return rows.groupBy("media_id").applyInPandasWithState(
+        _video_classify_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_audio_fp_classify(
     media_stream: DataFrame, band_index: DataFrame,
     max_hamming: int = 7,

@@ -614,6 +614,36 @@ def test_sample_frames_real_mp4_samples(spark):
     ]
 
 
+def test_video_frame_hashes_and_dup_pairs_real_mp4(spark):
+    """The video near-dup primitive over REAL constructed MP4s (r12):
+    a re-mux — the same codec sample payloads in a differently-sized
+    container — must share its sampled-frame hashes with the original
+    and pass the exact Jaccard >= 0.5 verify; unrelated material must
+    produce no pair. Every sampled frame hash comes from the BMFF
+    sample table, not container offsets."""
+    from catalyst_spark.multimodal import video_dup_pairs, video_frame_hashes
+
+    frames_a = [bytes([65 + i]) * 8 for i in range(12)]
+    # the "re-mux": identical samples, one replaced — with every_n=3 /
+    # max_frames=4 the sampler reads samples 0/3/6/9, so sets overlap
+    # 3 of 4 (union 5): jaccard 600 permille, a dup
+    frames_b = list(frames_a)
+    frames_b[9] = b"Z" * 16
+    # unrelated material: disjoint sample bytes
+    frames_c = [bytes([100 + i]) * 8 for i in range(12)]
+    df = spark.createDataFrame(
+        [Row(media_id=i, kind="video", payload=bytearray(mp4_bytes(f)))
+         for i, f in ((1, frames_a), (2, frames_b), (3, frames_c))],
+        "media_id long, kind string, payload binary")
+    fh = video_frame_hashes(df, every_n=3, max_frames=4)
+    got = {r["media_id"]: r["frame_hashes"] for r in fh.collect()}
+    assert len(got[1]) == 4 and len(set(got[1]) & set(got[2])) == 3
+    assert not set(got[1]) & set(got[3])
+    pairs = video_dup_pairs(fh).collect()
+    assert [(r["a_id"], r["b_id"], r["n_shared"], r["n_union"],
+             r["jaccard_permille"]) for r in pairs] == [(1, 2, 3, 5, 600)]
+
+
 def test_mp4_lying_stsz_count_rejected(spark):
     """ADVICE r4: a truncated/lying stsz sample count must raise (and
     the frame sampler must fall back to the honest stub path), not

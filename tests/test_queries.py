@@ -37,14 +37,14 @@ def test_driver_window_composition():
     """The driver's CORRECTNESS window is the FIRST 50 registry keys in
     insertion order; the r12 rotation plan (queries/__init__.py,
     VERDICT r11 items 1 + 3) promises exactly the _R12_FRONT prefix
-    there — the 6 never-driver-checked ops first (the five r11
-    additions the spill note fronts plus the new audio rung), then the
-    3 changed-code re-fronts (the sign-safe division fixes and the
-    nprobe-sweep merge), then all 31 r8-stale ops, then the 10 oldest
-    r9-stale — with the remaining r9-stale spill deliberately PAST the
-    window (named in the r13 rotation note) so max driver staleness
-    stays bounded. Pin both, so a registry edit cannot silently
-    reshuffle the window before the driver runs."""
+    there — the 7 never-driver-checked ops first (the five r11
+    additions the spill note fronts plus the new audio and video
+    rungs), then the 3 changed-code re-fronts (the sign-safe division
+    fixes and the nprobe-sweep merge), then all 31 r8-stale ops, then
+    the 9 oldest r9-stale — with the remaining r9-stale spill
+    deliberately PAST the window (named in the r13 rotation note) so
+    max driver staleness stays bounded. Pin both, so a registry edit
+    cannot silently reshuffle the window before the driver runs."""
     from catalyst_spark.queries import _R12_FRONT
 
     names = list(ALL_QUERIES)
@@ -52,17 +52,18 @@ def test_driver_window_composition():
     assert names[:50] == _R12_FRONT
     # the hard-signal bar: the never-checked ops lead the window,
     # followed immediately by the changed-code re-fronts
-    assert names[:9] == [
+    assert names[:10] == [
         "embedding_quantile_clip", "cluster_balanced_sample",
         "dim_truncation_recall", "source_token_tvd",
         "ann_mrl_rerank_topk", "audio_fp_dup_pairs",
+        "video_frame_dup_pairs",
         "embedding_dim_variance", "seasonal_hourly_profile",
         "ann_nprobe_sweep",
     ]
     # the r13 spill: the remaining r9-stale ops sit past the window
-    for late in ("temperature_resample", "label_centroid_similarity",
-                 "dedup_exact", "q9_semi_join", "dedup_clusters",
-                 "ann_pq_adc_topk"):
+    for late in ("dup_ngram_coverage", "temperature_resample",
+                 "label_centroid_similarity", "dedup_exact",
+                 "q9_semi_join", "dedup_clusters", "ann_pq_adc_topk"):
         assert names.index(late) >= 50, late
     # the merged-away keys are gone from registry and oracles
     for gone in ("ann_recall_at_5", "ann_pq_recall", "ann_ivfpq_recall",

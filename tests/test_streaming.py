@@ -2444,6 +2444,77 @@ def test_stream_audio_fp_classify_matches_batch(spark, tmp_path):
             == want[mid], mid
 
 
+def test_stream_video_dup_classify_matches_batch(spark, tmp_path):
+    """Streaming video near-dup classifier (r12 — the fourth modality
+    of the ingest classification family): replaying the shard's
+    sampled-frame hash sets (doc_id % 7 == 0, one batch RE-DELIVERED)
+    against the corpus frame index must converge per video to the
+    brute-force classification — corpus videos passing the exact
+    integer Jaccard >= 0.5 test 2|I| >= |U|, their count, and the best
+    truncated permille — proving the equi-join candidates + in-state
+    verify reproduce batch video_frame_dup_pairs' verdicts online."""
+    import json
+
+    from catalyst_spark.queries.pipeline import _synthetic_frame_sets
+    from catalyst_spark.streaming.minhash import (
+        stream_video_dup_classify,
+        video_frame_index,
+    )
+    from catalyst_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    shard = _synthetic_frame_sets(docs.where("doc_id % 7 = 0")).collect()
+    corpus = _synthetic_frame_sets(docs.where("doc_id % 7 != 0")).collect()
+    assert shard and corpus
+
+    want = {}
+    for s in shard:
+        sset = set(s["frame_hashes"])
+        n_dup, best = 0, -1
+        for c in corpus:
+            cset = set(c["frame_hashes"])
+            i = len(sset & cset)
+            u = len(sset | cset)
+            if i and 2 * i >= u:
+                n_dup += 1
+                best = max(best, (i * 1000) // u)
+        want[s["media_id"]] = (
+            "dup" if n_dup else "kept", n_dup, best if n_dup else None)
+    assert any(v[0] == "dup" for v in want.values())
+    assert any(v[0] == "kept" for v in want.values())
+
+    idx = video_frame_index(spark, SF_DIR)
+    d = tmp_path / "videofh_stream"
+    d.mkdir()
+    half = max(1, len(shard) // 2)
+    batches = [shard[:half], shard[half:], shard[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"media_id": r["media_id"],
+                        "frame_hashes": list(r["frame_hashes"])})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("media_id long, frame_hashes array<string>")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_video_dup_classify(stream, idx)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("videofh_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from videofh_stream").collect()
+    latest = {}
+    for r in rows:
+        if (r["media_id"] not in latest
+                or r["n_seen"] > latest[r["media_id"]]["n_seen"]):
+            latest[r["media_id"]] = r
+    assert set(latest) == set(want)
+    for mid, r in latest.items():
+        assert (r["status"], r["n_matches"], r["best_jaccard_permille"]) \
+            == want[mid], mid
+
+
 def test_stream_pack_sequences_matches_batch(spark, tmp_path):
     """Ingest-time next-fit packing (VERDICT r10 item 8): replaying the
     corpus as a file stream in doc_id order (one batch RE-DELIVERED)
