@@ -669,7 +669,8 @@ _SCALE_QUERIES = _SCALE_QUERIES + (
     "cusum_changepoints", "holt_linear_smooth", "ohlc_downsample",
     "ts_downsample", "seasonal_hourly_profile", "lag_features",
     "burn_rate_windows", "value_histogram", "equi_depth_bins",
-    "distinct_sketch", "hll_distinct_sketch", "percentile_sketch",
+    # hll_distinct_sketch absorbed into distinct_sketch (r12 merge)
+    "distinct_sketch", "percentile_sketch",
     "asof_prior_click", "incremental_rollup_merge", "json_props_stats",
     "pivot_event_counts", "cube_event_counts", "top3_per_group",
     # documents/text tail: scans + vocabulary-sized aggregates

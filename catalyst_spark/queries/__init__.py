@@ -452,27 +452,29 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R11_FRONT)
 #       latent twin the r11 judge scan flagged), ann_nprobe_sweep
 #       (absorbed ann_multiprobe_recall as section='probe_exact'
 #       rows; the merged key carries the only driver coverage of the
-#       absorbed values);
+#       absorbed values), distinct_sketch (absorbed
+#       hll_distinct_sketch as sketch='hll' rows — same pattern);
 #   (c) all 31 r8-stale ops, CORRECTNESS_r08 window order
 #       (cube_event_counts .. ann_sq8_ivf_rek_topk) — after this
 #       window nothing is staler than r9;
-#   (d) the 9 oldest r9-stale ops in CORRECTNESS_r09 window order
-#       (rank_fusion_indexed .. gopher_quality_rules).
-# 7 + 3 + 31 + 9 = 50 slots exactly.
-# CADENCE ARITHMETIC at the r12 registry of 173 entries (r11's 172,
-# minus ann_multiprobe_recall merged into ann_nprobe_sweep, plus
+#   (d) the 8 oldest r9-stale ops in CORRECTNESS_r09 window order
+#       (rank_fusion_indexed .. curation_funnel).
+# 7 + 4 + 31 + 8 = 50 slots exactly.
+# CADENCE ARITHMETIC at the r12 registry of 172 entries (r11's 172,
+# minus ann_multiprobe_recall merged into ann_nprobe_sweep, minus
+# hll_distinct_sketch merged into distinct_sketch, plus
 # audio_fp_dup_pairs and video_frame_dup_pairs): steady-state max
-# staleness stays ceil(173/50) = 4 rounds. Spilling to r13: the
-# remaining 29 r9-stale ops oldest-first (dup_ngram_coverage,
-# temperature_resample, label_centroid_similarity, dedup_exact,
-# dedup_token_set, the q9-q17 relational block, dedup_rate_by_source,
-# ngram_novelty, rare_token_ratio, funnel_conversion,
-# retention_cohorts, gap_fill, ohlc_downsample, ts_downsample,
-# dedup_clusters, rolling_window_7d, dedup_prefix_filter,
-# source_minhash_similarity, semdedup_ivf, ann_ivf_trained_topk,
-# ann_pq_adc_topk), then the r10-stale rotation oldest-first. The
-# three invariants hold: zero ever-unchecked after each round, strict
-# oldest-first, changed code re-fronts.
+# staleness stays ceil(172/50) = 4 rounds. Spilling to r13: the
+# remaining 30 r9-stale ops oldest-first (gopher_quality_rules,
+# dup_ngram_coverage, temperature_resample, label_centroid_similarity,
+# dedup_exact, dedup_token_set, the q9-q17 relational block,
+# dedup_rate_by_source, ngram_novelty, rare_token_ratio,
+# funnel_conversion, retention_cohorts, gap_fill, ohlc_downsample,
+# ts_downsample, dedup_clusters, rolling_window_7d,
+# dedup_prefix_filter, source_minhash_similarity, semdedup_ivf,
+# ann_ivf_trained_topk, ann_pq_adc_topk), then the r10-stale rotation
+# oldest-first. The three invariants hold: zero ever-unchecked after
+# each round, strict oldest-first, changed code re-fronts.
 _R12_FRONT = [
     # (a) never driver-checked
     "embedding_quantile_clip", "cluster_balanced_sample",
@@ -480,7 +482,7 @@ _R12_FRONT = [
     "audio_fp_dup_pairs", "video_frame_dup_pairs",
     # (b) changed code this round — re-front per invariant 3
     "embedding_dim_variance", "seasonal_hourly_profile",
-    "ann_nprobe_sweep",
+    "ann_nprobe_sweep", "distinct_sketch",
     # (c) r8-stale, CORRECTNESS_r08 window order
     "cube_event_counts", "dedup_cluster_size_hist",
     "dedup_embedding_cosine", "dedup_embedding_lsh",
@@ -497,7 +499,7 @@ _R12_FRONT = [
     "rank_fusion_indexed", "incremental_shard_apply",
     "window_selfdup_cut_first", "packing_efficiency_curve",
     "contamination_ngram_sizes", "pii_extract_stats",
-    "boilerplate_line_cut", "curation_funnel", "gopher_quality_rules",
+    "boilerplate_line_cut", "curation_funnel",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R12_FRONT)

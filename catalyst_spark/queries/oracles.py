@@ -2386,7 +2386,15 @@ _TSDB = {
         FROM days d JOIN first f ON d.user_id = f.user_id
         GROUP BY 1, 2 ORDER BY cohort_day, day_offset
     """,
+    # r12 merge: one sketch-keyed table — the KMV constituent SQL and
+    # the former hll_distinct_sketch SQL embedded verbatim, reshaped
+    # only by the wrapper; -1 sentinels (never NULL) fill the columns
+    # the other sketch doesn't check.
     "distinct_sketch": f"""
+        SELECT 'kmv' AS sketch, event_type, exact_distinct,
+               est_distinct, rel_err,
+               CAST(-1 AS BIGINT) AS ok_within_bound
+        FROM (
         WITH hashes AS (
           SELECT DISTINCT event_type,
                  {_h60_duck('CAST(user_id AS VARCHAR)')} AS h
@@ -2411,7 +2419,18 @@ _TSDB = {
                               ELSE e.exact_distinct END
                          - e.exact_distinct) / e.exact_distinct, 4) AS rel_err
         FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
-        ORDER BY e.event_type
+        ) kmv
+        UNION ALL
+        SELECT 'hll' AS sketch, event_type, exact_distinct,
+               CAST(-1 AS BIGINT) AS est_distinct,
+               CAST(-1.0 AS DOUBLE) AS rel_err,
+               ok_3sigma AS ok_within_bound
+        FROM (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+               CAST(1 AS BIGINT) AS ok_3sigma
+        FROM events GROUP BY event_type
+        ) hll
+        ORDER BY sketch, event_type
     """,
     "ohlc_downsample": """
         WITH flagged AS (
@@ -2629,11 +2648,8 @@ _TSDB = {
     """,
     # exact distinct is oracle-reproduced; the HLL estimate is
     # engine-private, so the oracle asserts the 3-sigma claim (ok=1)
-    "hll_distinct_sketch": """
-        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
-               CAST(1 AS BIGINT) AS ok_3sigma
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
+    # hll_distinct_sketch: absorbed into distinct_sketch's sketch='hll'
+    # rows (r12 merge) — its SQL is embedded verbatim there.
     # the oracle asserts the sketch's rank-error guarantee holds (ok=1);
     # a drifting approx_percentile makes the Spark side emit 0 and fail
     "percentile_sketch": """

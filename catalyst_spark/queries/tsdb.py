@@ -1005,15 +1005,29 @@ _KMV_SPACE = float(1 << 60)  # _h60 hash space
 
 
 def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV (k-minimum-values) distinct-count sketch per event type,
-    reported against the exact count as a calibration query: the k-th
-    smallest 60-bit hash h_k of the distinct user set estimates
-    n ~= (k-1) * 2^60 / h_k. KMV is the mergeable sketch shape a
-    100 TB rollup would keep per partition and union; md5-derived
-    hashing (pipeline._h60) makes the estimate bit-identical across
-    engines — unlike HLL, whose register layout is engine-private.
-    63 * 2^60 has 6 significant bits, so the double product is exact
-    and the floor() is deterministic everywhere."""
+    """Distinct-count sketch calibration as ONE sketch-keyed table
+    (r12 merge — the serving_overlap pattern applied to the two
+    distinct-count calibrations, returning a rotation slot without
+    weakening either oracle):
+
+      * sketch='kmv' — the k-minimum-values estimate per event type
+        against the exact count: the k-th smallest 60-bit hash h_k of
+        the distinct user set estimates n ~= (k-1) * 2^60 / h_k. KMV
+        is the mergeable sketch shape a 100 TB rollup would keep per
+        partition and union; md5-derived hashing (pipeline._h60) makes
+        the ESTIMATE bit-identical across engines, so est_distinct and
+        rel_err are full value-checked columns. 63 * 2^60 has 6
+        significant bits, so the double product is exact and the
+        floor() is deterministic everywhere. ok_within_bound = -1
+        sentinel (KMV's check IS the exact rel_err value).
+      * sketch='hll' — the former hll_distinct_sketch rows:
+        approx_count_distinct (HyperLogLog++, the engine-native sketch
+        whose register layout is engine-private, so the estimate can't
+        be oracle-reproduced) asserted within 3x its declared relative
+        standard deviation; est_distinct/rel_err carry -1 sentinels
+        (never NULL — canonical row sorting must not compare NULL with
+        a number), ok_within_bound is the checked claim.
+    """
     events = load(spark, sf_dir, "events")
     hashes = events.select(
         "event_type",
@@ -1032,18 +1046,28 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hk").isNotNull(),
         F.floor((_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("hk")),
     ).otherwise(F.col("exact_distinct"))
-    return (
+    kmv = (
         exact.join(kth, "event_type", "left")
         .select(
+            F.lit("kmv").alias("sketch"),
             "event_type",
             "exact_distinct",
-            est.alias("est_distinct"),
+            est.cast("bigint").alias("est_distinct"),
             F.round(
                 F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
             ).alias("rel_err"),
+            F.lit(-1).cast("long").alias("ok_within_bound"),
         )
-        .orderBy("event_type")
     )
+    hll = hll_distinct_sketch(spark, sf_dir).select(
+        F.lit("hll").alias("sketch"),
+        "event_type",
+        "exact_distinct",
+        F.lit(-1).cast("bigint").alias("est_distinct"),
+        F.lit(-1.0).alias("rel_err"),
+        F.col("ok_3sigma").alias("ok_within_bound"),
+    )
+    return kmv.unionByName(hll).orderBy("sketch", "event_type")
 
 
 # histogram_quantile bucket bounds (le) and quantiles — the Prometheus
@@ -1873,7 +1897,9 @@ TSDB_QUERIES = {
     "json_props_stats": json_props_stats,
     "value_percentiles": value_percentiles,
     "percentile_sketch": percentile_sketch,
-    "hll_distinct_sketch": hll_distinct_sketch,
+    # hll_distinct_sketch: absorbed into distinct_sketch's
+    # sketch='hll' rows (r12 merge) — function retained, called by the
+    # merged table.
     "ewma_smooth": ewma_smooth,
     "robust_outliers": robust_outliers,
     "incremental_rollup_merge": incremental_rollup_merge,

@@ -39,12 +39,12 @@ def test_driver_window_composition():
     VERDICT r11 items 1 + 3) promises exactly the _R12_FRONT prefix
     there — the 7 never-driver-checked ops first (the five r11
     additions the spill note fronts plus the new audio and video
-    rungs), then the 3 changed-code re-fronts (the sign-safe division
-    fixes and the nprobe-sweep merge), then all 31 r8-stale ops, then
-    the 9 oldest r9-stale — with the remaining r9-stale spill
-    deliberately PAST the window (named in the r13 rotation note) so
-    max driver staleness stays bounded. Pin both, so a registry edit
-    cannot silently reshuffle the window before the driver runs."""
+    rungs), then the 4 changed-code re-fronts (the sign-safe division
+    fixes and the two merges), then all 31 r8-stale ops, then the 8
+    oldest r9-stale — with the remaining r9-stale spill deliberately
+    PAST the window (named in the r13 rotation note) so max driver
+    staleness stays bounded. Pin both, so a registry edit cannot
+    silently reshuffle the window before the driver runs."""
     from catalyst_spark.queries import _R12_FRONT
 
     names = list(ALL_QUERIES)
@@ -52,18 +52,19 @@ def test_driver_window_composition():
     assert names[:50] == _R12_FRONT
     # the hard-signal bar: the never-checked ops lead the window,
     # followed immediately by the changed-code re-fronts
-    assert names[:10] == [
+    assert names[:11] == [
         "embedding_quantile_clip", "cluster_balanced_sample",
         "dim_truncation_recall", "source_token_tvd",
         "ann_mrl_rerank_topk", "audio_fp_dup_pairs",
         "video_frame_dup_pairs",
         "embedding_dim_variance", "seasonal_hourly_profile",
-        "ann_nprobe_sweep",
+        "ann_nprobe_sweep", "distinct_sketch",
     ]
     # the r13 spill: the remaining r9-stale ops sit past the window
-    for late in ("dup_ngram_coverage", "temperature_resample",
-                 "label_centroid_similarity", "dedup_exact",
-                 "q9_semi_join", "dedup_clusters", "ann_pq_adc_topk"):
+    for late in ("gopher_quality_rules", "dup_ngram_coverage",
+                 "temperature_resample", "label_centroid_similarity",
+                 "dedup_exact", "q9_semi_join", "dedup_clusters",
+                 "ann_pq_adc_topk"):
         assert names.index(late) >= 50, late
     # the merged-away keys are gone from registry and oracles
     for gone in ("ann_recall_at_5", "ann_pq_recall", "ann_ivfpq_recall",
@@ -71,7 +72,7 @@ def test_driver_window_composition():
                  "ann_sq8_recall", "ann_sq8_ivf_recall",
                  "ann_sq8_ivf_rek_recall", "rank_fusion_recall",
                  "hard_negative_overlap", "lsh_recall_vs_exact",
-                 "ann_multiprobe_recall"):
+                 "ann_multiprobe_recall", "hll_distinct_sketch"):
         assert gone not in ALL_QUERIES and gone not in ORACLE_SQL, gone
 
 
@@ -94,10 +95,17 @@ def test_funnel_is_monotone(spark):
 
 
 def test_kmv_estimate_within_bound(spark):
-    """KMV standard error is ~1/sqrt(k-1); assert a generous 5-sigma."""
+    """KMV standard error is ~1/sqrt(k-1); assert a generous 5-sigma.
+    (r12: the table is sketch-keyed — the KMV bound applies to the
+    'kmv' rows; the 'hll' rows carry their own checked 3-sigma claim
+    in ok_within_bound, asserted here too.)"""
     from catalyst_spark.queries.tsdb import distinct_sketch, _KMV_K
 
-    for r in distinct_sketch(spark, SF_DIR).collect():
+    rows = distinct_sketch(spark, SF_DIR).collect()
+    assert {r["sketch"] for r in rows} == {"kmv", "hll"}
+    for r in [r for r in rows if r["sketch"] == "hll"]:
+        assert r["ok_within_bound"] == 1
+    for r in [r for r in rows if r["sketch"] == "kmv"]:
         if r["exact_distinct"] >= _KMV_K:
             sigma = 1.0 / (_KMV_K - 1) ** 0.5
             assert abs(r["est_distinct"] - r["exact_distinct"]) \
