@@ -55,6 +55,12 @@ def _value_expr() -> Column:
               F.col("value_l").cast("string"))
         .when(F.col("value_type") == "string",
               F.concat(F.lit("'"), query_escape(F.col("value_s")), F.lit("'")))
+        # 'opaque' (OpenTSDB object/array values): Go's default branch
+        # url.QueryEscape(fmt "%v") — UNQUOTED, no '+' fix-up
+        # (:470-473). value_s carries the structure's JSON text; the
+        # fmt-%v-vs-JSON rendering dialect deviation is documented at
+        # the producer (parsers/opentsdb.py).
+        .when(F.col("value_type") == "opaque", query_escape(F.col("value_s")))
         # Go nil interface through the %v default branch -> "<nil>" escaped
         .otherwise(F.lit("%3Cnil%3E"))
     )

@@ -282,6 +282,16 @@ def gc_stale_artifacts(sf_dir: str, fingerprint: list[int],
             fp, family = None, fp_of  # unreadable: candidate in any pass
         if family != fp_of or fp == list(fingerprint):
             continue
+        # ADVICE r12 (TOCTOU): a writer may have touched the sentinel
+        # AFTER the stat above and already os.replace'd fresh data —
+        # deleting now would strand meta-without-data. Re-check the
+        # sentinel immediately before the irreversible deletes; a
+        # fresh sentinel means a save/restore arrived mid-pass.
+        try:
+            if time.time() - sent.stat().st_mtime < _GC_GRACE_SECONDS:
+                continue  # writer arrived between the stat and here
+        except OSError:
+            pass  # still no sentinel — proceed to reap
         data = meta.with_suffix(".parquet")
         if data.is_dir():
             shutil.rmtree(data, ignore_errors=True)

@@ -159,13 +159,25 @@ def parse_opentsdb(
     vt = F.col("_vt")
     is_num = vt.isin(*[t.strip("'") for t in _NUMERIC_VT.split(",")]) \
         | vt.startswith("DECIMAL")
+    # OBJECT/ARRAY values: Go decodes them into map[string]interface{}
+    # / []interface{} and the encoder's default branch renders
+    # url.QueryEscape(fmt "%v") — UNQUOTED (ref core/warp.go:470-473,
+    # e.g. `map[a:1]`). We tag them 'opaque' and carry the variant's
+    # JSON text as value_s; encode.py renders it unquoted-escaped like
+    # Go's default branch. DELIBERATE DIALECT DEVIATION (ADVICE r12,
+    # documented): the rendering is canonical JSON (`{"a":1}`), not
+    # Go's fmt-%v (`map[a:1]`) — same structure, cross-language
+    # rendering instead of Go's debug format. (This also supersedes
+    # the r11 string-capture path, which QUOTED the raw text like a
+    # JSON string value — further from Go than either.)
+    is_opaque = vt.startswith("OBJECT") | vt.startswith("ARRAY")
     value_type = (
         F.when(vt == "BOOLEAN", "boolean")
         .when(is_num, "double")
         .when(vt == "STRING", "string")
-        # VOID (JSON null / missing / corrupt) and OBJECT/ARRAY values
-        # land here — Go's interface{} holds neither float64, string
-        # nor bool for those, same as the old triple-schema nulls
+        .when(is_opaque, "opaque")
+        # VOID (JSON null / missing / corrupt) lands here — Go's nil
+        # interface, encoded as %v of nil
         .otherwise("null")
     )
     error = (
@@ -186,7 +198,7 @@ def parse_opentsdb(
             labels=F.coalesce(F.col("_tags"), F.create_map().cast("map<string,string>")),
             value_d=F.when(value_type == "double", F.col("_cd")),
             value_b=F.when(value_type == "boolean", F.col("_cb")),
-            value_s=F.when(value_type == "string", F.col("_cs")),
+            value_s=F.when(value_type.isin("string", "opaque"), F.col("_cs")),
             value_type=value_type,
             parse_error=error,
         )

@@ -504,6 +504,67 @@ _R12_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R12_FRONT)
 
+# Round-13 driver window (VERDICT r12 items 1–4): the controlled
+# experiment on the three-round embedding_dim_variance red, plus the
+# mandatory staleness-bound rotation.
+#   (a) the THREE never-driver-checked one-round bisection keys
+#       (edv_diag_sums_bigint / edv_diag_sums_decimal /
+#       edv_diag_derived — VERDICT item 1; registry temporarily 175,
+#       keys deleted in r14): same aggregation, three output shapes;
+#       the green/red pattern isolates decimal-type vs value vs
+#       derived-column divergence in the driver's engine pair.
+#   (b) changed code this round: embedding_dim_variance (every checked
+#       column now BIGINT — VERDICT item 2; re-front per invariant 3).
+#   (c) shard_manifest — the decimal control (VERDICT item 3): the
+#       only other decimal-history op, unchecked since the r10 driver;
+#       also the 2nd-oldest r10-stale key, so this slot does double
+#       duty in the rotation.
+#   (d) all 30 r9-stale ops, CORRECTNESS_r09 window order — the
+#       ceil(172/50)=4-round staleness bound expires for them THIS
+#       round (VERDICT item 4; the r12 spill list, held to exactly).
+#   (e) the 15 oldest remaining r10-stale ops, CORRECTNESS_r10 window
+#       order (tokenizer_fertility .. window_overlap_source_matrix).
+# 3 + 1 + 1 + 30 + 15 = 50 slots exactly.
+# CADENCE ARITHMETIC at the r13 registry of 175 entries (172 + the 3
+# one-round diag keys): after this window nothing is staler than r11;
+# 27 r10-stale ops spill to r14 oldest-first (pq_distortion,
+# interval_coverage, semdedup_keep_one, dedup_threshold_sensitivity,
+# ann_ivf_topk, approx_topk_tokens, boilerplate_spans, dedup_keep_best,
+# dedup_keep_one, doc_fingerprint, equi_depth_bins, ewma_smooth,
+# incremental_rollup_merge, lag_features, lang_id_confusion,
+# near_dup_pagerank, near_dup_source_matrix, path_transitions,
+# percentile_sketch, q1–q8), then the r11-stale rotation oldest-first.
+# The three invariants hold: zero ever-unchecked after each round,
+# strict oldest-first, changed code re-fronts.
+_R13_FRONT = [
+    # (a) never driver-checked — the one-round bisection keys
+    "edv_diag_sums_bigint", "edv_diag_sums_decimal", "edv_diag_derived",
+    # (b) changed code — BIGINT rework, re-front per invariant 3
+    "embedding_dim_variance",
+    # (c) the decimal control
+    "shard_manifest",
+    # (d) r9-stale, CORRECTNESS_r09 window order — bound expires now
+    "gopher_quality_rules", "dup_ngram_coverage", "temperature_resample",
+    "label_centroid_similarity", "dedup_exact", "dedup_token_set",
+    "q9_semi_join", "q10_anti_join", "q11_top_k", "q12_set_op",
+    "q13_string_functions", "q14_case_cascade", "q15_union_dedup",
+    "q16_text_group", "q17_exact_dedup_counts", "dedup_rate_by_source",
+    "ngram_novelty", "rare_token_ratio", "funnel_conversion",
+    "retention_cohorts", "gap_fill", "ohlc_downsample", "ts_downsample",
+    "dedup_clusters", "rolling_window_7d", "dedup_prefix_filter",
+    "source_minhash_similarity", "semdedup_ivf", "ann_ivf_trained_topk",
+    "ann_pq_adc_topk",
+    # (e) r10-stale, oldest first (shard_manifest already fronted)
+    "tokenizer_fertility", "chunk_overlap_split",
+    "dsir_importance_weights", "hard_negative_mining", "cdc_chunk_dedup",
+    "ltob_downsample", "embedding_principal_direction",
+    "mmr_diversified_topk", "ann_recall_ladder", "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk", "ann_sq8_topk", "ivf_cell_stats",
+    "bigram_surprisal", "window_overlap_source_matrix",
+]
+
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R13_FRONT)
+
 __all__ = [
     "RELATIONAL_QUERIES",
     "PIPELINE_QUERIES",

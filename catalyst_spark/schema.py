@@ -7,8 +7,11 @@ value splits into typed columns plus a type tag — this preserves the
 encoder's type-directed behavior exactly (ref core/warp.go:447-474).
 
 ``value_type`` is one of 'double' | 'long' | 'boolean' | 'string' |
-'null' ('null' ≙ Go nil interface, e.g. an OpenTSDB point whose JSON
-value is null — encoded as ``%v`` of nil, see encode.py).
+'opaque' | 'null' ('null' ≙ Go nil interface, e.g. an OpenTSDB point
+whose JSON value is null — encoded as ``%v`` of nil; 'opaque' ≙ a Go
+non-scalar interface value, e.g. an OpenTSDB JSON object/array —
+value_s carries its JSON text, encoded unquoted-escaped like Go's
+default ``%v`` branch; see encode.py).
 """
 
 from __future__ import annotations

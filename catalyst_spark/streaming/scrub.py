@@ -709,44 +709,11 @@ def source_drift_index(spark, sf_dir: str):
     return cb, sum(cb)
 
 
-def stream_source_drift(doc_stream: DataFrame, cb: list,
-                        n_total: int) -> DataFrame:
-    """Ingest-time distribution-drift monitor (r11b — the online face
-    of source_token_tvd's hashed column): every arriving document's
-    tokens bucket into the _DSIR_BUCKETS hashed features IN THE ROW
-    (pmod(h60(token), B), the DSIR trick), and per-source keyed state
-    accumulates the bucket counts — B integers per source however
-    large the corpus, the bounded-memory form the batch docstring
-    promises. After each update the source's CURRENT total-variation
-    distance from the broadcast corpus model is emitted in integer
-    permille (python ints are arbitrary-precision, so the arithmetic
-    is the batch op's cleared-denominator form exactly); a scraper
-    regression or language shift in one domain shows up as a rising
-    tvd_hash_permille at ingest, batches before a batch sweep would
-    catch it.
-
-    Delivery is assumed in doc_id order WITHIN a source (the
-    stream_pack_sequences convention); a doc with doc_id <= max seen
-    is skipped, so the counts stay exactly-once and the final emission
-    replay-equals batch tvd_hash_permille. The watermark cannot
-    distinguish a RE-DELIVERY from a genuinely late out-of-order NEW
-    document — under the ordering assumption the latter doesn't
-    exist, but if an upstream violates it the skip would silently
-    bias the counts, so every skipped row increments the emitted
-    cumulative `n_late_dropped` (ADVICE r11): a monitor seeing it
-    rise faster than the replayer's known re-delivery volume has
-    caught an ordering violation, not guessed at one."""
-    from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from catalyst_spark.queries.pipeline import _DSIR_BUCKETS, _h60, TOKENS
-
-    d = doc_stream.select(
-        "source", "doc_id",
-        F.expr(
-            f"transform({TOKENS}, t -> pmod({_h60('t')}, {_DSIR_BUCKETS}))"
-        ).alias("bs"),
-    )
+def _drift_update_factory(cb: list, n_total: int):
+    """The applyInPandasWithState update fn behind stream_source_drift,
+    module-level so the pre-r12 2-field state-restore path (ADVICE
+    r12) is unit-testable without forging an old-schema checkpoint."""
+    from catalyst_spark.queries.pipeline import _DSIR_BUCKETS
 
     def _update(key, pdfs, state):
         import pandas as pd
@@ -754,7 +721,11 @@ def stream_source_drift(doc_stream: DataFrame, cb: list,
         (source,) = key
         if state.exists:
             counts, max_seen = list(state.get[0]), int(state.get[1])
-            n_dropped = int(state.get[2])
+            # ADVICE r12: the n_dropped field was added to the state
+            # schema in r12 — a query restored from a pre-r12
+            # checkpoint carries 2-field state rows; default the
+            # counter to 0 instead of failing the restore on get[2]
+            n_dropped = int(state.get[2]) if len(state.get) > 2 else 0
         else:
             counts, max_seen, n_dropped = [0] * _DSIR_BUCKETS, -1, 0
         cand = pd.concat(list(pdfs), ignore_index=True)
@@ -790,6 +761,58 @@ def stream_source_drift(doc_stream: DataFrame, cb: list,
             "tvd_hash_permille": [tvd],
             "n_late_dropped": [n_dropped],
         })
+
+    return _update
+
+
+def stream_source_drift(doc_stream: DataFrame, cb: list,
+                        n_total: int) -> DataFrame:
+    """Ingest-time distribution-drift monitor (r11b — the online face
+    of source_token_tvd's hashed column): every arriving document's
+    tokens bucket into the _DSIR_BUCKETS hashed features IN THE ROW
+    (pmod(h60(token), B), the DSIR trick), and per-source keyed state
+    accumulates the bucket counts — B integers per source however
+    large the corpus, the bounded-memory form the batch docstring
+    promises. After each update the source's CURRENT total-variation
+    distance from the broadcast corpus model is emitted in integer
+    permille (python ints are arbitrary-precision, so the arithmetic
+    is the batch op's cleared-denominator form exactly); a scraper
+    regression or language shift in one domain shows up as a rising
+    tvd_hash_permille at ingest, batches before a batch sweep would
+    catch it.
+
+    Delivery is assumed in doc_id order WITHIN a source (the
+    stream_pack_sequences convention); a doc with doc_id <= max seen
+    is skipped, so the counts stay exactly-once and the final emission
+    replay-equals batch tvd_hash_permille. The watermark cannot
+    distinguish a RE-DELIVERY from a genuinely late out-of-order NEW
+    document — under the ordering assumption the latter doesn't
+    exist, but if an upstream violates it the skip would silently
+    bias the counts, so every skipped row increments the emitted
+    cumulative `n_late_dropped` (ADVICE r11): a monitor seeing it
+    rise faster than the replayer's known re-delivery volume has
+    caught an ordering violation, not guessed at one.
+
+    Checkpoint compatibility (ADVICE r12): `n_dropped` joined the
+    state tuple in r12. _update defaults it to 0 when a restored
+    state row predates the field; note Spark's state store may ALSO
+    reject a changed state schema at the checkpoint layer, in which
+    case the query needs a fresh checkpoint directory — the guard
+    covers stores that accept the widened schema (and the replay
+    harness)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from catalyst_spark.queries.pipeline import _DSIR_BUCKETS, _h60, TOKENS
+
+    d = doc_stream.select(
+        "source", "doc_id",
+        F.expr(
+            f"transform({TOKENS}, t -> pmod({_h60('t')}, {_DSIR_BUCKETS}))"
+        ).alias("bs"),
+    )
+
+    _update = _drift_update_factory(cb, n_total)
 
     out_schema = T.StructType([
         T.StructField("source", T.StringType()),

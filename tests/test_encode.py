@@ -28,6 +28,12 @@ CASES = [
     ((None, "m", {"k": "v"}, 1.5, None, None, None, "double"), "// m{k=v} 1.500000\r\n"),
     # Go nil interface -> "%v" of nil, URL-escaped (opentsdb JSON null value)
     ((1, "m", {}, None, None, None, None, "null"), "1// m{} %3Cnil%3E\r\n"),
+    # 'opaque' (opentsdb JSON object/array value): Go's default branch
+    # renders url.QueryEscape(fmt "%v") — UNQUOTED, space stays '+'
+    # (warp.go:470-473). Our value_s carries the structure's JSON text
+    # (documented dialect deviation from Go's `map[a:1]` fmt).
+    ((1, "m", {}, None, None, None, '{"a":1,"b":"x y"}', "opaque"),
+     "1// m{} %7B%22a%22%3A1%2C%22b%22%3A%22x+y%22%7D\r\n"),
 ]
 
 

@@ -176,6 +176,44 @@ class TestOpenTSDB:
         assert r["parse_error"] is None
         assert r["value_s"] == 'q"}'
 
+    def test_object_and_array_values_are_opaque(self, spark):
+        """ADVICE r12: pin the object/array-value contract. The
+        reference decodes them into map/slice interface{} and its
+        encoder's DEFAULT branch emits url.QueryEscape(fmt "%v") —
+        unquoted, e.g. `map%5Ba%3A1%5D` (warp.go:470-473); they are
+        valid points, never a parse error. We tag them 'opaque' with
+        the structure's JSON text in value_s, which encode.py renders
+        through the same unquoted-escape branch — a DELIBERATE dialect
+        deviation (canonical JSON, not Go's fmt-%v) documented at
+        parsers/opentsdb.py. This replaces BOTH prior behaviors: the
+        r11 string-capture (which QUOTED the text like a JSON string
+        value) and the early-r12 'null' bucket (which encoded
+        %3Cnil%3E — the comment claiming parity with the old path was
+        wrong)."""
+        from catalyst_spark.encode import encode_sensision
+        from catalyst_spark.parsers.opentsdb import parse_opentsdb
+
+        df = spark.createDataFrame([(
+            '[{"metric": "m1", "timestamp": 1, "value": {"a": 1, "s": "x y"},'
+            '  "tags": {"h": "w"}},'
+            ' {"metric": "m2", "timestamp": 1, "value": [1, "x", null],'
+            '  "tags": {}}]',
+        )], "body string")
+        gts = parse_opentsdb(df, now_us=NOW_US)
+        rows = {r["name"]: r for r in gts.collect()}
+        for r in rows.values():
+            assert r["parse_error"] is None
+            assert r["value_type"] == "opaque"
+            assert r["value_d"] is None and r["value_b"] is None
+        assert rows["m1"]["value_s"] == '{"a":1,"s":"x y"}'
+        assert rows["m2"]["value_s"] == '[1,"x",null]'
+        lines = {l["sensision"].split("// ")[1].split("{")[0]: l["sensision"]
+                 for l in encode_sensision(gts).collect()}
+        # unquoted QueryEscape of the JSON text (space -> '+', no "'")
+        assert lines["m1"].endswith(
+            " %7B%22a%22%3A1%2C%22s%22%3A%22x+y%22%7D\r\n")
+        assert lines["m2"].endswith(" %5B1%2C%22x%22%2Cnull%5D\r\n")
+
 
 # ---------------------------------------------------------------------------
 # Prometheus exposition (§3.3)

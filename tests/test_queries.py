@@ -35,36 +35,36 @@ def test_every_query_is_oracle_checked():
 
 def test_driver_window_composition():
     """The driver's CORRECTNESS window is the FIRST 50 registry keys in
-    insertion order; the r12 rotation plan (queries/__init__.py,
-    VERDICT r11 items 1 + 3) promises exactly the _R12_FRONT prefix
-    there — the 7 never-driver-checked ops first (the five r11
-    additions the spill note fronts plus the new audio and video
-    rungs), then the 4 changed-code re-fronts (the sign-safe division
-    fixes and the two merges), then all 31 r8-stale ops, then the 8
-    oldest r9-stale — with the remaining r9-stale spill deliberately
-    PAST the window (named in the r13 rotation note) so max driver
-    staleness stays bounded. Pin both, so a registry edit cannot
-    silently reshuffle the window before the driver runs."""
-    from catalyst_spark.queries import _R12_FRONT
+    insertion order; the r13 rotation plan (queries/__init__.py,
+    VERDICT r12 items 1–4) promises exactly the _R13_FRONT prefix
+    there — the 3 never-driver-checked bisection keys first, then the
+    changed-code embedding_dim_variance re-front, then shard_manifest
+    (the decimal control), then all 30 r9-stale ops whose staleness
+    bound expires this round, then the 15 oldest r10-stale — with the
+    remaining r10-stale spill deliberately PAST the window (named in
+    the r14 rotation note) so max driver staleness stays bounded. Pin
+    both, so a registry edit cannot silently reshuffle the window
+    before the driver runs."""
+    from catalyst_spark.queries import _R13_FRONT
 
     names = list(ALL_QUERIES)
-    assert len(_R12_FRONT) == 50
-    assert names[:50] == _R12_FRONT
-    # the hard-signal bar: the never-checked ops lead the window,
-    # followed immediately by the changed-code re-fronts
-    assert names[:11] == [
-        "embedding_quantile_clip", "cluster_balanced_sample",
-        "dim_truncation_recall", "source_token_tvd",
-        "ann_mrl_rerank_topk", "audio_fp_dup_pairs",
-        "video_frame_dup_pairs",
-        "embedding_dim_variance", "seasonal_hourly_profile",
-        "ann_nprobe_sweep", "distinct_sketch",
+    assert len(_R13_FRONT) == 50
+    assert names[:50] == _R13_FRONT
+    # the experiment bar: the bisection keys lead the window, followed
+    # immediately by the reworked op and its decimal control
+    assert names[:5] == [
+        "edv_diag_sums_bigint", "edv_diag_sums_decimal",
+        "edv_diag_derived", "embedding_dim_variance", "shard_manifest",
     ]
-    # the r13 spill: the remaining r9-stale ops sit past the window
-    for late in ("gopher_quality_rules", "dup_ngram_coverage",
+    # every r9-stale op made the window (the bound expires at r13)
+    for must in ("gopher_quality_rules", "dup_ngram_coverage",
                  "temperature_resample", "label_centroid_similarity",
                  "dedup_exact", "q9_semi_join", "dedup_clusters",
                  "ann_pq_adc_topk"):
+        assert names.index(must) < 50, must
+    # the r14 spill: the remaining r10-stale ops sit past the window
+    for late in ("pq_distortion", "interval_coverage",
+                 "semdedup_keep_one", "ann_ivf_topk", "q1_filter_project_sort"):
         assert names.index(late) >= 50, late
     # the merged-away keys are gone from registry and oracles
     for gone in ("ann_recall_at_5", "ann_pq_recall", "ann_ivfpq_recall",

@@ -108,6 +108,43 @@ def test_gc_stale_artifacts(tmp_path, monkeypatch):
     assert ms.gc_stale_artifacts("/data/absent", live) == 0
 
 
+def test_gc_toctou_recheck_before_delete(tmp_path, monkeypatch):
+    """ADVICE r12 (TOCTOU): a writer that touches the sentinel AFTER
+    GC's first stat but completes its os.replace(data) BEFORE GC's
+    unlink must not have the fresh data reaped (stranding
+    meta-without-data). Simulated deterministically: the sentinel
+    appears during the meta read — inside the window between GC's two
+    checks — and the re-check immediately before the deletes must see
+    it and skip the artifact."""
+    import json as _json
+
+    from catalyst_spark import model_store as ms
+
+    monkeypatch.setenv("CATALYST_ANN_MODEL_DIR", str(tmp_path))
+    sf = "/data/sfX"
+    base = tmp_path / ms._sf_tag(sf)
+    base.mkdir(parents=True)
+    (base / "kmeans_racy.parquet").write_bytes(b"x")
+    (base / "kmeans_racy.json").write_text(
+        _json.dumps({"version": 1, "fingerprint": [1, 2], "params": {}}))
+    sent = ms.inflight_sentinel(base / "kmeans_racy.json")
+
+    class _WriterArrivesMidPass:
+        @staticmethod
+        def loads(s):
+            sent.touch()  # the concurrent save_* begins here
+            return _json.loads(s)
+
+    monkeypatch.setattr(ms, "json", _WriterArrivesMidPass)
+    assert ms.gc_stale_artifacts(sf, [9, 9]) == 0
+    assert (base / "kmeans_racy.parquet").exists()
+    assert (base / "kmeans_racy.json").exists()
+    # the writer finishes (sentinel removed): the next pass reaps
+    monkeypatch.setattr(ms, "json", _json)
+    sent.unlink()
+    assert ms.gc_stale_artifacts(sf, [9, 9]) == 1
+
+
 def test_rek_oracle_scale_guard():
     """ADVICE r8: the rek oracles pin k=_REK_K=16, valid only while
     _serving_k(N) == 16; the oracle must ENFORCE that precondition by

@@ -2878,6 +2878,43 @@ def test_stream_prototype_gate_matches_batch(spark, tmp_path):
         int(math.floor(math.sqrt(n))) for n in sizes.values())
 
 
+def test_prototype_gate_empty_trained_cell(spark, monkeypatch):
+    """VERDICT r12 item 5: _kmeans_fit returns POST-update centroids
+    while the sampler's cutoffs come from the assignment, so a trained
+    centroid can end with zero assigned corpus vectors — no batch
+    boundary row exists for it. prototype_gate_index must emit the
+    keep-everything sentinel for such a cell instead of a KeyError,
+    and a stream vector landing there (the cell's first occupant,
+    whose quota is unfilled) must be KEPT. Forged by dropping one
+    cell's cutoff row, then steering a probe vector to that cell."""
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.streaming import ann as A
+    from tests.conftest import SF_DIR
+
+    real_cutoffs = P._cluster_keep_cutoffs
+
+    def drop_first_cell(spark_, sf_dir_):
+        rows = real_cutoffs(spark_, sf_dir_)
+        rows = sorted(rows, key=lambda r: r["c_id"])
+        return rows[1:]  # cell rows[0].c_id now has NO batch boundary
+
+    monkeypatch.setattr(P, "_cluster_keep_cutoffs", drop_first_cell)
+    cells = A.prototype_gate_index(spark, SF_DIR)  # must not raise
+    empty_cells = [c for c in cells if (c[2], c[3]) == (-1.0, -1)]
+    assert len(empty_cells) == 1
+    c_id, ce, _, _ = empty_cells[0]
+
+    # a vector AT the empty cell's centroid assigns there and is kept
+    probe = spark.createDataFrame(
+        [(12345, [float(x) for x in ce])],
+        "vec_id long, embedding array<float>")
+    [row] = A.stream_prototype_gate(
+        probe.selectExpr("vec_id", "cast(embedding as array<double>)"
+                         " as embedding"), cells).collect()
+    assert row["c_id"] == c_id
+    assert row["kept"] is True
+
+
 def test_stream_source_drift_matches_batch(spark, tmp_path):
     """r11b drift-monitor twin: the documents replayed as a file
     stream in doc_id order per source, then one entire RE-DELIVERED
@@ -2943,6 +2980,40 @@ def test_stream_source_drift_matches_batch(spark, tmp_path):
         # every re-delivered row is dropped AND accounted for; sources
         # absent from the re-delivered chunk report 0
         assert r["n_late_dropped"] == redelivered.get(src, 0), src
+
+
+def test_stream_source_drift_restores_pre_r12_state():
+    """ADVICE r12: n_dropped joined the drift monitor's state tuple in
+    r12; a state row restored from a pre-r12 checkpoint has only
+    (counts, max_seen) and the update fn must default the counter to 0
+    instead of failing on state.get[2]. Driven through the real update
+    function with a forged 2-field legacy state row."""
+    import pandas as pd
+
+    from catalyst_spark.queries.pipeline import _DSIR_BUCKETS
+    from catalyst_spark.streaming.scrub import _drift_update_factory
+
+    cb = [1] * _DSIR_BUCKETS
+    update = _drift_update_factory(cb, n_total=_DSIR_BUCKETS)
+
+    class LegacyState:
+        exists = True
+        get = ([0] * _DSIR_BUCKETS, 5)  # pre-r12: no n_dropped field
+
+        def update(self, v):
+            self.stored = v
+
+    st = LegacyState()
+    batch = pd.DataFrame({
+        "source": ["s", "s"], "doc_id": [3, 6], "bs": [[0], [1]]})
+    [out] = list(update(("s",), iter([batch]), st))
+    # doc 3 <= restored max_seen 5 -> dropped and COUNTED from the
+    # defaulted 0; doc 6 ingested
+    assert out["n_late_dropped"].iloc[0] == 1
+    assert out["n_tokens"].iloc[0] == 1
+    counts, max_seen, n_dropped = st.stored
+    assert (max_seen, n_dropped) == (6, 1)
+    assert counts[1] == 1 and sum(counts) == 1
 
 
 def test_stream_mrl_rerank_topk_matches_batch(spark, tmp_path):
