@@ -683,6 +683,10 @@ _SCALE_QUERIES = (
     "dedup_exact",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    # r13: winnowing rides the df-capped fingerprint equi-join — the
+    # same sub-quadratic shape as the band joins; its per-doc stage is
+    # O(n*w) array folds inside one projection
+    "dedup_winnow_pairs",
     "dedup_keep_one",
     "near_dup_pagerank_converged",
     # text-analysis tail: repetition pays two token-stream shuffles,

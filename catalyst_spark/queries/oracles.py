@@ -2725,6 +2725,46 @@ _TSDB = {
         FROM p a JOIN p b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id
     """,
+    # Winnowing (MOSS) fingerprint near-dup pairs: positional 3-gram
+    # hashes -> window-of-4 minima -> distinct fingerprint set;
+    # df-capped fingerprint equi-join candidates; exact integer
+    # fingerprint-set Jaccard >= 0.5 verify. Constants mirror
+    # pipeline._WINNOW_{{K,W,DF_CAP}} verbatim.
+    "dedup_winnow_pairs": f"""
+        WITH qh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   [{_h60_duck("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+                    FOR i IN range(1, len(toks) - 1)]
+                 ELSE [{_h60_duck('text')}] END AS qh
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                FROM documents)),
+        fps AS (
+          SELECT doc_id,
+                 CASE WHEN len(qh) >= 4 THEN
+                   list_distinct([list_min(qh[i:i+3])
+                                  FOR i IN range(1, len(qh) - 2)])
+                 ELSE [list_min(qh)] END AS fps
+          FROM qh),
+        ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+        live_fp AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 64),
+        exc AS (SELECT ex.doc_id, ex.fp FROM ex JOIN live_fp USING (fp)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM exc a JOIN exc b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id,
+               len(list_intersect(fa.fps, fb.fps)) AS n_shared,
+               ROUND(len(list_intersect(fa.fps, fb.fps)) * 1.0
+                     / len(list_distinct(list_concat(fa.fps, fb.fps))), 4)
+                 AS jaccard
+        FROM cand
+        JOIN fps fa ON fa.doc_id = cand.a_id
+        JOIN fps fb ON fb.doc_id = cand.b_id
+        WHERE 2 * len(list_intersect(fa.fps, fb.fps))
+              >= len(list_distinct(list_concat(fa.fps, fb.fps)))
+        ORDER BY a_id, b_id
+    """,
     # deterministic 90/5/5 content-hash split with per-(split,lang) audit
     "train_val_test_split": f"""
         SELECT CASE WHEN {_h60_duck('text')} % 100 < 90 THEN 'train'

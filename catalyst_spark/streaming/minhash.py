@@ -630,3 +630,120 @@ def stream_audio_fp_classify(
         media_stream.withColumnRenamed("afp", "phash"),
         band_index, max_hamming,
     )
+
+
+def winnow_static_index(spark, sf_dir: str):
+    """Corpus-side serving artifacts for ingest-time winnowing dedup
+    (streaming face of queries.pipeline.dedup_winnow_pairs): the
+    corpus (doc_id % _SHARD_MOD != 0) fingerprint postings with the
+    stop-fingerprint df cap applied AT CORPUS SCOPE (an arriving doc
+    cannot change corpus document frequencies, so the cap is a static
+    property of the index — the batch op's cap re-derives the same
+    sets when the shard is folded in), plus the full per-doc
+    fingerprint sets for the exact verify."""
+    from catalyst_spark.queries.pipeline import (
+        _SHARD_MOD,
+        _WINNOW_DF_CAP,
+        _winnowed,
+    )
+    from catalyst_spark.tables import load
+
+    corpus = _winnowed(
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _SHARD_MOD != 0)
+    )
+    ex = corpus.select(
+        F.col("doc_id").alias("old_id"), F.explode("fps").alias("fp")
+    )
+    live_fp = (
+        ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _WINNOW_DF_CAP)
+        .select("fp")
+    )
+    fp_index = ex.join(live_fp, "fp")
+    fps_index = corpus.select(
+        F.col("doc_id").alias("old_id"), F.col("fps").alias("cfps")
+    )
+    return fp_index, fps_index
+
+
+def _winnow_classify_update(key, pdfs, state):
+    """Per-arriving-doc winnowing classification state: the distinct
+    corpus ids whose exact fingerprint-set verify passed, merged by
+    set union — idempotent under re-delivery, so the emission
+    converges to the stream-static join's full match set."""
+    import pandas as pd
+
+    (doc_id,) = key
+    if state.exists:
+        matched, n_seen = list(state.get[0]), int(state.get[1])
+    else:
+        matched, n_seen = [], 0
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    ids = {int(x) for x in cand["old_id"] if int(x) >= 0}
+    matched = sorted(set(int(m) for m in matched) | ids)
+    n_seen += int((cand["old_id"] < 0).sum())  # base rows = deliveries
+    state.update((list(matched), int(n_seen)))
+    yield pd.DataFrame({
+        "doc_id": [int(doc_id)],
+        "status": ["dup" if matched else "kept"],
+        "n_matches": [len(matched)],
+        "n_seen": [n_seen],
+    })
+
+
+def stream_winnow_classify(
+    doc_stream: DataFrame,
+    fp_index: DataFrame,
+    fps_index: DataFrame,
+) -> DataFrame:
+    """Ingest-time winnowing dedup (r13 — the MOSS-fingerprint member
+    of the ingest-classification family): each arriving (doc_id, text)
+    document computes its winnowing fingerprint set IN THE ROW
+    (_winnowed — positional k-gram hashes, window minima, one
+    projection of array folds), a stream-static equi-join on the
+    df-capped corpus postings touches only colliding fingerprints'
+    corpus docs — complete for any shared run of >= _WINNOW_W +
+    _WINNOW_K - 1 tokens by the winnowing guarantee, minus
+    deliberately-dropped stop-fingerprints — and the exact integer
+    fingerprint-set Jaccard >= 0.5 verify (2|I| >= |U|) runs per
+    candidate row. One keyed state per doc merges verified corpus
+    matches; re-delivered docs re-derive identical evidence (replay
+    test converges to the batch-computed classification)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from catalyst_spark.queries.pipeline import _winnowed
+
+    enr = _winnowed(doc_stream.select("doc_id", "text"))
+    base = doc_stream.select(
+        "doc_id", F.lit(-1).cast("bigint").alias("old_id")
+    )
+    match = (
+        enr.select("doc_id", "fps", F.explode("fps").alias("fp"))
+        .join(fp_index, "fp")
+        .join(fps_index, "old_id")
+        .where(
+            F.size(F.array_intersect("fps", "cfps")) * 2
+            >= F.size(F.array_union("fps", "cfps"))
+        )
+        .select("doc_id", "old_id")
+    )
+    rows = base.unionByName(match)
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_matches", T.IntegerType()),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("matched", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ])
+    return rows.groupBy("doc_id").applyInPandasWithState(
+        _winnow_classify_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -172,6 +172,15 @@ def test_prefix_filter_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_winnow_no_cartesian_no_python(spark):
+    # r13: winnow candidates ride the df-capped fingerprint equi-join
+    # and the verify is an array fold — no all-pairs, no Python stage
+    plan = plan_of(spark, "dedup_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
 def test_r3_operators_no_cartesian_no_python(spark):
     # every r3 addition stays an equi-join plan with zero Python
     for q in ("approx_topk_tokens", "dedup_keep_best",

@@ -1,0 +1,177 @@
+"""Round-13 invariants: the winnowing (MOSS) dedup rung.
+
+Reference parity note: these cover THIS repo's analytical surface; the
+reference (ovh/catalyst) has no analogue — its querying is delegated
+to the TSDB backend (reference README).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def test_winnow_oracle_parity(spark):
+    """dedup_winnow_pairs must be bit-exact against its DuckDB oracle
+    through the real runner/oracle path (the driver's own comparison),
+    and the pair set must be non-trivial at this SF."""
+    from catalyst_spark.queries import ALL_QUERIES, ORACLE_SQL
+    from tests.oracle_harness import compare
+
+    df = ALL_QUERIES["dedup_winnow_pairs"](spark, SF_DIR)
+    assert df.count() > 0
+    compare(df, ORACLE_SQL["dedup_winnow_pairs"], SF_DIR)
+
+
+def test_winnow_guarantee(spark):
+    """The published winnowing guarantee (Schleimer et al. SIGMOD'03):
+    two documents sharing a run of >= w + k - 1 consecutive tokens
+    share at least one fingerprint — every window of w consecutive
+    k-gram hashes contributes its minimum, and a shared (w+k-1)-token
+    run yields w consecutive SHARED k-grams, i.e. one full shared
+    window. Driven through the real _winnowed projection on synthetic
+    docs built around the boundary: a shared run of exactly w+k-1 (=6)
+    tokens MUST intersect. The converse is NOT a guarantee — a single
+    shared k-gram may legitimately winnow into both docs — so the
+    negative side asserts the VERIFY line instead: one shared k-gram
+    among disjoint surroundings can never pass 2|I| >= |U|."""
+    from catalyst_spark.queries.pipeline import (
+        _WINNOW_K,
+        _WINNOW_W,
+        _winnowed,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(_WINNOW_W + _WINNOW_K - 1))
+    short = " ".join(f"com{i}" for i in range(_WINNOW_K))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {run} delta epsilon zeta"),
+            (2, f"one two three four {run} five six"),
+            (3, f"p1 p2 p3 {short} p4 p5 p6"),
+            (4, f"q1 q2 q3 {short} q4 q5 q6"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fps"])
+           for r in _winnowed(docs).collect()}
+    assert fps[1] & fps[2], "w+k-1 shared run must share a fingerprint"
+    inter = len(fps[3] & fps[4])
+    union = len(fps[3] | fps[4])
+    assert inter <= 1, "one shared k-gram can seed at most one shared fp"
+    assert 2 * inter < union, (
+        "a single shared k-gram among disjoint contexts must fail the "
+        "2|I| >= |U| verify line")
+
+
+def test_winnow_short_doc_and_positionality(spark):
+    """Edge contract: a doc shorter than k tokens fingerprints its
+    whole text; fewer than w k-grams fingerprint the global minimum.
+    POSITIONALITY: winnowing hashes the positional k-gram sequence,
+    not the distinct set — a doc with a repeated k-gram region still
+    winnows (the repeated hash is a legal window minimum)."""
+    from catalyst_spark.queries.pipeline import _winnowed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny"),
+            (2, "a b c"),                       # exactly one k-gram
+            (3, "x y x y x y x y x y x y"),     # repeats everywhere
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fps"] for r in _winnowed(docs).collect()}
+    assert len(out[1]) == 1 and len(out[2]) == 1
+    assert len(out[3]) >= 1  # repeated grams collapse but never vanish
+
+
+def test_winnow_pairs_verify_threshold(spark):
+    """Every emitted pair satisfies the exact integer verify
+    (2*|I| >= |U|) and the emitted jaccard equals the single divide of
+    those integers — recomputed per row from the real fps sets."""
+    from catalyst_spark.queries import pipeline as P
+    from catalyst_spark.tables import load
+
+    fps = {r["doc_id"]: set(r["fps"]) for r in
+           P._winnowed(load(spark, SF_DIR, "documents")).collect()}
+    rows = P.dedup_winnow_pairs(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        inter = len(fps[r["a_id"]] & fps[r["b_id"]])
+        union = len(fps[r["a_id"]] | fps[r["b_id"]])
+        assert 2 * inter >= union
+        assert r["n_shared"] == inter
+        assert abs(r["jaccard"] - round(inter / union, 4)) < 1e-12
+
+
+def test_stream_winnow_classify_matches_batch(spark, tmp_path):
+    """r13 winnowing twin: replaying the shard (doc_id % 7 == 0; one
+    batch fully RE-DELIVERED) against the corpus-side winnow indexes
+    must classify every arriving doc exactly as the equivalent BATCH
+    stream-static join does (same _winnowed projection, same df-capped
+    postings, same 2|I| >= |U| verify), and re-delivery must change
+    nothing but n_seen."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.pipeline import _winnowed
+    from catalyst_spark.streaming.minhash import (
+        stream_winnow_classify,
+        winnow_static_index,
+    )
+    from catalyst_spark.tables import load
+
+    fp_index, fps_index = winnow_static_index(spark, SF_DIR)
+    fp_index = fp_index.persist()
+    fps_index = fps_index.persist()
+
+    shard_docs = (load(spark, SF_DIR, "documents")
+                  .where("doc_id % 7 = 0")
+                  .select("doc_id", "text"))
+    # batch ground truth through the same machinery
+    want = {
+        r["doc_id"]: set(r["matched"]) for r in
+        _winnowed(shard_docs)
+        .select("doc_id", "fps", F.explode("fps").alias("fp"))
+        .join(fp_index, "fp")
+        .join(fps_index, "old_id")
+        .where(F.size(F.array_intersect("fps", "cfps")) * 2
+               >= F.size(F.array_union("fps", "cfps")))
+        .groupBy("doc_id")
+        .agg(F.collect_set("old_id").alias("matched"))
+        .collect()
+    }
+    shard = shard_docs.collect()
+    assert shard and want, "planted dup structure must reach the shard"
+
+    d = tmp_path / "winnow_stream"
+    d.mkdir()
+    half = max(1, len(shard) // 2)
+    batches = [shard[:half], shard[half:], shard[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_winnow_classify(stream, fp_index, fps_index)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("winnow_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from winnow_stream").collect()
+    latest = {}
+    for r in rows:
+        if (r["doc_id"] not in latest
+                or r["n_seen"] > latest[r["doc_id"]]["n_seen"]):
+            latest[r["doc_id"]] = r
+    assert set(latest) == {r["doc_id"] for r in shard}
+    redelivered = {r["doc_id"] for r in batches[2]}
+    for doc_id, r in latest.items():
+        matched = want.get(doc_id, set())
+        assert r["status"] == ("dup" if matched else "kept"), doc_id
+        assert r["n_matches"] == len(matched), doc_id
+        assert r["n_seen"] == (2 if doc_id in redelivered else 1), doc_id
+    fp_index.unpersist()
+    fps_index.unpersist()
