@@ -260,6 +260,11 @@ _SF5_QUERIES = (
     "counter_rate",
     "ann_sq8_ivf_rek_topk",
     "dedup_clusters",
+    # r13: the winnowing rung — df-capped fingerprint equi-join; the
+    # cap BITES harder as the corpus grows (replicated boilerplate
+    # fingerprints cross df=64 and drop), so the curve shows the
+    # designed stop-fingerprint behavior, not just join scaling
+    "dedup_winnow_pairs",
 )
 # r12 measured (committed snapshot): 50x/10x wall ratios 1.11-2.69 on
 # all eight ops against the linear-trend mark of ~5 — sub-linear on
@@ -1783,6 +1788,20 @@ def main() -> None:
                 n for n, r in payload["vs_prev"].items()
                 if r > 1.3 and timings[n] - pq[n] > 0.3
             )
+            if payload["regressions"]:
+                # r13: the per-round driver-window reorder changes
+                # which registry member touches a session cache FIRST
+                # (the _*_CACHE families: pair tables, k-means models,
+                # persisted top-k scans), so a flagged query may simply
+                # have inherited a cache-mate's scan this round —
+                # cross-check `value`/`queries_total` (whole-registry
+                # cost) before reading a flag as a code regression.
+                payload["regressions_note"] = (
+                    "flags are per-name medians; registry reorders "
+                    "shift first-toucher attribution for session-"
+                    "cached families — whole-registry value/"
+                    "queries_total is the regression ground truth"
+                )
         else:
             payload["methodology_change"] = (
                 "per-query values are now cold-state medians of "
