@@ -266,13 +266,13 @@ _SF5_QUERIES = (
     # designed stop-fingerprint behavior, not just join scaling
     "dedup_winnow_pairs",
 )
-# r12 measured (committed snapshot): 50x/10x wall ratios 1.11-2.69 on
-# all eight ops against the linear-trend mark of ~5 — sub-linear on
-# the measured curve including the two new shapes: the served index
-# rung ann_sq8_ivf_rek_topk at 1.99 (the sqrt(N) re-k schedule holding
-# at 100k vectors) and the iterative dedup graph dedup_clusters at
-# 1.15 (pair-graph-sized label propagation; candidate growth stays
-# ~linear under the banded join, so the 50x corpus barely moves it).
+# r13 measured (committed snapshot): 50x/10x wall ratios 1.05-4.1 on
+# all nine ops against the linear-trend mark of ~5 — sub-linear
+# throughout: the served index rung ann_sq8_ivf_rek_topk at 1.95 (the
+# sqrt(N) re-k schedule holding at 100k vectors), the iterative dedup
+# graph dedup_clusters at 1.05 (pair-graph-sized label propagation),
+# and the new winnowing rung at 3.04 (the stop-fingerprint df cap
+# engaging as replicated boilerplate crosses the threshold).
 
 
 def _sf5_section(spark, base_sf_dir: str, reset_caches) -> dict:
@@ -1394,10 +1394,10 @@ def main() -> None:
     # budget written at ~100 s/pass, silently cutting a run to 4
     # passes and suppressing the regression gate via the run-count
     # methodology check): r12 measured ~163 s queries-only per cold
-    # pass at 172 registry keys; r13 runs 175 (the 3 one-round
-    # edv_diag_* bisection keys re-run a sub-second plan, so the
-    # per-pass estimate is unchanged and 1600 s still buys 5 full
-    # passes with headroom)
+    # pass at 172 registry keys; r13 runs 176 (dedup_winnow_pairs
+    # ~3.9 s plus the 3 one-round edv_diag_* bisection keys on a
+    # sub-second plan — measured 146 s/pass on the r13 registry, so
+    # 1600 s still buys 5 full passes with headroom)
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1600"))
     bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n, _ in ordered}
