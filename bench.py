@@ -786,6 +786,10 @@ _SCALE_QUERIES = _SCALE_QUERIES + (
     "burn_rate_windows", "value_histogram", "equi_depth_bins",
     # hll_distinct_sketch absorbed into distinct_sketch (r12 merge)
     "distinct_sketch", "percentile_sketch",
+    # r13: the sketch-algebra pair table — the sketch side collapses
+    # to 5 k-arrays before the 10-row pairwise stage; the exact
+    # calibration side is one hash-equi self-join grouped per pair
+    "kmv_set_ops",
     "asof_prior_click", "incremental_rollup_merge", "json_props_stats",
     "pivot_event_counts", "cube_event_counts", "top3_per_group",
     # documents/text tail: scans + vocabulary-sized aggregates

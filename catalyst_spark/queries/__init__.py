@@ -525,11 +525,12 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R12_FRONT)
 #   (e) the 15 oldest remaining r10-stale ops, CORRECTNESS_r10 window
 #       order (tokenizer_fertility .. window_overlap_source_matrix).
 # 3 + 1 + 1 + 30 + 15 = 50 slots exactly.
-# CADENCE ARITHMETIC at the r13 registry of 176 entries (172 durable +
-# the 3 one-round diag keys + the new-in-r13 dedup_winnow_pairs, which
-# arrived after the window was frozen at the staleness-mandated 50 and
-# therefore MUST lead the r14 window as its never-checked op —
-# invariant 1): after this window nothing is staler than r11;
+# CADENCE ARITHMETIC at the r13 registry of 177 entries (174 durable +
+# the 3 one-round diag keys; the new-in-r13 dedup_winnow_pairs and
+# kmv_set_ops arrived after the window was frozen at the
+# staleness-mandated 50 and therefore MUST lead the r14 window as its
+# never-checked ops — invariant 1): after this window nothing is
+# staler than r11;
 # 27 r10-stale ops spill to r14 oldest-first (pq_distortion,
 # interval_coverage, semdedup_keep_one, dedup_threshold_sensitivity,
 # ann_ivf_topk, approx_topk_tokens, boilerplate_spans, dedup_keep_best,

@@ -2432,6 +2432,70 @@ _TSDB = {
         ) hll
         ORDER BY sketch, event_type
     """,
+    # KMV sketch algebra (r13): pairwise union/intersection estimates
+    # from the per-type k-min arrays only (merged-k union estimator +
+    # the Beyer et al. resemblance numerator rho), exact cardinalities
+    # alongside. All integers / floors of 6-significant-bit doubles —
+    # every column value-checked. Constants mirror tsdb._KMV_*.
+    "kmv_set_ops": f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 {_h60_duck('CAST(user_id AS VARCHAR)')} AS h
+          FROM events),
+        r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h) AS rn
+          FROM h),
+        k AS (
+          SELECT event_type, list_sort(list(h)) AS ks
+          FROM r WHERE rn <= {_KMV_K} GROUP BY event_type),
+        sz AS (SELECT event_type, COUNT(*) AS n FROM h GROUP BY 1),
+        p AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.ks AS ka, b.ks AS kb,
+                 list_sort(list_distinct(list_concat(a.ks, b.ks)))
+                   [1:{_KMV_K}] AS mk
+          FROM k a JOIN k b ON a.event_type < b.event_type),
+        s AS (
+          SELECT type_a, type_b,
+                 len(mk) = {_KMV_K} AS full_k,
+                 mk[len(mk)] AS hk,
+                 len(list_filter(mk, x -> list_contains(ka, x)
+                                  AND list_contains(kb, x))) AS rho
+          FROM p),
+        ex AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS exact_inter
+          FROM h a JOIN h b
+            ON a.h = b.h AND a.event_type < b.event_type
+          GROUP BY 1, 2),
+        j AS (
+          SELECT s.type_a, s.type_b, s.full_k, s.hk, s.rho,
+                 COALESCE(ex.exact_inter, 0) AS exact_inter,
+                 sa.n AS na, sb.n AS nb
+          FROM s
+          LEFT JOIN ex ON s.type_a = ex.type_a AND s.type_b = ex.type_b
+          JOIN sz sa ON sa.event_type = s.type_a
+          JOIN sz sb ON sb.event_type = s.type_b),
+        f AS (
+          SELECT *,
+                 CAST(CASE WHEN full_k
+                           THEN floor({_KMV_K - 1} * {_KMV_SPACE!r}
+                                      / CAST(hk AS DOUBLE))
+                           ELSE na + nb - exact_inter END
+                      AS BIGINT) AS est_union
+          FROM j)
+        SELECT type_a, type_b,
+               CAST(na + nb - exact_inter AS BIGINT) AS exact_union,
+               CAST(exact_inter AS BIGINT) AS exact_inter,
+               est_union,
+               CAST(rho AS BIGINT) AS rho,
+               CAST(rho * 1000 // {_KMV_K} AS BIGINT)
+                 AS jaccard_est_permille,
+               CAST(est_union * rho // {_KMV_K} AS BIGINT) AS est_inter
+        FROM f ORDER BY type_a, type_b
+    """,
     "ohlc_downsample": """
         WITH flagged AS (
           SELECT event_type, value,

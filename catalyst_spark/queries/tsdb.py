@@ -1070,6 +1070,115 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv.unionByName(hll).orderBy("sketch", "event_type")
 
 
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA (r13): pairwise user-set overlap between
+    event types computed from the per-type k-minimum-values sketches
+    alone — the 100 TB shape for cross-segment overlap questions
+    ("how many users do checkout and refund share?") where the exact
+    pairwise answer needs a self-join of the full user sets per pair,
+    but the sketch answer needs only each segment's k smallest hashes
+    (k=64 BIGINTs per segment, mergeable by sorted-union-truncate).
+
+    Per pair (a < b), from the k-min arrays only:
+      * union sketch  = the k smallest of merge(A_k, B_k) — valid
+        because the k smallest of A∪B all lie within the k smallest
+        of A or of B; est_union = floor((k-1)·2^60 / h_k) exactly as
+        distinct_sketch's single-set estimator.
+      * rho = |{h in union k-set : h in A AND h in B}| — the Beyer et
+        al. (SIGMOD'07) resemblance numerator. Membership against the
+        ORIGINAL sets is testable from the k-arrays EXACTLY: union's
+        k-th min <= each set's k-th min, so any union-k hash in A is
+        inside A's k-array (no approximation slack beyond the sketch
+        itself).
+      * jaccard_est_permille = (rho·1000) div k,
+        est_inter = (rho·est_union) div k — non-negative integer
+        division only (sign-safe doctrine trivially satisfied).
+    Exact union/intersection cardinalities ride along per pair, so
+    rel_err on the union is a checked value column too. Segments
+    smaller than k carry their whole hash set; a union smaller than k
+    falls back to the exact union (the distinct_sketch sentinel
+    convention, exactness not estimation).
+
+    Everything is md5-derived 60-bit integers and floors of 6-
+    significant-bit doubles (exact — see distinct_sketch), so every
+    column is a full value-checked oracle column. Plan: one distinct
+    (type, h) projection; the sketch side collapses to 5 k-arrays
+    (model-sized) before the 10-row pairwise stage; the EXACT side is
+    one hash-equi self-join grouped per pair — the cost the sketch
+    path exists to avoid, kept here as its own calibration."""
+    events = load(spark, sf_dir, "events")
+    hashes = events.select(
+        "event_type",
+        F.expr(_h60("cast(user_id as string)")).alias("h"),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    karr = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("ks"),
+             F.count(F.lit(1)).alias("k_sz"))
+    )
+    a = karr.select(F.col("event_type").alias("type_a"),
+                    F.col("ks").alias("ka"), F.col("k_sz").alias("sza"))
+    b = karr.select(F.col("event_type").alias("type_b"),
+                    F.col("ks").alias("kb"), F.col("k_sz").alias("szb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    merged = F.expr(
+        f"slice(array_sort(array_union(ka, kb)), 1, {_KMV_K})")
+    sk = pairs.select(
+        "type_a", "type_b", "ka", "kb",
+        merged.alias("mk"),
+    ).select(
+        "type_a", "type_b",
+        F.expr(f"size(mk) = {_KMV_K}").alias("full"),
+        F.expr("element_at(mk, -1)").alias("hk"),
+        F.expr(
+            "size(filter(mk, h -> array_contains(ka, h)"
+            " AND array_contains(kb, h)))"
+        ).alias("rho"),
+    )
+    exact = (
+        hashes.select(F.col("event_type").alias("type_a"), "h")
+        .join(hashes.select(F.col("event_type").alias("type_b"), "h"),
+              "h")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    sizes = hashes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    ea = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("na"))
+    eb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("nb"))
+    est_union = F.when(
+        F.col("full"),
+        F.floor((_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("hk")),
+    ).otherwise(F.col("na") + F.col("nb") - F.col("exact_inter"))
+    joined = (
+        sk.join(exact, ["type_a", "type_b"], "left")
+        .na.fill({"exact_inter": 0})
+        .join(ea, "type_a").join(eb, "type_b")
+        .withColumn("est_union", est_union.cast("bigint"))
+    )
+    return (
+        joined.select(
+            "type_a", "type_b",
+            (F.col("na") + F.col("nb") - F.col("exact_inter"))
+            .alias("exact_union"),
+            "exact_inter",
+            "est_union",
+            F.col("rho").cast("bigint").alias("rho"),
+            F.expr(f"cast(rho * 1000 div {_KMV_K} as bigint)")
+            .alias("jaccard_est_permille"),
+            F.expr(f"cast(est_union * rho div {_KMV_K} as bigint)")
+            .alias("est_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # histogram_quantile bucket bounds (le) and quantiles — the Prometheus
 # cumulative-histogram read (promql bucketQuantile semantics)
 _HQ_BOUNDS = (25.0, 50.0, 100.0, 200.0, 400.0)
@@ -1927,6 +2036,7 @@ TSDB_QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "distinct_sketch": distinct_sketch,
+    "kmv_set_ops": kmv_set_ops,
     "pivot_event_counts": pivot_event_counts,
     "rollup_doc_counts": rollup_doc_counts,
     "value_histogram": value_histogram,

@@ -175,3 +175,103 @@ def test_stream_winnow_classify_matches_batch(spark, tmp_path):
         assert r["n_seen"] == (2 if doc_id in redelivered else 1), doc_id
     fp_index.unpersist()
     fps_index.unpersist()
+
+
+def test_kmv_set_ops_oracle_parity(spark):
+    """kmv_set_ops must be bit-exact against its DuckDB oracle through
+    the real runner/oracle path, with all C(5,2)=10 event-type pairs
+    present."""
+    from catalyst_spark.queries import ALL_QUERIES, ORACLE_SQL
+    from tests.oracle_harness import compare
+
+    df = ALL_QUERIES["kmv_set_ops"](spark, SF_DIR)
+    assert df.count() == 10
+    compare(df, ORACLE_SQL["kmv_set_ops"], SF_DIR)
+
+
+def test_kmv_set_ops_sketch_invariants(spark):
+    """Sketch-algebra contracts per pair: rho never exceeds k (it
+    counts members of the union k-set); the derived integer columns
+    equal their defining expressions exactly; the intersection
+    estimate is bounded by the union estimate; and — the estimator's
+    statistical claim — the union estimate sits within 5 sigma of the
+    exact union whenever the sketch is actually estimating
+    (exact_union >= k; below k the op reports exactness by
+    construction and est must EQUAL exact)."""
+    from catalyst_spark.queries.tsdb import _KMV_K, kmv_set_ops
+
+    rows = kmv_set_ops(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    sigma = 1.0 / (_KMV_K - 1) ** 0.5
+    for r in rows:
+        assert 0 <= r["rho"] <= _KMV_K
+        assert r["jaccard_est_permille"] == r["rho"] * 1000 // _KMV_K
+        assert r["est_inter"] == r["est_union"] * r["rho"] // _KMV_K
+        assert 0 <= r["est_inter"] <= r["est_union"]
+        assert r["exact_union"] >= r["exact_inter"] >= 0
+        if r["exact_union"] < _KMV_K:
+            assert r["est_union"] == r["exact_union"]
+        else:
+            rel = abs(r["est_union"] - r["exact_union"]) / r["exact_union"]
+            assert rel <= 5 * sigma, (r["type_a"], r["type_b"], rel)
+
+
+def test_winnow_guarantee_property_duckdb():
+    """Hypothesis sweep of the winnowing guarantee through the ORACLE
+    formulation (DuckDB list comprehensions — proven bit-exact against
+    the Spark op by test_winnow_oracle_parity, so this transfers):
+    for ANY two token sequences that share a planted run of
+    _WINNOW_W + _WINNOW_K - 1 tokens, the winnowed fingerprint sets
+    intersect. Random contexts, random run content, random insertion
+    positions — the guarantee is structural, not probabilistic."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from catalyst_spark.queries.oracles import _h60_duck
+    from catalyst_spark.queries.pipeline import _WINNOW_K, _WINNOW_W
+
+    token = st.integers(0, 9).map(lambda i: f"t{i}")
+    ctx = st.lists(token, min_size=0, max_size=12)
+
+    fps_sql = f"""
+      WITH qh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {_WINNOW_K} THEN
+                 [{_h60_duck("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+                  FOR i IN range(1, len(toks) - 1)]
+               ELSE [{_h60_duck('text')}] END AS qh
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+              FROM docs)),
+      fps AS (
+        SELECT doc_id,
+               CASE WHEN len(qh) >= {_WINNOW_W} THEN
+                 list_distinct([list_min(qh[i:i+{_WINNOW_W - 1}])
+                                FOR i IN range(1, len(qh)
+                                               - {_WINNOW_W - 2})])
+               ELSE [list_min(qh)] END AS fps
+        FROM qh)
+      SELECT len(list_intersect(a.fps, b.fps))
+      FROM fps a, fps b WHERE a.doc_id = 1 AND b.doc_id = 2
+    """
+
+    @given(run=st.lists(token, min_size=_WINNOW_W + _WINNOW_K - 1,
+                        max_size=_WINNOW_W + _WINNOW_K - 1),
+           pre1=ctx, post1=ctx, pre2=ctx, post2=ctx)
+    @settings(max_examples=60, deadline=None)
+    def check(run, pre1, post1, pre2, post2):
+        # distinct context namespaces so only the planted run is shared
+        d1 = " ".join([f"a{t}" for t in pre1] + run
+                      + [f"b{t}" for t in post1])
+        d2 = " ".join([f"c{t}" for t in pre2] + run
+                      + [f"d{t}" for t in post2])
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE TABLE docs AS SELECT * FROM (VALUES "
+                "(1, ?), (2, ?)) t(doc_id, text)", [d1, d2])
+            [(inter,)] = con.execute(fps_sql).fetchall()
+        finally:
+            con.close()
+        assert inter >= 1, (d1, d2)
+
+    check()
