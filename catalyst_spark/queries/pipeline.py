@@ -839,6 +839,15 @@ def _winnowed(documents: DataFrame, keep: tuple = ()) -> DataFrame:
                 g -> {_h60('g')})
             ELSE array({_h60('text')}) END"""
     )
+    # window minima via zip_with over W shifted slices (a least()
+    # tournament) rather than per-position slice()+array_min — the
+    # _shingled lesson: indexed/sliced access inside a transform lambda
+    # re-allocates per element and codegen CSE can't reach it
+    m = f"(size(qh) - {_WINNOW_W} + 1)"
+    shifted = [f"slice(qh, {s + 1}, {m})" for s in range(_WINNOW_W)]
+    mins = shifted[0]
+    for nxt in shifted[1:]:
+        mins = f"zip_with({mins}, {nxt}, (x, y) -> least(x, y))"
     return documents.select(
         "doc_id", *keep, F.expr(grams).alias("qh")
     ).select(
@@ -846,9 +855,7 @@ def _winnowed(documents: DataFrame, keep: tuple = ()) -> DataFrame:
         *keep,
         F.expr(
             f"""CASE WHEN size(qh) >= {_WINNOW_W} THEN
-                  array_distinct(transform(
-                    sequence(1, size(qh) - {_WINNOW_W} + 1),
-                    i -> array_min(slice(qh, i, {_WINNOW_W}))))
+                  array_distinct({mins})
                 ELSE array(array_min(qh)) END"""
         ).alias("fps"),
     )
