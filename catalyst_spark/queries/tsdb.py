@@ -1070,6 +1070,46 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv.unionByName(hll).orderBy("sketch", "event_type")
 
 
+def _kmv_karr(hashes: DataFrame) -> DataFrame:
+    """(event_type, h) distinct hashes -> per-type sorted k-min array
+    (event_type, ks). The sketch every KMV consumer shares; the online
+    twin (streaming.stateful.stream_kmv_sketch) maintains the same
+    array as keyed state via sorted-union-truncate merges."""
+    w = W.partitionBy("event_type").orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("ks"))
+    )
+
+
+def _kmv_pair_sketch(karr: DataFrame) -> DataFrame:
+    """Per-pair sketch columns (type_a, type_b, full, hk, rho) from the
+    k-min arrays ALONE — a pure function of the sketches, shared by
+    kmv_set_ops and the online twin's equality test, so a streamed
+    state slots straight into the same algebra."""
+    a = karr.select(F.col("event_type").alias("type_a"),
+                    F.col("ks").alias("ka"))
+    b = karr.select(F.col("event_type").alias("type_b"),
+                    F.col("ks").alias("kb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    merged = F.expr(
+        f"slice(array_sort(array_union(ka, kb)), 1, {_KMV_K})")
+    return pairs.select(
+        "type_a", "type_b", "ka", "kb",
+        merged.alias("mk"),
+    ).select(
+        "type_a", "type_b",
+        F.expr(f"size(mk) = {_KMV_K}").alias("full"),
+        F.expr("element_at(mk, -1)").alias("hk"),
+        F.expr(
+            "size(filter(mk, h -> array_contains(ka, h)"
+            " AND array_contains(kb, h)))"
+        ).alias("rho"),
+    )
+
+
 def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch ALGEBRA (r13): pairwise user-set overlap between
     event types computed from the per-type k-minimum-values sketches
@@ -1111,33 +1151,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr(_h60("cast(user_id as string)")).alias("h"),
     ).distinct()
-    w = W.partitionBy("event_type").orderBy("h")
-    karr = (
-        hashes.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _KMV_K)
-        .groupBy("event_type")
-        .agg(F.sort_array(F.collect_list("h")).alias("ks"),
-             F.count(F.lit(1)).alias("k_sz"))
-    )
-    a = karr.select(F.col("event_type").alias("type_a"),
-                    F.col("ks").alias("ka"), F.col("k_sz").alias("sza"))
-    b = karr.select(F.col("event_type").alias("type_b"),
-                    F.col("ks").alias("kb"), F.col("k_sz").alias("szb"))
-    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
-    merged = F.expr(
-        f"slice(array_sort(array_union(ka, kb)), 1, {_KMV_K})")
-    sk = pairs.select(
-        "type_a", "type_b", "ka", "kb",
-        merged.alias("mk"),
-    ).select(
-        "type_a", "type_b",
-        F.expr(f"size(mk) = {_KMV_K}").alias("full"),
-        F.expr("element_at(mk, -1)").alias("hk"),
-        F.expr(
-            "size(filter(mk, h -> array_contains(ka, h)"
-            " AND array_contains(kb, h)))"
-        ).alias("rho"),
-    )
+    sk = _kmv_pair_sketch(_kmv_karr(hashes))
     exact = (
         hashes.select(F.col("event_type").alias("type_a"), "h")
         .join(hashes.select(F.col("event_type").alias("type_b"), "h"),

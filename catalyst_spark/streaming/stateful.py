@@ -535,3 +535,66 @@ def stream_counter_rate(event_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _kmv_sketch_update(key, pdfs, state):
+    """Per-event-type k-minimum-values state: the sorted k smallest
+    distinct user hashes seen so far, merged with each batch by
+    sorted-union-truncate — the KMV mergeability identity (any member
+    of the true k-min set is either already in state or arrives in
+    some batch), so the converged state equals the batch-computed
+    sketch EXACTLY and re-delivery is a set-semantics no-op."""
+    from catalyst_spark.queries.tsdb import _KMV_K
+
+    (etype,) = key
+    ks = [int(x) for x in state.get[0]] if state.exists else []
+    cand = pd.concat(list(pdfs), ignore_index=True)
+    merged = sorted(set(ks) | {int(x) for x in cand["h"]})[:_KMV_K]
+    state.update((list(merged),))
+    yield pd.DataFrame({
+        "event_type": [str(etype)],
+        "ks": [list(merged)],
+        "n_min": [len(merged)],
+    })
+
+
+KMV_SKETCH_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ks", T.ArrayType(T.LongType())),
+    T.StructField("n_min", T.IntegerType()),
+])
+
+KMV_SKETCH_STATE_SCHEMA = T.StructType([
+    T.StructField("ks", T.ArrayType(T.LongType())),
+])
+
+
+def stream_kmv_sketch(event_stream: DataFrame) -> DataFrame:
+    """Online KMV sketch maintenance (r13 — the streaming face of
+    queries.tsdb.kmv_set_ops): every arriving (event_type, user_id)
+    row hashes in-row and folds into the type's k-min array — k
+    BIGINTs of keyed state per segment however large the stream, the
+    exact artifact the batch sketch algebra consumes. After replay the
+    per-type state is BIT-EQUAL to the batch k-array (tested incl. a
+    fully re-delivered batch — union-truncate is idempotent), so
+    feeding the emitted arrays through the shared _kmv_pair_sketch
+    reproduces kmv_set_ops' pairwise union/intersection/Jaccard
+    estimate columns exactly. The 100 TB deployment shape: each
+    ingest partition keeps its own k-array and the periodic rollup
+    merges them — the same sorted-union-truncate this state update
+    runs per batch."""
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.pipeline import _h60
+
+    d = event_stream.select(
+        "event_type",
+        F.expr(_h60("cast(user_id as string)")).alias("h"),
+    )
+    return d.groupBy("event_type").applyInPandasWithState(
+        _kmv_sketch_update,
+        outputStructType=KMV_SKETCH_OUTPUT_SCHEMA,
+        stateStructType=KMV_SKETCH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -275,3 +275,76 @@ def test_winnow_guarantee_property_duckdb():
         assert inter >= 1, (d1, d2)
 
     check()
+
+
+def test_stream_kmv_sketch_matches_batch(spark, tmp_path):
+    """r13 KMV twin: replaying the events (one batch fully
+    RE-DELIVERED) through the per-type k-min state must converge to
+    the batch k-arrays BIT-EXACTLY (sorted-union-truncate is
+    idempotent set algebra), and feeding the streamed arrays through
+    the shared _kmv_pair_sketch must reproduce kmv_set_ops' sketch
+    columns (est_union on full pairs, rho, jaccard_est_permille,
+    est_inter) value-for-value."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.tsdb import (
+        _KMV_K,
+        _KMV_SPACE,
+        _h60,
+        _kmv_karr,
+        _kmv_pair_sketch,
+        kmv_set_ops,
+    )
+    from catalyst_spark.streaming.stateful import stream_kmv_sketch
+    from catalyst_spark.tables import load
+
+    events = load(spark, SF_DIR, "events")
+    hashes = events.select(
+        "event_type", F.expr(_h60("cast(user_id as string)")).alias("h")
+    ).distinct()
+    want_ks = {r["event_type"]: list(r["ks"])
+               for r in _kmv_karr(hashes).collect()}
+
+    rows = events.select("event_type", "user_id").collect()
+    d = tmp_path / "kmv_stream"
+    d.mkdir()
+    half = len(rows) // 2
+    batches = [rows[:half], rows[half:], rows[:half]]  # redelivery
+    for i, chunk in enumerate(batches):
+        (d / f"b{i}.json").write_text("\n".join(
+            json.dumps({"event_type": r["event_type"],
+                        "user_id": r["user_id"]})
+            for r in chunk))
+    stream = (spark.readStream
+              .schema("event_type string, user_id long")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (stream_kmv_sketch(stream)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("kmv_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("select * from kmv_stream").collect()
+    latest = {}
+    for r in out:  # memory sink appends update emissions in order
+        latest[r["event_type"]] = list(r["ks"])
+    assert latest == want_ks  # bit-equal sketch state per segment
+
+    # the streamed arrays drive the SAME pairwise algebra
+    streamed_karr = spark.createDataFrame(
+        [(t, ks) for t, ks in latest.items()],
+        "event_type string, ks array<bigint>")
+    got_sk = {(r["type_a"], r["type_b"]): r
+              for r in _kmv_pair_sketch(streamed_karr).collect()}
+    for r in kmv_set_ops(spark, SF_DIR).collect():
+        s = got_sk[(r["type_a"], r["type_b"])]
+        assert s["rho"] == r["rho"]
+        assert s["rho"] * 1000 // _KMV_K == r["jaccard_est_permille"]
+        if s["full"]:
+            import math
+            est_union = math.floor(
+                (_KMV_K - 1) * _KMV_SPACE / s["hk"])
+            assert est_union == r["est_union"]
+            assert est_union * s["rho"] // _KMV_K == r["est_inter"]
