@@ -181,6 +181,17 @@ def test_winnow_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_kmv_set_ops_plan_shape(spark):
+    # r13: the pairwise sketch stage must ride the sanctioned
+    # broadcast fan-out of a model-sized axis (5 k-arrays), never a
+    # CartesianProduct; the exact calibration side joins on the hash
+    # (an equi-join), so no Python stage anywhere
+    plan = plan_of(spark, "kmv_set_ops")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 5-row pair fan-out
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
 def test_r3_operators_no_cartesian_no_python(spark):
     # every r3 addition stays an equi-join plan with zero Python
     for q in ("approx_topk_tokens", "dedup_keep_best",
