@@ -789,6 +789,8 @@ _SCALE_QUERIES = _SCALE_QUERIES + (
     # r13: the sketch-algebra pair table — the sketch side collapses
     # to 5 k-arrays before the 10-row pairwise stage; the exact
     # calibration side is one hash-equi self-join grouped per pair
+    # (measured 1.38 at 10x, min-of-3; dedup_winnow_pairs measured
+    # 1.41 the same way)
     "kmv_set_ops",
     "asof_prior_click", "incremental_rollup_merge", "json_props_stats",
     "pivot_event_counts", "cube_event_counts", "top3_per_group",
