@@ -825,9 +825,9 @@ _SCALE_QUERIES = _SCALE_QUERIES + (
 # green at sf1 — ann_mrl_rerank_topk joined the tuple later in r11e,
 # ann_multiprobe_recall left it in the r12 merge, and the audio/video
 # near-dup rungs joined in r12, so the tuple tracks the live
-# DURABLE registry, currently 172; the r13 edv_diag_* one-round
-# bisection keys are deliberately excluded — they re-run
-# embedding_dim_variance's exact plan and are deleted in r14; section
+# DURABLE registry, currently 174 after the r14 edv_diag_* deletion
+# (the bisection keys were always excluded here — they re-ran
+# embedding_dim_variance's exact plan); section
 # wall ~38 min incl. the one-time TPC-H build): worst ratio 5.9
 # (ann_sq8_ivf_topk) and every ratio > 2 falls in one of three known
 # classes — (1) by-design exact-scan ablation rungs (dim_truncation
@@ -1400,10 +1400,9 @@ def main() -> None:
     # budget written at ~100 s/pass, silently cutting a run to 4
     # passes and suppressing the regression gate via the run-count
     # methodology check): r12 measured ~163 s queries-only per cold
-    # pass at 172 registry keys; r13 runs 176 (dedup_winnow_pairs
-    # ~3.9 s plus the 3 one-round edv_diag_* bisection keys on a
-    # sub-second plan — measured 146 s/pass on the r13 registry, so
-    # 1600 s still buys 5 full passes with headroom)
+    # pass at 172 registry keys; r13 measured 146 s/pass at 176 keys;
+    # the r14 registry is 174 (edv_diag_* deleted), so 1600 s still
+    # buys 5 full passes with headroom
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1600"))
     bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n, _ in ordered}

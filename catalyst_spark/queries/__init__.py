@@ -3,6 +3,32 @@
 Every query is a function ``(spark, sf_dir) -> DataFrame`` whose output
 column names match the DuckDB oracle SQL in ``oracles.py`` exactly (the
 driver sorts columns by name before value-hashing).
+
+DRIVER-WINDOW ROTATION — THE ONE CURRENT NOTE (r14; supersedes the
+per-round narratives that used to live between the historical lists):
+
+The driver emits CORRECTNESS rows for the FIRST 50 keys of
+``ALL_QUERIES`` in insertion order. The rotation is governed by three
+invariants (unchanged since r9):
+  (1) zero ever-unchecked operators after each round's window runs —
+      operators added after a round's window is frozen MUST lead the
+      next round's window;
+  (2) strict oldest-first rotation (staleness uniform, never
+      concentrated) — at a registry of ~174 keys over 50 slots the
+      steady-state staleness bound is ceil(174/50) = 4 rounds;
+  (3) any operator whose code or oracle changes re-fronts immediately.
+Staleness sets are DERIVED FROM THE CORRECTNESS_r*.json ARTIFACTS
+(latest round with a green row per key; within a cohort, that round's
+window order), never from memory — see the verify skill.
+
+The historical ``_R5_FRONT`` .. ``_R13_FRONT`` lists below are frozen
+data: each was that round's window, and the chain of ``_prioritize``
+calls deterministically fixes the tail order past slot 50. Do not edit
+them; append a new ``_R{N}_FRONT`` per round. ``_prioritize`` skips
+missing keys, so deregistered/merged keys are harmless in old lists.
+
+The local sweep (CORRECTNESS_local_r{N}.json) covers the FULL registry
+at sf0.01 every round regardless of the window.
 """
 
 from catalyst_spark.queries.relational import RELATIONAL_QUERIES
@@ -38,8 +64,10 @@ def _prioritize(group, first):
     return ordered
 
 
+# Historical per-family base orderings (r3-era; frozen — they only
+# seed the interleave before the round lists below reorder the front).
 _TSDB_PRIORITY = [
-    "path_transitions", "holt_linear_smooth", "cusum_changepoints",  # new in r3b — no driver row yet
+    "path_transitions", "holt_linear_smooth", "cusum_changepoints",
     "histogram_quantile", "sessionize", "ts_rate", "counter_rate", "rolling_window_7d",
     "funnel_conversion", "retention_cohorts", "gap_fill", "anomaly_zscore",
     "series_correlation", "time_weighted_avg", "ts_downsample",
@@ -50,10 +78,8 @@ _TSDB_PRIORITY = [
 _PIPELINE_PRIORITY = [
     "ann_ivf_topk", "ann_recall_at_5", "text_stats", "lang_id_confusion",
     "token_counts", "doc_fingerprint",
-    # new in r3 — no driver row yet
     "approx_topk_tokens", "dedup_keep_best", "dedup_rate_by_source",
     "rare_token_ratio", "ngram_novelty", "embedding_norm_outliers",
-    # new in r3b — no driver row yet
     "chunk_dedup", "bloom_decontaminate", "semdedup_ivf",
 ]
 
@@ -63,27 +89,19 @@ ALL_QUERIES = _interleave(
     _prioritize(TSDB_QUERIES, _TSDB_PRIORITY),
 )
 
-# Round-5 driver window (VERDICT r4 item 2): rotate the 50-entry window
-# onto the 61 operators without an r4 driver row, oldest rows first —
-# the whole r1-era (8) and r2-era (26, incl. text_simhash whose code
-# changed since its last green row) plus 3 of the r3-era 27; the
-# remaining 24 r3-era entries front in r6. The thirteen new-in-r5
-# operators lead (no driver row ever).
+# Historical driver windows (frozen data — see the module docstring).
+# r5 window (VERDICT r4 item 2).
 _R5_FRONT = [
-    # new in r5 — no driver row yet
     "ann_ivfpq_topk", "ann_ivfpq_recall", "pq_distortion",
     "domain_cap_sample", "dedup_cluster_size_hist",
     "interval_coverage", "burn_rate_windows", "asof_nearest_join",
     "doc_length_quartiles_by_source", "truncation_stats",
     "lsh_band_recall_curve", "dedup_threshold_sensitivity",
     "quality_survival_curve",
-    # changed since its last driver-green row (r4 persist/count change)
     "text_simhash",
-    # last driver row in r1
     "asof_prior_click", "cube_event_counts", "json_props_stats",
     "pivot_event_counts", "rollup_doc_counts", "top3_per_group",
     "value_histogram", "value_percentiles",
-    # last driver row in r2
     "ann_brute_topk", "ann_ivf_trained_topk", "contamination_overlap",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_simhash_pairs", "distinctive_terms",
@@ -93,31 +111,19 @@ _R5_FRONT = [
     "quality_filter", "repetition_ratio", "source_minhash_similarity",
     "stratified_sample", "top_ngrams", "train_val_test_split",
     "vocab_stats",
-    # last driver row in r3 (first 3 of 27; the rest rotate in r6)
     "anomaly_zscore", "bloom_decontaminate", "chunk_dedup",
 ]
 
-# Round-6 driver window (VERDICT r5 item 1): new-in-r6 operators first
-# (no driver row ever), then everything whose CODE or ORACLE changed
-# this round (vectorized top-2 assignment, ANN model persistence,
-# interval_coverage / threshold-sensitivity oracle fixes, extended
-# pq_distortion), then the whole r3-era tail (last driver row r3), then
-# the r4-tagged operators the r5 cache refactor touched after their
-# last driver row, then the start of the untouched-r4 rotation. This
-# brings max driver-row staleness to <=2 rounds everywhere and re-proves
-# every changed operator with the hard signal.
+# r6 window (VERDICT r5 item 1).
 _R6_FRONT = [
-    # new in r6 — no driver row ever
     "ann_ivfpq_residual_topk", "ann_ivfpq_residual_recall",
     "ann_sq8_topk", "ann_sq8_recall", "ivf_cell_stats",
     "unigram_surprisal", "bigram_surprisal", "semdedup_keep_one",
-    # changed in r6 (code or oracle) — hard signal must follow the code
     "pq_distortion", "interval_coverage", "dedup_threshold_sensitivity",
     "ann_multiprobe_recall", "ann_ivfpq_topk", "ann_ivfpq_recall",
     "ann_pq_adc_topk", "ann_pq_recall", "ivf_train",
     "ann_ivf_trained_topk", "semdedup_ivf", "window_overlap_source_matrix",
     "source_minhash_similarity",
-    # last driver row in r3
     "dedup_exact", "dedup_token_set", "dedup_rate_by_source",
     "embedding_norm_outliers", "funnel_conversion", "retention_cohorts",
     "gap_fill", "ngram_novelty", "rare_token_ratio", "ohlc_downsample",
@@ -126,32 +132,19 @@ _R6_FRONT = [
     "q9_semi_join", "q10_anti_join", "q11_top_k", "q12_set_op",
     "q13_string_functions", "q14_case_cascade", "q15_union_dedup",
     "q16_text_group", "q17_exact_dedup_counts",
-    # r4-tagged, touched by the r5 cache refactor after their last
-    # driver row (VERDICT r5 missing item 1)
     "dedup_prefix_filter", "dedup_clusters", "cusum_chunked",
     "holt_chunked", "cusum_changepoints", "seasonal_hourly_profile",
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R6_FRONT)
 
-# Round-7 driver window (VERDICT r6 item 1, the last rotation step to
-# "every operator driver-proven on a <=2-round cadence"): new-in-r7
-# operators first (no driver row ever), then the two r6 additions that
-# landed after the r6 driver window ran (never driver-checked:
-# ann_sq8_ivf_topk / ann_sq8_ivf_recall), then everything whose code
-# changed this round (unigram_surprisal persist refactor, ADVICE r6),
-# then the full 40-operator r4-stale set (nothing's latest driver row
-# predates r4, so after this window max staleness is <=2 rounds
-# everywhere and zero operators are ever-unchecked).
+# r7 window (VERDICT r6 item 1).
 _R7_FRONT = [
-    # new in r7 — no driver row ever
     "phash_dup_pairs", "near_dup_pagerank_converged",
     "dedup_edit_distance", "ann_ivfpq_rerank_topk",
     "ann_ivfpq_rerank_recall", "phash_dup_clusters",
     "window_selfdup_cut", "lsh_bucket_size_hist",
-    # r6 additions that missed the r6 driver window — never checked
     "ann_sq8_ivf_topk", "ann_sq8_ivf_recall",
-    # last driver row in r4 (the full stale set from VERDICT r6)
     "ann_ivf_topk", "ann_recall_at_5", "approx_topk_tokens",
     "boilerplate_spans", "counter_rate", "dedup_keep_best",
     "dedup_keep_one", "distinct_sketch", "doc_fingerprint",
@@ -166,37 +159,16 @@ _R7_FRONT = [
     "range_join_events", "robust_outliers", "session_cooccurrence",
     "sessionize", "text_stats", "token_counts", "ts_rate",
     "user_growth_curve", "window_decontaminate", "window_selfdup_spans",
-    # changed in r7 (persist refactor, ADVICE r6 — output-identical,
-    # r6-driver-green, local-sweep green): slot 51, first past the
-    # 50-entry window so every never-checked + r4-stale op fits; its
-    # staleness stays <=2 rounds and r8 fronts it
     "unigram_surprisal",
 ]
-# r8 rotation note: the six late-r7 additions (bpe_merge_stats,
-# token_coverage_curve, incremental_shard_dedup, rank_fusion_topk,
-# ivf_rek_cell_stats, dup_quality_audit —
-# registry tail, local-sweep green) deliberately sit PAST the 50-entry
-# window so the r7 goal "zero pre-r7 operators ever-unchecked, max
-# staleness <=2 rounds" holds; r8 must front them first (no driver row
-# ever), then unigram_surprisal, then the r5-stale rotation.
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R7_FRONT)
 
-# Round-8 driver window (VERDICT r7 item 1, the prescribed rotation):
-# the six late-r7 operators with NO driver row ever, then
-# unigram_surprisal (slot-51 carryover from r7), then the full
-# 42-operator r5-stale set — 6+1+42 = 49 slots, so after this window
-# zero operators are ever-unchecked and max staleness is <=2 rounds
-# everywhere (r6-green ops become exactly 2 rounds stale, r7-green 1).
-# Slot 50 is the re-k'd IVF serving rung (VERDICT r7 item 2, the one
-# named scale-killer converted to evidence).
+# r8 window (VERDICT r7 items 1–2).
 _R8_FRONT = [
-    # late-r7 additions — no driver row ever
     "bpe_merge_stats", "token_coverage_curve", "incremental_shard_dedup",
     "rank_fusion_topk", "ivf_rek_cell_stats", "dup_quality_audit",
-    # slot-51 carryover (r6-green, code changed in r7)
     "unigram_surprisal",
-    # last driver row in r5 (the full stale set from VERDICT r7)
     "ann_brute_topk", "anomaly_zscore", "asof_nearest_join",
     "asof_prior_click", "bloom_decontaminate", "burn_rate_windows",
     "chunk_dedup", "contamination_overlap", "cube_event_counts",
@@ -212,38 +184,19 @@ _R8_FRONT = [
     "stratified_sample", "text_simhash", "top3_per_group", "top_ngrams",
     "train_val_test_split", "truncation_stats", "value_histogram",
     "value_percentiles", "vocab_stats",
-    # slot 50: new-in-r8 re-k'd IVF serving rung (k grown with corpus)
     "ann_sq8_ivf_rek_topk",
 ]
-# r9 rotation note: the remaining new-in-r8 operators
-# (ann_sq8_ivf_rek_recall, rank_fusion_indexed, rank_fusion_recall,
-# incremental_shard_apply, window_selfdup_cut_first,
-# packing_efficiency_curve, contamination_ngram_sizes, the late-r8
-# trio pii_extract_stats / boilerplate_line_cut / curation_funnel, and
-# the r8c quartet gopher_quality_rules / dup_ngram_coverage /
-# temperature_resample / label_centroid_similarity) sit PAST the 50-entry window so the r8 goal
-# "zero ever-unchecked operators, max staleness <=2 rounds" holds; r9
-# must front them first (no driver row ever), then the r6-stale
-# rotation.
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R8_FRONT)
 
-# Round-9 driver window (VERDICT r8 item 1, the prescribed rotation):
-# the fourteen new-in-r8 operators with NO driver row ever lead, then
-# 36 of the 49 r6-stale operators (latest driver row r6 — at the
-# 2-round cadence limit), ordered OLDEST CODE FIRST per the verdict:
-# every spill candidate was introduced 08-13 vs the 13 held back
-# (08-14 commits). 14 + 36 = 50 slots exactly.
+# r9 window (VERDICT r8 item 1).
 _R9_FRONT = [
-    # new in r8 — no driver row ever (judge-swept green in r8)
     "ann_sq8_ivf_rek_recall", "rank_fusion_indexed", "rank_fusion_recall",
     "incremental_shard_apply", "window_selfdup_cut_first",
     "packing_efficiency_curve", "contamination_ngram_sizes",
     "pii_extract_stats", "boilerplate_line_cut", "curation_funnel",
     "gopher_quality_rules", "dup_ngram_coverage", "temperature_resample",
     "label_centroid_similarity",
-    # r6-stale, oldest code first (all introduced 08-13; the 08-14
-    # cohort spills to r10 — see the r10 rotation note below)
     "dedup_exact", "dedup_token_set", "q9_semi_join", "q10_anti_join",
     "q11_top_k", "q12_set_op", "q13_string_functions", "q14_case_cascade",
     "q15_union_dedup", "q16_text_group", "q17_exact_dedup_counts",
@@ -257,92 +210,21 @@ _R9_FRONT = [
     "ann_multiprobe_recall", "ivf_train", "ann_ivf_trained_topk",
     "ann_pq_adc_topk", "ann_pq_recall",
 ]
-# r10 rotation note (VERDICT r8 item 8 — the spill decided NOW so the
-# cadence guarantee survives the growing registry without judge
-# arithmetic): r10 must front, in this order,
-#   (a) the new-in-r9 operators (no driver row ever — registry
-#       tail): tokenizer_fertility, shard_manifest,
-#       embedding_dim_variance, chunk_overlap_split,
-#       dsir_importance_weights, hard_negative_mining,
-#       ann_nprobe_sweep, cdc_chunk_dedup, ltob_downsample,
-#       embedding_principal_direction, mmr_diversified_topk,
-#   (b) the 13 r6-stale spill ops (newest r6 code, all 08-14 commits,
-#       r7 driver rows... none; r6 rows only — 3 rounds stale by r10):
-#       ann_ivfpq_topk, ann_ivfpq_recall, ann_ivfpq_residual_topk,
-#       ann_ivfpq_residual_recall, ann_sq8_topk, ann_sq8_recall,
-#       ivf_cell_stats, bigram_surprisal, window_overlap_source_matrix,
-#       pq_distortion, interval_coverage, semdedup_keep_one,
-#       dedup_threshold_sensitivity,
-#   (c) then the r7-stale rotation (the _R7_FRONT set, 2 rounds stale
-#       by r10), oldest code first, to fill the remaining slots.
-# CADENCE ARITHMETIC (stated so the bound is honest, not aspirational):
-# at 174 registry entries and a 50-slot driver window, the steady-state
-# maximum staleness is ceil(174/50) = 4 rounds — the old "<= 2 rounds
-# everywhere" guarantee became impossible the moment the registry
-# passed 100 entries (it needs 2 windows to cover everything). The
-# invariants that DO survive any registry size, and that every rotation
-# here preserves: (1) zero ever-unchecked operators after each round's
-# window runs (new ops front the NEXT round), (2) strict oldest-first
-# rotation so staleness is uniform, never concentrated, and (3) any
-# operator whose code or oracle changes re-fronts immediately. The
-# local sweep (CORRECTNESS_local_r{N}.json, all entries at sf0.01)
-# covers the full registry every round regardless.
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R9_FRONT)
 
-# Round-10 driver window (VERDICT r9 item 1, the prescribed rotation,
-# adjusted for the VERDICT r9 item 6 registry merge): the eight
-# vs-brute recall calibration rows
-# (ann_recall_at_5, ann_pq_recall, ann_ivfpq_recall,
-# ann_ivfpq_residual_recall, ann_ivfpq_rerank_recall, ann_sq8_recall,
-# ann_sq8_ivf_recall, ann_sq8_ivf_rek_recall) merged into ONE sweep
-# table `ann_recall_ladder` (rung column; verbatim per-rung SQL UNION
-# ALL on the oracle side, so no checked value is lost). The window:
-#   (a) the 11 new-in-r9 operators (no driver row ever),
-#   (b) ann_recall_ladder (new key, re-fronts immediately per
-#       invariant 3 — it now carries the only driver coverage of the
-#       whole recall family, replacing rows whose keys no longer
-#       exist) plus the 10 SURVIVING r6-stale spill ops (the 13 minus
-#       the three merged-away recall rows),
-#   (c) 28 of the r7-stale set, oldest code first: the r4-block of
-#       _R7_FRONT in order (ann_recall_at_5 skipped — merged away).
-# 11 + 11 + 28 = 50 slots exactly. Spilling to r11, oldest first: the
-# remaining 18 r7-stale ops (q19_above_brand_avg, range_join_events,
-# robust_outliers, session_cooccurrence, sessionize, text_stats,
-# token_counts, ts_rate, user_growth_curve, window_decontaminate,
-# window_selfdup_spans, then the new-in-r7 block phash_dup_pairs,
-# near_dup_pagerank_converged, dedup_edit_distance,
-# ann_ivfpq_rerank_topk, phash_dup_clusters, window_selfdup_cut,
-# lsh_bucket_size_hist, and ann_sq8_ivf_topk), then the r8-stale
-# rotation; the operators added in r10 (registry tail, never
-# driver-checked: hard_negative_indexed, hard_negative_overlap,
-# perplexity_buckets, contrastive_triplets) front r11 FIRST, before
-# the r7-stale spill.
-# CADENCE ARITHMETIC at the FINAL r10 registry of 171 entries
-# (174 - 8 merged recall rows + ann_recall_ladder + hard_negative_
-# indexed + hard_negative_overlap + perplexity_buckets +
-# contrastive_triplets) over 50 slots: steady-state max staleness
-# stays ceil(171/50) = 4 rounds; the merge paid for this round's five
-# additions with two slots to spare (net -3 vs r9) while keeping
-# every checked value — the
-# invariants of the r9 note (zero ever-unchecked after each round,
-# strict oldest-first, changed code re-fronts) all hold.
+# r10 window (VERDICT r9 items 1 + 6 — the recall-ladder merge round).
 _R10_FRONT = [
-    # (a) new in r9 — no driver row ever (judge-swept green in r9)
     "tokenizer_fertility", "shard_manifest", "embedding_dim_variance",
     "chunk_overlap_split", "dsir_importance_weights",
     "hard_negative_mining", "ann_nprobe_sweep", "cdc_chunk_dedup",
     "ltob_downsample", "embedding_principal_direction",
     "mmr_diversified_topk",
-    # (b) the merged recall sweep (new key: sole driver coverage of
-    # the recall family) + the 10 surviving r6-stale spill ops
     "ann_recall_ladder",
     "ann_ivfpq_topk", "ann_ivfpq_residual_topk", "ann_sq8_topk",
     "ivf_cell_stats", "bigram_surprisal", "window_overlap_source_matrix",
     "pq_distortion", "interval_coverage", "semdedup_keep_one",
     "dedup_threshold_sensitivity",
-    # (c) r7-stale, oldest code first (the r4-block of _R7_FRONT in
-    # order, minus the merged-away ann_recall_at_5)
     "ann_ivf_topk", "approx_topk_tokens", "boilerplate_spans",
     "counter_rate", "dedup_keep_best", "dedup_keep_one",
     "distinct_sketch", "doc_fingerprint", "equi_depth_bins",
@@ -357,76 +239,22 @@ _R10_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R10_FRONT)
 
-# Round-11 driver window (VERDICT r10 items 1-3 + the item-6 merges,
-# the prescribed rotation, adjusted for this round's registry changes:
-# rank_fusion_recall + hard_negative_overlap merged into ONE
-# serving_overlap sweep (family column; verbatim constituent SQL on the
-# oracle side) and lsh_recall_vs_exact folded into
-# lsh_band_recall_curve's production 8x4 rung — registry 171 -> 169,
-# no checked value lost). The window:
-#   (a) the never-driver-checked operators: the three surviving
-#       new-in-r10 ops (hard_negative_indexed, contrastive_triplets,
-#       perplexity_buckets) plus serving_overlap (new key — it now
-#       carries the ONLY driver coverage of both merged calibration
-#       rows, re-fronts immediately per invariant 3);
-#   (b) the 14 operators whose CODE changed this round (invariant 3):
-#       embedding_dim_variance (the r10 driver-red cell, now exact
-#       integer outputs), the r11 rounding-audit conversions
-#       (ts_rate, time_weighted_avg, anomaly_zscore,
-#       series_correlation, counter_rate, histogram_quantile,
-#       value_percentiles, doc_length_quartiles_by_source,
-#       embedding_norm_outliers, ivf_train), lsh_band_recall_curve
-#       (absorbed the production rung), and the two fold-variant
-#       merges cusum_changepoints / holt_linear_smooth (each key now
-#       runs whole-series AND chunked shapes as one variant-keyed
-#       table — the former cusum_chunked / holt_chunked keys are
-#       absorbed, two more slots returned);
-#   (c) the 18 surviving r7-stale ops, oldest code first (ts_rate
-#       moved to (b) — its code changed);
-#   (d) 14 of the r8-stale set in _R8_FRONT order (anomaly_zscore,
-#       doc_length_quartiles_by_source, value_percentiles and
-#       lsh_band_recall_curve are already in (b)).
-# 4 + 14 + 18 + 14 = 50 slots exactly. After this window: zero
-# ever-unchecked operators, no operator staler than r8, and every
-# changed-code op re-proven by the hard signal. Spilling to r12:
-# FIRST the new-in-r11 operators (registry tail, never
-# driver-checked — invariant 1): embedding_quantile_clip, then the
-# r11b additions cluster_balanced_sample and dim_truncation_recall;
-# then oldest first the remaining 30 r8-stale ops (cube_event_counts,
-# dedup_cluster_size_hist, then the _R8_FRONT tail from
-# dedup_embedding_cosine onward, minus the deregistered
-# lsh_recall_vs_exact), then the r9-stale rotation.
-# CADENCE ARITHMETIC at the final r11 registry of 172 entries (r10's
-# 171, minus rank_fusion_recall + hard_negative_overlap merged into
-# serving_overlap, minus lsh_recall_vs_exact folded into the curve,
-# minus cusum_chunked + holt_chunked absorbed into their variant
-# tables, plus the new embedding_quantile_clip, cluster_balanced_
-# sample, dim_truncation_recall, source_token_tvd and
-# ann_mrl_rerank_topk past the window) over 50 slots: steady-state
-# max staleness stays ceil(172/50) = 4 rounds;
-# the merges paid back four window slots while keeping every checked
-# value; the three invariants of the r9 note (zero ever-unchecked
-# after each round, strict oldest-first, changed code re-fronts) all
-# hold.
+# r11 window (VERDICT r10 items 1–3 + 6 — the rounding-audit round).
 _R11_FRONT = [
-    # (a) never driver-checked
     "hard_negative_indexed", "contrastive_triplets",
     "perplexity_buckets", "serving_overlap",
-    # (b) changed code this round — re-front per invariant 3
     "embedding_dim_variance", "ts_rate", "time_weighted_avg",
     "anomaly_zscore", "series_correlation", "counter_rate",
     "histogram_quantile", "value_percentiles",
     "doc_length_quartiles_by_source", "embedding_norm_outliers",
     "ivf_train", "lsh_band_recall_curve",
     "cusum_changepoints", "holt_linear_smooth",
-    # (c) r7-stale, oldest code first
     "q19_above_brand_avg", "range_join_events", "robust_outliers",
     "session_cooccurrence", "sessionize", "text_stats", "token_counts",
     "user_growth_curve", "window_decontaminate", "window_selfdup_spans",
     "phash_dup_pairs", "near_dup_pagerank_converged",
     "dedup_edit_distance", "ann_ivfpq_rerank_topk", "phash_dup_clusters",
     "window_selfdup_cut", "lsh_bucket_size_hist", "ann_sq8_ivf_topk",
-    # (d) r8-stale, _R8_FRONT order
     "bpe_merge_stats", "token_coverage_curve", "incremental_shard_dedup",
     "rank_fusion_topk", "ivf_rek_cell_stats", "dup_quality_audit",
     "unigram_surprisal", "ann_brute_topk", "asof_nearest_join",
@@ -436,54 +264,13 @@ _R11_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R11_FRONT)
 
-# r12 rotation (VERDICT r11 items 1 + 3; the r11 spill note executed
-# verbatim, plus this round's code changes re-fronted per invariant 3):
-#   (a) the SEVEN never-driver-checked ops — the five r11 additions
-#       the spill note fronts (embedding_quantile_clip, then the r11b
-#       additions cluster_balanced_sample and dim_truncation_recall,
-#       then source_token_tvd and ann_mrl_rerank_topk from the cadence
-#       paragraph) plus the new-in-r12 audio_fp_dup_pairs and
-#       video_frame_dup_pairs (invariant 1: no operator may reach a
-#       second round unchecked);
-#   (b) changed code this round: embedding_dim_variance (the
-#       sign-safe mean_ppm division — the r11 driver-red root cause,
-#       VERDICT item 1, re-fronted per invariant 3),
-#       seasonal_hourly_profile (idx_permille sign-factored — the
-#       latent twin the r11 judge scan flagged), ann_nprobe_sweep
-#       (absorbed ann_multiprobe_recall as section='probe_exact'
-#       rows; the merged key carries the only driver coverage of the
-#       absorbed values), distinct_sketch (absorbed
-#       hll_distinct_sketch as sketch='hll' rows — same pattern);
-#   (c) all 31 r8-stale ops, CORRECTNESS_r08 window order
-#       (cube_event_counts .. ann_sq8_ivf_rek_topk) — after this
-#       window nothing is staler than r9;
-#   (d) the 8 oldest r9-stale ops in CORRECTNESS_r09 window order
-#       (rank_fusion_indexed .. curation_funnel).
-# 7 + 4 + 31 + 8 = 50 slots exactly.
-# CADENCE ARITHMETIC at the r12 registry of 172 entries (r11's 172,
-# minus ann_multiprobe_recall merged into ann_nprobe_sweep, minus
-# hll_distinct_sketch merged into distinct_sketch, plus
-# audio_fp_dup_pairs and video_frame_dup_pairs): steady-state max
-# staleness stays ceil(172/50) = 4 rounds. Spilling to r13: the
-# remaining 30 r9-stale ops oldest-first (gopher_quality_rules,
-# dup_ngram_coverage, temperature_resample, label_centroid_similarity,
-# dedup_exact, dedup_token_set, the q9-q17 relational block,
-# dedup_rate_by_source, ngram_novelty, rare_token_ratio,
-# funnel_conversion, retention_cohorts, gap_fill, ohlc_downsample,
-# ts_downsample, dedup_clusters, rolling_window_7d,
-# dedup_prefix_filter, source_minhash_similarity, semdedup_ivf,
-# ann_ivf_trained_topk, ann_pq_adc_topk), then the r10-stale rotation
-# oldest-first. The three invariants hold: zero ever-unchecked after
-# each round, strict oldest-first, changed code re-fronts.
+# r12 window (VERDICT r11 items 1 + 3).
 _R12_FRONT = [
-    # (a) never driver-checked
     "embedding_quantile_clip", "cluster_balanced_sample",
     "dim_truncation_recall", "source_token_tvd", "ann_mrl_rerank_topk",
     "audio_fp_dup_pairs", "video_frame_dup_pairs",
-    # (b) changed code this round — re-front per invariant 3
     "embedding_dim_variance", "seasonal_hourly_profile",
     "ann_nprobe_sweep", "distinct_sketch",
-    # (c) r8-stale, CORRECTNESS_r08 window order
     "cube_event_counts", "dedup_cluster_size_hist",
     "dedup_embedding_cosine", "dedup_embedding_lsh",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash_pairs",
@@ -495,7 +282,6 @@ _R12_FRONT = [
     "stratified_sample", "text_simhash", "top3_per_group", "top_ngrams",
     "train_val_test_split", "truncation_stats", "value_histogram",
     "vocab_stats", "ann_sq8_ivf_rek_topk",
-    # (d) r9-stale, oldest first
     "rank_fusion_indexed", "incremental_shard_apply",
     "window_selfdup_cut_first", "packing_efficiency_curve",
     "contamination_ngram_sizes", "pii_extract_stats",
@@ -504,50 +290,13 @@ _R12_FRONT = [
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R12_FRONT)
 
-# Round-13 driver window (VERDICT r12 items 1–4): the controlled
-# experiment on the three-round embedding_dim_variance red, plus the
-# mandatory staleness-bound rotation.
-#   (a) the THREE never-driver-checked one-round bisection keys
-#       (edv_diag_sums_bigint / edv_diag_sums_decimal /
-#       edv_diag_derived — VERDICT item 1; registry temporarily 175,
-#       keys deleted in r14): same aggregation, three output shapes;
-#       the green/red pattern isolates decimal-type vs value vs
-#       derived-column divergence in the driver's engine pair.
-#   (b) changed code this round: embedding_dim_variance (every checked
-#       column now BIGINT — VERDICT item 2; re-front per invariant 3).
-#   (c) shard_manifest — the decimal control (VERDICT item 3): the
-#       only other decimal-history op, unchecked since the r10 driver;
-#       also the 2nd-oldest r10-stale key, so this slot does double
-#       duty in the rotation.
-#   (d) all 30 r9-stale ops, CORRECTNESS_r09 window order — the
-#       ceil(172/50)=4-round staleness bound expires for them THIS
-#       round (VERDICT item 4; the r12 spill list, held to exactly).
-#   (e) the 15 oldest remaining r10-stale ops, CORRECTNESS_r10 window
-#       order (tokenizer_fertility .. window_overlap_source_matrix).
-# 3 + 1 + 1 + 30 + 15 = 50 slots exactly.
-# CADENCE ARITHMETIC at the r13 registry of 177 entries (174 durable +
-# the 3 one-round diag keys; the new-in-r13 dedup_winnow_pairs and
-# kmv_set_ops arrived after the window was frozen at the
-# staleness-mandated 50 and therefore MUST lead the r14 window as its
-# never-checked ops — invariant 1): after this window nothing is
-# staler than r11;
-# 27 r10-stale ops spill to r14 oldest-first (pq_distortion,
-# interval_coverage, semdedup_keep_one, dedup_threshold_sensitivity,
-# ann_ivf_topk, approx_topk_tokens, boilerplate_spans, dedup_keep_best,
-# dedup_keep_one, doc_fingerprint, equi_depth_bins, ewma_smooth,
-# incremental_rollup_merge, lag_features, lang_id_confusion,
-# near_dup_pagerank, near_dup_source_matrix, path_transitions,
-# percentile_sketch, q1–q8), then the r11-stale rotation oldest-first.
-# The three invariants hold: zero ever-unchecked after each round,
-# strict oldest-first, changed code re-fronts.
+# r13 window (VERDICT r12 items 1–4 — the decimal-bisection round; the
+# three one-round edv_diag_* keys it led with were deleted in r14 after
+# the bisection verdict landed, and _prioritize skips them here).
 _R13_FRONT = [
-    # (a) never driver-checked — the one-round bisection keys
     "edv_diag_sums_bigint", "edv_diag_sums_decimal", "edv_diag_derived",
-    # (b) changed code — BIGINT rework, re-front per invariant 3
     "embedding_dim_variance",
-    # (c) the decimal control
     "shard_manifest",
-    # (d) r9-stale, CORRECTNESS_r09 window order — bound expires now
     "gopher_quality_rules", "dup_ngram_coverage", "temperature_resample",
     "label_centroid_similarity", "dedup_exact", "dedup_token_set",
     "q9_semi_join", "q10_anti_join", "q11_top_k", "q12_set_op",
@@ -558,7 +307,6 @@ _R13_FRONT = [
     "dedup_clusters", "rolling_window_7d", "dedup_prefix_filter",
     "source_minhash_similarity", "semdedup_ivf", "ann_ivf_trained_topk",
     "ann_pq_adc_topk",
-    # (e) r10-stale, oldest first (shard_manifest already fronted)
     "tokenizer_fertility", "chunk_overlap_split",
     "dsir_importance_weights", "hard_negative_mining", "cdc_chunk_dedup",
     "ltob_downsample", "embedding_principal_direction",
@@ -568,6 +316,58 @@ _R13_FRONT = [
 ]
 
 ALL_QUERIES = _prioritize(ALL_QUERIES, _R13_FRONT)
+
+# Round-14 driver window (VERDICT r13 items 1–3; staleness derived from
+# the CORRECTNESS artifacts this session — latest-green histogram
+# {r10: 27, r11: 49, r12: 49, r13: 49} over the 174-key registry after
+# the edv_diag_* deletion, never-green = the two r13 additions):
+#   (a) the TWO never-driver-checked operators — dedup_winnow_pairs and
+#       kmv_set_ops arrived after the r13 window was frozen at the
+#       staleness-mandated 50 (invariant 1: they lead);
+#   (b) all 27 r10-stale ops, CORRECTNESS_r10 window order — the
+#       4-round staleness bound expires for them THIS round (the r13
+#       spill list, held to exactly);
+#   (c) the 21 oldest r11-stale ops, CORRECTNESS_r11 window order
+#       (hard_negative_indexed .. session_cooccurrence).
+# 2 + 27 + 21 = 50 slots exactly. After this window nothing is staler
+# than r11. Spilling to r15, in order: FIRST any new-in-r14 operators
+# (registry tail, never driver-checked — invariant 1), then the
+# remaining 28 r11-stale ops in CORRECTNESS_r11 window order
+# (sessionize, text_stats, token_counts, user_growth_curve,
+# window_decontaminate, window_selfdup_spans, phash_dup_pairs,
+# near_dup_pagerank_converged, dedup_edit_distance,
+# ann_ivfpq_rerank_topk, phash_dup_clusters, window_selfdup_cut,
+# lsh_bucket_size_hist, ann_sq8_ivf_topk, bpe_merge_stats,
+# token_coverage_curve, incremental_shard_dedup, rank_fusion_topk,
+# ivf_rek_cell_stats, dup_quality_audit, unigram_surprisal,
+# ann_brute_topk, asof_nearest_join, asof_prior_click,
+# bloom_decontaminate, burn_rate_windows, chunk_dedup,
+# contamination_overlap — their bound expires at r15), then the
+# r12-stale rotation oldest-first. The three invariants hold.
+_R14_FRONT = [
+    # (a) never driver-checked — the r13 additions (invariant 1)
+    "dedup_winnow_pairs", "kmv_set_ops",
+    # (b) r10-stale, CORRECTNESS_r10 window order — bound expires now
+    "pq_distortion", "interval_coverage", "semdedup_keep_one",
+    "dedup_threshold_sensitivity", "ann_ivf_topk", "approx_topk_tokens",
+    "boilerplate_spans", "dedup_keep_best", "dedup_keep_one",
+    "doc_fingerprint", "equi_depth_bins", "ewma_smooth",
+    "incremental_rollup_merge", "lag_features", "lang_id_confusion",
+    "near_dup_pagerank", "near_dup_source_matrix", "path_transitions",
+    "percentile_sketch", "q1_filter_project_sort", "q2_time_bucket",
+    "q3_hash_aggregate", "q4_distinct_aggregate", "q5_latest_per_series",
+    "q6_tpch_q1", "q7_broadcast_join", "q8_multi_join",
+    # (c) the 21 oldest r11-stale, CORRECTNESS_r11 window order
+    "hard_negative_indexed", "contrastive_triplets", "perplexity_buckets",
+    "serving_overlap", "ts_rate", "time_weighted_avg", "anomaly_zscore",
+    "series_correlation", "counter_rate", "histogram_quantile",
+    "value_percentiles", "doc_length_quartiles_by_source",
+    "embedding_norm_outliers", "ivf_train", "lsh_band_recall_curve",
+    "cusum_changepoints", "holt_linear_smooth", "q19_above_brand_avg",
+    "range_join_events", "robust_outliers", "session_cooccurrence",
+]
+
+ALL_QUERIES = _prioritize(ALL_QUERIES, _R14_FRONT)
 
 __all__ = [
     "RELATIONAL_QUERIES",

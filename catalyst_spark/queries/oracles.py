@@ -4540,9 +4540,10 @@ ORACLE_SQL["shard_manifest"] = _shard_manifest_sql()
 
 
 def _edv_agg_cte() -> str:
-    """Shared q→agg CTE prefix for embedding_dim_variance and the r13
-    edv_diag_* bisection keys: agg(dim, n, sum_fx, sumsq_fx) with
-    DECIMAL(38,0) sums. DuckDB SUM(BIGINT) accumulates in HUGEINT
+    """Shared q→agg CTE prefix for embedding_dim_variance:
+    agg(dim, n, sum_fx, sumsq_fx) with DECIMAL(38,0) sums (the
+    accumulator doctrine — checked columns re-cast to BIGINT; the r13
+    bisection proved negative decimal checked columns driver-red). DuckDB SUM(BIGINT) accumulates in HUGEINT
     (128-bit, exact); reported as DECIMAL(38,0) to match Spark's
     decimal accumulator."""
     from catalyst_spark.queries.pipeline import _EMB_FX
@@ -4600,30 +4601,6 @@ def _embedding_dim_variance_sql() -> str:
 
 
 ORACLE_SQL["embedding_dim_variance"] = _embedding_dim_variance_sql()
-
-
-# r13 ONE-ROUND bisection keys (VERDICT r12 item 1) — delete in r14.
-# Same aggregation three ways; the driver's green/red pattern across
-# them pinpoints decimal-type vs value vs derived-column divergence.
-ORACLE_SQL["edv_diag_sums_bigint"] = f"""{_edv_agg_cte()}
-      SELECT dim, n,
-             CAST(sum_fx AS BIGINT) AS sum_fx,
-             CAST(sumsq_fx AS BIGINT) AS sumsq_fx
-      FROM agg ORDER BY dim
-    """
-
-ORACLE_SQL["edv_diag_sums_decimal"] = f"""{_edv_agg_cte()}
-      SELECT dim, n, sum_fx, sumsq_fx
-      FROM agg ORDER BY dim
-    """
-
-_edv_mean_ppm, _edv_var_num = _edv_derived_exprs()
-ORACLE_SQL["edv_diag_derived"] = f"""{_edv_agg_cte()}
-      SELECT dim,
-             {_edv_mean_ppm} AS mean_ppm,
-             {_edv_var_num} AS var_num
-      FROM agg ORDER BY dim
-    """
 
 
 def _embedding_quantile_clip_sql() -> str:

@@ -6351,9 +6351,16 @@ _EMB_FX = 1 << 20
 
 
 def _edv_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared per-dimension fixed-point sums behind embedding_dim_variance
-    and the r13 ``edv_diag_*`` bisection keys: (dim, n, sum_fx_dec,
-    sumsq_fx_dec) with DECIMAL(38,0) accumulators.
+    """Shared per-dimension fixed-point sums behind embedding_dim_variance:
+    (dim, n, sum_fx_dec, sumsq_fx_dec) with DECIMAL(38,0) accumulators.
+
+    r13 POSTSCRIPT (bisection verdict, CORRECTNESS_r13): the one-round
+    ``edv_diag_*`` keys that shared this CTE proved the driver engine
+    pair hash-diverges on NEGATIVE DECIMAL(38,0) CHECKED columns
+    (identical values green as BIGINT, red as decimal, derived columns
+    green, non-negative decimal control green). Doctrine: no checked
+    column is decimal when values can go negative — decimal lives only
+    here, in accumulators.
 
     Quantization ``floor(v * 2^20)`` is a power-of-two scale — an
     exponent shift that NEVER rounds — so q is bit-identical on any
@@ -6428,60 +6435,6 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", "n",
             F.col("sum_fx_dec").cast("bigint").alias("sum_fx"),
             F.col("sumsq_fx_dec").cast("bigint").alias("sumsq_fx"),
-            F.expr(_EDV_MEAN_PPM).cast("bigint").alias("mean_ppm"),
-            F.expr(_EDV_VAR_NUM).cast("bigint").alias("var_num"),
-        )
-        .orderBy("dim")
-    )
-
-
-def edv_diag_sums_bigint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE-ROUND diagnostic key (r13, VERDICT r12 item 1a — DELETE in
-    r14): the embedding_dim_variance raw sums with every checked
-    column CAST TO BIGINT on both sides. Green here + red on
-    edv_diag_sums_decimal isolates the driver divergence to the
-    DECIMAL output type; red here implicates the (negative) values
-    themselves. The driver reports only booleans per key, so this
-    bisection is evidence no whole-op reformulation can produce."""
-    return (
-        _edv_sums(spark, sf_dir)
-        .select(
-            "dim", "n",
-            F.col("sum_fx_dec").cast("bigint").alias("sum_fx"),
-            F.col("sumsq_fx_dec").cast("bigint").alias("sumsq_fx"),
-        )
-        .orderBy("dim")
-    )
-
-
-def edv_diag_sums_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE-ROUND diagnostic key (r13, VERDICT r12 item 1b — DELETE in
-    r14): the IDENTICAL values as edv_diag_sums_bigint, reported as
-    DECIMAL(38,0) — the r10–r12 production shape minus the derived
-    columns. The bigint/decimal green-red pattern across the pair
-    pinpoints whether the driver's engine pair canonicalizes
-    (negative) decimal outputs differently."""
-    return (
-        _edv_sums(spark, sf_dir)
-        .select(
-            "dim", "n",
-            F.col("sum_fx_dec").alias("sum_fx"),
-            F.col("sumsq_fx_dec").alias("sumsq_fx"),
-        )
-        .orderBy("dim")
-    )
-
-
-def edv_diag_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE-ROUND diagnostic key (r13, VERDICT r12 item 1c — DELETE in
-    r14): only the DERIVED embedding_dim_variance columns (mean_ppm,
-    var_num), both BIGINT. Red here with both sums keys green would
-    isolate the divergence to a derived expression rather than the
-    raw aggregation or the output type."""
-    return (
-        _edv_sums(spark, sf_dir)
-        .select(
-            "dim",
             F.expr(_EDV_MEAN_PPM).cast("bigint").alias("mean_ppm"),
             F.expr(_EDV_VAR_NUM).cast("bigint").alias("var_num"),
         )
@@ -7687,10 +7640,6 @@ PIPELINE_QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "shard_manifest": shard_manifest,
     "embedding_dim_variance": embedding_dim_variance,
-    # r13 one-round bisection keys (VERDICT r12 item 1) — delete in r14
-    "edv_diag_sums_bigint": edv_diag_sums_bigint,
-    "edv_diag_sums_decimal": edv_diag_sums_decimal,
-    "edv_diag_derived": edv_diag_derived,
     "embedding_quantile_clip": embedding_quantile_clip,
     "chunk_overlap_split": chunk_overlap_split,
     "dsir_importance_weights": dsir_importance_weights,

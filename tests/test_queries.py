@@ -35,39 +35,36 @@ def test_every_query_is_oracle_checked():
 
 def test_driver_window_composition():
     """The driver's CORRECTNESS window is the FIRST 50 registry keys in
-    insertion order; the r13 rotation plan (queries/__init__.py,
-    VERDICT r12 items 1–4) promises exactly the _R13_FRONT prefix
-    there — the 3 never-driver-checked bisection keys first, then the
-    changed-code embedding_dim_variance re-front, then shard_manifest
-    (the decimal control), then all 30 r9-stale ops whose staleness
-    bound expires this round, then the 15 oldest r10-stale — with the
-    remaining r10-stale spill deliberately PAST the window (named in
-    the r14 rotation note) so max driver staleness stays bounded. Pin
-    both, so a registry edit cannot silently reshuffle the window
-    before the driver runs."""
-    from catalyst_spark.queries import _R13_FRONT
+    insertion order; the r14 rotation plan (queries/__init__.py,
+    VERDICT r13 items 1–3) promises exactly the _R14_FRONT prefix
+    there — the 2 never-driver-checked r13 additions first, then all
+    27 r10-stale ops whose staleness bound expires this round, then
+    the 21 oldest r11-stale — with the remaining r11-stale spill
+    deliberately PAST the window (named in the r15 rotation note) so
+    max driver staleness stays bounded. Pin both, so a registry edit
+    cannot silently reshuffle the window before the driver runs."""
+    from catalyst_spark.queries import _R14_FRONT
 
     names = list(ALL_QUERIES)
-    assert len(_R13_FRONT) == 50
-    assert names[:50] == _R13_FRONT
-    # the experiment bar: the bisection keys lead the window, followed
-    # immediately by the reworked op and its decimal control
-    assert names[:5] == [
-        "edv_diag_sums_bigint", "edv_diag_sums_decimal",
-        "edv_diag_derived", "embedding_dim_variance", "shard_manifest",
-    ]
-    # every r9-stale op made the window (the bound expires at r13)
-    for must in ("gopher_quality_rules", "dup_ngram_coverage",
-                 "temperature_resample", "label_centroid_similarity",
-                 "dedup_exact", "q9_semi_join", "dedup_clusters",
-                 "ann_pq_adc_topk"):
+    assert len(_R14_FRONT) == 50
+    assert names[:50] == _R14_FRONT
+    # the never-checked r13 additions lead (invariant 1)
+    assert names[:2] == ["dedup_winnow_pairs", "kmv_set_ops"]
+    # every r10-stale op made the window (the bound expires at r14)
+    for must in ("pq_distortion", "interval_coverage",
+                 "semdedup_keep_one", "ann_ivf_topk",
+                 "q1_filter_project_sort", "q8_multi_join",
+                 "percentile_sketch", "near_dup_pagerank"):
         assert names.index(must) < 50, must
-    # the r14 spill: the remaining r10-stale ops sit past the window
-    for late in ("pq_distortion", "interval_coverage",
-                 "semdedup_keep_one", "ann_ivf_topk", "q1_filter_project_sort"):
+    # the r15 spill: the 28 youngest r11-stale ops sit past the window
+    for late in ("sessionize", "text_stats", "token_counts",
+                 "unigram_surprisal", "contamination_overlap"):
         assert names.index(late) >= 50, late
-    # the merged-away keys are gone from registry and oracles
-    for gone in ("ann_recall_at_5", "ann_pq_recall", "ann_ivfpq_recall",
+    # the r13 bisection keys were deleted in r14 (the decimal verdict
+    # landed), along with the historical merged-away keys
+    for gone in ("edv_diag_sums_bigint", "edv_diag_sums_decimal",
+                 "edv_diag_derived",
+                 "ann_recall_at_5", "ann_pq_recall", "ann_ivfpq_recall",
                  "ann_ivfpq_residual_recall", "ann_ivfpq_rerank_recall",
                  "ann_sq8_recall", "ann_sq8_ivf_recall",
                  "ann_sq8_ivf_rek_recall", "rank_fusion_recall",
