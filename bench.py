@@ -387,29 +387,39 @@ def _stream_scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
                      "band_rows": band_index.count(),
                      "hset_rows": hset_index.count()}
             walls, state_rows, state_bytes = [], 0, 0
-            for t in range(trials):
-                stream = (spark.readStream
-                          .schema("doc_id long, source string, text string")
-                          .option("maxFilesPerTrigger", 1)
-                          .json(probe_dir))
-                qname = f"stream_scale_{tag.replace('.', '_')}_{t}"
-                t0 = time.perf_counter()
-                q = (stream_shard_dedup_classify(
-                        stream, fp_index, band_index, hset_index)
-                     .writeStream.outputMode("update").format("memory")
-                     .queryName(qname).start())
-                q.processAllAvailable()
-                walls.append(time.perf_counter() - t0)
-                for prog in q.recentProgress:
-                    for so in prog.get("stateOperators", []):
-                        state_rows = max(state_rows,
-                                         so.get("numRowsTotal", 0))
-                        state_bytes = max(state_bytes,
-                                          so.get("memoryUsedBytes", 0))
-                q.stop()
-                spark.catalog.dropTempView(qname)
-            for df in (fp_index, band_index, hset_index):
-                df.unpersist()
+            # ADVICE r13: stop the query and unpersist the tier's
+            # indexes even when processAllAvailable or progress parsing
+            # throws — a leaked running query would poison every
+            # subsequent tier's wall clock in this process
+            try:
+                for t in range(trials):
+                    stream = (spark.readStream
+                              .schema(
+                                  "doc_id long, source string, text string")
+                              .option("maxFilesPerTrigger", 1)
+                              .json(probe_dir))
+                    qname = f"stream_scale_{tag.replace('.', '_')}_{t}"
+                    t0 = time.perf_counter()
+                    q = (stream_shard_dedup_classify(
+                            stream, fp_index, band_index, hset_index)
+                         .writeStream.outputMode("update").format("memory")
+                         .queryName(qname).start())
+                    try:
+                        q.processAllAvailable()
+                        walls.append(time.perf_counter() - t0)
+                        for prog in q.recentProgress:
+                            for so in prog.get("stateOperators", []):
+                                state_rows = max(state_rows,
+                                                 so.get("numRowsTotal", 0))
+                                state_bytes = max(
+                                    state_bytes,
+                                    so.get("memoryUsedBytes", 0))
+                    finally:
+                        q.stop()
+                    spark.catalog.dropTempView(qname)
+            finally:
+                for df in (fp_index, band_index, hset_index):
+                    df.unpersist()
             wall = min(walls)
             out[tag] = dict(
                 sizes,

@@ -632,15 +632,31 @@ def stream_audio_fp_classify(
     )
 
 
-def winnow_static_index(spark, sf_dir: str):
+def winnow_static_index(spark, sf_dir: str, docs=None):
     """Corpus-side serving artifacts for ingest-time winnowing dedup
     (streaming face of queries.pipeline.dedup_winnow_pairs): the
     corpus (doc_id % _SHARD_MOD != 0) fingerprint postings with the
-    stop-fingerprint df cap applied AT CORPUS SCOPE (an arriving doc
-    cannot change corpus document frequencies, so the cap is a static
-    property of the index — the batch op's cap re-derives the same
-    sets when the shard is folded in), plus the full per-doc
-    fingerprint sets for the exact verify."""
+    stop-fingerprint df cap applied AT CORPUS SCOPE, plus the full
+    per-doc fingerprint sets for the exact verify.
+
+    CAP SCOPE (r14, ADVICE r13): the streaming cap deliberately
+    differs from the batch op's. Here df is counted over the CORPUS
+    ONLY — an arriving doc cannot change corpus document frequencies,
+    so the cap is a static property of the index (the property that
+    makes the per-batch cost corpus-growth-flat at 100 TB: no state
+    ever tracks arriving-shard frequencies). Batch dedup_winnow_pairs
+    counts df over CORPUS + SHARD. A fingerprint whose corpus-df is
+    within the cap but whose corpus+shard df crosses it therefore
+    stays LIVE here while batch drops it: near the cap the stream may
+    surface candidate matches batch suppresses (never the reverse —
+    corpus-df <= corpus+shard-df, so every batch-live fingerprint is
+    stream-live). The exact fingerprint-set verify downstream is
+    identical, so divergence is confined to candidates whose only
+    shared fingerprints straddle the cap. Pinned by
+    tests/test_r13_ops.py::test_winnow_cap_scope_divergence.
+
+    ``docs`` overrides the documents table (tests feed synthetic
+    corpora); default loads ``{sf_dir}/documents.parquet``."""
     from catalyst_spark.queries.pipeline import (
         _SHARD_MOD,
         _WINNOW_DF_CAP,
@@ -648,10 +664,9 @@ def winnow_static_index(spark, sf_dir: str):
     )
     from catalyst_spark.tables import load
 
-    corpus = _winnowed(
-        load(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % _SHARD_MOD != 0)
-    )
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
+    corpus = _winnowed(docs.where(F.col("doc_id") % _SHARD_MOD != 0))
     ex = corpus.select(
         F.col("doc_id").alias("old_id"), F.explode("fps").alias("fp")
     )

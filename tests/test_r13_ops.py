@@ -348,3 +348,55 @@ def test_stream_kmv_sketch_matches_batch(spark, tmp_path):
                 (_KMV_K - 1) * _KMV_SPACE / s["hk"])
             assert est_union == r["est_union"]
             assert est_union * s["rho"] // _KMV_K == r["est_inter"]
+
+
+def test_winnow_cap_scope_divergence(spark):
+    """CAP SCOPE pin (r14, ADVICE r13): the streaming index's
+    stop-fingerprint cap counts df over the CORPUS ONLY (a static
+    property of the index — arriving docs cannot change it), while
+    batch dedup_winnow_pairs counts df over corpus + shard. A
+    fingerprint whose corpus-df sits exactly AT the cap but whose
+    corpus+shard df crosses it must therefore stay LIVE in the
+    streaming index (this test's construction), and the divergence is
+    one-directional: every batch-live fingerprint is stream-live
+    because corpus-df <= corpus+shard-df."""
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.pipeline import (
+        _SHARD_MOD,
+        _WINNOW_DF_CAP,
+        _winnowed,
+    )
+    from catalyst_spark.streaming.minhash import winnow_static_index
+
+    text = " ".join(f"tok{i}" for i in range(8))
+    corpus_ids, i = [], 1
+    while len(corpus_ids) < _WINNOW_DF_CAP:
+        if i % _SHARD_MOD != 0:
+            corpus_ids.append(i)
+        i += 1
+    docs = spark.createDataFrame(
+        [(d, text) for d in corpus_ids] + [(_SHARD_MOD, text)],
+        "doc_id long, text string",
+    )
+    all_fps = set(_winnowed(docs).limit(1).collect()[0]["fps"])
+    assert all_fps
+
+    fp_index, _ = winnow_static_index(spark, SF_DIR, docs=docs)
+    live_stream = {r["fp"] for r in fp_index.select("fp").distinct().collect()}
+    # corpus-df == cap exactly -> every fingerprint stays live, and the
+    # shard occurrence (total df = cap + 1, past the batch rule's cap)
+    # is not counted by the static index
+    assert live_stream == all_fps
+    n_postings = fp_index.count()
+    assert n_postings == _WINNOW_DF_CAP * len(all_fps)
+
+    # the batch scope (df over corpus + shard) crosses the cap here, so
+    # batch would drop every one of these fingerprints — compute both
+    # scopes from the same postings to pin the direction of divergence
+    ex = _winnowed(docs).select("doc_id", F.explode("fps").alias("fp"))
+    df_all = {r["fp"]: r["df"] for r in
+              ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).collect()}
+    live_batch = {fp for fp, df in df_all.items() if df <= _WINNOW_DF_CAP}
+    assert live_batch == set()          # strict divergence in this build
+    assert live_batch <= live_stream    # and it is one-directional
