@@ -160,6 +160,10 @@ def _ensure_sf5(spark, src_dir: str, dst_dir: str) -> None:
     emb_flag = os.path.join(dst_dir, "_DONE_SF5_EMB")
     if os.path.exists(done_flag):
         _ensure_sf5_embeddings(spark, src_dir, dst_dir, emb_flag)
+        # events gained their own flag in r14 (the kmv stream-scale
+        # tier reads them): a dir whose _DONE_SF5 predates the events
+        # write must still gain the table without a full rebuild
+        _ensure_sf5_events(spark, src_dir, dst_dir)
         return
     os.makedirs(dst_dir, exist_ok=True)
     from pyspark.sql import functions as F
@@ -205,9 +209,46 @@ def _ensure_sf5(spark, src_dir: str, dst_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(dst_dir, "events.parquet"))
     )
+    with open(os.path.join(dst_dir, "_DONE_SF5_EVENTS"), "w") as f:
+        f.write("ok\n")
     with open(done_flag, "w") as f:
         f.write("ok\n")
     _ensure_sf5_embeddings(spark, src_dir, dst_dir, emb_flag)
+
+
+def _ensure_sf5_events(spark, src_dir: str, dst_dir: str) -> None:
+    """50x events for a dir built before events joined _ensure_sf5's
+    fresh path (the _ensure_sf1_events retrofit pattern): fifty
+    disjoint user populations with identical per-user timelines —
+    user-keyed operators face 50x independent keys, while the
+    event_type segment axis (what the KMV stream tier keys state on)
+    stays at the base cardinality."""
+    done_flag = os.path.join(dst_dir, "_DONE_SF5_EVENTS")
+    if os.path.exists(done_flag):
+        return
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+    mx = ev.selectExpr(
+        "max(event_id) AS me", "max(user_id) AS mu").collect()[0]
+    assert mx["me"] < 10_000_000 and mx["mu"] < 1_000_000, mx
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value",
+                  "props", F.expr("explode(sequence(0, 49))").alias("rep"))
+        .select(
+            (F.col("event_id") + F.col("rep") * F.lit(10_000_000))
+            .alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * F.lit(1_000_000))
+            .alias("user_id"),
+            "event_type", "value", "props",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "events.parquet"))
+    )
+    with open(done_flag, "w") as f:
+        f.write("ok\n")
 
 
 def _ensure_sf5_embeddings(spark, src_dir: str, dst_dir: str,
@@ -438,6 +479,102 @@ def _stream_scale_section(spark, base_sf_dir: str, reset_caches) -> dict:
         "wall_50x_over_1x near 1 means the band-bucket equi-join's "
         "per-batch cost is corpus-growth-flat, while a ratio tracking "
         "the corpus (~50) would flag a shard-x-corpus scan."
+    )
+    return out
+
+
+def _stream_scale_kmv_section(spark, base_sf_dir: str) -> dict:
+    """Second ingest-side scale family (r14, VERDICT r13 item 7): the
+    r13 tier proved the stream-vs-static-index JOIN flat on a twin
+    whose state is boolean-sized; this one scales the axis the OTHER
+    way — 1x/10x/50x INPUT VOLUMES replayed through stream_kmv_sketch,
+    a twin whose keyed STATE is the product. The claim under test:
+    state stays k*segments BIGINTs (k=64, 5 event types -> 320 longs)
+    at EVERY tier — the sketch compresses unbounded arriving rows into
+    bounded state via sorted-union-truncate — so state_bytes must be
+    tier-invariant while wall may track input volume (per-row cost).
+    Input: the event_id % 10 == 0 sample of each tier's events table
+    (the replica offsets are multiples of 10, so every replica
+    contributes uniformly and the samples are exactly 1x/10x/50x).
+    Same gate as _stream_scale_section."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.streaming.stateful import stream_kmv_sketch
+
+    sf1_dir = str(REPO / "benchdata" / "sf1")
+    sf5_dir = str(REPO / "benchdata" / "sf5")
+    _ensure_sf1_events(spark, base_sf_dir, sf1_dir)
+    _ensure_sf5(spark, base_sf_dir, sf5_dir)
+
+    trials = int(os.environ.get("SPARK_GRAFT_STREAM_SCALE_TRIALS", "2"))
+    n_batches = 4
+    out: dict = {"micro_batches": n_batches, "sample_mod": 10}
+    for tag, d in (("sf0.1", base_sf_dir), ("sf1", sf1_dir),
+                   ("sf5", sf5_dir)):
+        probe_dir = tempfile.mkdtemp(prefix=f"kmv_scale_{tag}_")
+        try:
+            src = (spark.read
+                   .parquet(os.path.join(d, "events.parquet"))
+                   .where("event_id % 10 = 0")
+                   .select("event_type", "user_id"))
+            n_rows = src.count()
+            # n_batches json files = n_batches micro-batches; the
+            # writer is outside the clock (ingest transport, not the
+            # operator under test)
+            (src.withColumn(
+                    "b", F.pmod(F.crc32(F.col("user_id").cast("string")),
+                                F.lit(n_batches)))
+                .repartition(n_batches, "b").drop("b")
+                .write.mode("overwrite").json(probe_dir))
+            walls, state_rows, state_bytes = [], 0, 0
+            for t in range(trials):
+                stream = (spark.readStream
+                          .schema("event_type string, user_id long")
+                          .option("maxFilesPerTrigger", 1)
+                          .json(probe_dir))
+                qname = f"kmv_scale_{tag.replace('.', '_')}_{t}"
+                t0 = time.perf_counter()
+                q = (stream_kmv_sketch(stream)
+                     .writeStream.outputMode("update").format("memory")
+                     .queryName(qname).start())
+                try:
+                    q.processAllAvailable()
+                    walls.append(time.perf_counter() - t0)
+                    for prog in q.recentProgress:
+                        for so in prog.get("stateOperators", []):
+                            state_rows = max(state_rows,
+                                             so.get("numRowsTotal", 0))
+                            state_bytes = max(
+                                state_bytes,
+                                so.get("memoryUsedBytes", 0))
+                finally:
+                    q.stop()
+                spark.catalog.dropTempView(qname)
+            wall = min(walls)
+            out[tag] = {
+                "input_rows": n_rows,
+                "wall_sec": round(wall, 3),
+                "rows_per_sec": round(n_rows / wall, 1),
+                "state_rows": state_rows,
+                "state_bytes": state_bytes,
+            }
+        finally:
+            shutil.rmtree(probe_dir, ignore_errors=True)
+    out["wall_50x_over_1x"] = round(
+        out["sf5"]["wall_sec"] / out["sf0.1"]["wall_sec"], 2)
+    out["state_bytes_50x_over_1x"] = round(
+        out["sf5"]["state_bytes"]
+        / max(1, out["sf0.1"]["state_bytes"]), 2)
+    out["note"] = (
+        "Growing input vs bounded sketch state: input_rows scale "
+        "1x/10x/50x, state_rows must stay = segment count and "
+        "state_bytes_50x_over_1x near 1 (k-min arrays truncate to k "
+        "regardless of volume); wall may track input (per-row cost), "
+        "never state — a state_bytes ratio tracking input would flag "
+        "an unbounded accumulator masquerading as a sketch."
     )
     return out
 
@@ -1242,10 +1379,45 @@ _SHARED_BUILDS = (
     "rek_kmeans_assign",
     "pq_codes",
     "rpq_codes",
+    "pq_adc_topk",
     "brute_topk_baseline",
     "ivfpq_rerank_shortlist",
     "fusion_lex_arm",
 )
+
+
+def _committed_round_summary():
+    """The last ROUND-BOUNDARY committed bench_summary.json (VERDICT
+    r13 item 4): the driver commits 'round N: verdict/advice/
+    correctness/bench' at each round boundary, so bench_summary.json
+    at the newest such commit is the previous round's headline
+    numbers. vs_prev diffs only the previous same-state run in this
+    working tree, which hides cross-round shifts (the r13 phantom 13x
+    on ann_pq_adc_topk was invisible to the artifact and only caught
+    by a judge-side git diff); this makes that diff part of the
+    artifact. Returns (round_number, payload) or None."""
+    import re
+    import subprocess
+
+    try:
+        log = subprocess.run(
+            ["git", "-C", str(REPO), "log", "--format=%H %s"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+        for line in log.splitlines():
+            sha, _, msg = line.partition(" ")
+            m = re.match(r"round (\d+):", msg)
+            if not m:
+                continue
+            txt = subprocess.run(
+                ["git", "-C", str(REPO), "show",
+                 f"{sha}:bench_summary.json"],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout
+            return int(m.group(1)), json.loads(txt)
+    except Exception:
+        return None
+    return None
 
 
 def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
@@ -1295,6 +1467,13 @@ def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
     timed("rpq_codes", lambda: P._pq_model(
         spark, sf_dir, P._residual_vecs(spark, sf_dir, v),
         prefix="rpq")[0].count())
+    # the persisted ADC top-k RESULT (VERDICT r13 item 4): shared by
+    # ann_pq_adc_topk and ann_recall_ladder's PQ rung through
+    # _TOPK_RESULT_CACHE["pq_adc"], so window reorders used to shift a
+    # ~1.7 s first-toucher cost between the two names (r13's phantom
+    # 13x on ann_pq_adc_topk); with the result pre-built here both
+    # names read the persisted probe-set-sized table
+    timed("pq_adc_topk", noop("ann_pq_adc_topk"))
     timed("brute_topk_baseline", noop("ann_brute_topk"))
     # the exact-reranked IVF-PQ shortlist and the shingle-Jaccard
     # lexical arm (VERDICT r8 item 4): each feeds the rerank rung AND
@@ -1386,12 +1565,16 @@ def main() -> None:
     # stream vs 1x/10x/50x corpus indexes. Default follows the sf5
     # gate (builder-measured; driver rounds carry it forward). ---
     stream_scale = None
+    stream_scale_kmv = None
     if os.environ.get(
         "SPARK_GRAFT_STREAM_SCALE_BENCH",
         os.environ.get("SPARK_GRAFT_SF5_BENCH", "0"),
     ) != "0":
         stream_scale = _stream_scale_section(
             spark, sf_dir, _reset_session_caches)
+        _reset_session_caches()
+        # second family (r14): growing input vs bounded sketch state
+        stream_scale_kmv = _stream_scale_kmv_section(spark, sf_dir)
         _reset_session_caches()
 
     # median-of-n per query: one timing per pass, each pass fully cold, so
@@ -1745,6 +1928,8 @@ def main() -> None:
         payload["sf5"] = sf5
     if stream_scale is not None:
         payload["stream_scale"] = stream_scale
+    if stream_scale_kmv is not None:
+        payload["stream_scale_kmv"] = stream_scale_kmv
 
     # machine-checked regression tracking: ratio vs the previous run's
     # committed summary (only at the same sf — cross-sf ratios are noise)
@@ -1772,6 +1957,15 @@ def main() -> None:
         payload["stream_scale"] = prev["stream_scale"]
         payload["stream_scale_provenance"] = prev.get(
             "stream_scale_provenance",
+            "carried forward from the prior committed snapshot "
+            "(gated tier not re-run; SPARK_GRAFT_STREAM_SCALE_BENCH=1 "
+            "re-measures)",
+        )
+    if stream_scale_kmv is None and prev and prev.get("stream_scale_kmv"):
+        # and for the r14 bounded-state family
+        payload["stream_scale_kmv"] = prev["stream_scale_kmv"]
+        payload["stream_scale_kmv_provenance"] = prev.get(
+            "stream_scale_kmv_provenance",
             "carried forward from the prior committed snapshot "
             "(gated tier not re-run; SPARK_GRAFT_STREAM_SCALE_BENCH=1 "
             "re-measures)",
@@ -1823,6 +2017,41 @@ def main() -> None:
                 f"{runs} passes; prev summary predates this, so "
                 "regression flags are suppressed this round"
             )
+
+    # cross-round attribution diff (VERDICT r13 item 4): per-query
+    # ratios vs the last ROUND-COMMITTED snapshot, normalized by the
+    # whole-registry median so ambient machine drift (every name
+    # moving together — the documented r13 phenomenon) doesn't flag,
+    # while a single name moving far off the registry trend (a real
+    # regression OR a first-toucher attribution shift) does
+    committed = _committed_round_summary()
+    if committed:
+        rnum, rprev = committed
+        rq = rprev.get("queries") or {}
+        if rprev.get("sf") == sf and rq:
+            ratios = {n: t / rq[n] for n, t in timings.items()
+                      if rq.get(n)}
+            srt = sorted(ratios.values())
+            med = srt[len(srt) // 2] if srt else 1.0
+            flags = {
+                n: {"prev": rq[n], "now": timings[n],
+                    "ratio": round(r, 2)}
+                for n, r in ratios.items()
+                if r > 1.3 and r > 2 * med and timings[n] - rq[n] > 0.3
+            }
+            payload["vs_committed_prev_round"] = {
+                "round": rnum,
+                "common_keys": len(ratios),
+                "median_ratio": round(med, 3),
+                "flags": flags,
+                "note": (
+                    "flags exceed 2x the registry-median ratio vs the "
+                    f"round-{rnum} committed snapshot (so uniform "
+                    "ambient drift never flags); attribution shifts "
+                    "between session-cache mates show up here as a "
+                    "riser paired with a faller"
+                ),
+            }
 
     # the driver keeps only a bounded stdout TAIL, which can truncate
     # this (long) line — the durable copy lives in bench_summary.json
