@@ -967,14 +967,20 @@ _SCALE_QUERIES = _SCALE_QUERIES + (
     # cells' 16-dim slices, stage-2 is Q x R point lookups — the
     # ivfpq_rerank shape with the ADC stage swapped for the MRL slice
     "ann_mrl_rerank_topk",
+    # r14: the compaction cost table — one band join + verify pass
+    # over the union (the dedup family's standard blocked joins),
+    # then K+1 CC runs over growing edge sets; its 10x cost is the
+    # signature build's plus edge-set-sized label propagation
+    "shard_apply_compaction",
 )
 # r11d measured notes (local min-of-3, all 171 queries then registered
 # green at sf1 — ann_mrl_rerank_topk joined the tuple later in r11e,
 # ann_multiprobe_recall left it in the r12 merge, and the audio/video
 # near-dup rungs joined in r12, so the tuple tracks the live
-# DURABLE registry, currently 174 after the r14 edv_diag_* deletion
+# DURABLE registry, currently 175 after the r14 edv_diag_* deletion
 # (the bisection keys were always excluded here — they re-ran
-# embedding_dim_variance's exact plan); section
+# embedding_dim_variance's exact plan) and the r14
+# shard_apply_compaction addition; section
 # wall ~38 min incl. the one-time TPC-H build): worst ratio 5.9
 # (ann_sq8_ivf_topk) and every ratio > 2 falls in one of three known
 # classes — (1) by-design exact-scan ablation rungs (dim_truncation
@@ -1594,8 +1600,9 @@ def main() -> None:
     # passes and suppressing the regression gate via the run-count
     # methodology check): r12 measured ~163 s queries-only per cold
     # pass at 172 registry keys; r13 measured 146 s/pass at 176 keys;
-    # the r14 registry is 174 (edv_diag_* deleted), so 1600 s still
-    # buys 5 full passes with headroom
+    # the r14 registry is 175 (edv_diag_* deleted,
+    # shard_apply_compaction added), so 1600 s still buys 5 full
+    # passes with headroom
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1600"))
     bench_t0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n, _ in ordered}

@@ -330,8 +330,9 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R13_FRONT)
 #   (c) the 21 oldest r11-stale ops, CORRECTNESS_r11 window order
 #       (hard_negative_indexed .. session_cooccurrence).
 # 2 + 27 + 21 = 50 slots exactly. After this window nothing is staler
-# than r11. Spilling to r15, in order: FIRST any new-in-r14 operators
-# (registry tail, never driver-checked — invariant 1), then the
+# than r11. Spilling to r15, in order: FIRST the new-in-r14 operators
+# (registry tail, never driver-checked — invariant 1: currently
+# shard_apply_compaction), then the
 # remaining 28 r11-stale ops in CORRECTNESS_r11 window order
 # (sessionize, text_stats, token_counts, user_growth_curve,
 # window_decontaminate, window_selfdup_spans, phash_dup_pairs,

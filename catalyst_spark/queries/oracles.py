@@ -3917,6 +3917,86 @@ def _shard_apply_sql() -> str:
 ORACLE_SQL["incremental_shard_apply"] = _shard_apply_sql()
 
 
+def _shard_apply_compaction_sql() -> str:
+    """Oracle twin of pipeline.shard_apply_compaction: from-scratch
+    dedup of EVERY prefix union (corpus + sub-shards 1..k), computed
+    as one k-dimensioned recursive min-reachable CC over the verified
+    pair set sliced by pair arrival step — the operator derives the
+    same numbers incrementally (index + per-step deltas), so value
+    equality at every step IS the compaction-vs-rebuild identity.
+    Arrival arithmetic uses non-negative operands only (// == div)."""
+    from catalyst_spark.queries.pipeline import _COMPACT_STEPS, _SHARD_MOD
+
+    def arr(col: str) -> str:
+        return (f"CASE WHEN {col} % {_SHARD_MOD} != 0 THEN 0 "
+                f"ELSE 1 + ({col} // {_SHARD_MOD}) % {_COMPACT_STEPS} END")
+
+    ks = ", ".join(str(k) for k in range(_COMPACT_STEPS + 1))
+    return f"""
+    WITH RECURSIVE {_MINHASH_SIG},
+    bands AS (
+      SELECT doc_id, unnest([{_MINHASH_BUCKETS}]) AS bucket FROM sig),
+    cnd AS (
+      SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      FROM bands l JOIN bands r
+        ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    prs AS (
+      SELECT c.a_id, c.b_id,
+             GREATEST({arr('c.a_id')}, {arr('c.b_id')}) AS pstep
+      FROM cnd c JOIN sig a ON a.doc_id = c.a_id
+                 JOIN sig b ON b.doc_id = c.b_id
+      WHERE 2 * len(list_intersect(a.hset, b.hset))
+            >= len(list_distinct(list_concat(a.hset, b.hset)))),
+    steps AS (SELECT unnest([{ks}]) AS k),
+    eddir AS (
+      SELECT pstep, a_id AS u, b_id AS v FROM prs
+      UNION ALL
+      SELECT pstep, b_id AS u, a_id AS v FROM prs),
+    ek AS (
+      SELECT s.k, e.u, e.v FROM steps s JOIN eddir e ON e.pstep <= s.k),
+    reach(k, u, r) AS (
+      SELECT k, u, u FROM (SELECT DISTINCT k, u FROM ek)
+      UNION
+      SELECT e.k, e.u, re.r
+      FROM ek e JOIN reach re ON re.k = e.k AND e.v = re.u),
+    lab AS (SELECT k, u AS doc_id, MIN(r) AS label
+            FROM reach GROUP BY k, u),
+    losers AS (SELECT k, doc_id FROM lab WHERE doc_id != label),
+    darr AS (SELECT doc_id, {arr('doc_id')} AS astep FROM documents),
+    surv AS (
+      SELECT s.k, d.doc_id
+      FROM steps s JOIN darr d ON d.astep <= s.k
+      WHERE NOT EXISTS (SELECT 1 FROM losers lo
+                        WHERE lo.k = s.k AND lo.doc_id = d.doc_id)),
+    ecnt AS (
+      SELECT s.k,
+             COUNT(*) FILTER (WHERE p.pstep <= s.k) AS n_edges,
+             COUNT(*) FILTER (WHERE p.pstep = s.k) AS n_delta
+      FROM steps s LEFT JOIN prs p ON TRUE GROUP BY s.k),
+    dcnt AS (
+      SELECT s.k, COUNT(*) AS n_docs
+      FROM steps s JOIN darr d ON d.astep <= s.k GROUP BY s.k),
+    scnt AS (
+      SELECT k, COUNT(*) AS n_survivors,
+             bit_xor(doc_id) AS survivor_xor,
+             CAST(SUM(doc_id) AS BIGINT) AS survivor_sum
+      FROM surv GROUP BY k)
+    SELECT d.k AS step,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(e.n_edges AS BIGINT) AS n_edges,
+           CAST(e.n_delta AS BIGINT) AS n_delta_edges,
+           CAST(s.n_survivors AS BIGINT) AS n_survivors,
+           CAST(d.n_docs - s.n_survivors AS BIGINT) AS n_removed,
+           CAST(s.survivor_xor AS BIGINT) AS survivor_xor,
+           s.survivor_sum
+    FROM dcnt d JOIN ecnt e ON e.k = d.k JOIN scnt s ON s.k = d.k
+    ORDER BY step
+    """
+
+
+ORACLE_SQL["shard_apply_compaction"] = _shard_apply_compaction_sql()
+
+
 def _selfdup_cut_first_sql() -> str:
     """Oracle twin of pipeline.window_selfdup_cut_first: the
     _selfdup_cut_sql machinery with an ownership CTE — per duplicated

@@ -5475,6 +5475,120 @@ def incremental_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# compaction schedule: the shard stream (doc_id % _SHARD_MOD == 0)
+# splits into this many successive sub-shard applies
+_COMPACT_STEPS = 3
+# arrival step per doc: corpus at 0, sub-shard i at i+1 (SQL-identical
+# on both engines — non-negative operands, so div/mod conventions agree)
+_COMPACT_ARRIVAL = (
+    f"CASE WHEN doc_id % {_SHARD_MOD} != 0 THEN 0 "
+    f"ELSE 1 + (doc_id DIV {_SHARD_MOD}) % {_COMPACT_STEPS} END"
+)
+
+
+def shard_apply_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K successive shard applies vs from-scratch dedup of each prefix
+    union — the operating-cost table that turns
+    incremental_shard_apply's mergeability identity into per-step
+    numbers (VERDICT r13 item 8: the cross-shard reconciliation
+    decision the dedup family didn't yet serve).
+
+    Arrival schedule: corpus docs (doc_id % _SHARD_MOD != 0) are
+    step 0; the shard stream splits into _COMPACT_STEPS successive
+    sub-shards by (doc_id div _SHARD_MOD) % _COMPACT_STEPS, arriving
+    at steps 1..K. The identity's per-doc-blocking argument (see
+    incremental_shard_apply) splits the verified pair set of any
+    prefix union by the LATER endpoint's arrival: a pair belongs to
+    step max(arrival(a), arrival(b)), so pairs(prefix_k) = pairs with
+    step <= k and the step-k DELTA — the work an incremental apply
+    actually does — is exactly the pairs with step == k. One band
+    join + one verify pass therefore computes every step's edge set
+    at once (the efficient batch plan; an operational pipeline runs
+    the deltas on different days and this table predicts each day's
+    bill), and per-step CC min-label over the growing prefix edge
+    sets yields keep-lowest survivors that match from-scratch dedup
+    of that prefix row for row — the oracle RE-DERIVES each step from
+    scratch, so a green driver row IS the compaction-vs-rebuild
+    equivalence, checked at every step.
+
+    Checked columns (all BIGINT, per step k = 0.._COMPACT_STEPS):
+    n_docs / n_edges over the prefix, n_delta_edges (the incremental
+    cost proxy: shard-touching verified pairs new at k), n_survivors
+    / n_removed under keep-lowest, and the survivor membership
+    fingerprints survivor_xor / survivor_sum (counts alone would pass
+    a wrong-but-same-size survivor set).
+
+    Scale: the band join and verify are the dedup family's standard
+    blocked joins (never all-pairs); the K CC runs operate on edge
+    sets, not the corpus, and reuse the session signature cache. The
+    delta-edge counts are the operating-cost curve: K small
+    shard-bounded bills vs n_edges(K) paid once by a rebuild."""
+    docs = load(spark, sf_dir, "documents")
+    sig, cand = _minhash_sig_cand(spark, sf_dir)
+    hs = sig.select("doc_id", "hset")
+    pairs = (
+        cand
+        .join(hs.select(F.col("doc_id").alias("a_id"),
+                        F.col("hset").alias("h_a")), "a_id")
+        .join(hs.select(F.col("doc_id").alias("b_id"),
+                        F.col("hset").alias("h_b")), "b_id")
+        .where(
+            F.size(F.array_intersect("h_a", "h_b")) * 2
+            >= F.size(F.array_union("h_a", "h_b"))
+        )
+        .select(
+            "a_id", "b_id",
+            F.greatest(
+                F.expr(_COMPACT_ARRIVAL.replace("doc_id", "a_id")),
+                F.expr(_COMPACT_ARRIVAL.replace("doc_id", "b_id")),
+            ).alias("pstep"),
+        )
+        .persist()
+    )
+    pairs.count()  # materialize: K+1 CC runs + 2 aggregates read it
+    arrived = docs.select(
+        "doc_id", F.expr(_COMPACT_ARRIVAL).alias("astep"))
+    rows = []
+    for k in range(_COMPACT_STEPS + 1):
+        ek = pairs.where(F.col("pstep") <= k).select("a_id", "b_id")
+        labels = _cc_labels(spark, ek)
+        losers = labels.where(
+            F.col("doc_id") != F.col("label")).select("doc_id")
+        surv = (
+            arrived.where(F.col("astep") <= k)
+            .join(losers, "doc_id", "anti")
+        )
+        edge_counts = pairs.agg(
+            F.sum((F.col("pstep") <= k).cast("bigint")).alias("n_edges"),
+            F.sum((F.col("pstep") == k).cast("bigint")).alias("n_delta"),
+        )
+        rows.append(
+            surv.agg(
+                F.count(F.lit(1)).alias("n_survivors"),
+                F.expr("bit_xor(doc_id)").alias("survivor_xor"),
+                F.sum("doc_id").alias("survivor_sum"),
+            )
+            .crossJoin(F.broadcast(
+                arrived.where(F.col("astep") <= k)
+                .agg(F.count(F.lit(1)).alias("n_docs"))))
+            .crossJoin(F.broadcast(edge_counts))
+            .select(
+                F.lit(k).cast("bigint").alias("step"),
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                F.col("n_edges").cast("bigint").alias("n_edges"),
+                F.col("n_delta").cast("bigint").alias("n_delta_edges"),
+                F.col("n_survivors").cast("bigint").alias("n_survivors"),
+                (F.col("n_docs") - F.col("n_survivors"))
+                .cast("bigint").alias("n_removed"),
+                F.col("survivor_xor").cast("bigint").alias("survivor_xor"),
+                F.col("survivor_sum").cast("bigint").alias("survivor_sum"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("step")
+
+
 _FUSION_R = 20
 _FUSION_MISS = _FUSION_R + 1
 
@@ -7621,6 +7735,9 @@ PIPELINE_QUERIES = {
     "rank_fusion_indexed": rank_fusion_indexed,
     "serving_overlap": serving_overlap,
     "incremental_shard_apply": incremental_shard_apply,
+    # new in r14 — registry tail, past the frozen 50-slot driver
+    # window; fronts the r15 window per invariant 1 (never checked)
+    "shard_apply_compaction": shard_apply_compaction,
     "window_selfdup_cut_first": window_selfdup_cut_first,
     "packing_efficiency_curve": packing_efficiency_curve,
     "contamination_ngram_sizes": contamination_ngram_sizes,

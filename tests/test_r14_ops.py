@@ -1,0 +1,85 @@
+"""Round-14 invariants: the shard-apply compaction cost table.
+
+shard_apply_compaction turns incremental_shard_apply's mergeability
+identity into a per-step operating-cost table; these tests pin the
+oracle parity, the cross-operator identity at the final step, and the
+cost-accounting arithmetic that makes the table readable as a bill.
+"""
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def test_compaction_oracle_parity(spark):
+    """Bit-exact against the from-scratch-per-prefix DuckDB oracle —
+    the green cell IS the compaction-vs-rebuild equivalence, checked
+    at every step."""
+    from catalyst_spark.queries import ALL_QUERIES, ORACLE_SQL
+    from tests.oracle_harness import compare
+
+    compare(ALL_QUERIES["shard_apply_compaction"](spark, SF_DIR),
+            ORACLE_SQL["shard_apply_compaction"], SF_DIR)
+
+
+def test_compaction_final_step_equals_shard_apply(spark):
+    """The mergeability identity, cross-operator: after the last
+    sub-shard applies, the prefix union is the FULL corpus+shard
+    union, so the compaction table's final row must describe exactly
+    incremental_shard_apply's survivor set (same pair predicate, same
+    keep-lowest rule) — membership fingerprints included, so a
+    same-sized-but-different survivor set cannot pass."""
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.pipeline import (
+        _COMPACT_STEPS,
+        incremental_shard_apply,
+        shard_apply_compaction,
+    )
+
+    final = {r["step"]: r
+             for r in shard_apply_compaction(spark, SF_DIR).collect()
+             }[_COMPACT_STEPS]
+    apply_surv = incremental_shard_apply(spark, SF_DIR).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(doc_id)").alias("x"),
+        F.sum("doc_id").alias("s"),
+    ).collect()[0]
+    assert final["n_survivors"] == apply_surv["n"]
+    assert final["survivor_xor"] == apply_surv["x"]
+    assert final["survivor_sum"] == apply_surv["s"]
+
+
+def test_compaction_cost_accounting(spark):
+    """The table must read as a bill: arrival partitions the docs
+    (step 0 = the corpus split, later steps add sub-shards that
+    together are the whole shard), deltas partition the edges (the K
+    incremental bills sum to the one rebuild bill), prefixes grow
+    monotonically, and removals never exceed arrivals."""
+    from catalyst_spark.queries.pipeline import (
+        _COMPACT_STEPS,
+        _SHARD_MOD,
+        shard_apply_compaction,
+    )
+    from catalyst_spark.tables import load
+
+    rows = {r["step"]: r
+            for r in shard_apply_compaction(spark, SF_DIR).collect()}
+    assert sorted(rows) == list(range(_COMPACT_STEPS + 1))
+
+    docs = load(spark, SF_DIR, "documents")
+    n_all = docs.count()
+    n_corpus = docs.where(f"doc_id % {_SHARD_MOD} != 0").count()
+    assert rows[0]["n_docs"] == n_corpus
+    assert rows[_COMPACT_STEPS]["n_docs"] == n_all
+
+    last = rows[_COMPACT_STEPS]
+    assert sum(r["n_delta_edges"] for r in rows.values()) == last["n_edges"]
+    for k in range(1, _COMPACT_STEPS + 1):
+        prev, cur = rows[k - 1], rows[k]
+        assert cur["n_docs"] > prev["n_docs"]
+        assert cur["n_edges"] == prev["n_edges"] + cur["n_delta_edges"]
+        # keep-lowest can only remove more as edges accumulate
+        assert cur["n_removed"] >= prev["n_removed"]
+    for r in rows.values():
+        assert r["n_removed"] == r["n_docs"] - r["n_survivors"]
+        assert 0 <= r["n_removed"] <= r["n_docs"]
