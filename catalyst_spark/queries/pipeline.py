@@ -1087,34 +1087,47 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     should be before training.
 
     Cost shape: the verified pairs (with exact-rational-derived 4dp
-    jaccard) come from the session pair cache; each threshold runs the
-    shared min-label CC loop over its FILTERED edge subset (higher
-    thetas: strictly smaller graphs). Filtering compares the same
-    rounded value on both engines — the parity contract
-    dedup_prefix_filter already ships.
+    jaccard) come from the session pair cache; all three thresholds'
+    CCs run as ONE theta-keyed min-label propagation (_cc_labels_keyed
+    — r14: nodes keyed (theta, doc_id), edges fanned over the
+    broadcast theta axis; a pair at jaccard j feeds every theta <= j,
+    so higher thetas are strictly smaller slices of the same
+    replicated edge set). One convergence loop and one job instead of
+    len(_DEDUP_THETAS); per-theta results identical to the sequential
+    loops by construction. Filtering compares the same rounded value
+    on both engines — the parity contract dedup_prefix_filter already
+    ships.
     """
-    from functools import reduce
-
     pairs = dedup_prefix_filter(spark, sf_dir)
     n_docs = load(spark, sf_dir, "documents").count()
-    outs = []
-    for tp in _DEDUP_THETAS:
-        sub = pairs.where(F.col("jaccard") >= tp / 1000.0).select("a_id", "b_id")
-        labels = _cc_labels(spark, sub)
-        agg = labels.agg(
-            F.count(F.lit(1)).alias("n_in_clusters"),
-            F.countDistinct("label").alias("n_clusters"),
-        )
-        outs.append(agg.select(
-            F.lit(tp).cast("bigint").alias("theta_permille"),
+    thetas = spark.createDataFrame(
+        [(tp,) for tp in _DEDUP_THETAS], "k long")
+    ked = (
+        pairs.join(F.broadcast(thetas),
+                   F.col("jaccard") >= F.col("k") / 1000.0)
+        .select("k", "a_id", "b_id")
+    )
+    labels = _cc_labels_keyed(spark, ked)
+    grouped = labels.groupBy("k").agg(
+        F.count(F.lit(1)).alias("nic"),
+        F.countDistinct("label").alias("nc"),
+    )
+    # left-join from the theta axis: a theta with NO qualifying pairs
+    # must still emit its (all-survive) row, as the per-theta agg did
+    return (
+        thetas.join(grouped, "k", "left")
+        .select(
+            F.col("k").cast("bigint").alias("theta_permille"),
             F.lit(n_docs).cast("bigint").alias("n_docs"),
-            "n_in_clusters",
-            "n_clusters",
-            (F.col("n_in_clusters") - F.col("n_clusters")).alias("n_removed"),
-            F.expr(f"(({n_docs} - (n_in_clusters - n_clusters)) * 1000)"
-                   f" div {n_docs}").alias("survival_permille"),
-        ))
-    return reduce(DataFrame.unionAll, outs).orderBy("theta_permille")
+            F.coalesce("nic", F.lit(0)).alias("n_in_clusters"),
+            F.coalesce("nc", F.lit(0)).alias("n_clusters"),
+            (F.coalesce("nic", F.lit(0)) - F.coalesce("nc", F.lit(0)))
+            .alias("n_removed"),
+            F.expr(f"(({n_docs} - (coalesce(nic, 0) - coalesce(nc, 0)))"
+                   f" * 1000) div {n_docs}").alias("survival_permille"),
+        )
+        .orderBy("theta_permille")
+    )
 
 
 # fixed-point PageRank constants: scale 10^6, damping 85/100, 3
