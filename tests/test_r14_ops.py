@@ -83,3 +83,57 @@ def test_compaction_cost_accounting(spark):
     for r in rows.values():
         assert r["n_removed"] == r["n_docs"] - r["n_survivors"]
         assert 0 <= r["n_removed"] <= r["n_docs"]
+
+
+def test_cc_labels_keyed_equals_unkeyed(spark):
+    """The shared-loop contract of _cc_labels_keyed (r14): for every
+    graph id k, the keyed propagation's (doc_id, label) set must equal
+    _cc_labels run on that k's edges alone, and both must equal the
+    min-reachable-id ground truth from a pure-Python union-find —
+    checked on seeded random multigraphs (self-contained components,
+    chains, stars, isolated-pair mixes arise naturally at this edge
+    density)."""
+    import random
+
+    from catalyst_spark.queries.pipeline import _cc_labels, _cc_labels_keyed
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n, m = 40, 55
+        triples = sorted({
+            (rng.randrange(4),
+             rng.randrange(1, n + 1), rng.randrange(1, n + 1))
+            for _ in range(m)
+        })
+        triples = [(k, a, b) for k, a, b in triples if a != b]
+        ked = spark.createDataFrame(
+            triples, "k long, a_id long, b_id long")
+        keyed = {}
+        for r in _cc_labels_keyed(spark, ked).collect():
+            keyed.setdefault(r["k"], {})[r["doc_id"]] = r["label"]
+
+        for k in sorted({t[0] for t in triples}):
+            ek = [(a, b) for kk, a, b in triples if kk == k]
+            # pure-Python union-find ground truth (min reachable id)
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in ek:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+            want = {x: find(x) for x in parent}
+
+            assert keyed.get(k, {}) == want, (seed, k)
+            unkeyed = {r["doc_id"]: r["label"] for r in _cc_labels(
+                spark,
+                spark.createDataFrame(ek, "a_id long, b_id long"),
+            ).collect()}
+            assert unkeyed == want, (seed, k)
