@@ -1977,6 +1977,26 @@ def main() -> None:
             "(gated tier not re-run; SPARK_GRAFT_STREAM_SCALE_BENCH=1 "
             "re-measures)",
         )
+    # r14: the 10x sweep and the rek64 tier get the same carry-forward
+    # (they default ON, but a SPARK_GRAFT_SCALE_BENCH=0 /
+    # SPARK_GRAFT_REK64_BENCH=0 refresh run used to silently drop the
+    # scale curve from the headline artifact)
+    if scale is None and prev and prev.get("scale"):
+        payload["scale"] = prev["scale"]
+        payload["scale_provenance"] = prev.get(
+            "scale_provenance",
+            "carried forward from the prior committed snapshot "
+            "(gated tier not re-run; SPARK_GRAFT_SCALE_BENCH=1 "
+            "re-measures)",
+        )
+    if rek64 is None and prev and prev.get("rek64"):
+        payload["rek64"] = prev["rek64"]
+        payload["rek64_provenance"] = prev.get(
+            "rek64_provenance",
+            "carried forward from the prior committed snapshot "
+            "(gated tier not re-run; SPARK_GRAFT_REK64_BENCH=1 "
+            "re-measures)",
+        )
     if prev and prev.get("sf") == sf and prev.get("queries"):
         pq = prev["queries"]
         payload["prev_value"] = prev.get("value")
