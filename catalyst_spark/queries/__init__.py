@@ -332,7 +332,9 @@ ALL_QUERIES = _prioritize(ALL_QUERIES, _R13_FRONT)
 # 2 + 27 + 21 = 50 slots exactly. After this window nothing is staler
 # than r11. Spilling to r15, in order: FIRST the new-in-r14 operators
 # (registry tail, never driver-checked — invariant 1: currently
-# shard_apply_compaction), then the
+# shard_apply_compaction), then the changed-code re-fronts (invariant
+# 3: q20_customer_deciles — the r14 two-phase ntile rewrite; its last
+# green row is r12, so it also rides the ordinary rotation), then the
 # remaining 28 r11-stale ops in CORRECTNESS_r11 window order
 # (sessionize, text_stats, token_counts, user_growth_curve,
 # window_decontaminate, window_selfdup_spans, phash_dup_pairs,

@@ -354,19 +354,59 @@ def q20_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers bucketed into spend deciles (ntile over total order
     value) with per-decile totals — the ranking/percentile report shape.
 
-    Scale: one shuffle to aggregate per customer; the ntile ranks the
-    aggregated (small) result, then a second tiny aggregation. Cent
-    arithmetic keeps sums exact across engines.
+    Scale (r14 rewrite): the original ranked every customer through
+    ONE unpartitioned ntile window — a single-task global sort, the
+    last true WindowExec funnel in the registry (fine at sf0.1,
+    serialized at 10^9 customers). Now the multimodal.balance_by_size
+    two-phase pattern: bucket by the spend high bits (value-bounded,
+    ~600 buckets at ANY scale since spend_cents div 2^20 is bounded by
+    the price schema), rank WITHIN buckets in parallel, add each
+    bucket's broadcast cumulative offset — global rank exact because
+    bucket order (desc) refines the (spend desc, custkey) total order.
+    The decile is then integer NTILE arithmetic on the global rank:
+    with q = n div 10, r = n mod 10, the first r tiles hold q+1 rows —
+    tile = (rn + q) div (q + 1) inside the first r*(q+1) ranks, else
+    r + ceil((rn - r*(q+1)) / q) — reproducing ntile(10) row-for-row
+    on the unique total order (all operands non-negative, so div is
+    engine-safe). The only unpartitioned windows left run over the
+    bucket-count frame, tiny by construction. Cent arithmetic keeps
+    sums exact across engines; the DuckDB oracle still uses NTILE.
     """
     orders = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_cust = orders.select("o_custkey", cents.alias("cents")).groupBy(
         "o_custkey"
     ).agg(F.sum("cents").alias("spend_cents"))
-    ranked = per_cust.withColumn(
-        "decile",
-        # cast: Spark ntile is int32, DuckDB's is int64
-        F.ntile(10).over(W.orderBy(F.desc("spend_cents"), "o_custkey")).cast("long"),
+    wb = per_cust.withColumn("bk", F.expr("spend_cents div 1048576"))
+    offs = (
+        wb.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bn").over(
+                    W.orderBy(F.desc("bk"))
+                    .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("n_total", F.sum("bn").over(W.partitionBy()))
+        .select("bk", "off", "n_total")
+    )
+    rn0 = F.row_number().over(
+        W.partitionBy("bk").orderBy(F.desc("spend_cents"), "o_custkey"))
+    ranked = (
+        wb.join(F.broadcast(offs), "bk")
+        .withColumn("rn", rn0 + F.col("off"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CASE WHEN rn <= (n_total % 10) * (n_total div 10 + 1) "
+                "THEN (rn + n_total div 10) div (n_total div 10 + 1) "
+                "ELSE (n_total % 10) + "
+                "((rn - (n_total % 10) * (n_total div 10 + 1) "
+                "+ n_total div 10 - 1) div (n_total div 10)) END"
+            ).cast("long"),
+        )
     )
     return (
         ranked.groupBy("decile")
