@@ -1077,7 +1077,6 @@ def _hamming_band_pairs(hash_df: DataFrame, hash_col: str,
         )
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -1202,7 +1201,6 @@ def video_dup_pairs(fh_df: DataFrame) -> DataFrame:
             F.expr("(n_shared * 1000) div n_union").cast("bigint")
             .alias("jaccard_permille"),
         )
-        .orderBy("a_id", "b_id")
     )
 
 

@@ -101,7 +101,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("dup_cnt"),
             F.min("doc_id").alias("keep_id"),
         )
-        .orderBy("h")
     )
 
 
@@ -120,7 +119,6 @@ def dedup_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_id"),
         )
-        .orderBy("fp")
     )
 
 
@@ -228,7 +226,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return verified.orderBy("a_id", "b_id")
+    return verified
 
 
 def _band_buckets_array() -> Column:
@@ -282,7 +280,6 @@ def lsh_bucket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("candidate_pairs"),
             (F.col("n") > _LSH_BUCKET_CAP).alias("over_cap"),
         )
-        .orderBy("bucket_size")
     )
 
 
@@ -397,7 +394,6 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -502,7 +498,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PREFIX_PAIRS_CACHE.get(cache_key)
     if cached is not None:
-        return cached.orderBy("a_id", "b_id")
+        return cached
     documents = load(spark, sf_dir, "documents")
     # persist the hashed shingle table: it feeds BOTH the df aggregate
     # and the rank join below, and without a persist each branch would
@@ -614,7 +610,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks.unpersist()
     lists.unpersist()
     _PREFIX_PAIRS_CACHE[cache_key] = pairs
-    return pairs.orderBy("a_id", "b_id")
+    return pairs
 
 
 _BAND_CONFIGS = ((4, 8), (8, 4), (16, 2))  # (bands, rows): b*r == 32
@@ -684,7 +680,7 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidates", "n_exact", "n_found", "recall",
             )
         )
-    return reduce(DataFrame.unionAll, outs).orderBy("n_bands")
+    return reduce(DataFrame.unionAll, outs)
 
 
 def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,7 +764,6 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
-        .orderBy("source_a", "source_b")
     )
 
 
@@ -803,7 +798,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -928,7 +922,6 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             inter.alias("n_shared"),
             F.round(inter / union, 4).alias("jaccard"),
         )
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -979,11 +972,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached.select(
             "doc_id", F.col("label").alias("cluster_id")
-        ).orderBy("doc_id")
+        )
     pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
     labels = _cc_labels(spark, pairs)
     _CC_LABEL_CACHE[cache_key] = labels
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
 
@@ -1126,7 +1119,6 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(({n_docs} - (coalesce(nic, 0) - coalesce(nc, 0)))"
                    f" * 1000) div {n_docs}").alias("survival_permille"),
         )
-        .orderBy("theta_permille")
     )
 
 
@@ -1197,7 +1189,7 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     return ranks.select(
         "doc_id", F.col("r").alias("rank_fp")
-    ).orderBy(F.col("rank_fp").desc(), "doc_id")
+    )
 
 
 def near_dup_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,7 +1273,7 @@ def near_dup_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_iters).cast("int").alias("n_iters"),
         F.lit(delta).cast("bigint").alias("l1_delta"),
         F.lit(delta < eps).alias("converged"),
-    ).orderBy(F.col("rank_fp").desc(), "doc_id")
+    )
 
 
 def phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,7 +1435,7 @@ def phash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("doc_id").alias("media_id"),
         F.col("label").alias("cluster_id"),
-    ).orderBy("media_id")
+    )
 
 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1479,7 +1471,6 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1) - d / F.greatest(F.length("ta"), F.length("tb")), 4
             ).alias("edit_sim"),
         )
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -1534,7 +1525,7 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash = simhash.bitwiseOR(t)
     sims = votes.select("doc_id", simhash.alias("simhash")).persist()
     sims.count()  # materialize before the pairs op's self-join branches
-    return sims.orderBy("doc_id")
+    return sims
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,7 +1566,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .distinct()
     )
-    return pairs.orderBy("a_id", "b_id")
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -1622,7 +1613,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pandas_groups(v, ["label"], _gram_pairs_scorer(0.4),
                        "a_id long, b_id long, cos double")
         .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -1722,7 +1712,6 @@ def ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n") * _EMB_FX).cast("double"), 4,
             ) + F.lit(0.0)).alias("centroid"),
         )
-        .orderBy("c_id", "d")
     )
 
 
@@ -1868,7 +1857,7 @@ def ivf_rek_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(k).cast("bigint").alias("k"), "n_cells",
                      "max_cell", "min_cell", "scan_mass")
         )
-    return outs[0].unionByName(outs[1]).orderBy("k")
+    return outs[0].unionByName(outs[1])
 
 
 def _kmeans_fit(spark: SparkSession, v: DataFrame, k: int = _KMEANS_K):
@@ -1966,7 +1955,6 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
                 F.round("cos_raw", 2).alias("cos"))
-        .orderBy("q_id", "rank")
     )
 
 
@@ -2044,7 +2032,6 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_h1") / 5.0, 2).alias("recall_p1"),
             F.round(F.count("_h2") / 5.0, 2).alias("recall_p2"),
         )
-        .orderBy("q_id")
         # one row per query — materialize the tiny result eagerly so the
         # probe cache can be released before returning (no cache leak)
         .localCheckpoint()
@@ -2086,7 +2073,6 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                        _gram_pairs_scorer(0.4),
                        "a_id long, b_id long, cos double")
         .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -2346,7 +2332,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "pq_adc")
     hit = _TOPK_RESULT_CACHE.get(key)
     if hit is not None:
-        return hit.orderBy("q_id", "rank")
+        return hit
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -2376,7 +2362,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res.count()  # probe-set-sized; ann_pq_recall reuses it verbatim
     _TOPK_RESULT_CACHE[key] = res
-    return res.orderBy("q_id", "rank")
+    return res
 
 
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2400,7 +2386,6 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("hits"),
             F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
         )
-        .orderBy("q_id")
     )
 
 
@@ -2496,7 +2481,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "ivfpq")
     hit = _TOPK_RESULT_CACHE.get(key)
     if hit is not None:
-        return hit.orderBy("q_id", "rank")
+        return hit
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -2535,7 +2520,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res.count()  # probe-set-sized; ann_ivfpq_recall reuses it verbatim
     _TOPK_RESULT_CACHE[key] = res
-    return res.orderBy("q_id", "rank")
+    return res
 
 
 _RERANK_R = 20
@@ -2570,7 +2555,6 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("rrank").alias("rank"),
                 F.col("n_id").alias("neighbor_id"),
                 F.round("cos_raw", 2).alias("cos"))
-        .orderBy("q_id", "rank")
     )
 
 
@@ -2651,7 +2635,6 @@ def ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("hits"),
             F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
         )
-        .orderBy("q_id")
     )
 
 
@@ -2675,7 +2658,6 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("hits"),
             F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
         )
-        .orderBy("q_id")
     )
 
 
@@ -2709,7 +2691,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "rivfpq")
     hit = _TOPK_RESULT_CACHE.get(key)
     if hit is not None:
-        return hit.orderBy("q_id", "rank")
+        return hit
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -2762,7 +2744,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res.count()  # probe-set-sized; the recall row reuses it verbatim
     _TOPK_RESULT_CACHE[key] = res
-    return res.orderBy("q_id", "rank")
+    return res
 
 
 def ann_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2784,7 +2766,6 @@ def ann_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("hits"),
             F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
         )
-        .orderBy("q_id")
     )
 
 
@@ -2866,7 +2847,6 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"),
                 "sq_d2")
-        .orderBy("q_id", "rank")
     )
 
 
@@ -2887,7 +2867,6 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("hits"),
             F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
         )
-        .orderBy("q_id")
     )
 
 
@@ -2976,7 +2955,6 @@ def _sq8_ivf_impl(spark: SparkSession, sf_dir: str, tag: str,
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
                 "sq_d2")
-        .orderBy("q_id", "rank")
     )
 
 
@@ -3055,7 +3033,6 @@ def ann_sq8_ivf_rek_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("hits"),
             F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
         )
-        .orderBy("q_id")
     )
 
 
@@ -3076,7 +3053,6 @@ def ann_sq8_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("hits"),
             F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
         )
-        .orderBy("q_id")
     )
 
 
@@ -3100,7 +3076,6 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id", "n_vecs",
             F.expr(f"(n_vecs * 1000) div {n}").alias("share_permille"),
         )
-        .orderBy("c_id")
     )
 
 
@@ -3134,7 +3109,7 @@ def semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = labels.where(F.col("doc_id") != F.col("label")).select(
         F.col("doc_id").alias("vec_id")
     )
-    return emb.join(losers, "vec_id", "left_anti").orderBy("vec_id")
+    return emb.join(losers, "vec_id", "left_anti")
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3220,7 +3195,6 @@ def _srp_pairs(spark: SparkSession, emb: DataFrame) -> DataFrame:
         .withColumn("cos", _cosine("va", "vb"))
         .where(F.col("cos") >= 0.4)
         .select("a_id", "b_id", F.round("cos", 2).alias("cos"))
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -3237,7 +3211,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "brute")
     hit = _TOPK_RESULT_CACHE.get(key)
     if hit is not None:
-        return hit.orderBy("q_id", "rank")
+        return hit
     emb = load(spark, sf_dir, "embeddings")
     q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
     c = _with_norm(emb, "n_id", "vc")
@@ -3253,7 +3227,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res.count()  # materialize before sharing (same rule as pair cache)
     _TOPK_RESULT_CACHE[key] = res
-    return res.orderBy("q_id", "rank")
+    return res
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3275,7 +3249,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
                 F.round("cos_raw", 2).alias("cos"))
-        .orderBy("q_id", "rank")
     )
 
 
@@ -3302,7 +3275,6 @@ def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("hits"),
             F.round(F.count("_hit") / 5.0, 2).alias("recall_at_5"),
         )
-        .orderBy("q_id")
     )
 
 
@@ -3356,7 +3328,7 @@ def ann_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rung).alias("rung"), "q_id", "hits", "recall_at_5"
         )
         out = d if out is None else out.unionByName(d)
-    return out.orderBy("rung", "q_id")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -3384,7 +3356,6 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("tok_len"), 2).alias("avg_tok_len"),
             F.round(F.avg("stop_ratio"), 2).alias("avg_stop_ratio"),
         )
-        .orderBy("lang", "source")
     )
 
 
@@ -3409,7 +3380,6 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents.select("lang", pred)
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "pred_lang")
     )
 
 
@@ -3429,7 +3399,6 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_est").alias("total_bpe_est"),
             F.round(F.avg("ws_tok"), 2).alias("avg_ws_tokens"),
         )
-        .orderBy("source")
     )
 
 
@@ -3443,7 +3412,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr("substring(md5(lower(text)), 1, 16)").alias("fp"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -3459,7 +3427,6 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         documents.join(losers, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
     )
 
 
@@ -3488,7 +3455,6 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         documents.join(losers, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
     )
 
 
@@ -3514,7 +3480,6 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "n_kept",
             F.round(F.col("n_kept") / F.col("n_docs"), 4).alias("keep_ratio"),
         )
-        .orderBy("source")
     )
 
 
@@ -3546,7 +3511,6 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hapax") / F.col("n_distinct_tokens"), 4)
             .alias("hapax_ratio"),
         )
-        .orderBy("source")
     )
 
 
@@ -3576,7 +3540,6 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel") / F.col("n_shingles"), 4)
             .alias("novelty_ratio"),
         )
-        .orderBy("source")
     )
 
 
@@ -3628,7 +3591,6 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(dev * dev > 4 * var_num, 1).otherwise(0)
             ).alias("n_outliers"),
         )
-        .orderBy("label")
     )
 
 
@@ -3659,7 +3621,6 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .where(F.col("shared_shingles") >= _CONTAM_MIN_SHARED)
-        .orderBy("eval_id", "train_id")
     )
 
 
@@ -3677,47 +3638,70 @@ def contamination_ngram_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     same decision Lee et al. 2022 make with 50-token windows vs
     shingle sweeps.
 
-    Plan per n: distinct n-shingles hash at the scan (8-byte keys),
-    eval x train equi-join on the hash, pair-count threshold — three
-    bounded passes over the token stream, no all-pairs anywhere.
-    Integer counts end to end; docs shorter than n contribute their
-    whole text, mirroring _shingled's floor case.
+    Plan (r14 keyed-axis rewrite): the three sweep sizes used to be
+    three separate explode -> filter -> join -> aggregate branches
+    unioned into one plan — three full passes over the token stream and
+    three shuffles of the same shape. Now ONE projection emits every
+    (n, shingle-hash) pair tagged with its size, the eval x train
+    equi-join runs once keyed on (n, h), and the per-n summary is one
+    keyed aggregate — same shuffled bytes (the union of the three
+    shingle streams, 8-byte keys + the n tag), one pass over the
+    corpus instead of three. Per-n rows are set-identical: the per-n
+    shingle arrays are unchanged (array_distinct per n, whole-text
+    floor case), and joining on (n, h) partitions the old three joins
+    exactly. A left join back from the broadcast size axis restores
+    the all-zero row for a size that flags nothing (the keyed-groupBy
+    empty-axis gotcha, r14). No all-pairs anywhere; integer counts end
+    to end.
     """
-    from functools import reduce
-
     docs = load(spark, sf_dir, "documents")
-    outs = []
-    for n in _CONTAM_NGRAM_SIZES:
-        shing = (
-            f"CASE WHEN {N_TOKENS} >= {n} THEN"
-            f" array_distinct(transform(sequence(1, {N_TOKENS} - {n - 1}),"
-            f" i -> concat_ws(' ', slice({TOKENS}, i, {n}))))"
-            f" ELSE array(text) END"
+    per_n = ", ".join(
+        f"transform(CASE WHEN {N_TOKENS} >= {n} THEN"
+        f" array_distinct(transform(sequence(1, {N_TOKENS} - {n - 1}),"
+        f" i -> concat_ws(' ', slice({TOKENS}, i, {n}))))"
+        f" ELSE array(text) END,"
+        f" s -> named_struct('n', cast({n} as bigint), 'sh', s))"
+        for n in _CONTAM_NGRAM_SIZES
+    )
+    tagged = docs.select(
+        "doc_id", "source",
+        F.explode(F.expr(f"flatten(array({per_n}))")).alias("p"),
+    ).select(
+        "doc_id", "source", F.col("p.n").alias("n"),
+        F.expr(_h60("p.sh")).alias("h"),
+    )
+    eval_side = tagged.where(
+        F.col("source") == _CONTAM_EVAL_SOURCE
+    ).select("n", F.col("doc_id").alias("eval_id"), "h")
+    train_side = tagged.where(
+        F.col("source") != _CONTAM_EVAL_SOURCE
+    ).select("n", F.col("doc_id").alias("train_id"), "h")
+    pairs = (
+        eval_side.join(train_side, ["n", "h"])
+        .groupBy("n", "eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _CONTAM_MIN_SHARED)
+    )
+    per_size = pairs.groupBy("n").agg(
+        F.count(F.lit(1)).alias("fp"),
+        F.countDistinct("eval_id").alias("fe"),
+        F.countDistinct("train_id").alias("ft"),
+        F.sum("c").alias("ts"),
+    )
+    axis = spark.createDataFrame(
+        [(int(n),) for n in _CONTAM_NGRAM_SIZES], "n long")
+    return (
+        F.broadcast(axis).join(per_size, "n", "left")
+        .select(
+            F.col("n").alias("ngram_n"),
+            F.coalesce("fp", F.lit(0)).cast("bigint").alias("flagged_pairs"),
+            F.coalesce("fe", F.lit(0)).cast("bigint")
+            .alias("flagged_eval_docs"),
+            F.coalesce("ft", F.lit(0)).cast("bigint")
+            .alias("flagged_train_docs"),
+            F.coalesce("ts", F.lit(0)).cast("bigint").alias("total_shared"),
         )
-        tagged = docs.select(
-            "doc_id", "source", F.explode(F.expr(shing)).alias("sh")
-        ).select("doc_id", "source", F.expr(_h60("sh")).alias("h"))
-        eval_side = tagged.where(
-            F.col("source") == _CONTAM_EVAL_SOURCE
-        ).select(F.col("doc_id").alias("eval_id"), "h")
-        train_side = tagged.where(
-            F.col("source") != _CONTAM_EVAL_SOURCE
-        ).select(F.col("doc_id").alias("train_id"), "h")
-        pairs = (
-            eval_side.join(train_side, "h")
-            .groupBy("eval_id", "train_id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= _CONTAM_MIN_SHARED)
-        )
-        outs.append(pairs.agg(
-            F.count(F.lit(1)).alias("flagged_pairs"),
-            F.countDistinct("eval_id").alias("flagged_eval_docs"),
-            F.countDistinct("train_id").alias("flagged_train_docs"),
-            F.coalesce(F.sum("c"), F.lit(0)).alias("total_shared"),
-        ).select(F.lit(n).cast("bigint").alias("ngram_n"),
-                 "flagged_pairs", "flagged_eval_docs",
-                 "flagged_train_docs", "total_shared"))
-    return reduce(DataFrame.unionByName, outs).orderBy("ngram_n")
+    )
 
 
 # quality-gate bounds (tokens, mean token length, stopword ratio)
@@ -3748,7 +3732,6 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents.select("source", reason.alias("reason"))
         .groupBy("source", "reason")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("source", "reason")
     )
 
 
@@ -3805,7 +3788,6 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").alias("total_tok"),
             F.round(F.sum("tok") / F.lit(float(_PACK_CAPACITY)), 4).alias("fill_ratio"),
         )
-        .orderBy("source", "shard", "bin")
     )
 
 
@@ -3893,7 +3875,6 @@ def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fill_permille"),
             oversize.alias("n_oversize"),
         )
-        .orderBy("capacity")
     )
 
 
@@ -3922,7 +3903,6 @@ def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 5)
         .select("source", "rnk", "tok", "tf", "df")
-        .orderBy("source", "rnk")
     )
 
 
@@ -3945,7 +3925,6 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
         .select("lang", "rnk", "bigram", "n")
-        .orderBy("lang", "rnk")
     )
 
 
@@ -3969,7 +3948,6 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         documents.where(bucket < expr)
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -3996,7 +3974,6 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents.select(split.alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("split", "lang")
     )
 
 
@@ -4015,7 +3992,6 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("t").alias("distinct_tokens"),
             F.round(F.countDistinct("t") / F.count(F.lit(1)), 4).alias("ttr"),
         )
-        .orderBy("source")
     )
 
 
@@ -4047,7 +4023,6 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_freq",
             F.round(F.col("doc_freq") / F.col("n_docs"), 4).alias("df_ratio"),
         )
-        .orderBy(F.desc("doc_freq"), "token")
     )
 
 
@@ -4124,7 +4099,7 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("exact_cnt"),
         "cms_est",
         (F.col("cms_est") - F.col("cnt")).alias("overestimate"),
-    ).orderBy("rnk")
+    )
 
 
 def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4153,7 +4128,6 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total") / (F.col("n_src") * F.col("src_tokens")), 4
             ).alias("uniform_weight"),
         )
-        .orderBy("source")
     )
 
 
@@ -4188,7 +4162,6 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source_lo", "source_hi")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("source_lo", "source_hi")
     )
 
 
@@ -4225,7 +4198,6 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_repetitive"),
             F.round(F.sum("top_cnt") / F.sum("n_tok"), 4).alias("wtd_top_ratio"),
         )
-        .orderBy("source")
     )
 
 
@@ -4283,7 +4255,6 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_chunks",
             F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_share"),
         )
-        .orderBy("source")
     )
 
 
@@ -4382,7 +4353,6 @@ def window_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(runs, "eval_id")
         .select("eval_id", "n_windows", "matched_windows", "n_train_docs",
                 "max_run")
-        .orderBy("eval_id")
     )
 
 
@@ -4446,7 +4416,6 @@ def window_selfdup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("max_dup_run", F.lit(0)).cast("bigint")
             .alias("max_dup_run"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -4531,7 +4500,6 @@ def _cut_spans_output(docs: DataFrame, cand: DataFrame) -> DataFrame:
         )
         .withColumn("n_cut", (F.col("n_tokens") - F.col("n_kept")).cast("bigint"))
         .select("doc_id", "n_tokens", "n_cut", "kept_text")
-        .orderBy("doc_id")
     )
 
 
@@ -4638,7 +4606,6 @@ def window_overlap_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_windows"))
-        .orderBy("source_a", "source_b")
     )
 
 
@@ -4779,7 +4746,6 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_hits",
             (F.col("bloom_hits") - F.col("exact_hits")).alias("false_pos"),
         )
-        .orderBy("eval_id")
     )
 
 
@@ -4829,7 +4795,7 @@ def quality_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     from functools import reduce
 
-    return reduce(DataFrame.unionAll, rows).orderBy("min_tokens")
+    return reduce(DataFrame.unionAll, rows)
 
 
 _DOMAIN_CAP = 10
@@ -4858,7 +4824,6 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _DOMAIN_CAP)
         .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
-        .orderBy("source", "rk")
     )
 
 
@@ -4884,7 +4849,6 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clusters",
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
-        .orderBy("cluster_size")
     )
 
 
@@ -4951,7 +4915,6 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "space", "m", "n_vecs", "sum_d2_micro",
             F.expr("sum_d2_micro div n_vecs").alias("mean_d2_micro"),
         )
-        .orderBy("space", "m")
     )
 
 
@@ -5020,7 +4983,7 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     toks.unpersist()
-    return out.orderBy("doc_id")
+    return out
 
 
 def _perplexity_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5077,7 +5040,6 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(sum(total_bits) * 1000) div sum(n_tokens)")
             .cast("bigint").alias("mbits_per_token"),
         )
-        .orderBy("source", "bucket")
     )
 
 
@@ -5139,12 +5101,11 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(total_bits * 1000) div n_bigrams")
             .alias("mbits_per_bigram"),
         )
-        .orderBy("doc_id")
         # doc-count-sized; materialize eagerly so bg can be released
         .localCheckpoint()
     )
     bg.unpersist()
-    return out.orderBy("doc_id")
+    return out
 
 
 def doc_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5199,7 +5160,6 @@ def doc_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("25").alias("p25"), F.col("50").alias("p50"),
             F.col("75").alias("p75"), F.col("95").alias("p95"),
         )
-        .orderBy("source")
     )
 
 
@@ -5235,7 +5195,6 @@ def truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(tokens_lost * 1000) div total_tokens")
             .alias("loss_permille"),
         )
-        .orderBy("source")
     )
 
 
@@ -5278,7 +5237,6 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         top.withColumn("rnk", F.row_number().over(wr))
         .select("rnk", "pair", "n")
-        .orderBy("rnk")
     )
 
 
@@ -5323,7 +5281,6 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("covered_tokens") / F.col("total_tokens"), 4)
             .alias("coverage"),
         )
-        .orderBy("k")
     )
 
 
@@ -5397,7 +5354,6 @@ def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_e").isNull() & F.col("_n").isNull(), 1)
                   .otherwise(0)).alias("n_kept"),
         )
-        .orderBy("source")
     )
 
 
@@ -5534,7 +5490,6 @@ def incremental_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source",
             (F.col("doc_id") % _SHARD_MOD == 0).alias("from_shard"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -5663,7 +5618,6 @@ def shard_apply_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("survivor_xor").cast("bigint").alias("survivor_xor"),
             F.col("survivor_sum").cast("bigint").alias("survivor_sum"),
         )
-        .orderBy("step")
     )
 
 
@@ -5782,7 +5736,6 @@ def _fuse_arms(spark: SparkSession, sf_dir: str,
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("id").alias("result_id"),
                 F.col("fused").cast("bigint").alias("fused_rank_sum"))
-        .orderBy("q_id", "rank")
     )
 
 
@@ -5853,7 +5806,7 @@ def serving_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                   rank_fusion_indexed(spark, sf_dir), "result_id")
     hn = _family("hard_negative", hard_negative_mining(spark, sf_dir),
                  hard_negative_indexed(spark, sf_dir), "neg_id")
-    return fus.unionByName(hn).orderBy("family", "q_id")
+    return fus.unionByName(hn)
 
 
 def dup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5904,7 +5857,6 @@ def dup_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~dup & ~F.col("q"), 1).otherwise(0))
             .alias("uniq_fail"),
         )
-        .orderBy("source")
     )
 
 
@@ -5983,7 +5935,6 @@ def pii_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               for n, _, _ in _PII_PATTERNS],
             F.sum("red_delta").cast("bigint").alias("red_chars"),
         )
-        .orderBy("source")
     )
 
 
@@ -6053,7 +6004,6 @@ def boilerplate_line_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("kept_tokens"),
             F.md5("kept_text").alias("kept_h"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -6126,7 +6076,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage(3, "near_dedup", s3),
         _stage(4, "decontam", s4),
     ]
-    return reduce(DataFrame.unionByName, stages).orderBy("stage")
+    return reduce(DataFrame.unionByName, stages)
 
 
 # Gopher-style rule thresholds beyond _QUALITY_BOUNDS — both are
@@ -6208,7 +6158,6 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(any_fail == 0, 1).otherwise(0)).cast("bigint")
             .alias("n_pass"),
         )
-        .orderBy("source")
     )
 
 
@@ -6308,7 +6257,6 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                        >= F.col("n_tok") * _DUPG_FLAG_NUM, 1).otherwise(0)
             ).cast("bigint").alias("n_flagged"),
         )
-        .orderBy("source")
     )
 
 
@@ -6375,7 +6323,6 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"q_fx * {_TEMP_BUDGET}L div q_total")
             .cast("bigint").alias("budget_tokens"),
         )
-        .orderBy("source")
     )
 
 
@@ -6452,7 +6399,6 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sqrt(F.col("n2_lo")) * F.sqrt(F.col("n2_hi"))), 4
             ).alias("cosine"),
         )
-        .orderBy("label_lo", "label_hi")
     )
 
 
@@ -6494,7 +6440,6 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s") / F.sum("w"), 4).alias("fertility"),
             F.round(F.sum("ch") / F.sum("s"), 4).alias("chars_per_subtok"),
         )
-        .orderBy("source")
     )
 
 
@@ -6533,7 +6478,6 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cast(sum(cast(h as decimal(38,0))) % {_MANIFEST_MOD} "
                    "as bigint)").alias("content_sum"),
         )
-        .orderBy("source")
     )
 
 
@@ -6630,7 +6574,6 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_EDV_MEAN_PPM).cast("bigint").alias("mean_ppm"),
             F.expr(_EDV_VAR_NUM).cast("bigint").alias("var_num"),
         )
-        .orderBy("dim")
     )
 
 
@@ -6710,7 +6653,6 @@ def embedding_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("((hi_fx - lo_fx) * 1000) div (max_fx - min_fx)"),
             ).otherwise(F.lit(1000)).cast("bigint").alias("range_permille"),
         )
-        .orderBy("dim")
     )
 
 
@@ -6754,7 +6696,6 @@ def chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("emitted") / F.sum("n_tok"), 4)
             .alias("dup_factor"),
         )
-        .orderBy("source")
     )
 
 
@@ -6837,7 +6778,6 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_id").alias("result_id"),
             F.round("score", 2).alias("mmr_score"),
         )
-        .orderBy("q_id", "rank")
         .localCheckpoint(eager=True)
     )
     pairs.unpersist()
@@ -6931,7 +6871,7 @@ def embedding_principal_direction(spark: SparkSession,
     return spark.createDataFrame(
         [(d + 1, v[d], ray_ppb) for d in range(_LSH_DIM)],
         "dim int, loading bigint, rayleigh_ppb bigint",
-    ).orderBy("dim")
+    )
 
 
 # content-defined chunking: a token starts a new chunk when its hash
@@ -7012,7 +6952,6 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tok") / F.count(F.lit(1)), 2)
             .alias("avg_chunk_tokens"),
         )
-        .orderBy("source")
     )
 
 
@@ -7082,12 +7021,22 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: sweep candidates and ranks are the ann_sq8_ivf_topk
     machinery verbatim (integer SQ8 distance, (d2, n_id) ties);
     probe_exact ties are (cos DESC, n_id) — both engine-reproducible.
-    Plan: the probe assignment runs ONCE at max(nprobe) with a rank
-    column (every sweep point filters it), candidates stay cell-pruned
-    equi-joins, and each sweep point adds one probe-set-sized rank +
-    one semi-join — nothing corpus-sized is ever re-scanned per point;
-    the probe_exact branch rides the same session-cached k-means model
-    and coarse assignment.
+    Plan (r14 keyed-axis rewrite, opt guide §2.4 + the shard-compaction
+    pattern): the sweep no longer loops the driver over sweep points
+    (was: one persist + one count + one window + one semi-join PER
+    nprobe — 3 persisted candidate tables and ~128 jobs at build time).
+    A pair's minimal probe rank mcrank = min(crank) decides membership
+    at EVERY sweep point (mcrank <= np ⟺ reachable via some cell of
+    rank <= np), so ONE (q_id, n_id)-grained aggregate plus a broadcast
+    nprobe-axis fan-out replays the whole sweep as a single plan: one
+    window partitioned by (nprobe, q_id), one keyed semi-join against
+    brute, one keyed count for scanned_rows. Identical rows: candidate
+    sets per point are set-equal by the mcrank argument, ranks use the
+    same (sq_d2, n_id) ties, and the empty-axis row is preserved by the
+    left join back from the axis (keyed groupBy would drop it — the r14
+    keyed-CC gotcha). Nothing corpus-sized is ever re-scanned per
+    point; the probe_exact branch rides the same session-cached k-means
+    model and coarse assignment.
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
@@ -7096,8 +7045,7 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = _coarse_assign(spark, sf_dir, v).select(
         F.col("vec_id").alias("n_id"), "c_id"
     )
-    probes = _probe_topn(spark, sf_dir, v, max(_NPROBE_SWEEP)).persist()
-    probes.count()
+    probes = _probe_topn(spark, sf_dir, v, max(_NPROBE_SWEEP))
     codes = _sq8_codes(spark, sf_dir, v)
     qs = codes.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("c").alias("qc")
@@ -7108,44 +7056,49 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(qc, c, (a, b) -> (a - b) * (a - b)),"
         " cast(0 as long), (s, x) -> s + x)"
     )
-    w = W.partitionBy("q_id").orderBy(F.col("sq_d2").asc(), F.col("n_id"))
-    parts = []
-    cands = []
-    for np_ in _NPROBE_SWEEP:
-        cand = (
-            probes.where(F.col("crank") <= np_)
-            .join(members, "c_id")
-            .where(F.col("n_id") != F.col("q_id"))
-            .select("q_id", "n_id")
-            .distinct()
-            .persist()
+    axis = spark.createDataFrame(
+        [(int(np_),) for np_ in _NPROBE_SWEEP], "nprobe long"
+    )
+    pairs = (
+        probes.join(members, "c_id")
+        .where(F.col("n_id") != F.col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.min("crank").alias("mcrank"))
+    )
+    swept = (
+        pairs.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .join(F.broadcast(qs), "q_id")
+        .withColumn("sq_d2", d2)
+        .join(F.broadcast(axis), F.col("mcrank") <= F.col("nprobe"))
+        .persist()
+    )
+    w = W.partitionBy("nprobe", "q_id") \
+        .orderBy(F.col("sq_d2").asc(), F.col("n_id"))
+    hits = (
+        swept.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("nprobe", "q_id", F.col("n_id").alias("neighbor_id"))
+        .join(brute, ["q_id", "neighbor_id"], "semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    scanned = swept.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_scanned"))
+    res = (
+        axis.join(scanned, "nprobe", "left")
+        .join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            F.coalesce("n_scanned", F.lit(0)).cast("bigint")
+            .alias("scanned_rows"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint")
+            .alias("total_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / (5.0 * nq), 4)
+            .alias("mean_recall_at_5"),
         )
-        cands.append(cand)
-        scanned = cand.count()
-        top5 = (
-            cand.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
-            .join(F.broadcast(qs), "q_id")
-            .withColumn("sq_d2", d2)
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 5)
-            .select("q_id", F.col("n_id").alias("neighbor_id"))
-        )
-        parts.append(
-            brute.join(top5, ["q_id", "neighbor_id"], "semi").agg(
-                F.lit(np_).cast("bigint").alias("nprobe"),
-                F.lit(scanned).cast("bigint").alias("scanned_rows"),
-                F.count(F.lit(1)).cast("bigint").alias("total_hits"),
-                F.round(F.count(F.lit(1)) / (5.0 * nq), 4)
-                .alias("mean_recall_at_5"),
-            )
-        )
-    from functools import reduce
-
-    res = reduce(DataFrame.unionByName, parts) \
         .localCheckpoint(eager=True)
-    for cand in cands:
-        cand.unpersist()
-    probes.unpersist()
+    )
+    swept.unpersist()
     sweep = res.select(
         F.lit("sq8_sweep").alias("section"),
         "nprobe",
@@ -7167,8 +7120,7 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("scanned_rows"),
         "hits", "recall",
     )
-    return sweep.unionByName(probe_exact) \
-        .orderBy("section", "nprobe", "q_id")
+    return sweep.unionByName(probe_exact)
 
 
 # DSIR hashed-feature space: 2^12 buckets (Xie et al. 2023 use 10^4;
@@ -7286,7 +7238,6 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _HN_K)
         .select("q_id", "rank", F.col("n_id").alias("neg_id"),
                 F.round("cos_raw", 2).alias("cos"))
-        .orderBy("q_id", "rank")
     )
 
 
@@ -7316,7 +7267,6 @@ def hard_negative_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _HN_K)
         .select("q_id", "rank", F.col("n_id").alias("neg_id"),
                 F.round("cos_raw", 2).alias("cos"))
-        .orderBy("q_id", "rank")
     )
 
 
@@ -7364,7 +7314,6 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pos_cos_raw") - F.col("cos_raw"), 2)
             .alias("margin"),
         )
-        .orderBy("q_id", "rank")
     )
 
 
@@ -7433,7 +7382,6 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id", F.col("rk").cast("bigint").alias("rk"), "vec_id",
             "n_vecs", "quota", F.round("d2_raw", 2).alias("d2"),
         )
-        .orderBy("c_id", "rk")
     )
 
 
@@ -7553,7 +7501,6 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim_prefix", "hits", "n_pairs",
             F.expr("(hits * 1000) div n_pairs").alias("recall_permille"),
         )
-        .orderBy("dim_prefix")
     )
 
 
@@ -7628,7 +7575,6 @@ def ann_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
                 F.round("cos_raw", 2).alias("cos"))
-        .orderBy("q_id", "rank")
     )
 
 
@@ -7720,7 +7666,6 @@ def source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tvd_permille"),
         )
         .join(hashed, "source")
-        .orderBy("source")
     )
 
 

@@ -7,7 +7,13 @@ pruning. Scale notes per query explain why the plan survives 100 TB.
 Conventions (driver correctness gate):
 - every float aggregate is ROUND(x, 2) and aliased identically to the
   oracle SQL in ``oracles.py``;
-- every query ends in a full ORDER BY for deterministic hashing.
+- queries do NOT end in a display ORDER BY (r14 optimization): both the
+  driver and the local harness hash rows order-insensitively (each sorts
+  rows as python tuples before comparing), and a terminal global sort is
+  a pure-overhead range-shuffle of the full output (opt guide §2.4 —
+  "an orderBy used only to make output deterministic"). The only sorts
+  kept are semantic: q1 (the declared operator IS filter+project+sort)
+  and q11 (ORDER BY + LIMIT = top-k, planned as TakeOrderedAndProject).
 """
 
 from __future__ import annotations
@@ -50,7 +56,6 @@ def q2_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sv"),
         )
-        .orderBy("h", "event_type")
     )
 
 
@@ -65,7 +70,6 @@ def q3_hash_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 2).alias("mn"),
             F.round(F.max("value"), 2).alias("mx"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -76,7 +80,6 @@ def q4_distinct_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("u"))
-        .orderBy("event_type")
     )
 
 
@@ -96,7 +99,6 @@ def q5_latest_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "ts", "value")
-        .orderBy("user_id", "event_type")
     )
 
 
@@ -117,7 +119,6 @@ def q6_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sdp"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -136,7 +137,6 @@ def q7_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c"),
             F.round(F.sum("c_acctbal"), 2).alias("bal"),
         )
-        .orderBy("n_name")
     )
 
 
@@ -158,7 +158,6 @@ def q8_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("orders_cnt"))
-        .orderBy("r_name")
     )
 
 
@@ -171,7 +170,6 @@ def q9_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -188,7 +186,6 @@ def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey")
-        .orderBy("c_custkey")
     )
 
 
@@ -210,7 +207,6 @@ def q12_set_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.select(F.col("c_nationkey").alias("k"))
         .intersect(supplier.select(F.col("s_nationkey").alias("k")))
-        .orderBy("k")
     )
 
 
@@ -231,7 +227,6 @@ def q13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("p_type"), 1, 6).alias("t6"),
             F.length(F.col("p_name")).alias("ln"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -247,7 +242,6 @@ def q14_case_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("zero")
             .alias("unit"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -257,7 +251,7 @@ def q15_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     clicks = events.where(F.col("event_type") == "click").select("user_id")
     views = events.where(F.col("event_type") == "view").select("user_id")
-    return clicks.unionAll(views).distinct().orderBy("user_id")
+    return clicks.unionAll(views).distinct()
 
 
 def q16_text_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,7 +263,6 @@ def q16_text_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("docs"),
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
-        .orderBy("lang")
     )
 
 
@@ -311,7 +304,6 @@ def q18_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.round(F.col("run_cents") / 100.0, 2).alias("running_total"),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -346,7 +338,6 @@ def q19_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_cents") * F.col("n_parts") - F.col("sum_cents"))
             .alias("margin_x_n_cents"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -414,7 +405,6 @@ def q20_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum("spend_cents") / 100.0, 2).alias("decile_spend"),
         )
-        .orderBy("decile")
     )
 
 
@@ -462,7 +452,6 @@ def q21_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
         )
-        .orderBy("c_mktsegment", "event_type")
     )
 
 

@@ -44,7 +44,6 @@ def asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("purchase_value"),
             F.round("prior_click", 2).alias("prior_click_value"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -73,7 +72,6 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sv"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -116,7 +114,6 @@ def session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("type_a") <= F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .orderBy("type_a", "type_b")
     )
 
 
@@ -144,7 +141,6 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rate"),
         )
         .where(F.col("rate").isNotNull())
-        .orderBy("event_id")
     )
 
 
@@ -173,7 +169,6 @@ def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("cents", 1).over(w).alias("lead1_cents"),
             (F.col("us") - F.lag("us", 1).over(w)).alias("gap_us"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -194,7 +189,6 @@ def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     return (
         per_day.withColumn("cum_users", F.sum("new_users").over(w))
-        .orderBy("day")
     )
 
 
@@ -226,7 +220,6 @@ def equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").alias("lo_cents"),
             F.max("cents").alias("hi_cents"),
         )
-        .orderBy("event_type", "bin")
     )
 
 
@@ -279,7 +272,6 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("max_cents") / F.expr("cast(100 as double)"), 2)
             .alias("max_value"),
         )
-        .orderBy("day", "event_type")
     )
 
 
@@ -318,7 +310,6 @@ def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("med2") / F.expr("cast(200 as double)"), 2).alias("med"),
             F.round(F.max("mad4") / F.expr("cast(400 as double)"), 4).alias("mad"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -356,7 +347,6 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.round(scaled / norm, 4).alias("ewma"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -388,7 +378,6 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa"),
             F.count(F.lit(1)).alias("n_intervals"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -407,7 +396,6 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sv"),
             F.round(F.max("value"), 2).alias("mx"),
         )
-        .orderBy("bucket_s", "event_type")
     )
 
 
@@ -437,7 +425,6 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias("close"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("bucket_s", "event_type")
     )
 
 
@@ -470,7 +457,6 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("filled", F.last("sv", ignorenulls=True).over(w))
         .withColumn("is_gap", F.col("sv").isNull())
         .select("user_id", "bucket_s", "filled", "is_gap")
-        .orderBy("user_id", "bucket_s")
     )
 
 
@@ -516,7 +502,6 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("err_id")
         .agg(F.count(F.lit(1)).alias("n_nearby"))
-        .orderBy("err_id")
     )
 
 
@@ -562,7 +547,6 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
         .where(F.abs(F.col("z")) > 2)
-        .orderBy("event_id")
     )
 
 
@@ -619,7 +603,6 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pearson, 4).alias("pearson"),
             F.col("n").alias("n_buckets"),
         )
-        .orderBy("ta", "tb")
     )
 
 
@@ -636,7 +619,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", *[F.col(k).alias(f"{k}_cnt") for k in kinds]
-    ).orderBy("user_id")
+    )
 
 
 def rollup_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,7 +638,6 @@ def rollup_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs",
             "chars",
         )
-        .orderBy("lang", "source")
     )
 
 
@@ -667,7 +649,6 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("event_type", bucket)
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("event_type", "bucket")
     )
 
 
@@ -687,7 +668,6 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -745,7 +725,6 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("95").alias("p95"),
             F.col("99").alias("p99"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -776,7 +755,6 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= _HLL_TOL * F.col("exact_distinct")
             ).cast("long").alias("ok_3sigma"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -821,7 +799,6 @@ def percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok("ap50", 0.5).alias("ok50"),
             ok("ap90", 0.9).alias("ok90"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -834,7 +811,6 @@ def top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("event_type", "rnk", "event_id", F.round("value", 2).alias("value"))
-        .orderBy("event_type", "rnk")
     )
 
 
@@ -855,7 +831,6 @@ def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "n",
         )
-        .orderBy("event_type", "user_bucket")
     )
 
 
@@ -898,7 +873,6 @@ def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_points"),
         )
         .where(F.col("n_points") >= 2)
-        .orderBy("user_id")
     )
 
 
@@ -932,7 +906,6 @@ def rolling_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vc").over(w).alias("sum_7d_cents"),
             F.count(F.lit(1)).over(w).alias("n_7d"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -975,7 +948,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_FUNNEL_STAGES)}, {stack_args})"
             " as (stage_idx, stage, n_users)"
         )
-    ).orderBy("stage_idx")
+    )
 
 
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,7 +969,6 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
-        .orderBy("cohort_day", "day_offset")
     )
 
 
@@ -1067,7 +1039,7 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("rel_err"),
         F.col("ok_3sigma").alias("ok_within_bound"),
     )
-    return kmv.unionByName(hll).orderBy("sketch", "event_type")
+    return kmv.unionByName(hll)
 
 
 def _kmv_karr(hashes: DataFrame) -> DataFrame:
@@ -1189,7 +1161,6 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cast(est_union * rho div {_KMV_K} as bigint)")
             .alias("est_inter"),
         )
-        .orderBy("type_a", "type_b")
     )
 
 
@@ -1261,7 +1232,7 @@ def _hq_read(buckets: DataFrame) -> DataFrame:
         "event_type",
         (F.col("k") / 100.0).alias("q"),
         F.round(num.cast("double") / (100 * F.col("n")), 4).alias("hq"),
-    ).orderBy("event_type", "q")
+    )
 
 
 def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,7 +1327,7 @@ def holt_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("o.lvl") / scale).alias("level"),
         (F.col("o.tr") / scale).alias("trend"),
-    ).orderBy("event_id")
+    )
 
 
 # one-sided CUSUM drift/threshold, in integer cents: detect an upward
@@ -1411,7 +1382,6 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0).cast("bigint").alias("alarm"),
         )
         .where(F.col("cusum_cents") > 0)
-        .orderBy("event_id")
     )
 
 
@@ -1529,7 +1499,6 @@ def cusum_chunked(
             .cast("bigint"),
         )
         .where(F.col("cusum_cents") > 0)
-        .orderBy("event_id")
     )
 
 
@@ -1657,7 +1626,7 @@ def holt_chunked(
         "user_id",
         (F.col("o.lvl") / scale).alias("level"),
         (F.col("o.tr") / scale).alias("trend"),
-    ).orderBy("event_id")
+    )
 
 
 def cusum_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1677,7 +1646,6 @@ def cusum_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         whole.unionByName(chunked)
         .select("variant", "event_id", "user_id", "cusum_cents", "alarm")
-        .orderBy("variant", "event_id")
     )
 
 
@@ -1695,7 +1663,6 @@ def holt_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         whole.unionByName(chunked)
         .select("variant", "event_id", "user_id", "level", "trend")
-        .orderBy("variant", "event_id")
     )
 
 
@@ -1730,7 +1697,6 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         )
-        .orderBy("from_type", "to_type")
     )
 
 
@@ -1783,7 +1749,6 @@ def seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(n * abs(sum_type)))"
             ).alias("idx_permille"),
         )
-        .orderBy("event_type", "hod")
     )
 
 
@@ -1833,7 +1798,6 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_islands"),
             F.sum("len_us").alias("covered_us"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1876,7 +1840,6 @@ def burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(err * tot_l * 1000) div (tot * err_l)")
             .alias("burn_permille"),
         )
-        .orderBy("hb")
     )
 
 
@@ -1924,7 +1887,6 @@ def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("nt") - F.col("tu"))
             .alias("delta_us"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -2012,7 +1974,6 @@ def ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("us").alias("ts_us"),
             F.round(F.col("cents") / 100.0, 2).alias("value"),
         )
-        .orderBy("event_type", "bucket")
     )
 
 

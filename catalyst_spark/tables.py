@@ -30,7 +30,24 @@ TABLES = (
 # removes the shuffle on the fact side of Q7/Q8 entirely.
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+# (applicationId, sf_dir, name) -> the UNRESOLVED lazy scan DataFrame.
+# `spark.read.parquet` re-lists the directory and re-reads the footer
+# schema on the DRIVER every call (~0.13 s each, measured r14); with
+# every query calling load() 1-4 times that was ~20% of the whole bench
+# pass spent re-deriving an identical relation. The cached object is a
+# LAZY PLAN NODE — no rows are cached and every execution still scans
+# the parquet files (bench/oracle runs keep computing from the inputs);
+# this is plan reuse, the in-code equivalent of the guide's file-listing
+# cache (opt guide §6). Keyed by applicationId so a new session (new
+# JVM, possibly changed files) never sees a stale relation.
+_RELATION_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _RELATION_CACHE.get(key)
+    if hit is not None:
+        return hit
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
@@ -48,6 +65,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _RELATION_CACHE[key] = df
     return df
 
 
