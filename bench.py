@@ -1481,6 +1481,15 @@ def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
     # names read the persisted probe-set-sized table
     timed("pq_adc_topk", noop("ann_pq_adc_topk"))
     timed("brute_topk_baseline", noop("ann_brute_topk"))
+    # r14: the remaining uncached ladder rungs' probe-set-sized topk
+    # results joined the session cache (ivf / sq8 / the two IVF+SQ8
+    # tags) — each fed a standalone query AND a recall-ladder rung, so
+    # without a timer here the first toucher's name would absorb the
+    # build (the r13 pq_adc_topk phantom all over again)
+    timed("ivf_topk", noop("ann_ivf_topk"))
+    timed("sq8_topk", noop("ann_sq8_topk"))
+    timed("sq8_ivf_topk", noop("ann_sq8_ivf_topk"))
+    timed("sq8_ivf_rek_topk", noop("ann_sq8_ivf_rek_topk"))
     # the exact-reranked IVF-PQ shortlist and the shingle-Jaccard
     # lexical arm (VERDICT r8 item 4): each feeds the rerank rung AND
     # both fusion variants, so their one-time build cost belongs here,

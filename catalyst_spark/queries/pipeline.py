@@ -2776,12 +2776,29 @@ def _sq8_codes(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
     bit-identical on any engine with no eps argument at all; the
     distance arithmetic downstream is pure integers. Ranges ride into
     the encode expression as one broadcast literal row (model-sized:
-    two 64-float arrays)."""
-    dims = v.select(F.posexplode("e").alias("d0", "x")).groupBy("d0").agg(
-        F.min("x").alias("mn"), F.max("x").alias("mx")
-    ).orderBy("d0").collect()
-    mins = [float(r["mn"]) for r in dims]
-    rngs = [float(r["mx"]) - float(r["mn"]) for r in dims]
+    two 64-float arrays).
+
+    r14: the (mins, rngs) model and the encoded-codes table are
+    session-cached — six call sites per pass (sq8 topk/recall, two
+    IVF+SQ8 tags' topk/recall) each re-ran the posexplode range
+    aggregate (a driver collect) and re-encoded the corpus; the model
+    is 2x64 floats and the codes are 64 B/vector, both exactly what a
+    recompute would produce (min/max is order-free, the encode is
+    per-row)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "sq8_ranges")
+    model = _KMEANS_MODEL_CACHE.get(key)
+    if model is None:
+        dims = v.select(F.posexplode("e").alias("d0", "x")).groupBy("d0").agg(
+            F.min("x").alias("mn"), F.max("x").alias("mx")
+        ).orderBy("d0").collect()
+        mins = [float(r["mn"]) for r in dims]
+        rngs = [float(r["mx"]) - float(r["mn"]) for r in dims]
+        model = _KMEANS_MODEL_CACHE[key] = (mins, rngs)
+    mins, rngs = model
+    codes_key = (spark.sparkContext.applicationId, sf_dir, "sq8_codes")
+    hit = _TOPK_RESULT_CACHE.get(codes_key)
+    if hit is not None:
+        return hit
     one = spark.createDataFrame(
         [(mins, rngs)], "mins array<double>, rngs array<double>"
     )
@@ -2789,7 +2806,7 @@ def _sq8_codes(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
     # the float sequence (sub, *255, /rg, floor) is written identically
     # in the DuckDB oracle, so codes agree exactly (same IEEE ops on the
     # same doubles — no reduction anywhere)
-    return (
+    codes = (
         v.crossJoin(F.broadcast(one))
         .select("vec_id", F.expr(
             "zip_with(zip_with(e, mins, (x, mn) -> x - mn), rngs,"
@@ -2797,7 +2814,11 @@ def _sq8_codes(spark: SparkSession, sf_dir: str, v: DataFrame) -> DataFrame:
             " greatest(0L, least(255L,"
             " cast(floor(dx * 255 / rg) as long))) END)"
         ).alias("c"))
+        .persist()
     )
+    codes.count()  # materialize before sharing (pair-cache rule)
+    _TOPK_RESULT_CACHE[codes_key] = codes
+    return codes
 
 
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2825,7 +2846,16 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ablation partner). The sub-pair-linear time is the JVM integer
     fold amortizing per-pair cost; the scale path is ann_sq8_ivf_topk,
     which bounds rows touched per query by the probed cells.
+
+    r14: the probe-set-sized RESULT is session-cached (the brute/ADC
+    convention) — the standalone query and the ladder's sq8 rung each
+    re-ran the full integer scan; timed under shared_builds
+    ("sq8_topk") so the attribution can't shift with window order.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, "sq8_topk")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -2839,7 +2869,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast(0 as long), (s, x) -> s + x)"
     )
     w = W.partitionBy("q_id").orderBy(F.col("sq_d2").asc(), F.col("vec_id"))
-    return (
+    res = (
         codes.crossJoin(F.broadcast(qs))
         .where(F.col("vec_id") != F.col("q_id"))
         .withColumn("sq_d2", d2)
@@ -2847,7 +2877,11 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"),
                 "sq_d2")
+        .persist()
     )
+    res.count()  # materialize before sharing (pair-cache rule)
+    _TOPK_RESULT_CACHE[key] = res
+    return res
 
 
 def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2932,7 +2966,16 @@ def _sq8_ivf_impl(spark: SparkSession, sf_dir: str, tag: str,
     """Shared IVF+SQ8 serving body: probe nprobe=2 cells of the
     (tag, k) coarse quantizer, scan in-cell SQ8 codes with the exact
     integer fold, rank (sq_d2, n_id). ann_sq8_ivf_topk serves the
-    engine-default k; ann_sq8_ivf_rek_topk the corpus-grown k."""
+    engine-default k; ann_sq8_ivf_rek_topk the corpus-grown k.
+
+    r14: probe-set-sized result session-cached per tag (brute/ADC
+    convention) — each tag's standalone query and ladder rung re-ran
+    the probe+scan; timed under shared_builds ("sq8_ivf_topk" /
+    "sq8_ivf_rek_topk")."""
+    key = (spark.sparkContext.applicationId, sf_dir, f"sq8_ivf_{tag}")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -2947,7 +2990,7 @@ def _sq8_ivf_impl(spark: SparkSession, sf_dir: str, tag: str,
         " cast(0 as long), (s, x) -> s + x)"
     )
     w = W.partitionBy("q_id").orderBy(F.col("sq_d2").asc(), F.col("n_id"))
-    return (
+    res = (
         cand.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
         .join(F.broadcast(qs), "q_id")
         .withColumn("sq_d2", d2)
@@ -2955,7 +2998,11 @@ def _sq8_ivf_impl(spark: SparkSession, sf_dir: str, tag: str,
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
                 "sq_d2")
+        .persist()
     )
+    res.count()  # materialize before sharing (pair-cache rule)
+    _TOPK_RESULT_CACHE[key] = res
+    return res
 
 
 _REK_N0 = 4000  # corpus size where the serving-k schedule starts growing
@@ -3234,12 +3281,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe only the query's own cell (label ≙ centroid
     assignment, nprobe=1). Same probe set and ranking as the brute-force
     baseline; at 100 TB this is the index path — each cell is a
-    partition and the probe set joins only its cell."""
+    partition and the probe set joins only its cell.
+
+    r14: probe-set-sized result session-cached (brute/ADC convention)
+    — the standalone query and the ladder's ivf rung re-scored the
+    cell joins; timed under shared_builds ("ivf_topk")."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf_topk")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = load(spark, sf_dir, "embeddings")
     q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq")
     c = _with_norm(emb, "n_id", "vc")
     w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("n_id"))
-    return (
+    res = (
         c.join(
             F.broadcast(q),
             (F.col("q_id_label") == F.col("n_id_label")) & (F.col("q_id") != F.col("n_id")),
@@ -3249,7 +3304,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("q_id", "rank", F.col("n_id").alias("neighbor_id"),
                 F.round("cos_raw", 2).alias("cos"))
+        .persist()
     )
+    res.count()  # materialize before sharing (pair-cache rule)
+    _TOPK_RESULT_CACHE[key] = res
+    return res
 
 
 def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3653,6 +3712,15 @@ def contamination_ngram_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-zero row for a size that flags nothing (the keyed-groupBy
     empty-axis gotcha, r14). No all-pairs anywhere; integer counts end
     to end.
+
+    r14b: the tagged projection is built PER SIDE with the source
+    filter pushed below the shingling — one DataFrame referenced on
+    both sides of a self-join recomputes its subplan per side, so the
+    full-corpus shingle+hash pass ran twice (measured 3.2 s three-
+    branch -> 8.3 s fused; the fused rewrite had silently doubled the
+    hash work). With the filter under each side the two passes cover
+    DISJOINT doc sets — exactly one fused pass over the corpus, and
+    the parquet scan prunes on source.
     """
     docs = load(spark, sf_dir, "documents")
     per_n = ", ".join(
@@ -3663,19 +3731,21 @@ def contamination_ngram_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" s -> named_struct('n', cast({n} as bigint), 'sh', s))"
         for n in _CONTAM_NGRAM_SIZES
     )
-    tagged = docs.select(
-        "doc_id", "source",
-        F.explode(F.expr(f"flatten(array({per_n}))")).alias("p"),
-    ).select(
-        "doc_id", "source", F.col("p.n").alias("n"),
-        F.expr(_h60("p.sh")).alias("h"),
-    )
-    eval_side = tagged.where(
-        F.col("source") == _CONTAM_EVAL_SOURCE
-    ).select("n", F.col("doc_id").alias("eval_id"), "h")
-    train_side = tagged.where(
-        F.col("source") != _CONTAM_EVAL_SOURCE
-    ).select("n", F.col("doc_id").alias("train_id"), "h")
+
+    def _tagged(side, id_alias):
+        return side.select(
+            "doc_id",
+            F.explode(F.expr(f"flatten(array({per_n}))")).alias("p"),
+        ).select(
+            F.col("p.n").alias("n"),
+            F.col("doc_id").alias(id_alias),
+            F.expr(_h60("p.sh")).alias("h"),
+        )
+
+    eval_side = _tagged(
+        docs.where(F.col("source") == _CONTAM_EVAL_SOURCE), "eval_id")
+    train_side = _tagged(
+        docs.where(F.col("source") != _CONTAM_EVAL_SOURCE), "train_id")
     pairs = (
         eval_side.join(train_side, ["n", "h"])
         .groupBy("n", "eval_id", "train_id")

@@ -30,6 +30,19 @@ TABLES = (
 # removes the shuffle on the fact side of Q7/Q8 entirely.
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+# Content tables whose downstream projections do the heavy per-row work
+# (tokenize + per-shingle md5 for documents, vectorized numpy batches
+# for embeddings). At bench SFs each is ONE parquet file -> ONE scan
+# task, so that work serializes on a single core no matter the cluster
+# width (opt guide §2.5: unsplittable input -> repartition immediately
+# after the read). _SPREAD_KEYS names the deterministic hash key (never
+# round-robin: re-run tasks must reproduce the same row placement,
+# SPARK-38388). The repartition is GATED on the scan having fewer
+# partitions than the session's parallelism — a production-scale table
+# has thousands of splits, so the gate self-disables and no corpus
+# shuffle is ever added at 100 TB.
+_SPREAD_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
+
 # (applicationId, sf_dir, name) -> the UNRESOLVED lazy scan DataFrame.
 # `spark.read.parquet` re-lists the directory and re-reads the footer
 # schema on the DRIVER every call (~0.13 s each, measured r14); with
@@ -65,6 +78,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    spread_key = _SPREAD_KEYS.get(name)
+    if spread_key is not None:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par, spread_key)
     _RELATION_CACHE[key] = df
     return df
 

@@ -68,7 +68,10 @@ def dir_100k(spark, tmp_path_factory):
 
 
 def _rows(df):
-    return [tuple(r) for r in df.collect()]
+    # Order-insensitive, like both correctness harnesses (each sorts
+    # rows as python tuples): the r14 optimization round removed the
+    # terminal display sorts, so collect() order is partition order.
+    return sorted(tuple(r) for r in df.collect())
 
 
 def _collect_cents(spark, sf_dir):
@@ -107,7 +110,7 @@ def test_cusum_chunked_matches_exact_recursion_100k(spark, dir_100k):
         if s > 0:
             want.append((eid, 7, s, 1 if s >= _CUSUM_ALARM_CENTS else 0))
     assert len(want) > 5000
-    assert got == want
+    assert got == sorted(want)
 
 
 def test_holt_chunked_matches_exact_recursion_100k(spark, dir_100k):
@@ -123,7 +126,7 @@ def test_holt_chunked_matches_exact_recursion_100k(spark, dir_100k):
             tr = (nlvl - lvl + tr) >> 1
             lvl = nlvl
         want.append((eid, 7, lvl / 25600.0, tr / 25600.0))
-    assert got == want
+    assert got == sorted(want)
 
 
 def test_chunked_plans_have_no_python_and_no_cartesian(spark):

@@ -111,7 +111,9 @@ def test_shard_apply_keeps_cluster_minima(spark):
 
     out = incremental_shard_apply(spark, SF_DIR).collect()
     ids = [r["doc_id"] for r in out]
-    assert ids == sorted(ids)
+    # r14: the terminal display sort was removed (harnesses compare
+    # order-insensitively), so assert uniqueness rather than order
+    assert len(ids) == len(set(ids))
     for r in out:
         assert r["from_shard"] == (r["doc_id"] % _SHARD_MOD == 0)
 
