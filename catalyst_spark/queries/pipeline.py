@@ -1137,6 +1137,94 @@ _PR_BUDGET = 12
 _PR_EPS = 1
 
 
+class _PRChain:
+    """Session state for the shared PageRank rank chain: the persisted
+    symmetrized edge table, the checkpointed per-iteration rank tables
+    (ranks[0] = uniform start), and the exact integer L1 deltas.
+    `unpersist()` releases the edge persist (the reset convention calls
+    it on every cache value)."""
+
+    def __init__(self, e):
+        self.e = e
+        self.ranks: list = []
+        self.deltas: list = []
+        self.done = False
+
+    def unpersist(self):
+        self.e.unpersist()
+
+
+_PR_CHAIN_CACHE: dict = {}
+
+
+def _pr_chain(spark: SparkSession, sf_dir: str, upto: int):
+    """Build (or extend) the session-shared integer PageRank chain up
+    to `upto` iterations, stopping early at the EXACT fixpoint
+    (delta == 0 ⟹ r_i == r_{i-1} cell-for-cell ⟹ every later iterate
+    is the same table — the integer formulation makes the early stop
+    identity-preserving, not approximate). Per iteration ONE
+    checkpointed pass computes the new ranks WITH the old rank joined
+    in, so the L1 delta is a cheap aggregate over the checkpointed
+    rows instead of a second join job (r14 — the converged twin used
+    to pay 2 jobs/step, and both pagerank rungs re-ran the identical
+    chain from scratch). Returns (ranks, deltas, done)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _PR_CHAIN_CACHE.get(key)
+    if st is None:
+        pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
+        edges = pairs.union(
+            pairs.select(F.col("b_id").alias("a_id"),
+                         F.col("a_id").alias("b_id"))
+        )
+        deg = edges.groupBy("a_id").agg(F.count(F.lit(1)).alias("deg"))
+        e = (
+            edges.join(deg, "a_id")
+            .select(F.col("a_id").alias("src"),
+                    F.col("b_id").alias("dst"), "deg")
+            .persist()  # reused every iteration; released on reset
+        )
+        e.count()
+        st = _PRChain(e)
+        st.ranks.append(
+            deg.select(
+                F.col("a_id").alias("doc_id"),
+                F.lit(_PR_SCALE).cast("bigint").alias("r"),
+            ).localCheckpoint()
+        )
+        _PR_CHAIN_CACHE[key] = st
+    teleport = 15 * _PR_SCALE // 100
+    while len(st.deltas) < upto and not st.done:
+        prev = st.ranks[-1]
+        contrib = st.e.join(prev, st.e["src"] == prev["doc_id"]).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
+        fused = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.lit(teleport) + F.expr("(85 * inc) div 100"))
+                .cast("bigint")
+                .alias("r"),
+            )
+            .join(prev.select("doc_id", F.col("r").alias("r_old")),
+                  "doc_id")
+            .select("doc_id", "r",
+                    F.abs(F.col("r") - F.col("r_old")).alias("d"))
+            .localCheckpoint()
+        )
+        # ADVICE r7: F.sum over an empty frame is NULL — on a corpus
+        # with zero prefix-filter pairs every frame here is empty and
+        # int(None) would crash; `or 0` converges immediately and the
+        # (empty) output matches the oracle.
+        delta = int(fused.agg(F.sum("d")).first()[0] or 0)
+        st.ranks.append(fused.select("doc_id", "r"))
+        st.deltas.append(delta)
+        if delta < _PR_EPS:
+            st.done = True
+    return st.ranks, st.deltas, st.done
+
+
 def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-duplicate graph (complete prefix-filter
     edge set, symmetrized) — ranks the most-connected duplicate hubs,
@@ -1154,40 +1242,20 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per iteration one shuffle keyed on doc_id for the join and
     one for the aggregate; state is one (doc_id, rank) row per node.
+
+    r14: reads the session-shared rank chain (_pr_chain) — the
+    fixed-iteration rung and the converged twin ran the identical
+    integer recursion from the identical start, so the chain is built
+    once per session and each op reads its own stopping point. The
+    chain stops early at the EXACT fixpoint (delta == 0 means
+    r_i == r_{i-1} cell-for-cell, so every later iterate is the same
+    table — integer fixed-point makes the shortcut exact, not
+    approximate).
     """
-    pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    )
-    deg = edges.groupBy("a_id").agg(F.count(F.lit(1)).alias("deg"))
-    e = (
-        edges.join(deg, "a_id")
-        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "deg")
-        .persist()  # reused every iteration; released after the loop
-    )
-    e.count()
-    ranks = deg.select(
-        F.col("a_id").alias("doc_id"),
-        F.lit(_PR_SCALE).cast("bigint").alias("r"),
-    ).localCheckpoint()
-    teleport = 15 * _PR_SCALE // 100
-    for _ in range(_PR_ITERS):
-        contrib = e.join(ranks, e["src"] == ranks["doc_id"]).select(
-            "dst", F.expr("r div deg").alias("c")
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("inc"))
-            .select(
-                F.col("dst").alias("doc_id"),
-                (F.lit(teleport) + F.expr("(85 * inc) div 100"))
-                .cast("bigint")
-                .alias("r"),
-            )
-            .localCheckpoint()
-        )
-    e.unpersist()
-    return ranks.select(
+    ranks, deltas, _ = _pr_chain(spark, sf_dir, _PR_ITERS)
+    conv = next((i + 1 for i, d in enumerate(deltas) if d < _PR_EPS), None)
+    idx = min(_PR_ITERS, conv) if conv is not None else _PR_ITERS
+    return ranks[idx].select(
         "doc_id", F.col("r").alias("rank_fp")
     )
 
@@ -1217,62 +1285,24 @@ def near_dup_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one aggregate shuffle, lineage cut per step); the convergence
     check adds one node-sized join whose sum is the only scalar the
     driver reads — model-sized coordination, not data collection.
+
+    r14: reads the session-shared rank chain (_pr_chain — one build
+    for both pagerank rungs, per-iteration delta fused into the same
+    checkpointed pass instead of a second join job per step). The
+    chain's early stop IS this op's convergence rule (delta <
+    _PR_EPS = 1 ⟺ exact integer fixpoint), so n_iters/l1_delta fall
+    out of the chain's recorded deltas unchanged.
     """
-    pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    )
-    deg = edges.groupBy("a_id").agg(F.count(F.lit(1)).alias("deg"))
-    e = (
-        edges.join(deg, "a_id")
-        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "deg")
-        .persist()  # reused every iteration; released after the loop
-    )
-    e.count()
-    eps = _PR_EPS
-    ranks = deg.select(
-        F.col("a_id").alias("doc_id"),
-        F.lit(_PR_SCALE).cast("bigint").alias("r"),
-    ).localCheckpoint()
-    teleport = 15 * _PR_SCALE // 100
-    n_iters, delta = 0, 0
-    for i in range(1, _PR_BUDGET + 1):
-        contrib = e.join(ranks, e["src"] == ranks["doc_id"]).select(
-            "dst", F.expr("r div deg").alias("c")
-        )
-        new_ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("inc"))
-            .select(
-                F.col("dst").alias("doc_id"),
-                (F.lit(teleport) + F.expr("(85 * inc) div 100"))
-                .cast("bigint")
-                .alias("r"),
-            )
-            .localCheckpoint()
-        )
-        # ADVICE r7: F.sum over an empty frame is NULL — on a corpus
-        # with zero prefix-filter pairs the edge set is empty, every
-        # frame here is empty, and int(None) would crash while the
-        # DuckDB oracle returns an empty result. `or 0` converges the
-        # loop immediately and the (empty) output matches the oracle.
-        delta = int(
-            new_ranks.select("doc_id", F.col("r").alias("rn"))
-            .join(ranks, "doc_id")
-            .agg(F.sum(F.abs(F.col("rn") - F.col("r"))).alias("d"))
-            .first()["d"]
-            or 0
-        )
-        ranks, n_iters = new_ranks, i
-        if delta < eps:
-            break
-    e.unpersist()
-    return ranks.select(
+    ranks, deltas, _ = _pr_chain(spark, sf_dir, _PR_BUDGET)
+    conv = next((i + 1 for i, d in enumerate(deltas) if d < _PR_EPS), None)
+    n_iters = conv if conv is not None else len(deltas)
+    delta = deltas[n_iters - 1] if deltas else 0
+    return ranks[n_iters].select(
         "doc_id",
         F.col("r").alias("rank_fp"),
         F.lit(n_iters).cast("int").alias("n_iters"),
         F.lit(delta).cast("bigint").alias("l1_delta"),
-        F.lit(delta < eps).alias("converged"),
+        F.lit(delta < _PR_EPS).alias("converged"),
     )
 
 
@@ -6785,13 +6815,21 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy (one CTE chain per step) matches value-for-value; ties
     break on candidate id.
 
-    Plan: candidates are the session-cached exact-reranked shortlist
-    (ann_ivfpq_rerank's build — zero extra corpus scans); the pairwise
-    candidate-candidate cosines are a probe-set × R² frame (bounded by
-    queries × 400 rows, never corpus-sized); each greedy step is one
-    aggregate + one window over that frame. At 100 TB the whole
-    operator is index-bounded — MMR never touches a raw corpus row
-    beyond the R vectors the rerank already fetched.
+    Plan (r14 in-row greedy): candidates are the session-cached
+    exact-reranked shortlist (ann_ivfpq_rerank's build — zero extra
+    corpus scans); the pairwise candidate-candidate cosines are a
+    probe-set × R² frame (bounded by queries × 400 rows, never
+    corpus-sized). Both frames collapse to per-query ARRAYS and the
+    whole K-step greedy runs as ONE aggregate fold inside the row —
+    the previous shape ran K−1 driver steps, each a join + window +
+    eager localCheckpoint (≈3 jobs/step); this is one job total.
+    Identical selections: each step scores the remaining candidates
+    with the same IEEE arithmetic on the same doubles (step 1 the raw
+    cos_raw; later cos_raw − 0.5·max sim-to-selected, max over doubles
+    being order-free), and the argmax reproduces the windows' (score
+    DESC, n_id ASC) tie order via max-of-struct(score, −n_id). At
+    100 TB the operator stays index-bounded — per-query state is the
+    R-deep shortlist the rerank already fetched.
     """
     ranked = _ivfpq_rerank_ranked(spark, sf_dir)
     cand = ranked.select("q_id", "n_id", "cos_raw")
@@ -6805,53 +6843,53 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vn, "a_id").join(wn, "b_id")
         .select("q_id", "a_id", "b_id",
                 _cosine("va", "vb").alias("sim"))
-        .persist()
     )
-    pairs.count()
-    w1 = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), "n_id")
-    sel = (
-        cand.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") == 1)
-        .select("q_id", "n_id", F.col("cos_raw").alias("score"),
-                F.lit(1).alias("rank"))
+    cs = cand.groupBy("q_id").agg(
+        F.collect_list(F.struct("n_id", "cos_raw")).alias("cs"))
+    ps = pairs.groupBy("q_id").agg(
+        F.collect_list(F.struct("a_id", "b_id", "sim")).alias("ps"))
+    # the per-step argmax, spelled once: score each remaining candidate
+    # (raw cos at step 1, penalized after), take max of (score, -n_id)
+    scored = (
+        "transform("
+        " filter(cs, c -> !exists(acc, s -> s.n_id = c.n_id)),"
+        " c -> named_struct("
+        "   'score', CASE WHEN size(acc) = 0 THEN c.cos_raw"
+        f"            ELSE c.cos_raw - {_MMR_LAMBDA}D * array_max("
+        "               transform("
+        "                 filter(ps, p -> p.a_id = c.n_id AND"
+        "                        exists(acc, s -> s.n_id = p.b_id)),"
+        "                 p -> p.sim)) END,"
+        "   'negid', -c.n_id))"
     )
-    # each greedy step is materialized eagerly: the selected set is
-    # queries-sized (tiny), and leaving the steps lazy nests windows /
-    # anti-joins _MMR_K deep — a measured plan explosion, not a
-    # data-volume problem
-    selected = sel.localCheckpoint(eager=True)
-    for step in range(2, _MMR_K + 1):
-        pen = (
-            pairs.join(
-                selected.select("q_id", F.col("n_id").alias("b_id")),
-                ["q_id", "b_id"],
-            )
-            .groupBy("q_id", F.col("a_id").alias("n_id"))
-            .agg(F.max("sim").alias("pen"))
+    greedy = f"""
+      aggregate(
+        sequence(1, {_MMR_K}),
+        cast(array() as array<struct<n_id: bigint, score: double, rank: int>>),
+        (acc, step) ->
+          CASE WHEN size(cs) <= size(acc) THEN acc ELSE
+            concat(acc, array(
+              named_struct(
+                'n_id', -array_max({scored}).negid,
+                'score', array_max({scored}).score,
+                'rank', step)))
+          END
+      )"""
+    return (
+        cs.join(ps, "q_id", "left")
+        .select("q_id",
+                F.coalesce("ps", F.expr(
+                    "cast(array() as"
+                    " array<struct<a_id: bigint, b_id: bigint,"
+                    " sim: double>>)")).alias("ps"),
+                "cs")
+        .select("q_id", F.explode(F.expr(greedy)).alias("s"))
+        .select(
+            "q_id", F.col("s.rank").cast("bigint").alias("rank"),
+            F.col("s.n_id").alias("result_id"),
+            F.round("s.score", 2).alias("mmr_score"),
         )
-        remaining = cand.join(selected.select("q_id", "n_id"),
-                              ["q_id", "n_id"], "anti")
-        scored = remaining.join(pen, ["q_id", "n_id"]).withColumn(
-            "score", F.col("cos_raw") - _MMR_LAMBDA * F.col("pen")
-        )
-        ws = W.partitionBy("q_id").orderBy(F.col("score").desc(), "n_id")
-        pick = (
-            scored.withColumn("rn", F.row_number().over(ws))
-            .where(F.col("rn") == 1)
-            .select("q_id", "n_id", "score", F.lit(step).alias("rank"))
-        )
-        selected = selected.unionByName(pick) \
-            .localCheckpoint(eager=True)
-    res = (
-        selected.select(
-            "q_id", F.col("rank").cast("bigint").alias("rank"),
-            F.col("n_id").alias("result_id"),
-            F.round("score", 2).alias("mmr_score"),
-        )
-        .localCheckpoint(eager=True)
     )
-    pairs.unpersist()
-    return res
 
 
 # power-iteration geometry: v normalized to max|v| = 2^10 each step
@@ -7135,10 +7173,17 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id", "n_id")
         .agg(F.min("crank").alias("mcrank"))
     )
+    # project the two 64-long code arrays away the moment sq_d2 is
+    # computed (opt guide §2.2 — shuffle/persist fewer bytes): at the
+    # 10x scale tier, persisting them through the axis fan-out was
+    # ~1 KB/row x 8M pairs x up to |axis| replicas — a measured
+    # driver-heap OOM; the narrow (q_id, n_id, mcrank, sq_d2) rows are
+    # ~32 B each
     swept = (
         pairs.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
         .join(F.broadcast(qs), "q_id")
         .withColumn("sq_d2", d2)
+        .select("q_id", "n_id", "mcrank", "sq_d2")
         .join(F.broadcast(axis), F.col("mcrank") <= F.col("nprobe"))
         .persist()
     )
