@@ -1387,6 +1387,11 @@ _SHARED_BUILDS = (
     "rpq_codes",
     "pq_adc_topk",
     "brute_topk_baseline",
+    "ivf_topk",
+    "sq8_topk",
+    "sq8_ivf_topk",
+    "sq8_ivf_rek_topk",
+    "ivfpq_residual_topk",
     "ivfpq_rerank_shortlist",
     "fusion_lex_arm",
 )
@@ -1490,6 +1495,12 @@ def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
     timed("sq8_topk", noop("ann_sq8_topk"))
     timed("sq8_ivf_topk", noop("ann_sq8_ivf_topk"))
     timed("sq8_ivf_rek_topk", noop("ann_sq8_ivf_rek_topk"))
+    # r14b: the residual-IVFADC top-k result is the last session-cached
+    # ANN build without its own timer — the ladder's residual rung and
+    # the standalone query share it, so first-toucher attribution would
+    # otherwise shift with window order (ann_ivfpq_topk needs no timer
+    # anymore: it reads the ivfpq_rerank_shortlist build's srank rows)
+    timed("ivfpq_residual_topk", noop("ann_ivfpq_residual_topk"))
     # the exact-reranked IVF-PQ shortlist and the shingle-Jaccard
     # lexical arm (VERDICT r8 item 4): each feeds the rerank rung AND
     # both fusion variants, so their one-time build cost belongs here,

@@ -94,7 +94,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns every hash group with its cardinality and the kept (min)
     doc_id — the "keep first, drop rest" exact-dedup decision table.
     """
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     return (
         documents.groupBy(F.md5(F.col("text")).alias("h"))
         .agg(
@@ -109,7 +109,7 @@ def dedup_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token set. Catches shuffled/reordered near-duplicates that
     exact hashing misses, still with an exact group-by (no similarity
     join needed)."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     fp = F.expr(
         f"md5(concat_ws(' ', array_sort(array_distinct({TOKENS}))))"
     ).alias("fp")
@@ -632,55 +632,93 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dedup operator probes, not a re-derived banding, so the row
     measures the pipeline that actually serves.
 
-    Cost shape: the signature table is the shared persisted index; each
-    config adds one band equi-join over (doc, band-bucket) rows and two
-    tiny count aggregates. Nothing rescans text.
+    Cost shape: the signature table is the shared persisted index; the
+    two non-production configs band, self-join, and dedup in ONE
+    config-keyed pass (r14 — each config's candidate table used to be
+    built twice, once under each of its two count aggregates, so the
+    band self-join ran four times; the keyed join on (n_bands, bucket)
+    partitions the per-config joins exactly, and the persisted pair
+    table feeds both counts), plus one equi-join and two tiny count
+    aggregates. Nothing rescans text.
     """
-    from functools import reduce
-
     sig, prod_cand = _minhash_sig_cand(spark, sf_dir)
     exact = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
-    outs = []
-    for nb, nr in _BAND_CONFIGS:
-        if (nb, nr) == (_MINHASH_BANDS, _MINHASH_ROWS):
-            # the production config: grade the served candidate table
-            cand = prod_cand.select("a_id", "b_id")
-        else:
-            buckets = F.array(*[
-                F.expr(_h60(
-                    "concat_ws(',', "
-                    + ", ".join([str(b)]
-                                + [f"m{nr * b + r}" for r in range(nr)])
-                    + ")"
-                ))
-                for b in range(nb)
-            ])
-            bands = sig.select("doc_id", F.explode(buckets).alias("bucket"))
-            cand = (
-                bands.alias("l")
-                .join(bands.alias("r"),
-                      (F.col("l.bucket") == F.col("r.bucket"))
-                      & (F.col("l.doc_id") < F.col("r.doc_id")))
-                .select(F.col("l.doc_id").alias("a_id"),
-                        F.col("r.doc_id").alias("b_id"))
-                .distinct()
-            )
-        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-        rec = exact.join(
-            cand.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
-        ).agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("hit").alias("n_found"),
-            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+    sweep = [(nb, nr) for nb, nr in _BAND_CONFIGS
+             if (nb, nr) != (_MINHASH_BANDS, _MINHASH_ROWS)]
+    entries = [
+        F.struct(
+            F.lit(nb).cast("bigint").alias("nb"),
+            F.expr(_h60(
+                "concat_ws(',', "
+                + ", ".join([str(b)]
+                            + [f"m{nr * b + r}" for r in range(nr)])
+                + ")"
+            )).alias("bucket"),
         )
-        outs.append(
-            n_cand.crossJoin(rec).select(
-                F.lit(nb).cast("bigint").alias("n_bands"),
-                F.lit(nr).cast("bigint").alias("n_rows"),
-                "n_candidates", "n_exact", "n_found", "recall",
-            )
+        for nb, nr in sweep
+        for b in range(nb)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", F.col("e.nb").alias("nb"),
+             F.col("e.bucket").alias("bucket"))
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"),
+              (F.col("l.nb") == F.col("r.nb"))
+              & (F.col("l.bucket") == F.col("r.bucket"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.nb").alias("nb"),
+                F.col("l.doc_id").alias("a_id"),
+                F.col("r.doc_id").alias("b_id"))
+        .distinct()
+        .persist()  # feeds the candidate count AND the recall join
+    )
+    cand.count()  # materialize before the two concurrent consumers
+    n_cand = cand.groupBy("nb").agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_found = (
+        exact.join(cand, ["a_id", "b_id"])
+        .groupBy("nb").agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    axis = spark.createDataFrame(sweep, "nb bigint, nr bigint")
+    swept = (
+        # left joins from the broadcast config axis keep a config's row
+        # (all-zero counts) even when it yields no candidates
+        F.broadcast(axis)
+        .join(n_cand, "nb", "left").join(n_found, "nb", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            F.col("nb").alias("n_bands"), F.col("nr").alias("n_rows"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "n_exact",
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            F.round(F.coalesce("n_found", F.lit(0)) / F.col("n_exact"), 4)
+            .alias("recall"),
         )
-    return reduce(DataFrame.unionAll, outs)
+    )
+    # the production config: grade the served (session-cached) candidate
+    # table — its row measures the pipeline that actually serves
+    pc = prod_cand.select("a_id", "b_id")
+    prod_counts = exact.join(
+        pc.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_found"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+    prod_row = (
+        pc.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(prod_counts)
+        .select(
+            F.lit(_MINHASH_BANDS).cast("bigint").alias("n_bands"),
+            F.lit(_MINHASH_ROWS).cast("bigint").alias("n_rows"),
+            "n_candidates", "n_exact", "n_found", "recall",
+        )
+    )
+    out = swept.unionAll(prod_row).localCheckpoint()
+    cand.unpersist()
+    return out
 
 
 def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,7 +767,13 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(src, "doc_id")
         .select("source", "h")
         .distinct()
+        # r14: three consumers below (the count aggregate + both sides
+        # of the inequality self-join) — an unpersisted aggregate
+        # subplan recomputes per reference (the verify-recipe self-join
+        # gotcha), so the explode+distinct pass ran three times
+        .persist()
     )
+    sset.count()  # materialize before the concurrent consumers
     scount = sset.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sset.alias("x")
@@ -744,7 +788,7 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    return (
+    out = (
         pairs.join(inter, ["source_a", "source_b"], "left")
         .join(
             F.broadcast(scount.withColumnRenamed("source", "source_a")
@@ -764,7 +808,11 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
+        # source-pair-sized; materialize eagerly so sset can be released
+        .localCheckpoint()
     )
+    sset.unpersist()
+    return out
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2504,53 +2552,24 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_id, n_id) before the codes join, so a neighbor shared by both
     probed cells scans once.
 
-    Plan: cell assignment is one Arrow-batched argmin pass; candidates
-    are a hash equi-join on c_id; the 4 LUT joins broadcast; no raw
-    vector ever shuffles after assignment.
+    Plan (r14): reads the session-cached exact-reranked shortlist
+    (_ivfpq_rerank_ranked) — its ADC stage is THIS rung's pipeline
+    verbatim (same candidates, same codes and LUTs, same
+    (d2_raw, n_id) window), and its scan rank `srank` extends this
+    rung's top-5 to depth R, so rank <= 5 rows are the srank <= 5
+    subset cell-for-cell. One shared probe-set-sized build now serves
+    the ADC rung, the rerank rung, both their recall rows, and the
+    fusion arm; this rung's marginal cost is a filter.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, "ivfpq")
-    hit = _TOPK_RESULT_CACHE.get(key)
-    if hit is not None:
-        return hit
-    emb = load(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    members = _coarse_assign(spark, sf_dir, v).select(
-        F.col("vec_id").alias("n_id"), "c_id"
-    )
-    probes = _probe_top2(spark, sf_dir, v)
-    cand = (
-        probes.join(members, "c_id")
-        .where(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id")
-        .distinct()
-    )
-    codes, cent = _pq_model(spark, sf_dir, v)
-    qs = v.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), "e"
-    )
-    pairs = cand.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
-    for m in range(_PQ_M):
-        pairs = pairs.join(F.broadcast(_pq_lut(qs, cent, m)),
-                           ["q_id", f"code{m}"])
-    d2 = (
-        F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
-    )  # fixed left-to-right add: deterministic float order
-    w = W.partitionBy("q_id").orderBy(F.col("d2_raw").asc(), F.col("n_id"))
-    res = (
-        pairs.withColumn("d2_raw", d2)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
+    ranked = _ivfpq_rerank_ranked(spark, sf_dir)
+    return (
+        ranked.where(F.col("srank") <= 5)
         .select(
-            "q_id", "rank", F.col("n_id").alias("neighbor_id"),
+            "q_id", F.col("srank").alias("rank"),
+            F.col("n_id").alias("neighbor_id"),
             F.round("d2_raw", 2).alias("adc_d2"),
         )
-        .persist()
     )
-    res.count()  # probe-set-sized; ann_ivfpq_recall reuses it verbatim
-    _TOPK_RESULT_CACHE[key] = res
-    return res
 
 
 _RERANK_R = 20
@@ -2629,7 +2648,13 @@ def _ivfpq_rerank_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("d2_raw", d2)
         .withColumn("srank", F.row_number().over(ws))
         .where(F.col("srank") <= _RERANK_R)
-        .select("q_id", "n_id")
+        # srank + d2_raw ride along (r14): the ADC stage here is
+        # byte-identical to ann_ivfpq_topk's (same pairs, same
+        # (d2_raw, n_id) window), so keeping the scan rank lets that
+        # rung read its top-5 straight from this cache instead of
+        # rebuilding the whole probe+codes+LUT pipeline (~3.5 s/pass,
+        # the ladder's first-toucher cost)
+        .select("q_id", "n_id", "srank", "d2_raw")
     )
     q = _with_norm(emb.where(F.col("vec_id") % 50 == 0), "q_id", "vq") \
         .drop("q_id_label")
@@ -2639,10 +2664,11 @@ def _ivfpq_rerank_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(F.broadcast(shortlist.join(q, "q_id")), "n_id")
         .withColumn("cos_raw", _cosine("vq", "vc"))
         .withColumn("rrank", F.row_number().over(wr))
-        .select("q_id", "n_id", "cos_raw", "rrank")
+        .select("q_id", "n_id", "cos_raw", "rrank", "srank", "d2_raw")
         .persist()
     )
-    res.count()  # probe-set-sized; rerank top-5 + fusion arm reuse it
+    res.count()  # probe-set-sized; rerank top-5 + fusion arm +
+    # ann_ivfpq_topk (via srank) reuse it
     _TOPK_RESULT_CACHE[key] = res
     return res
 
@@ -3140,7 +3166,7 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe latency is proportional to the probed cells' sizes, so a hot
     cell is a tail-latency (and a re-train) signal. One tiny aggregate
     over the persisted assignment; exact integers end to end."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -3475,7 +3501,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token accounting per source: whitespace tokens plus the chars/4
     BPE-estimate used for LLM budget planning."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     return (
         documents.select(
             "source",
@@ -3552,7 +3578,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents survive near-dup removal (dedup_keep_one semantics) and
     the survival ratio. One join of the corpus against the cluster-
     loser set, one source-sized aggregate."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     clusters = dedup_clusters(spark, sf_dir)
     losers = clusters.where(
         F.col("doc_id") != F.col("cluster_id")
@@ -3581,7 +3607,7 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     OCR noise, boilerplate mangling, or synthetic gibberish; low ratios
     flag templated text. Integer counts end to end (one df aggregate on
     the token, one join back), ratio rounded only at the surface."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     doc_toks = documents.select(
         "doc_id", "source",
         F.explode(F.expr(f"array_distinct({TOKENS})")).alias("t"),
@@ -3613,9 +3639,12 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = _shingled(docs).select(
         "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", F.expr(_h60("s")).alias("h"))
+    ).select("doc_id", F.expr(_h60("s")).alias("h")).persist()
+    # r14: sh feeds TWO branches (the first-seen aggregate and the
+    # probe side of the join) — persisted so the shingle+md5 explode
+    # pass runs once, not twice
     first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("first_id"))
-    return (
+    out = (
         sh.join(first_seen, "h")
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -3629,7 +3658,11 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel") / F.col("n_shingles"), 4)
             .alias("novelty_ratio"),
         )
+        # source-sized; materialize eagerly so sh can be released
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return out
 
 
 def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3648,7 +3681,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nrm − μ| > 2σ_pop  ⟺  (n·fx − S)² > 4·(n·SS − S²).
     One corpus scan, one tiny aggregate, window-broadcast back.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     norm = F.expr(
         "sqrt(aggregate(embedding, cast(0 as double),"
         " (a, x) -> a + cast(x as double) * cast(x as double)))"
@@ -3696,15 +3729,23 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eval, train) pair, threshold. No all-pairs comparison anywhere.
     """
     docs = load(spark, sf_dir, "documents")
-    shingles = _shingled(docs).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", F.expr(_h60("sh")).alias("h"))
-    sources = docs.select("doc_id", "source")
-    tagged = shingles.join(sources, "doc_id")
-    eval_side = tagged.where(F.col("source") == _CONTAM_EVAL_SOURCE).select(
-        F.col("doc_id").alias("eval_id"), "h")
-    train_side = tagged.where(F.col("source") != _CONTAM_EVAL_SOURCE).select(
-        F.col("doc_id").alias("train_id"), "h")
+
+    # r14: each side shingles only ITS doc set — the old shape built
+    # one tagged (shingles x sources) frame and filtered it per side,
+    # so both references recomputed the FULL corpus shingle+md5 pass
+    # and discarded the other side's rows after the join (the same
+    # per-side-filter fix contamination_ngram_sizes got this round);
+    # the two passes now cover disjoint docs = one corpus pass total
+    def _side(side_docs, id_alias):
+        return _shingled(side_docs).select(
+            "doc_id", F.explode("shingles").alias("sh")
+        ).select(F.col("doc_id").alias(id_alias),
+                 F.expr(_h60("sh")).alias("h"))
+
+    eval_side = _side(
+        docs.where(F.col("source") == _CONTAM_EVAL_SOURCE), "eval_id")
+    train_side = _side(
+        docs.where(F.col("source") != _CONTAM_EVAL_SOURCE), "train_id")
     return (
         eval_side.join(train_side, "h")
         .groupBy("eval_id", "train_id")
@@ -3815,7 +3856,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean token length bounds, minimum stopword ratio. Returns pass/fail
     counts per (source, reason) so the gate's selectivity is auditable
     (a silent filter is how corpora lose whole domains)."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     b = _QUALITY_BOUNDS
     n_tok = F.expr(N_TOKENS)
     tok_len = F.length(F.regexp_replace("text", " ", "")) / n_tok
@@ -3854,7 +3895,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Oracle: per-shard recursive CTE (same recursion the
     dedup_clusters oracle uses).
     """
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     d = documents.select(
         "source",
         (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
@@ -3921,7 +3962,7 @@ def packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     d = documents.select(
         "source",
         (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
@@ -3991,7 +4032,7 @@ def distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the aggregated (small) table. All shuffles carry
     (token, counts) pairs, never documents.
     """
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     toks = documents.select(
         "source", F.explode(F.expr(TOKENS)).alias("tok")
     )
@@ -4039,7 +4080,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is reproducible run-to-run and machine-to-machine (unlike RNG
     sampling), which is what makes training-data ablations comparable —
     and lets DuckDB verify the exact sample."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     bucket = F.expr(_h60("cast(doc_id as string)")) % 100
     pct = F.col("lang")
     expr = F.lit(_SAMPLE_DEFAULT_PCT)
@@ -4063,7 +4104,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     never do). Hashing the TEXT, not the doc_id, keeps exact
     duplicates in the same split — the standard leakage guard.
     """
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     bucket = F.expr(_h60("text")) % 100
     split = (
         F.when(bucket < _SPLIT_VAL_LO, "train")
@@ -4083,7 +4124,7 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated text. Exact COUNT(DISTINCT) over exploded tokens (at
     100 TB you'd switch to approx_count_distinct and accept the
     epsilon)."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     toks = documents.select("source", F.explode(F.expr(TOKENS)).alias("t"))
     return (
         toks.groupBy("source")
@@ -4106,7 +4147,7 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     front this with a count-min/space-saving pass and verify only the
     survivors, but the verify step IS this query.
     """
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
     df_counts = (
         documents.select(
@@ -4162,7 +4203,7 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized tf table (at 100 TB: orderBy+limit, not a global
     window). Integer-only output — bit-exact in any engine.
     """
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     tf = (
         documents.select(F.explode(F.expr(TOKENS)).alias("t"))
         .groupBy("t")
@@ -4212,7 +4253,7 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     source count come from an unpartitioned window over that ~S-row
     aggregate (tiny by construction — never over the raw corpus).
     """
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     per_src = documents.groupBy("source").agg(
         F.sum(F.expr(N_TOKENS)).alias("src_tokens")
     )
@@ -4246,7 +4287,7 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, source) projection, then least/greatest normalizes the
     pair so A-copies-B and B-copies-A count together.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
     src = docs.select("doc_id", "source")
     attributed = (
@@ -4770,7 +4811,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure the fp rate); the bloom path alone never shuffles more than
     (eval shingles x 3) 12-byte rows.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     shingles = _shingled(docs).select(
         "doc_id", F.explode("shingles").alias("sh")
     ).select("doc_id", F.expr(_h60("sh")).alias("h")).distinct()
@@ -4867,7 +4908,7 @@ def quality_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (no per-threshold passes), survival in integer permille
     via div (truncation parity pinned by tests/test_sql_parity.py).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     toks = docs.select(
         F.expr("size(split(text, ' '))").cast("bigint").alias("nt")
     )
@@ -4917,7 +4958,7 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     result because row_number <= K only needs each partition's K
     smallest.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     w = W.partitionBy("source").orderBy("h", "doc_id")
     return (
         docs.select("source", "doc_id", F.expr(_h60("text")).alias("h"))
@@ -5053,7 +5094,7 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unpersisted r6 form, the visible vs_prev 1.45 on a 0.8 s
     slot). Both terms are linear; nothing in the plan is quadratic.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     toks = docs.select(
         "doc_id", F.explode(F.expr(TOKENS)).alias("w")
     ).persist()
@@ -5220,7 +5261,7 @@ def doc_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     — exact integer numerator, ONE divide (the value_percentiles
     convention). One sort-shuffle on (source, n_chars), the same work
     percentile() does."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     w = W.partitionBy("source").orderBy("v")
     ranked = (
         docs.select("source", F.col("n_chars").cast("long").alias("v"))
@@ -5275,7 +5316,7 @@ def truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, one partial-agg shuffle on source; loss permille via a
     single div (truncation parity pinned by tests/test_sql_parity.py).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     toks = docs.select(
         "source", F.expr("size(split(text, ' '))").cast("bigint").alias("nt")
     )
@@ -5318,7 +5359,7 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distributed partial top-k, no global sort); the final rank window
     runs on _BPE_TOPN rows.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.length("w") >= 2)
@@ -5357,7 +5398,7 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast nested-loop join; totals ride in as a single-row
     broadcast. Integer counts everywhere; only the final share divides.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     cnt = (
         docs.select(F.explode(F.split("text", " ")).alias("t"))
         .groupBy("t")
@@ -6120,10 +6161,21 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage reuses the session-shared builds the standalone
     operators own (prefix-filter pair set, contamination join), so the
-    funnel's marginal cost is stage bookkeeping: four doc_id-keyed
-    anti-joins over 8-byte keys plus one 5-row aggregate. At 100 TB
-    each stage is the exact plan its standalone operator already
-    proved; chaining them adds no new shuffle shape.
+    funnel's marginal cost is stage bookkeeping: doc_id-keyed joins
+    over 8-byte keys plus one 5-row aggregate. At 100 TB each stage is
+    the exact plan its standalone operator already proved; chaining
+    them adds no new shuffle shape.
+
+    r14 single-pass shape: the old plan unioned five stage aggregates,
+    each re-deriving its whole predecessor chain per branch (stage 4's
+    branch recomputed base -> s1 -> s2 -> s3 -> s4, stage 3's branch
+    base -> s1 -> s2 -> s3, ... — the quality predicates + md5 ran
+    ~15x). Now ONE persisted per-doc projection assigns each doc the
+    LAST stage it survives (0 = failed quality .. 4 = fully curated:
+    the same keep/loser/flag memberships, as flags instead of chained
+    anti-joins), and every stage row is a sum over survival >= stage
+    from a <= 5-row per-level aggregate — stage-i membership is by
+    construction "survival level >= i", so the counts are identical.
     """
     docs = load(spark, sf_dir, "documents")
     b = _QUALITY_BOUNDS
@@ -6135,48 +6187,66 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (tok_len >= b["min_tok_len"]) & (tok_len <= b["max_tok_len"])
         & (stop_ratio >= b["min_stop"])
     )
-    base = docs.select("doc_id", "text", "source",
-                       n_tok.cast("bigint").alias("n_tok"),
-                       passes.alias("q"))
-
-    s1 = base.where("q")
+    pd = docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tok"),
+        passes.alias("q"),
+        F.md5("text").alias("hh"),
+    ).persist()  # one corpus pass; every stage reads these narrow rows
+    pd.count()
     keep = (
-        s1.groupBy(F.md5("text").alias("hh"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        pd.where("q").groupBy("hh").agg(F.min("doc_id").alias("keep_id"))
     )
-    s2 = s1.join(keep, "doc_id", "semi")
+    s2f = pd.join(keep, "hh", "left").select(
+        "doc_id", "n_tok", "q",
+        (F.col("q") & (F.col("doc_id") == F.col("keep_id"))).alias("s2"),
+    )
     pairs = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
-    alive = s2.select("doc_id")
+    alive = s2f.where("s2").select("doc_id")
     both_alive = (
         pairs.join(alive.withColumnRenamed("doc_id", "a_id"), "a_id", "semi")
         .join(alive.withColumnRenamed("doc_id", "b_id"), "b_id", "semi")
         .select(F.greatest("a_id", "b_id").alias("doc_id"))
         .distinct()
+        .withColumn("lose", F.lit(True))
     )
-    s3 = s2.join(both_alive, "doc_id", "anti")
-    flagged = contamination_overlap(spark, sf_dir).select(
-        F.col("train_id").alias("doc_id")).distinct()
-    s4 = s3.join(flagged, "doc_id", "anti")
-
-    def _stage(i: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(i).cast("bigint").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint")
-            .alias("n_tokens"),
+    flagged = (
+        contamination_overlap(spark, sf_dir)
+        .select(F.col("train_id").alias("doc_id")).distinct()
+        .withColumn("flag", F.lit(True))
+    )
+    lvl = (
+        F.when(~F.col("q"), 0)
+        .when(~F.col("s2"), 1)
+        .when(F.coalesce("lose", F.lit(False)), 2)
+        .when(F.coalesce("flag", F.lit(False)), 3)
+        .otherwise(4)
+    )
+    levels = (
+        s2f.join(both_alive, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select("n_tok", lvl.alias("lvl"))
+        .groupBy("lvl")
+        .agg(F.count(F.lit(1)).alias("d"), F.sum("n_tok").alias("t"))
+    )
+    axis = spark.createDataFrame(
+        [(0, "raw"), (1, "quality"), (2, "exact_dedup"),
+         (3, "near_dedup"), (4, "decontam")],
+        "stage bigint, stage_name string",
+    )
+    out = (
+        F.broadcast(axis)
+        .join(levels, levels["lvl"] >= axis["stage"], "left")
+        .groupBy("stage", "stage_name")
+        .agg(
+            F.coalesce(F.sum("d"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_tokens"),
         )
-
-    from functools import reduce
-    stages = [
-        _stage(0, "raw", base),
-        _stage(1, "quality", s1),
-        _stage(2, "exact_dedup", s2),
-        _stage(3, "near_dedup", s3),
-        _stage(4, "decontam", s4),
-    ]
-    return reduce(DataFrame.unionByName, stages)
+        # 5 rows; materialize eagerly so pd can be released
+        .localCheckpoint()
+    )
+    pd.unpersist()
+    return out
 
 
 # Gopher-style rule thresholds beyond _QUALITY_BOUNDS — both are
@@ -6401,7 +6471,7 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize / budget math runs over the ~S-row aggregate via an
     unpartitioned window (S = source count, never corpus rows).
     """
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     per_src = documents.groupBy("source").agg(
         F.sum(F.expr(N_TOKENS)).alias("src_tokens")
     )
@@ -6455,7 +6525,7 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (labels x dims, model-sized, broadcast) so no corpus data
     is ever joined. Output is labels-choose-2 rows.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     sums = (
         emb.select(
             "label",
@@ -6563,7 +6633,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side combinable. At 100 TB this is the cheapest possible
     full-corpus integrity pass (no sort, no shuffle beyond the 20-group
     reduce)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     h = F.expr(_h60("concat(cast(doc_id as string), ':', text)"))
     return (
         docs.select("source", F.expr(N_TOKENS).alias("w"), "doc_id",
@@ -6710,7 +6780,7 @@ def embedding_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the t-digest epsilon), then the 64-row bounds table broadcasts
     back for the clip-mass count. Nothing vector-sized ever sits on
     the driver."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     q = emb.select(
         F.posexplode(F.expr(
             f"transform(cast(embedding as array<double>), "
@@ -6935,7 +7005,7 @@ def embedding_principal_direction(spark: SparkSession,
     iteration (the k-means / PageRank coordination pattern). At 100 TB:
     _POW_ITERS scans, model-sized traffic, no shuffle wider than 64
     rows."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     q = emb.select(F.expr(
         f"transform(cast(embedding as array<double>), "
         f"v -> cast(floor(v * {_EMB_FX}) as bigint))"
@@ -7038,7 +7108,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte keys. Same text-volume surface as chunk_dedup plus the one
     window pass; nothing is all-pairs.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=False)
     chunks = _cdc_chunks(docs)
     dup = (
         chunks.groupBy("h")
@@ -7463,7 +7533,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pre-prunes to its local quota-largest before the global
     rank, valid because row_number <= quota only needs each
     partition's quota largest."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=False)
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -7725,7 +7795,7 @@ def source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME aggregate (one token pass total); totals broadcast back.
     Shuffles carry (token, count) pairs, never documents —
     vocabulary-sized, Heaps-sublinear in the corpus."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     toks = documents.select(
         "source", F.explode(F.expr(TOKENS)).alias("tok")
     )

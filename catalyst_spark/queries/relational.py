@@ -256,7 +256,7 @@ def q15_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q16_text_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document stats (north-star text-analysis slice)."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     return (
         documents.groupBy("lang")
         .agg(
@@ -270,7 +270,7 @@ def q17_exact_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup summary: total vs distinct text. COUNT(DISTINCT text)
     partial-aggregates the (text) key map-side; at 100 TB you'd dedupe on
     a fixed-width hash instead — see pipeline.dedup_exact."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     return documents.agg(
         F.count(F.lit(1)).alias("total"),
         F.countDistinct("text").alias("uniq"),

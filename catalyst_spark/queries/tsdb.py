@@ -625,7 +625,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (lang, source): per-group, per-lang subtotal and grand
     total in one pass (Spark expands to a partial-agg expand node)."""
-    documents = load(spark, sf_dir, "documents")
+    documents = load(spark, sf_dir, "documents", spread=False)
     return (
         documents.rollup("lang", "source")
         .agg(

@@ -41,6 +41,15 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 # partitions than the session's parallelism — a production-scale table
 # has thousands of splits, so the gate self-disables and no corpus
 # shuffle is ever added at 100 TB.
+#
+# The spread is per-CONSUMER (r14): an interleaved A/B over 62 registry
+# keys measured the split — shingle/window/md5 explodes win 2-5x from
+# the 32-way spread, while scan-then-aggregate ops pay the exchange +
+# task overhead with nothing to parallelize (0.1-1.0 s each, ~10 s per
+# bench pass across the registry). Such call sites pass spread=False
+# and read the raw single-task scan; both variants share one cached
+# relation per flag, and results are identical either way (hash
+# repartition only moves rows; every checked output is row-order-free).
 _SPREAD_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 # (applicationId, sf_dir, name) -> the UNRESOLVED lazy scan DataFrame.
@@ -56,11 +65,22 @@ _SPREAD_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
 _RELATION_CACHE: dict = {}
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+def load(spark: SparkSession, sf_dir: str, name: str,
+         spread: bool = True) -> DataFrame:
+    want_spread = spread and name in _SPREAD_KEYS
+    key = (spark.sparkContext.applicationId, sf_dir, name, want_spread)
     hit = _RELATION_CACHE.get(key)
     if hit is not None:
         return hit
+    if want_spread:
+        # derive from the cached raw relation so both variants share
+        # one scan node (and the raw build below runs once per table)
+        df = load(spark, sf_dir, name, spread=False)
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par, _SPREAD_KEYS[name])
+        _RELATION_CACHE[key] = df
+        return df
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
@@ -78,11 +98,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    spread_key = _SPREAD_KEYS.get(name)
-    if spread_key is not None:
-        par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par, spread_key)
     _RELATION_CACHE[key] = df
     return df
 
