@@ -137,3 +137,26 @@ def test_cc_labels_keyed_equals_unkeyed(spark):
                 spark.createDataFrame(ek, "a_id long, b_id long"),
             ).collect()}
             assert unkeyed == want, (seed, k)
+
+
+def test_semdedup_keep_one_matches_cc_label_path(spark):
+    """The r14 in-cell union-find (losers computed inside the gram
+    pass) must keep exactly the survivors the old iterative
+    _cc_labels path kept: components are confined to cells, so
+    per-cell CC == global CC on the semdedup edge set."""
+    from pyspark.sql import functions as F
+
+    from catalyst_spark.queries.pipeline import (
+        _cc_labels, semdedup_ivf, semdedup_keep_one)
+    from catalyst_spark.tables import load
+
+    got = {r["vec_id"] for r in semdedup_keep_one(spark, SF_DIR).collect()}
+
+    pairs = semdedup_ivf(spark, SF_DIR).select("a_id", "b_id")
+    labels = _cc_labels(spark, pairs)
+    losers = {r["doc_id"] for r in labels.where(
+        F.col("doc_id") != F.col("label")).collect()}
+    every = {r["vec_id"] for r in
+             load(spark, SF_DIR, "embeddings").select("vec_id").collect()}
+    assert got == every - losers
+    assert losers  # the fixture corpus must exercise the dedup path
