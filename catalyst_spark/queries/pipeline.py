@@ -6253,7 +6253,6 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         passes.alias("q"),
         F.md5("text").alias("hh"),
     ).persist()  # one corpus pass; every stage reads these narrow rows
-    pd.count()
     keep = (
         pd.where("q").groupBy("hh").agg(F.min("doc_id").alias("keep_id"))
     )
