@@ -2415,26 +2415,55 @@ _PQ_DOT = (
 )
 
 
-def _pq_lut(qs: DataFrame, cent: DataFrame, m: int,
-            keys: tuple = ("q_id",)) -> DataFrame:
-    """Per-query LUT for subspace m: (*keys, code{m}, p{m}) where p is
-    the q.q - 2q.c + c.c squared-distance expansion on the 16-dim
-    slice of qs.e. Model-sized (queries x k rows; queries x cells x k
-    for the residual rung, whose keys are (q_id, c_id) because the
-    query residual differs per probed cell) — always broadcast."""
+def _pq_lut_maps(qs: DataFrame, cent: DataFrame,
+                 keys: tuple = ("q_id",)) -> DataFrame:
+    """Per-query LUTs for ALL subspaces as 4 map columns: (*keys,
+    l0..l3) where l{m}[code] is the q.q - 2q.c + c.c squared-distance
+    expansion on the m-th 16-dim slice of qs.e. Model-sized (queries
+    rows of 4 k-entry maps; queries x cells for the residual rung,
+    whose keys are (q_id, c_id) because the query residual differs per
+    probed cell) — always broadcast.
+
+    r14 (opt guide §3): replaces the former per-m LUT frames. The old
+    shape attached p0..p3 via FOUR broadcast hash joins over the full
+    candidate/codes pair table; carrying the LUTs as maps needs ONE
+    join and the same values come back through element_at — each map
+    entry is computed by the identical fold expression (the `m` slice
+    offset moves from a Python literal into a column, selecting the
+    same 16 elements), so every looked-up double is bit-identical and
+    the d2 add order (l0 + l1 + l2 + l3, left to right) is unchanged."""
     sub = _LSH_DIM // _PQ_M
-    qm = f"slice(e, {m * sub + 1}, {sub})"
-    return (
-        qs.crossJoin(F.broadcast(cent.where(F.col("m") == m)))
+    qm = f"slice(e, m * {sub} + 1, {sub})"
+    p = (
+        qs.crossJoin(F.broadcast(cent))
         .select(
-            *keys,
-            F.col("code").alias(f"code{m}"),
+            *keys, "m", "code",
             F.expr(
                 _PQ_DOT.format(a=qm, b=qm)
                 + " - 2 * " + _PQ_DOT.format(a=qm, b="ce")
                 + " + " + _PQ_DOT.format(a="ce", b="ce")
-            ).alias(f"p{m}"),
+            ).alias("p"),
         )
+    )
+    return p.groupBy(*keys).agg(*[
+        F.map_from_entries(
+            F.collect_list(F.when(F.col("m") == m, F.struct("code", "p")))
+        ).alias(f"l{m}")
+        for m in range(_PQ_M)
+    ])
+
+
+def _lut_d2():
+    """Fixed left-to-right LUT-part addition (deterministic float
+    order), map-lookup form: element_at returns the identical double
+    the old per-m join attached as p{m}. A function (not a module
+    constant) because Column construction needs an active
+    SparkContext — a module-level Column would crash Python workers
+    re-importing this module."""
+    return sum(
+        (F.element_at(f"l{m}", F.col(f"code{m}"))
+         for m in range(1, _PQ_M)),
+        F.element_at("l0", F.col("code0")),
     )
 
 
@@ -2455,10 +2484,13 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins — never a groupBy sum whose float order could drift. ADC
     distances round to 2dp in the output.
 
-    Plan: codes come from one Arrow-batched encode pass; the 4 LUT
-    joins broadcast (queries x k rows each); ranking is a per-query
-    window over the candidate scan. No shuffle ever carries a raw
-    vector — only (vec_id, 4 codes).
+    Plan (r14 LUT-map collapse, opt guide §3): codes come from one
+    Arrow-batched encode pass; the per-query LUTs ride in as 4 map
+    columns on ONE broadcast fan-out (BroadcastNestedLoopJoin over the
+    probe-query axis — the sanctioned small-axis pattern) instead of
+    four broadcast hash joins over the full codes x queries pair
+    stream; ranking is a per-query window over the candidate scan. No
+    shuffle ever carries a raw vector — only (vec_id, 4 codes).
     """
     key = (spark.sparkContext.applicationId, sf_dir, "pq_adc")
     hit = _TOPK_RESULT_CACHE.get(key)
@@ -2472,13 +2504,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = v.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "e"
     )
-    pairs = codes
-    for m in range(_PQ_M):
-        on = [f"code{m}"] if m == 0 else ["q_id", f"code{m}"]
-        pairs = pairs.join(F.broadcast(_pq_lut(qs, cent, m)), on)
-    d2 = (
-        F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
-    )  # fixed left-to-right add: deterministic float order
+    pairs = codes.crossJoin(F.broadcast(_pq_lut_maps(qs, cent)))
+    d2 = _lut_d2()  # fixed left-to-right add: deterministic float order
     w = W.partitionBy("q_id").orderBy(F.col("d2_raw").asc(), F.col("vec_id"))
     res = (
         pairs.where(F.col("vec_id") != F.col("q_id"))
@@ -2679,23 +2706,26 @@ def _ivfpq_rerank_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("n_id"), "c_id"
     )
     probes = _probe_top2(spark, sf_dir, v)
+    # no .distinct(): _coarse_assign gives every vector exactly ONE
+    # cell and the probed cells per query are distinct by construction
+    # (lexsort over distinct centroids), so each (q_id, n_id) pair
+    # arises at most once — the former dedup was a full Exchange +
+    # HashAggregate over the candidate table for a no-op (r14, opt
+    # guide §2.1: remove shuffles the data layout already guarantees)
     cand = (
         probes.join(members, "c_id")
         .where(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id")
-        .distinct()
     )
     codes, cent = _pq_model(spark, sf_dir, v)
     qs = v.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "e"
     )
-    pairs = cand.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
-    for m in range(_PQ_M):
-        pairs = pairs.join(F.broadcast(_pq_lut(qs, cent, m)),
-                           ["q_id", f"code{m}"])
-    d2 = (
-        F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
-    )  # fixed left-to-right add: deterministic float order
+    pairs = (
+        cand.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .join(F.broadcast(_pq_lut_maps(qs, cent)), "q_id")
+    )  # one broadcast LUT-map join replaces 4 per-m joins (guide §3)
+    d2 = _lut_d2()  # fixed left-to-right add: deterministic float order
     ws = W.partitionBy("q_id").orderBy(F.col("d2_raw").asc(), F.col("n_id"))
     shortlist = (
         pairs.withColumn("d2_raw", d2)
@@ -2794,8 +2824,9 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zip_with here, list_transform in the oracle); subspace codebooks
     are the same deterministic k-means fitted on residual slices; LUT
     parts add left-to-right. Plan: candidates are a hash equi-join on
-    c_id; codes join on n_id; 4 broadcast LUT joins; no raw or
-    residual vector ever shuffles after assignment.
+    c_id; codes join on n_id; ONE broadcast LUT-map join (r14 — was 4
+    per-m joins; same doubles via element_at); no raw or residual
+    vector ever shuffles after assignment.
     """
     key = (spark.sparkContext.applicationId, sf_dir, "rivfpq")
     hit = _TOPK_RESULT_CACHE.get(key)
@@ -2809,12 +2840,13 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("n_id"), "c_id"
     )
     probes = _probe_top2(spark, sf_dir, v)
-    # candidates KEEP the probed cell id: the LUT frame is per-cell
+    # candidates KEEP the probed cell id: the LUT frame is per-cell.
+    # No .distinct(): one cell per member + distinct probed cells per
+    # query make (q_id, n_id, c_id) unique already (r14, guide §2.1)
     cand = (
         probes.join(members, "c_id")
         .where(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id", "c_id")
-        .distinct()
     )
     rcodes, rcent = _pq_model(
         spark, sf_dir, _residual_vecs(spark, sf_dir, v), prefix="rpq"
@@ -2831,15 +2863,13 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("e", "ce", lambda x, y: x - y).alias("e"),
         )
     )
-    pairs = cand.join(rcodes.withColumnRenamed("vec_id", "n_id"), "n_id")
-    for m in range(_PQ_M):
-        pairs = pairs.join(
-            F.broadcast(_pq_lut(qres, rcent, m, keys=("q_id", "c_id"))),
-            ["q_id", "c_id", f"code{m}"],
-        )
-    d2 = (
-        F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
-    )  # fixed left-to-right add: deterministic float order
+    pairs = (
+        cand.join(rcodes.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .join(F.broadcast(_pq_lut_maps(qres, rcent,
+                                       keys=("q_id", "c_id"))),
+              ["q_id", "c_id"])
+    )  # one broadcast LUT-map join replaces 4 per-m joins (guide §3)
+    d2 = _lut_d2()  # fixed left-to-right add: deterministic float order
     w = W.partitionBy("q_id").orderBy(F.col("d2_raw").asc(), F.col("n_id"))
     res = (
         pairs.withColumn("d2_raw", d2)
@@ -7296,11 +7326,16 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis = spark.createDataFrame(
         [(int(np_),) for np_ in _NPROBE_SWEEP], "nprobe long"
     )
+    # mcrank = crank directly: _coarse_assign gives every vector
+    # exactly ONE cell, so a (q_id, n_id) pair arises from exactly one
+    # probed cell and min(crank) over the group IS that row's crank —
+    # the former groupBy was a full shuffle of the pair table for a
+    # no-op aggregate (r14, opt guide §2.1: remove shuffles the data
+    # layout already guarantees)
     pairs = (
         probes.join(members, "c_id")
         .where(F.col("n_id") != F.col("q_id"))
-        .groupBy("q_id", "n_id")
-        .agg(F.min("crank").alias("mcrank"))
+        .select("q_id", "n_id", F.col("crank").alias("mcrank"))
     )
     # project the two 64-long code arrays away the moment sq_d2 is
     # computed (opt guide §2.2 — shuffle/persist fewer bytes): at the

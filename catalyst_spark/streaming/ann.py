@@ -538,7 +538,7 @@ def stream_ivfpq_residual_topk(
        expression the batch rung's qres uses, so residual doubles are
        bit-identical);
     3. builds its per-(q_id, c_id) residual LUTs from the broadcast
-       codebook entries with the exact `_pq_lut` expansion text
+       codebook entries with the exact `_pq_lut_maps` expansion text
        (dot(rm,rm) - 2·dot(rm,ce) + dot(ce,ce), sequential-fold dots);
     4. equi-joins on c_id against the residual codes-with-cell table —
        only the probed cells' codes score, and a member's code is
@@ -561,7 +561,8 @@ def stream_ivfpq_residual_topk(
     )
     sub = _LSH_DIM // _PQ_M
     # per-(query, probed cell) residual, full 64 dims — named e so the
-    # LUT expression text below is byte-identical to the batch _pq_lut
+    # LUT expression text below is byte-identical to the batch
+    # _pq_lut_maps expansion
     s = (
         _stream_probe_top2(vec_stream, coarse_entries)
         .withColumn("c_id", F.explode("cells"))

@@ -252,13 +252,16 @@ def test_boilerplate_spans_takeordered(spark):
 
 
 def test_pq_adc_scans_codes_with_broadcast_luts(spark):
-    # the candidate scan must be BroadcastHashJoins of tiny LUTs into
-    # the codes table — no shuffle ever carries a raw vector, and the
-    # only nested-loop is the broadcast LUT build (queries x k
-    # centroids, model-sized by construction)
+    # the candidate scan must be ONE broadcast fan-out of the per-query
+    # LUT maps into the codes table (r14 LUT-map collapse: a
+    # BroadcastNestedLoopJoin over the model-sized probe-query axis —
+    # the sanctioned small-axis pattern — replaced the former four
+    # per-m BroadcastHashJoins); no shuffle ever carries a raw vector
+    # and nothing may degenerate to CartesianProduct
     plan = plan_of(spark, "ann_pq_adc_topk")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_bloom_probe_join_broadcasts_filter(spark):
