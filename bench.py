@@ -1394,6 +1394,8 @@ _SHARED_BUILDS = (
     "ivfpq_residual_topk",
     "ivfpq_rerank_shortlist",
     "fusion_lex_arm",
+    "pr_chain",
+    "phash_pairs",
 )
 
 
@@ -1509,6 +1511,13 @@ def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
           lambda: P._ivfpq_rerank_ranked(spark, sf_dir).count())
     timed("fusion_lex_arm",
           lambda: P._fusion_lex_arm(spark, sf_dir).count())
+    # r14c: the integer-fixpoint PageRank chain (_PR_CHAIN_CACHE) feeds
+    # near_dup_pagerank AND its converged twin — the last session-cached
+    # build whose ~2 s first-toucher cost still shifted with window order
+    timed("pr_chain", noop("near_dup_pagerank"))
+    # r14c: the verified pHash pair set joined the session cache (it
+    # feeds phash_dup_pairs AND phash_dup_clusters)
+    timed("phash_pairs", noop("phash_dup_pairs"))
     return out
 
 

@@ -762,29 +762,39 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_a", "source_b",
         F.round(matches / float(_MINHASH_PERMS), 4).alias("est_jaccard"),
     )
-    sset = (
+    # r14 (opt guide §2.3/§2.4, replacing the r14 first-stint persist):
+    # ONE groupBy(h).collect_set(source) pass replaces the old
+    # distinct + self-join-on-h shape — collect_set dedups (source, h)
+    # map-side, the per-h source list is bounded by the source count
+    # (~20), and both downstream aggregates read the grouped table:
+    # per-source distinct-shingle counts by exploding it, pairwise
+    # intersection counts by expanding the sorted in-row combinations
+    # (identical pair set: x < y over the distinct sources of each h).
+    # Removes the distinct exchange, both self-join exchanges and the
+    # join build; the one remaining big shuffle is the (h, source)
+    # groupBy itself.
+    hs = (
         sig.select("doc_id", F.explode("hset").alias("h"))
         .join(src, "doc_id")
-        .select("source", "h")
-        .distinct()
-        # r14: three consumers below (the count aggregate + both sides
-        # of the inequality self-join) — an unpersisted aggregate
-        # subplan recomputes per reference (the verify-recipe self-join
-        # gotcha), so the explode+distinct pass ran three times
+        .groupBy("h")
+        .agg(F.expr("array_sort(collect_set(source))").alias("ss"))
         .persist()
     )
-    sset.count()  # materialize before the concurrent consumers
-    scount = sset.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    hs.count()  # materialize before the two consumers
+    scount = (
+        hs.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        sset.alias("x")
-        .join(
-            sset.alias("y"),
-            (F.col("x.h") == F.col("y.h"))
-            & (F.col("x.source") < F.col("y.source")),
-        )
+        hs.select(F.explode(F.expr(
+            "flatten(transform(ss, (x, i) ->"
+            " transform(slice(ss, i + 2, size(ss)), y ->"
+            " struct(x AS source_a, y AS source_b))))"
+        )).alias("p"))
         .groupBy(
-            F.col("x.source").alias("source_a"),
-            F.col("y.source").alias("source_b"),
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -808,10 +818,10 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
-        # source-pair-sized; materialize eagerly so sset can be released
+        # source-pair-sized; materialize eagerly so hs can be released
         .localCheckpoint()
     )
-    sset.unpersist()
+    hs.unpersist()
     return out
 
 
@@ -1033,29 +1043,35 @@ def _cc_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     pair set; returns the converged (doc_id, label) table. The loop
     dedup_clusters always ran, factored so threshold sweeps can cluster
     filtered edge sets (label-sum fixpoint detection, localCheckpoint
-    lineage cuts per round)."""
-    edges = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    lineage cuts per round).
+
+    r14 (opt guide §2.4): the symmetric edge set carries a SELF-LOOP
+    per node, so each round is ONE join + min aggregate — the new
+    label is min over {own} ∪ {neighbors} directly — instead of the
+    old join + agg + left-join-back + least. Per-round label tables
+    are identical (least(own, min-neigh) == min over the union), so
+    the round count and the fixpoint are unchanged."""
+    p = pairs.where(F.col("a_id") != F.col("b_id"))
+    sym = p.union(
+        p.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    edges = sym.union(
+        sym.select("a_id").distinct()
+        .select("a_id", F.col("a_id").alias("b_id"))
     ).persist()
     labels = (
-        edges.select(F.col("a_id").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.where(F.col("a_id") == F.col("b_id"))
+        .select(F.col("a_id").alias("doc_id"),
+                F.col("a_id").alias("label"))
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(_CLUSTER_MAX_ITERS):
-        neigh_min = (
+        labels = (
             edges.join(labels, edges["b_id"] == labels["doc_id"])
             .groupBy("a_id")
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(neigh_min, labels["doc_id"] == neigh_min["a_id"], "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .select(F.col("a_id").alias("doc_id"), "label")
             .localCheckpoint()
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
@@ -1073,39 +1089,36 @@ def _cc_labels_keyed(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     _cc_labels over that k's edges, while the driver pays a single
     convergence loop for all k (the oracle's k-dimensioned recursive
     CC, in Spark; shard_apply_compaction's K+1 prefix graphs).
-    Returns (k, doc_id, label)."""
-    edges = pairs.select("k", "a_id", "b_id").union(
-        pairs.select("k", F.col("b_id").alias("a_id"),
-                     F.col("a_id").alias("b_id"))
+    Returns (k, doc_id, label).
+
+    r14: same self-loop fold as _cc_labels — one join + min aggregate
+    per round over (k, node), identical per-round label tables."""
+    p = pairs.where(F.col("a_id") != F.col("b_id"))
+    sym = p.select("k", "a_id", "b_id").union(
+        p.select("k", F.col("b_id").alias("a_id"),
+                 F.col("a_id").alias("b_id"))
+    )
+    edges = sym.union(
+        sym.select("k", "a_id").distinct()
+        .select("k", "a_id", F.col("a_id").alias("b_id"))
     ).persist()
     labels = (
-        edges.select("k", F.col("a_id").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.where(F.col("a_id") == F.col("b_id"))
+        .select("k", F.col("a_id").alias("doc_id"),
+                F.col("a_id").alias("label"))
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(_CLUSTER_MAX_ITERS):
-        nm = (
+        labels = (
             edges.alias("e")
             .join(labels.alias("l"),
                   (F.col("e.b_id") == F.col("l.doc_id"))
                   & (F.col("e.k") == F.col("l.k")))
             .groupBy(F.col("e.k"), F.col("e.a_id"))
-            .agg(F.min("l.label").alias("nmin"))
-        )
-        labels = (
-            labels.alias("l")
-            .join(nm.alias("n"),
-                  (F.col("l.doc_id") == F.col("n.a_id"))
-                  & (F.col("l.k") == F.col("n.k")), "left")
-            .select(
-                F.col("l.k").alias("k"),
-                F.col("l.doc_id").alias("doc_id"),
-                F.least(F.col("l.label"),
-                        F.coalesce(F.col("n.nmin"), F.col("l.label")))
-                .alias("label"),
-            )
+            .agg(F.min("l.label").alias("label"))
+            .select(F.col("k"),
+                    F.col("a_id").alias("doc_id"), "label")
             .localCheckpoint()
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
@@ -1374,13 +1387,26 @@ def phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30 bits. The Spark side and the DuckDB side build the hash from
     the same md5 strings, then ONLY Spark runs the banded join — the
     oracle brute-forces, which is the point.
+
+    r14: the verified pair RESULT is session-cached (pair-bounded —
+    the skew suite pins the clique bound) because phash_dup_clusters
+    re-ran the whole synthetic-hash + banded-join pipeline to cluster
+    the same pairs; timed under shared_builds ("phash_pairs") so the
+    build cost can't shift between the two names with window order.
     """
     from catalyst_spark.multimodal import image_dup_pairs
 
+    key = (spark.sparkContext.applicationId, sf_dir, "phash_pairs")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load(spark, sf_dir, "documents")
-    return image_dup_pairs(
+    res = image_dup_pairs(
         _synthetic_phash(docs), max_hamming=7
-    ).select("a_id", "b_id", "hamming")
+    ).select("a_id", "b_id", "hamming").persist()
+    res.count()  # pair-bounded; phash_dup_clusters reuses it verbatim
+    _TOPK_RESULT_CACHE[key] = res
+    return res
 
 
 def _synthetic_phash(docs: DataFrame) -> DataFrame:
@@ -4900,15 +4926,35 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth join disappears at production scale (it exists here to
     measure the fp rate); the bloom path alone never shuffles more than
     (eval shingles x 3) 12-byte rows.
+
+    r14 (opt guide §1.2/§2.4): each side filters its OWN doc set below
+    the explode (the source predicate reaches the parquet scan) instead
+    of tagging one full-corpus (doc_id, shingle-hash) frame with a join
+    — the old shape fed that unpersisted frame to FOUR consumers (bloom
+    build, probe side, both exact-join sides), so the corpus shingle +
+    md5 + distinct pass ran ~4x per execution. The train side collapses
+    to its DISTINCT hash set once (bit_or is idempotent, so the bloom
+    words are bit-identical built from distinct hashes; the exact join
+    already consumed exactly this distinct set) and both sides persist
+    for the query's duration. Measured 2.9 -> ~1.0 s at sf0.1.
     """
-    docs = load(spark, sf_dir, "documents", spread=False)
-    shingles = _shingled(docs).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).select("doc_id", F.expr(_h60("sh")).alias("h")).distinct()
-    tagged = shingles.join(docs.select("doc_id", "source"), "doc_id")
-    train = tagged.where(F.col("source") != _CONTAM_EVAL_SOURCE)
-    eval_side = tagged.where(F.col("source") == _CONTAM_EVAL_SOURCE).select(
-        F.col("doc_id").alias("eval_id"), "h"
+    docs = load(spark, sf_dir, "documents")
+    train_h = (
+        _shingled(docs.where(F.col("source") != _CONTAM_EVAL_SOURCE))
+        .select(F.explode("shingles").alias("sh"))
+        .select(F.expr(_h60("sh")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    eval_side = (
+        _shingled(docs.where(F.col("source") == _CONTAM_EVAL_SOURCE))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode("shingles").alias("sh"),
+        )
+        .select("eval_id", F.expr(_h60("sh")).alias("h"))
+        .distinct()
+        .persist()
     )
     mask = (1 << _BLOOM_BITS_LOG2) - 1
     probe_exprs = [
@@ -4917,7 +4963,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build: train shingle -> 3 bit positions -> per-word OR of 32-bit
     # masks. 2^(_BLOOM_BITS_LOG2-5) = 8192 rows regardless of corpus size.
     bloom = (
-        train.select(
+        train_h.select(
             F.explode(F.expr(f"array({', '.join(probe_exprs)})")).alias("p")
         )
         .select(
@@ -4952,13 +4998,13 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_hits = (
         eval_side.join(
-            train.select("h").distinct().withColumn("_exact", F.lit(1)),
+            train_h.withColumn("_exact", F.lit(1)),
             "h",
             "left",
         )
         .select("eval_id", "h", "_exact")
     )
-    return (
+    out = (
         exact_hits.join(bloom_hits, ["eval_id", "h"], "left")
         .groupBy("eval_id")
         .agg(
@@ -4977,7 +5023,12 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_hits",
             (F.col("bloom_hits") - F.col("exact_hits")).alias("false_pos"),
         )
+        # eval-doc-sized; materialize eagerly so both sides can be released
+        .localCheckpoint()
     )
+    train_h.unpersist()
+    eval_side.unpersist()
+    return out
 
 
 
@@ -5100,8 +5151,16 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     size); mean via integer div (truncation parity pinned by
     tests/test_sql_parity.py).
 
-    Plan: codes re-join their vectors on vec_id; the 8 centroid tables
-    broadcast (model-sized); one stack + tiny aggregate per space.
+    Plan (r14 LUT-map collapse, opt guide §3 — same pattern as
+    _pq_lut_maps): codes re-join their vectors on vec_id; the 8
+    per-subspace centroid joins collapse to ONE single-row broadcast
+    per space carrying 4 maps code -> struct(ce, cc) — element_at
+    returns the identical centroid array the per-m join attached, and
+    cc (the c.c fold) is computed ONCE PER CENTROID in the broadcast
+    side by the identical fold expression on the identical doubles
+    instead of once per vector row, so d2m's ((q.q - 2q.c) + c.c) add
+    order and every operand are bit-unchanged; one stack + tiny
+    aggregate per space.
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
@@ -5110,17 +5169,24 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _stacked(vecs, codes, cent, label):
         sub = _LSH_DIM // _PQ_M
-        joined = vecs.join(codes, "vec_id")
+        cmap = cent.select(
+            "m", "code", "ce",
+            F.expr(_PQ_DOT.format(a="ce", b="ce")).alias("cc"),
+        ).groupBy().agg(*[
+            F.map_from_entries(F.collect_list(F.when(
+                F.col("m") == m,
+                F.struct(F.col("code"), F.struct("ce", "cc")),
+            ))).alias(f"c{m}")
+            for m in range(_PQ_M)
+        ])
+        joined = vecs.join(codes, "vec_id").crossJoin(F.broadcast(cmap))
         for m in range(_PQ_M):
-            cm = cent.where(F.col("m") == m).select(
-                F.col("code").alias(f"code{m}"), F.col("ce").alias(f"ce{m}")
-            )
-            joined = joined.join(F.broadcast(cm), f"code{m}")
             qm = f"slice(e, {m * sub + 1}, {sub})"
             joined = joined.withColumn(f"d2m{m}", F.expr(
                 _PQ_DOT.format(a=qm, b=qm)
-                + " - 2 * " + _PQ_DOT.format(a=qm, b=f"ce{m}")
-                + " + " + _PQ_DOT.format(a=f"ce{m}", b=f"ce{m}")
+                + " - 2 * " + _PQ_DOT.format(
+                    a=qm, b=f"element_at(c{m}, code{m}).ce")
+                + f" + element_at(c{m}, code{m}).cc"
             ))
         return joined.select(F.expr(
             "stack(4, 0, d2m0, 1, d2m1, 2, d2m2, 3, d2m3) as (m, d2)"

@@ -267,8 +267,18 @@ def test_pq_adc_scans_codes_with_broadcast_luts(spark):
 def test_bloom_probe_join_broadcasts_filter(spark):
     # the 8192-word filter table must broadcast into the probe join —
     # the whole point of the sketch is that the probe side never
-    # shuffles against the train corpus
-    plan = plan_of(spark, "bloom_decontaminate")
+    # shuffles against the train corpus. r14: the result is
+    # localCheckpointed (so the two persisted side tables can be
+    # released), which collapses the terminal plan — disable the
+    # checkpoint for the build, the make_structural_diags convention.
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    orig = _CDF.localCheckpoint
+    _CDF.localCheckpoint = lambda self, eager=True: self
+    try:
+        plan = plan_of(spark, "bloom_decontaminate")
+    finally:
+        _CDF.localCheckpoint = orig
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
