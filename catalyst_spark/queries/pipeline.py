@@ -335,12 +335,16 @@ def _minhash_sig_cand(spark: SparkSession, sf_dir: str):
     # pipeline (tiny: one row per doc). Keyed by logical plan, so
     # repeated calls share the cache entry.
     a_lst, b_lst = _minhash_coeffs()
+    # r14: one parsed expr per aggregate (not min(Column).alias chains)
+    # — Column ops are py4j round-trips and this builder is rebuilt by
+    # every minhash consumer each bench pass (guide §4, driver side)
     sig = sh_rows.groupBy("doc_id").agg(
-        F.collect_list("h").alias("hset"),
+        F.expr("collect_list(h) as hset"),
         *[
-            F.min(F.expr(
-                f"({a_lst[s]} * (h % {_MINHASH_P}) + {b_lst[s]}) % {_MINHASH_P}"
-            )).alias(f"m{s}")
+            F.expr(
+                f"min(({a_lst[s]} * (h % {_MINHASH_P}) + {b_lst[s]})"
+                f" % {_MINHASH_P}) as m{s}"
+            )
             for s in range(_MINHASH_PERMS)
         ],
     ).persist()
@@ -370,18 +374,21 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one result table).
     """
     sig, cand = _minhash_sig_cand(spark, sf_dir)
-    a = sig.select(
-        F.col("doc_id").alias("a_id"), F.col("hset").alias("h_a"),
-        *[F.col(f"m{s}").alias(f"a{s}") for s in range(_MINHASH_PERMS)],
+    # r14: selectExpr string lists + one parsed matches expression (the
+    # old per-column alias chains + 32-when fold were ~300 py4j calls
+    # per build; the parsed tree is operation-identical, so the integer
+    # match count and the exact binary est fraction are unchanged)
+    a = sig.selectExpr(
+        "doc_id as a_id", "hset as h_a",
+        *[f"m{s} as a{s}" for s in range(_MINHASH_PERMS)],
     )
-    b = sig.select(
-        F.col("doc_id").alias("b_id"), F.col("hset").alias("h_b"),
-        *[F.col(f"m{s}").alias(f"b{s}") for s in range(_MINHASH_PERMS)],
+    b = sig.selectExpr(
+        "doc_id as b_id", "hset as h_b",
+        *[f"m{s} as b{s}" for s in range(_MINHASH_PERMS)],
     )
-    matches = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-        for s in range(_MINHASH_PERMS)
-    )
+    matches = F.expr("(" + " + ".join(
+        f"if(a{s} = b{s}, 1, 0)" for s in range(_MINHASH_PERMS)
+    ) + ")")
     return (
         cand.join(a, "a_id").join(b, "b_id")
         .select(
@@ -737,23 +744,24 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sig, _cand = _minhash_sig_cand(spark, sf_dir)
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    # r14: parsed-expr construction (same as minhash_jaccard_estimate)
     ssig = (
         sig.join(src, "doc_id")
         .groupBy("source")
-        .agg(*[F.min(f"m{s}").alias(f"m{s}") for s in range(_MINHASH_PERMS)])
+        .agg(*[F.expr(f"min(m{s}) as m{s}")
+               for s in range(_MINHASH_PERMS)])
     )
-    a = ssig.select(
-        F.col("source").alias("source_a"),
-        *[F.col(f"m{s}").alias(f"a{s}") for s in range(_MINHASH_PERMS)],
+    a = ssig.selectExpr(
+        "source as source_a",
+        *[f"m{s} as a{s}" for s in range(_MINHASH_PERMS)],
     )
-    b = ssig.select(
-        F.col("source").alias("source_b"),
-        *[F.col(f"m{s}").alias(f"b{s}") for s in range(_MINHASH_PERMS)],
+    b = ssig.selectExpr(
+        "source as source_b",
+        *[f"m{s} as b{s}" for s in range(_MINHASH_PERMS)],
     )
-    matches = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-        for s in range(_MINHASH_PERMS)
-    )
+    matches = F.expr("(" + " + ".join(
+        f"if(a{s} = b{s}, 1, 0)" for s in range(_MINHASH_PERMS)
+    ) + ")")
     # the merged-signature table is one row per source (model-sized) —
     # broadcast the probe side so the inequality pair join plans as a
     # BroadcastNestedLoopJoin, never a CartesianProduct (flagged by the
