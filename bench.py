@@ -1381,6 +1381,7 @@ _SHARED_BUILDS = (
     "simhash_signatures",
     "prefix_verified_pairs",
     "cc_labels",
+    "mh_verified_pairs",
     "coarse_kmeans_assign",
     "rek_kmeans_assign",
     "pq_codes",
@@ -1468,6 +1469,12 @@ def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
     timed("simhash_signatures", noop("text_simhash"))
     timed("prefix_verified_pairs", noop("dedup_prefix_filter"))
     timed("cc_labels", noop("dedup_clusters"))
+    # r14 fifth stint: the full verified MinHash pair set (stored
+    # verified corpus index + per-run-verified shard delta) feeds
+    # incremental_shard_apply, shard_apply_compaction AND
+    # incremental_shard_dedup through _TOPK_RESULT_CACHE
+    timed("mh_verified_pairs",
+          lambda: P._mh_verified_pairs(spark, sf_dir).count())
     timed("coarse_kmeans_assign",
           lambda: P._coarse_assign(spark, sf_dir, v).count())
     # the re-k'd quantizer (k = _serving_k(N), model-store-backed):

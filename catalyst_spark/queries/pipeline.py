@@ -210,18 +210,23 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, not pairs.
     """
     sig, cand = _minhash_sig_cand(spark, sf_dir)
-    hsets = sig.select("doc_id", "hset")
+    hsets = sig.select("doc_id", "hset", "n_h")
     verified = (
         cand.join(hsets.select(F.col("doc_id").alias("a_id"),
-                               F.col("hset").alias("h_a")), "a_id")
+                               F.col("hset").alias("h_a"),
+                               F.col("n_h").alias("n_a")), "a_id")
         .join(hsets.select(F.col("doc_id").alias("b_id"),
-                           F.col("hset").alias("h_b")), "b_id")
+                           F.col("hset").alias("h_b"),
+                           F.col("n_h").alias("n_b")), "b_id")
+        # |A ∪ B| by inclusion-exclusion from the per-doc distinct
+        # sizes — same integer as size(array_union(h_a, h_b)), without
+        # building the union array per pair (r14, opt guide §2.2)
+        .withColumn("i", F.size(F.array_intersect("h_a", "h_b")))
         .select(
             "a_id",
             "b_id",
             F.round(
-                F.size(F.array_intersect("h_a", "h_b"))
-                / F.size(F.array_union("h_a", "h_b")),
+                F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i")),
                 4,
             ).alias("jaccard"),
         )
@@ -347,6 +352,14 @@ def _minhash_sig_cand(spark: SparkSession, sf_dir: str):
             )
             for s in range(_MINHASH_PERMS)
         ],
+    ).select(
+        "*",
+        # per-doc DISTINCT hash-set size, so pairwise verifiers derive
+        # |A ∪ B| = n_a + n_b − |A ∩ B| by inclusion-exclusion instead
+        # of building an array_union array per candidate pair (r14,
+        # opt guide §2.2 — the distinct-set identity is exact even
+        # under hash collisions, matching array_union's set semantics)
+        F.expr("size(array_distinct(hset))").alias("n_h"),
     ).persist()
     # materialize NOW: a lazily-persisted table race-computes once per
     # self-join branch inside the first action (the cache only wins
@@ -379,11 +392,11 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per build; the parsed tree is operation-identical, so the integer
     # match count and the exact binary est fraction are unchanged)
     a = sig.selectExpr(
-        "doc_id as a_id", "hset as h_a",
+        "doc_id as a_id", "hset as h_a", "n_h as n_a",
         *[f"m{s} as a{s}" for s in range(_MINHASH_PERMS)],
     )
     b = sig.selectExpr(
-        "doc_id as b_id", "hset as h_b",
+        "doc_id as b_id", "hset as h_b", "n_h as n_b",
         *[f"m{s} as b{s}" for s in range(_MINHASH_PERMS)],
     )
     matches = F.expr("(" + " + ".join(
@@ -391,13 +404,15 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + ")")
     return (
         cand.join(a, "a_id").join(b, "b_id")
+        # |A ∪ B| = n_a + n_b − |I| (inclusion-exclusion; identical
+        # integer to size(array_union), no per-pair union array)
+        .withColumn("i", F.size(F.array_intersect("h_a", "h_b")))
         .select(
             "a_id",
             "b_id",
             F.round(matches / float(_MINHASH_PERMS), 4).alias("est_jaccard"),
             F.round(
-                F.size(F.array_intersect("h_a", "h_b"))
-                / F.size(F.array_union("h_a", "h_b")),
+                F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i")),
                 4,
             ).alias("jaccard"),
         )
@@ -5612,7 +5627,6 @@ def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     All outputs are integer counts — full value-level oracle.
     """
     docs = load(spark, sf_dir, "documents")
-    sig, _cand = _minhash_sig_cand(spark, sf_dir)
     fp = docs.select(
         "doc_id", "source",
         F.expr("substring(md5(text), 1, 16)").alias("fp"),
@@ -5623,28 +5637,20 @@ def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new.join(old.select("fp").distinct(), "fp", "semi")
         .select("doc_id", F.lit(1).alias("_e"))
     )
-    bands = sig.select(
-        "doc_id", F.explode(_band_buckets_array()).alias("bucket")
-    )
-    nb = bands.where(F.col("doc_id") % _SHARD_MOD == 0)
-    ob = bands.where(F.col("doc_id") % _SHARD_MOD != 0)
-    cand = (
-        nb.alias("l").join(ob.alias("r"), "bucket")
-        .select(F.col("l.doc_id").alias("new_id"),
-                F.col("r.doc_id").alias("old_id"))
-        .distinct()
-    )
-    hs = sig.select("doc_id", "hset")
+    # r14 (opt guide §2.2): the shard-vs-corpus verified candidates are
+    # the MIXED pairs of the session-shared verified set (exactly one
+    # endpoint in the shard) — the op's own band join + hset verify
+    # recomputed per pass what the shared build already holds. The
+    # mixed restriction of verified(index ∪ delta) equals the verified
+    # (new x old) candidate set: shard-internal pairs have both
+    # endpoints ≡ 0, corpus index pairs none.
+    mv = _mh_verified_pairs(spark, sf_dir)
+    a_new = F.col("a_id") % _SHARD_MOD == 0
+    b_new = F.col("b_id") % _SHARD_MOD == 0
     near = (
-        cand.join(hs.select(F.col("doc_id").alias("new_id"),
-                            F.col("hset").alias("h_a")), "new_id")
-        .join(hs.select(F.col("doc_id").alias("old_id"),
-                        F.col("hset").alias("h_b")), "old_id")
-        .where(
-            F.size(F.array_intersect("h_a", "h_b")) * 2
-            >= F.size(F.array_union("h_a", "h_b"))
-        )
-        .select(F.col("new_id").alias("doc_id"))
+        mv.where(a_new != b_new)
+        .select(F.when(a_new, F.col("a_id")).otherwise(F.col("b_id"))
+                .alias("doc_id"))
         .distinct()
         .withColumn("_n", F.lit(1))
     )
@@ -5665,7 +5671,7 @@ def incremental_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_band_index(spark: SparkSession, sf_dir: str,
-                       bands: DataFrame) -> DataFrame:
+                       bands: DataFrame | None = None) -> DataFrame:
     """The persisted corpus-side dedup edge index (VERDICT r8 item 3):
     band-candidate pairs (a_id < b_id) WITHIN the already-ingested
     corpus (doc_id % _SHARD_MOD != 0), load-or-built through the model
@@ -5674,7 +5680,11 @@ def _corpus_band_index(spark: SparkSession, sf_dir: str,
     is being merged into — and the params pin the banding scheme so a
     MinHash constant change rebuilds instead of serving a stale
     geometry. Session-cached so one bench/driver session reads the
-    parquet once."""
+    parquet once. (Content deliberately stays band CANDIDATES, not
+    verified pairs: the optimization-round rules forbid shifting
+    per-run work into cross-run artifacts keyed on the test data, so
+    verification stays in-session — once per session via
+    _mh_verified_pairs, not once per consumer.)"""
     from catalyst_spark import model_store
 
     key = (spark.sparkContext.applicationId, sf_dir, "corpus_band_index")
@@ -5699,6 +5709,11 @@ def _corpus_band_index(spark: SparkSession, sf_dir: str,
                                  name="corpus_band_index", params=params,
                                  fp_of="documents")
     if idx is None:
+        if bands is None:
+            sig, _cand = _minhash_sig_cand(spark, sf_dir)
+            bands = sig.select(
+                "doc_id", F.explode(_band_buckets_array()).alias("bucket")
+            )
         ob = bands.where(F.col("doc_id") % _SHARD_MOD != 0)
         built = (
             ob.alias("l").join(ob.alias("r"), "bucket")
@@ -5717,6 +5732,64 @@ def _corpus_band_index(spark: SparkSession, sf_dir: str,
                                      params=params, fp_of="documents")
     _TOPK_RESULT_CACHE[key] = idx
     return idx
+
+
+def _mh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared FULL verified near-dup pair set (banded MinHash
+    candidates passing the exact integer Jaccard >= 0.5 test), built
+    in the incremental pipeline's declared shape: the stored corpus
+    band-candidate index (_corpus_band_index — read, not recomputed)
+    UNIONed with the shard-touching delta candidates, verified ONCE
+    per session. The two parts are disjoint (index pairs have both
+    endpoints in the corpus, delta pairs touch the shard) and each is
+    distinct, so no distinct pass is needed on the union (the old
+    apply shape paid a full-width distinct exchange here every run).
+    The verify uses the inclusion-exclusion integer test
+    (3|I| >= n_a + n_b ⟺ 2|I| >= |A ∪ B|) — no per-pair union array.
+    Shared by incremental_shard_apply, shard_apply_compaction and
+    incremental_shard_dedup, which used to run this verify join once
+    EACH per pass (timed under shared_builds as "mh_verified_pairs");
+    persisted + materialized eagerly per the pair-cache rule
+    (concurrent first consumers would race-duplicate the verify
+    join)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "mh_verified_pairs")
+    hit = _TOPK_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sig, _cand = _minhash_sig_cand(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.explode(_band_buckets_array()).alias("bucket")
+    )
+    idx = _corpus_band_index(spark, sf_dir, bands)
+    nb = bands.where(F.col("doc_id") % _SHARD_MOD == 0)
+    # delta: every candidate touching the shard (shard x all, a != b),
+    # normalized to a < b so index ∪ delta is the full candidate set
+    delta = (
+        nb.alias("l").join(bands.alias("r"), "bucket")
+        .where(F.col("l.doc_id") != F.col("r.doc_id"))
+        .select(F.least("l.doc_id", "r.doc_id").alias("a_id"),
+                F.greatest("l.doc_id", "r.doc_id").alias("b_id"))
+        .distinct()
+    )
+    hs = sig.select("doc_id", "hset", "n_h")
+    pairs = (
+        idx.select("a_id", "b_id").unionByName(delta)
+        .join(hs.select(F.col("doc_id").alias("a_id"),
+                        F.col("hset").alias("h_a"),
+                        F.col("n_h").alias("n_a")), "a_id")
+        .join(hs.select(F.col("doc_id").alias("b_id"),
+                        F.col("hset").alias("h_b"),
+                        F.col("n_h").alias("n_b")), "b_id")
+        .where(
+            F.size(F.array_intersect("h_a", "h_b")) * 3
+            >= F.col("n_a") + F.col("n_b")
+        )
+        .select("a_id", "b_id")
+        .persist()
+    )
+    pairs.count()
+    _TOPK_RESULT_CACHE[key] = pairs
+    return pairs
 
 
 def incremental_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5761,34 +5834,12 @@ def incremental_shard_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-dup-clique bound); CC runs on the edge set, not the corpus.
     """
     docs = load(spark, sf_dir, "documents")
-    sig, _cand = _minhash_sig_cand(spark, sf_dir)
-    bands = sig.select(
-        "doc_id", F.explode(_band_buckets_array()).alias("bucket")
-    )
-    nb = bands.where(F.col("doc_id") % _SHARD_MOD == 0)
-    idx = _corpus_band_index(spark, sf_dir, bands)
-    # delta: every candidate touching the shard (shard x all, a != b),
-    # normalized to a < b so the union is the full band-candidate set
-    delta = (
-        nb.alias("l").join(bands.alias("r"), "bucket")
-        .where(F.col("l.doc_id") != F.col("r.doc_id"))
-        .select(F.least("l.doc_id", "r.doc_id").alias("a_id"),
-                F.greatest("l.doc_id", "r.doc_id").alias("b_id"))
-        .distinct()
-    )
-    hs = sig.select("doc_id", "hset")
-    pairs = (
-        idx.unionByName(delta).distinct()
-        .join(hs.select(F.col("doc_id").alias("a_id"),
-                        F.col("hset").alias("h_a")), "a_id")
-        .join(hs.select(F.col("doc_id").alias("b_id"),
-                        F.col("hset").alias("h_b")), "b_id")
-        .where(
-            F.size(F.array_intersect("h_a", "h_b")) * 2
-            >= F.size(F.array_union("h_a", "h_b"))
-        )
-        .select("a_id", "b_id")
-    )
+    # r14 (opt guide §2.2/§2.4): the verified pair set is the shared
+    # session build — stored corpus candidate index (read, not
+    # recomputed) ∪ shard delta, verified ONCE per session instead of
+    # once per consumer, minus the old redundant distinct over
+    # index ∪ delta (the parts are disjoint and each distinct).
+    pairs = _mh_verified_pairs(spark, sf_dir)
     labels = _cc_labels(spark, pairs)
     losers = labels.where(F.col("doc_id") != F.col("label")).select("doc_id")
     return (
@@ -5854,28 +5905,19 @@ def shard_apply_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are the operating-cost curve: K small shard-bounded bills
     vs n_edges(K) paid once by a rebuild."""
     docs = load(spark, sf_dir, "documents")
-    sig, cand = _minhash_sig_cand(spark, sf_dir)
-    hs = sig.select("doc_id", "hset")
-    pairs = (
-        cand
-        .join(hs.select(F.col("doc_id").alias("a_id"),
-                        F.col("hset").alias("h_a")), "a_id")
-        .join(hs.select(F.col("doc_id").alias("b_id"),
-                        F.col("hset").alias("h_b")), "b_id")
-        .where(
-            F.size(F.array_intersect("h_a", "h_b")) * 2
-            >= F.size(F.array_union("h_a", "h_b"))
-        )
-        .select(
-            "a_id", "b_id",
-            F.greatest(
-                F.expr(_COMPACT_ARRIVAL.replace("doc_id", "a_id")),
-                F.expr(_COMPACT_ARRIVAL.replace("doc_id", "b_id")),
-            ).alias("pstep"),
-        )
-        .persist()
+    # r14 (opt guide §2.2): the verified pair set over corpus + shard
+    # is the session-shared build (verified(index ∪ delta) ==
+    # verified(full candidate set), because index ∪ delta IS the full
+    # banded candidate set). pstep is a pure projection on top — the
+    # op no longer re-runs its own verify join; the shared persist
+    # feeds the CC loop + 2 aggregates.
+    pairs = _mh_verified_pairs(spark, sf_dir).select(
+        "a_id", "b_id",
+        F.greatest(
+            F.expr(_COMPACT_ARRIVAL.replace("doc_id", "a_id")),
+            F.expr(_COMPACT_ARRIVAL.replace("doc_id", "b_id")),
+        ).alias("pstep"),
     )
-    pairs.count()  # materialize: the CC loop + 2 aggregates read it
     steps = spark.createDataFrame(
         [(k,) for k in range(_COMPACT_STEPS + 1)], "k long")
     arrived = docs.select(
@@ -7370,16 +7412,19 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe — 3 persisted candidate tables and ~128 jobs at build time).
     A pair's minimal probe rank mcrank = min(crank) decides membership
     at EVERY sweep point (mcrank <= np ⟺ reachable via some cell of
-    rank <= np), so ONE (q_id, n_id)-grained aggregate plus a broadcast
-    nprobe-axis fan-out replays the whole sweep as a single plan: one
-    window partitioned by (nprobe, q_id), one keyed semi-join against
-    brute, one keyed count for scanned_rows. Identical rows: candidate
-    sets per point are set-equal by the mcrank argument, ranks use the
-    same (sq_d2, n_id) ties, and the empty-axis row is preserved by the
-    left join back from the axis (keyed groupBy would drop it — the r14
-    keyed-CC gotcha). Nothing corpus-sized is ever re-scanned per
-    point; the probe_exact branch rides the same session-cached k-means
-    model and coarse assignment.
+    rank <= np), and because those subsets are NESTED, one
+    (q_id)-partitioned window pass over the UNREPLICATED pair table
+    computes every point's top-5 at once (r14 fifth stint): per-np
+    running counts of qualifying rows along the single (sq_d2, n_id)
+    order equal the old per-(nprobe, q_id) row_number inside each
+    subset, and scanned_rows is a mcrank histogram joined to the
+    broadcast axis. Identical rows: candidate sets per point are
+    set-equal by the mcrank argument, ranks use the same (sq_d2, n_id)
+    ties, and the empty-axis row is preserved by the left join back
+    from the axis (keyed groupBy would drop it — the r14 keyed-CC
+    gotcha). Nothing corpus-sized is ever re-scanned per point — and
+    nothing pair-sized is ever axis-replicated; the probe_exact branch
+    rides the same session-cached k-means model and coarse assignment.
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
@@ -7418,27 +7463,59 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10x scale tier, persisting them through the axis fan-out was
     # ~1 KB/row x 8M pairs x up to |axis| replicas — a measured
     # driver-heap OOM; the narrow (q_id, n_id, mcrank, sq_d2) rows are
-    # ~32 B each
-    swept = (
+    # ~32 B each.
+    # r14 fifth stint (opt guide §2.2/§2.4): the axis fan-out moved
+    # BELOW the expensive work entirely. The old shape replicated the
+    # pair table over the nprobe axis BEFORE the persist and ran one
+    # row_number sort per (nprobe, q_id) slice; but top-5 membership at
+    # every sweep point falls out of ONE (q_id)-partitioned pass over
+    # the UNREPLICATED pairs — the subsets {mcrank <= np} are nested,
+    # so a per-np RUNNING COUNT of qualifying rows along the single
+    # (sq_d2, n_id) order equals the old per-subset row_number for
+    # rows inside the subset. Identical rows by construction; the
+    # persist shrinks by the replication factor and two of three sorts
+    # disappear (scanned_rows is a mcrank histogram, not a table scan).
+    pairs_d2 = (
         pairs.join(codes.withColumnRenamed("vec_id", "n_id"), "n_id")
         .join(F.broadcast(qs), "q_id")
         .withColumn("sq_d2", d2)
         .select("q_id", "n_id", "mcrank", "sq_d2")
-        .join(F.broadcast(axis), F.col("mcrank") <= F.col("nprobe"))
         .persist()
     )
-    w = W.partitionBy("nprobe", "q_id") \
-        .orderBy(F.col("sq_d2").asc(), F.col("n_id"))
+    wq = W.partitionBy("q_id").orderBy(F.col("sq_d2").asc(), F.col("n_id")) \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = pairs_d2.select(
+        "q_id", "n_id", "mcrank",
+        *[
+            F.sum((F.col("mcrank") <= F.lit(np_)).cast("int")).over(wq)
+            .alias(f"c{np_}")
+            for np_ in _NPROBE_SWEEP
+        ],
+    )
+    top = cum.select(
+        "q_id",
+        F.col("n_id").alias("neighbor_id"),
+        F.explode(F.array_compact(F.array(*[
+            F.when(
+                (F.col("mcrank") <= F.lit(np_)) & (F.col(f"c{np_}") <= 5),
+                F.lit(np_).cast("long"),
+            )
+            for np_ in _NPROBE_SWEEP
+        ]))).alias("nprobe"),
+    )
     hits = (
-        swept.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 5)
-        .select("nprobe", "q_id", F.col("n_id").alias("neighbor_id"))
-        .join(brute, ["q_id", "neighbor_id"], "semi")
+        top.join(brute, ["q_id", "neighbor_id"], "semi")
         .groupBy("nprobe")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    scanned = swept.groupBy("nprobe").agg(
-        F.count(F.lit(1)).alias("n_scanned"))
+    # scanned_rows(np) = Σ over the mcrank histogram with mcrank <= np
+    mc_hist = pairs_d2.groupBy("mcrank").agg(
+        F.count(F.lit(1)).alias("n_mc"))
+    scanned = (
+        mc_hist.join(F.broadcast(axis), F.col("mcrank") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.sum("n_mc").alias("n_scanned"))
+    )
     res = (
         axis.join(scanned, "nprobe", "left")
         .join(hits, "nprobe", "left")
@@ -7453,7 +7530,7 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    swept.unpersist()
+    pairs_d2.unpersist()
     sweep = res.select(
         F.lit("sq8_sweep").alias("section"),
         "nprobe",
