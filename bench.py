@@ -1465,7 +1465,11 @@ def _time_shared_builds(spark, sf_dir: str) -> dict[str, float]:
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
     timed("window_table", lambda: P._windowed(docs).persist().count())
-    timed("minhash_signatures", lambda: P._minhash_sig_cand(spark, sf_dir))
+    # materialize BOTH persisted halves (signature table inside the
+    # call, candidate pair table via count) so consumers' numbers are
+    # build-free marginals
+    timed("minhash_signatures",
+          lambda: P._minhash_sig_cand(spark, sf_dir)[1].count())
     timed("simhash_signatures", noop("text_simhash"))
     timed("prefix_verified_pairs", noop("dedup_prefix_filter"))
     timed("cc_labels", noop("dedup_clusters"))

@@ -367,12 +367,21 @@ def _minhash_sig_cand(spark: SparkSession, sf_dir: str):
     sig.count()
     bands = sig.select("doc_id", F.explode(_band_buckets_array()).alias("bucket"))
 
+    # persisted LAZILY (r14 fifth stint): the distinct banded candidate
+    # set feeds dedup_minhash_pairs, minhash_jaccard_estimate and the
+    # recall curve's production row — each used to re-run the band
+    # self-join + distinct. Lazy because its consumers are sequential
+    # bench/driver slots (the eager-count rule is for builds whose
+    # first consumers race concurrently); the bench's
+    # minhash_signatures timer materializes it so per-query numbers
+    # stay build-free marginals.
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), (F.col("l.bucket") == F.col("r.bucket"))
               & (F.col("l.doc_id") < F.col("r.doc_id")))
         .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
         .distinct()
+        .persist()
     )
     return sig, cand
 
@@ -588,7 +597,14 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tsets = lists.select(
-        "doc_id", F.expr("transform(arr, x -> x.h)").alias("tokset")
+        "doc_id", F.expr("transform(arr, x -> x.h)").alias("tokset"),
+        # per-doc DISTINCT hash count so the verify derives
+        # |A ∪ B| = nh_a + nh_b − |A ∩ B| (inclusion-exclusion) instead
+        # of building an array_union array per candidate pair (r14,
+        # opt guide §2.2; exact under hash collisions — all three terms
+        # are distinct-set cardinalities)
+        F.expr("size(array_distinct(transform(arr, x -> x.h)))")
+        .alias("nh"),
     )
     # broadcast the per-doc token sets into the verify join WHEN THEY
     # FIT: the table is docs x avg-set-size 60-bit hashes (~2 MB at
@@ -605,19 +621,23 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     est_bytes = int(stats["nt"] or 0) * 16 + int(stats["nd"] or 0) * 64
 
-    def _verify_side(id_alias: str, set_alias: str):
+    def _verify_side(id_alias: str, set_alias: str, n_alias: str):
         t = tsets.select(
-            F.col("doc_id").alias(id_alias), F.col("tokset").alias(set_alias)
+            F.col("doc_id").alias(id_alias),
+            F.col("tokset").alias(set_alias),
+            F.col("nh").alias(n_alias),
         )
         return F.broadcast(t) if est_bytes <= _PREFIX_BROADCAST_BUDGET else t
 
     pairs = (
-        cand.join(_verify_side("a_id", "ta"), "a_id")
-        .join(_verify_side("b_id", "tb"), "b_id")
+        cand.join(_verify_side("a_id", "ta", "na"), "a_id")
+        .join(_verify_side("b_id", "tb", "nb"), "b_id")
+        # |A ∪ B| by inclusion-exclusion — identical integer to
+        # size(array_union(ta, tb)), no per-pair union array
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("ta", "tb"))
-            / F.size(F.array_union("ta", "tb")),
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")),
         )
         .where(F.col("jaccard") >= _PREFIX_JACCARD)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
@@ -659,9 +679,11 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     config-keyed pass (r14 — each config's candidate table used to be
     built twice, once under each of its two count aggregates, so the
     band self-join ran four times; the keyed join on (n_bands, bucket)
-    partitions the per-config joins exactly, and the persisted pair
-    table feeds both counts), plus one equi-join and two tiny count
-    aggregates. Nothing rescans text.
+    partitions the per-config joins exactly), and BOTH counts per
+    config come from one aggregate over that stream with the
+    pair-sized exact set broadcast in as a found/not tag (r14 fifth
+    stint — the persisted intermediate and its second scan are gone).
+    Nothing rescans text.
     """
     sig, prod_cand = _minhash_sig_cand(spark, sf_dir)
     exact = dedup_prefix_filter(spark, sf_dir).select("a_id", "b_id")
@@ -684,7 +706,16 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*entries)).alias("e")
     ).select("doc_id", F.col("e.nb").alias("nb"),
              F.col("e.bucket").alias("bucket"))
-    cand = (
+    # r14 fifth stint (opt guide §2.2/§3): BOTH counts per config come
+    # from ONE pass over the distinct candidate stream — the exact
+    # ground truth is pair-sized, so a broadcast LEFT join tags each
+    # candidate as found/not and one aggregate emits n_candidates and
+    # n_found together. The old shape persisted + materialized the
+    # candidate table and scanned it twice (count aggregate + shuffle
+    # recall join).
+    hit_tags = F.broadcast(
+        exact.withColumn("hit", F.lit(1)).alias("hit_tags"))
+    counts = (
         bands.alias("l")
         .join(bands.alias("r"),
               (F.col("l.nb") == F.col("r.nb"))
@@ -694,21 +725,18 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l.doc_id").alias("a_id"),
                 F.col("r.doc_id").alias("b_id"))
         .distinct()
-        .persist()  # feeds the candidate count AND the recall join
-    )
-    cand.count()  # materialize before the two concurrent consumers
-    n_cand = cand.groupBy("nb").agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_found = (
-        exact.join(cand, ["a_id", "b_id"])
-        .groupBy("nb").agg(F.count(F.lit(1)).alias("n_found"))
+        .join(hit_tags, ["a_id", "b_id"], "left")
+        .groupBy("nb")
+        .agg(F.count(F.lit(1)).alias("n_candidates"),
+             F.count("hit").alias("n_found"))
     )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     axis = spark.createDataFrame(sweep, "nb bigint, nr bigint")
     swept = (
-        # left joins from the broadcast config axis keep a config's row
+        # left join from the broadcast config axis keeps a config's row
         # (all-zero counts) even when it yields no candidates
         F.broadcast(axis)
-        .join(n_cand, "nb", "left").join(n_found, "nb", "left")
+        .join(counts, "nb", "left")
         .crossJoin(F.broadcast(n_exact))
         .select(
             F.col("nb").alias("n_bands"), F.col("nr").alias("n_rows"),
@@ -720,27 +748,24 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the production config: grade the served (session-cached) candidate
-    # table — its row measures the pipeline that actually serves
+    # table — its row measures the pipeline that actually serves; same
+    # one-pass tagged aggregate (n_found = |pc ∩ exact| either way)
     pc = prod_cand.select("a_id", "b_id")
-    prod_counts = exact.join(
-        pc.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left"
-    ).agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count("hit").alias("n_found"),
-        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
-    )
     prod_row = (
-        pc.agg(F.count(F.lit(1)).alias("n_candidates"))
-        .crossJoin(prod_counts)
+        pc.join(hit_tags, ["a_id", "b_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count("hit").alias("n_found"),
+        )
+        .crossJoin(F.broadcast(n_exact))
         .select(
             F.lit(_MINHASH_BANDS).cast("bigint").alias("n_bands"),
             F.lit(_MINHASH_ROWS).cast("bigint").alias("n_rows"),
-            "n_candidates", "n_exact", "n_found", "recall",
+            "n_candidates", "n_exact", "n_found",
+            F.round(F.col("n_found") / F.col("n_exact"), 4).alias("recall"),
         )
     )
-    out = swept.unionAll(prod_row).localCheckpoint()
-    cand.unpersist()
-    return out
+    return swept.unionAll(prod_row).localCheckpoint()
 
 
 def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,27 +1189,53 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     should be before training.
 
     Cost shape: the verified pairs (with exact-rational-derived 4dp
-    jaccard) come from the session pair cache; all three thresholds'
-    CCs run as ONE theta-keyed min-label propagation (_cc_labels_keyed
-    — r14: nodes keyed (theta, doc_id), edges fanned over the
-    broadcast theta axis; a pair at jaccard j feeds every theta <= j,
-    so higher thetas are strictly smaller slices of the same
-    replicated edge set). One convergence loop and one job instead of
-    len(_DEDUP_THETAS); per-theta results identical to the sequential
-    loops by construction. Filtering compares the same rounded value
-    on both engines — the parity contract dedup_prefix_filter already
-    ships.
+    jaccard) come from the session pair cache; the base threshold
+    (<= the pair table's jaccard floor, so it selects every pair)
+    reads dedup_clusters' session-cached converged labels, and the
+    remaining high thresholds' CCs run as ONE theta-keyed min-label
+    propagation (_cc_labels_keyed — nodes keyed (theta, doc_id),
+    edges fanned over the broadcast theta axis; a pair at jaccard j
+    feeds every theta <= j, so higher thetas are strictly smaller
+    slices of the same replicated edge set). One convergence loop over
+    the sparse slices instead of len(_DEDUP_THETAS) full loops;
+    per-theta results identical to the sequential loops by
+    construction. Filtering compares the same rounded value on both
+    engines — the parity contract dedup_prefix_filter already ships.
     """
     pairs = dedup_prefix_filter(spark, sf_dir)
     n_docs = load(spark, sf_dir, "documents").count()
     thetas = spark.createDataFrame(
         [(tp,) for tp in _DEDUP_THETAS], "k long")
-    ked = (
-        pairs.join(F.broadcast(thetas),
-                   F.col("jaccard") >= F.col("k") / 1000.0)
-        .select("k", "a_id", "b_id")
-    )
-    labels = _cc_labels_keyed(spark, ked)
+    # r14 fifth stint (opt guide §2.1 — remove work the session already
+    # did): the pair table only holds jaccard >= _PREFIX_JACCARD rows,
+    # so any theta at or below that floor selects the WHOLE set and its
+    # clustering IS dedup_clusters' session-cached converged labels
+    # (the "cc_labels" shared build). Only the sparser high-theta
+    # slices re-propagate, so the keyed CC's replicated edge set drops
+    # from |E(.5)|+|E(.7)|+|E(.9)| to |E(.7)|+|E(.9)|. Per-theta label
+    # tables are identical (same edge sets, same min-label fixpoint).
+    floor_permille = int(_PREFIX_JACCARD * 1000)
+    full_ts = [tp for tp in _DEDUP_THETAS if tp <= floor_permille]
+    high_ts = [tp for tp in _DEDUP_THETAS if tp > floor_permille]
+    parts = []
+    if full_ts:
+        base = dedup_clusters(spark, sf_dir)
+        fts = spark.createDataFrame([(tp,) for tp in full_ts], "k long")
+        parts.append(
+            base.crossJoin(F.broadcast(fts)).select(
+                "k", "doc_id", F.col("cluster_id").alias("label"))
+        )
+    if high_ts:
+        hts = spark.createDataFrame([(tp,) for tp in high_ts], "k long")
+        ked = (
+            pairs.join(F.broadcast(hts),
+                       F.col("jaccard") >= F.col("k") / 1000.0)
+            .select("k", "a_id", "b_id")
+        )
+        parts.append(_cc_labels_keyed(spark, ked))
+    labels = parts[0]
+    for p in parts[1:]:
+        labels = labels.unionByName(p)
     grouped = labels.groupBy("k").agg(
         F.count(F.lit(1)).alias("nic"),
         F.countDistinct("label").alias("nc"),
